@@ -1,0 +1,16 @@
+from etl__project_spark.operators.transform import (  # noqa: F401
+    filter_videostart,
+    filter_videostart_like,
+    filter_well_formed_title,
+    parse_raw,
+)
+from etl__project_spark.operators.dims import (  # noqa: F401
+    derive_dim,
+    derive_dim_time,
+    scd1_upsert,
+    scd2_upsert,
+    with_dense_ids,
+)
+from etl__project_spark.operators.fact import build_fact  # noqa: F401
+from etl__project_spark.operators.merge import merge_insert_new  # noqa: F401
+from etl__project_spark.operators.audit import max_lengths, record_count  # noqa: F401

@@ -1,0 +1,209 @@
+"""Dimension operators: distinct derivation (A1/A2), dense surrogate keys
+(I1), SCD Type-1 upsert (J1), SCD Type-2 upsert (SURVEY.md §2.9).
+
+Scale notes
+-----------
+Dense insertion-ordered identity (Redshift ``identity(0,1)``,
+lambda_function_redishift.py:72-98) has no distributed built-in.
+``with_dense_ids`` implements the scalable pattern: range-repartition on the
+order key, per-partition ``row_number`` (parallel), then add per-partition
+offsets computed from partition counts (tiny driver-side-free cumsum via a
+window over at most #partitions rows). A naive global
+``row_number().over(Window.orderBy(...))`` funnels every row through ONE
+task — fine at 60k rows, fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl__project_spark.functions import scalar
+
+
+def derive_dim(df: DataFrame, col: str) -> DataFrame:
+    """A1 — single-column dimension delta: distinct non-null values.
+
+    Reference: ``Series.unique()`` per dimension
+    (lambda_function_s3.py:80,92,96,100). NULL site rows are excluded from
+    the site dim (pandas ``unique`` keeps NaN but the NOT NULL DDL at
+    lambda_function_redishift.py:67 drops it on load; canonical = no NULL
+    key rows in dims).
+
+    Distinct is a hash aggregate: partial (map-side) dedup happens before
+    the shuffle, so at scale the shuffle carries only unique values per
+    partition — cheap for low-cardinality dims.
+    """
+    return df.select(col).filter(F.col(col).isNotNull()).distinct()
+
+
+def derive_dim_time(parsed: DataFrame, dt_col: str = "datetime") -> DataFrame:
+    """A1 + C8 — minute-grain time dimension delta.
+
+    Columns per the time_dlt DDL (lambda_function_redishift.py:57-63):
+    ``datetime`` (string natural key) + year/month/day/hour/minute ints.
+    """
+    ts = scalar.parse_iso_minute(F.col(dt_col))
+    comps = scalar.datetime_components(ts)
+    return (
+        parsed.select(dt_col)
+        .distinct()
+        .select(F.col(dt_col), *[c.alias(n) for n, c in comps.items()])
+    )
+
+
+def with_dense_ids(
+    df: DataFrame,
+    order_col: str,
+    id_col: str = "skey",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """I1 — assign dense, insertion-ordered int64 ids ``start, start+1, …``
+    ordered by ``order_col``.
+
+    Scalable construction (no single-task global window):
+      1. range-repartition by the order key → partition p holds a contiguous
+         key range, ranges ascending with p;
+      2. ``row_number`` within each partition (parallel);
+      3. per-partition row counts → cumulative offset (window over ≤ #parts
+         rows — negligible);
+      4. id = start + offset(p) + local_rank - 1.
+
+    Equivalent to ``row_number() over (order by order_col) - 1 + start``
+    for distinct keys, which is exactly the DuckDB oracle form.
+    """
+    if num_partitions is None:
+        parted = df.repartitionByRange(order_col)
+    else:
+        parted = df.repartitionByRange(num_partitions, order_col)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    local = with_pid.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__pid").orderBy(order_col))
+    )
+    offsets = (
+        with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.lit(start) + F.col("__off") + F.col("__rn") - 1).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
+def scd1_upsert(
+    dim: DataFrame,
+    delta: DataFrame,
+    natural_key: str,
+    skey_col: str,
+) -> DataFrame:
+    """J1 — SCD Type-1 insert-new upsert: append unseen natural keys with
+    continued dense surrogate keys; existing rows never change.
+
+    Reference: ``INSERT INTO dim SELECT t.key FROM delta t LEFT JOIN dim d
+    ON t.key = d.key WHERE d.key IS NULL`` ×4
+    (lambda_function_redishift.py:130-150). The IS-NULL probe is a left-anti
+    join here; the delta is typically small → broadcast to avoid shuffling
+    the (potentially large) dim.
+
+    ``dim`` must have columns (skey_col, natural_key [+ attrs]); ``delta``
+    must contain natural_key (other columns carried through if present in
+    dim's schema).
+    """
+    keys = delta.select(natural_key).filter(F.col(natural_key).isNotNull()).distinct()
+    new_keys = keys.join(dim.select(natural_key), natural_key, "left_anti")
+    base = dim.agg(F.coalesce(F.max(skey_col) + 1, F.lit(0)).alias("__base"))
+    numbered = with_dense_ids(new_keys, natural_key, id_col=skey_col, start=0)
+    new_rows = (
+        numbered.crossJoin(F.broadcast(base))
+        .withColumn(skey_col, (F.col(skey_col) + F.col("__base")).cast("long"))
+        .drop("__base")
+        .select(skey_col, natural_key)
+    )
+    return dim.select(skey_col, natural_key).unionByName(new_rows)
+
+
+def scd2_upsert(
+    dim: DataFrame,
+    delta: DataFrame,
+    natural_key: str,
+    attr_cols: list[str],
+    skey_col: str,
+    load_date: str,
+    end_of_time: str = "9999-12-31",
+) -> DataFrame:
+    """SCD Type-2 upsert per the reference design doc (summary.pdf p.8,
+    SURVEY.md §2.9) — documented there but never coded; implemented here.
+
+    ``dim`` schema: (skey, natural_key, *attrs, current_flag, start_date,
+    end_date). For each delta row (natural_key, *attrs):
+
+    - new natural key      → insert (new skey, 'Y', load_date, end_of_time)
+    - changed attrs        → expire current row (current_flag='N',
+                             end_date = load_date - 1 day) and insert a new
+                             current version with a new skey
+    - unchanged            → no-op
+
+    Multiple versions of a key may exist; exactly one has
+    ``current_flag='Y'``. Fact loads join on current rows only; historical
+    queries filter ``BETWEEN start_date AND end_date``.
+
+    Pure-DataFrame algorithm (anti-join + changed-join + union), the
+    table-format-free equivalent of a multi-WHEN MERGE.
+    """
+    d = F.lit(load_date).cast("date")
+    delta_u = delta.select(natural_key, *attr_cols).distinct()
+
+    current = dim.filter(F.col("current_flag") == "Y")
+    attr_match = [F.col(f"c.{a}").eqNullSafe(F.col(f"n.{a}")) for a in attr_cols]
+
+    joined = delta_u.alias("n").join(
+        current.alias("c"), F.col(f"n.{natural_key}") == F.col(f"c.{natural_key}"), "left"
+    )
+    brand_new = joined.filter(F.col(f"c.{natural_key}").isNull()).select("n.*")
+    same = attr_match[0]
+    for m in attr_match[1:]:
+        same = same & m
+    changed = joined.filter(F.col(f"c.{natural_key}").isNotNull() & ~same)
+    changed_keys = changed.select(F.col(f"n.{natural_key}").alias(natural_key)).distinct()
+    changed_new = changed.select("n.*")
+
+    expired = (
+        current.join(F.broadcast(changed_keys), natural_key, "left_semi")
+        .withColumn("current_flag", F.lit("N"))
+        .withColumn("end_date", F.date_sub(d, 1))
+    )
+    untouched_current = current.join(F.broadcast(changed_keys), natural_key, "left_anti")
+    history = dim.filter(F.col("current_flag") == "N")
+
+    inserts = brand_new.unionByName(changed_new).select(
+        natural_key, *attr_cols
+    )
+    base = dim.agg(F.coalesce(F.max(skey_col) + 1, F.lit(0)).alias("__base"))
+    numbered = with_dense_ids(inserts, natural_key, id_col=skey_col, start=0)
+    new_rows = (
+        numbered.crossJoin(F.broadcast(base))
+        .withColumn(skey_col, (F.col(skey_col) + F.col("__base")).cast("long"))
+        .drop("__base")
+        .withColumn("current_flag", F.lit("Y"))
+        .withColumn("start_date", d)
+        .withColumn("end_date", F.lit(end_of_time).cast("date"))
+    )
+    cols = [skey_col, natural_key, *attr_cols, "current_flag", "start_date", "end_date"]
+    return (
+        history.select(cols)
+        .unionByName(untouched_current.select(cols))
+        .unionByName(expired.select(cols))
+        .unionByName(new_rows.select(cols))
+    )

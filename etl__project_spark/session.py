@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Local test mode runs one JVM with N threads; the configs below are chosen so
+the same code is correct on a real multi-executor cluster:
+
+- AQE on: runtime partition coalescing, skew-join splitting, and adaptive
+  broadcast decisions replace hand-tuned partition counts at scale.
+- ``spark.sql.session.timeZone=UTC``: deterministic timestamp semantics and
+  parity with the DuckDB oracle (UTC-naive timestamps).
+- Arrow on: vectorized Pandas-UDF / toPandas path for the few operators that
+  genuinely need Python (datapipe.multimodal).
+- shuffle.partitions defaults to the local core count; on a cluster AQE
+  coalesces from a deliberately high initial number, so this knob is safe to
+  raise via SPARK_GRAFT_SHUFFLE_PARTITIONS.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl__project_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Parameters are env-overridable so the bench driver can steer scale:
+    ``SPARK_GRAFT_CPUS`` → ``local[N]``, ``SPARK_GRAFT_SHUFFLE_PARTITIONS``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                str(os.cpu_count() or 8),
+            )
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS) which the Spark reader
+        # rejects; read as long and convert in sources.tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

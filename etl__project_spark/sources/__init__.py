@@ -1,0 +1,6 @@
+from etl__project_spark.sources.readers import (  # noqa: F401
+    read_raw_csv,
+    read_raw_parquet,
+    write_csv,
+)
+from etl__project_spark.sources.tables import TABLES, load_table, load_tables  # noqa: F401

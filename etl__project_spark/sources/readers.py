@@ -1,0 +1,54 @@
+"""Sources & sinks — SURVEY.md §2.1 (S1/S2/S4/S6, K1).
+
+The reference reads raw CSV with ``quotechar='"'``, ``escapechar='\\'``,
+header row (lambda_function_s3.py:65; Snowflake file format
+snow pipe.sql:16-21) and also ships the same data as parquet
+(``source data/video_data.gz.parquet``). Redshift COPY (S4) is just a
+distributed scan + append in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Raw video_data schema (summary.pdf p.2; snow pipe.sql:6-11). Explicit —
+# never inferred — so malformed files fail loudly and scans prune correctly.
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("DateTime", T.StringType(), True),
+        T.StructField("VideoTitle", T.StringType(), True),
+        T.StructField("events", T.StringType(), True),
+    ]
+)
+
+
+def read_raw_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S1/S6 — CSV scan with the reference's quote/escape semantics."""
+    return (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", "\\")
+        .option("multiLine", False)
+        .schema(schema or RAW_SCHEMA)
+        .csv(path)
+    )
+
+
+def read_raw_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — parquet scan (columnar, predicate pushdown, the scale path)."""
+    return spark.read.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1 — CSV sink with the reference's writer options
+    (lambda_function_s3.py:114-118: header, ``escapechar='\\'``, LF)."""
+    (
+        df.write.mode(mode)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", "\\")
+        .csv(path)
+    )

@@ -1,0 +1,19 @@
+from etl__project_spark.datapipe.text import (  # noqa: F401
+    doc_fingerprint,
+    lang_id_heuristic,
+    text_stats,
+)
+from etl__project_spark.datapipe.dedup import (  # noqa: F401
+    char_shingles,
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etl__project_spark.datapipe.similarity import (  # noqa: F401
+    brute_force_topk,
+    bucketed_topk,
+    cosine_components,
+    sign_bucket,
+)

@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash + LSH, SimHash, and n-gram Jaccard near-dup detection.
+
+Scale design
+------------
+- Exact dedup is a hash groupBy on md5(text) — 16-byte keys shuffle
+  instead of full documents.
+- MinHash/LSH follows the standard shingle → signature → band → bucket-join
+  pipeline: candidate generation is a self-join on (band_id, band_hash),
+  so cost is bounded by bucket collisions, never all-pairs. At 100 TB the
+  band join is the only shuffle and its keys are uniformly-distributed
+  hashes (no skew).
+- Hashes are md5-based (not Spark's internal ``hash()``) so results are
+  engine-portable and oracle-checkable; min over md5 hex strings is a
+  valid uniform min-hash order statistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one keeper (min id) per
+    distinct text, with the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def char_shingles(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct character k-gram shingles per document, exploded to
+    (id, shingle) rows. Documents shorter than k yield no rows."""
+    # transform+substring with a dynamic start needs the expr form (python
+    # F.substring takes a literal start). Guard length < k explicitly:
+    # sequence(1, 0) would count DOWN, not produce an empty array.
+    shingle_arr = F.expr(
+        f"case when length({text_col}) >= {k} then "
+        f"array_distinct(transform(sequence(1, length({text_col}) - {k - 1}),"
+        f" i -> substring({text_col}, i, {k}))) "
+        f"else cast(array() as array<string>) end"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+    )
+
+
+def minhash_signature(
+    shingled: DataFrame, n_hashes: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature: for seed j, h_j = min over shingles of
+    md5(j || '|' || shingle). One groupBy computes all hashes (single
+    shuffle of the exploded shingles, partial min map-side)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = 2,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: hash each band of the signature, self-join on
+    (band_id, band_hash) → candidate near-dup pairs (a < b).
+
+    Probability a pair with Jaccard s collides ≥ 1 band:
+    1 - (1 - s^r)^b. The self-join is the scale path: only same-bucket
+    pairs are ever materialized.
+    """
+    bands = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def _hex_digit_val(c: Column) -> Column:
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+def simhash(
+    df: DataFrame,
+    n_bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash over whitespace tokens, ``n_bits`` wide (≤ 16 here: 4 md5
+    hex digits per token supply the bit source, which keeps the expression
+    tree — and the SQL oracle — small).
+
+    bit_i(doc) = sign of Σ_tokens (±1 depending on bit_i(md5(token))).
+    Near-dup docs differ in few bits (compare via hamming distance).
+    """
+    assert n_bits <= 16
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    bit_sums = []
+    for i in range(n_bits):
+        digit = _hex_digit_val(F.substring(h, i // 4 + 1, 1))
+        bit = F.floor(digit / (2 ** (3 - i % 4))) % 2
+        bit_sums.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{i}")
+        )
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for i in range(n_bits):
+        sig = sig + F.when(F.col(f"s{i}") > 0, F.lit(2 ** (n_bits - 1 - i))).otherwise(0)
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 5,
+    bucket_width: int = 50,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, bucketed by document length so the
+    pair space stays bounded (near-dups have near-equal lengths; a full
+    production variant unions adjacent buckets).
+
+    Returns (id_a, id_b, jaccard) for same-bucket pairs with similarity
+    ≥ threshold.
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.floor(F.length(F.col(text_col)) / bucket_width).alias("len_bucket"),
+        F.expr(
+            f"case when length({text_col}) >= {k} then "
+            f"array_distinct(transform(sequence(1, length({text_col}) - {k - 1}),"
+            f" i -> substring({text_col}, i, {k}))) "
+            f"else cast(array() as array<string>) end"
+        ).alias("shingles"),
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(
+            b,
+            (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

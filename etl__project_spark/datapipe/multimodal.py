@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas iterators.
+
+The decode step is STUBBED (PIL/librosa/ffmpeg are not in this
+environment): ``decode_image_batch`` raises ``NotImplementedError`` unless
+``fake=True``, in which case it produces a deterministic fake feature
+vector from the bytes — so the Spark-side plumbing (schema, batching,
+partitioning, UDF signature) is real and tested end-to-end.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches, so a 100 TB
+binary corpus is processed with bounded executor memory
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` caps batch size, which
+matters when each blob is MBs). Blob columns should be stored in their own
+parquet column chunk (they are, by construction) so metadata-only queries
+never read them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# (blob metadata) schema a multimodal table carries alongside the bytes.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_sha", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder+encoder: bytes → sha256 →
+    ``dim`` floats in [0, 1). Stable across runs/engines."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def decode_image_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
+    """Per-batch decode + featurize. Real decode is not available in this
+    container; ``fake=True`` substitutes the deterministic fake."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv, not installed in this environment"
+        )
+    payloads = pdf["payload"]
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype(
+                "int64"
+            ),
+            "content_sha": payloads.map(
+                lambda b: hashlib.sha256(b or b"").hexdigest()
+            ),
+            "feature": payloads.map(lambda b: _fake_feature(b or b"")),
+        }
+    )
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas featurization over a multimodal table.
+
+    Arrow-batched; each task handles an iterator of record batches so blob
+    memory stays bounded regardless of partition size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield decode_image_batch(pdf, fake=fake)
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synth_media(documents: DataFrame) -> DataFrame:
+    """Build a deterministic multimodal fixture from the documents table:
+    the text bytes play the role of an opaque media payload."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )

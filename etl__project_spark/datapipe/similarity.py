@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- ``brute_force_topk`` — exact cosine top-k against a query vector. The
+  baseline; a full scan but embarrassingly parallel (no shuffle until the
+  final top-k, which AQE/takeOrdered keeps tiny).
+- ``bucketed_topk`` — sign-random-projection LSH: vectors are assigned to
+  2^n_bits buckets by the signs of their leading components; the query
+  only scans its own bucket. At 100 TB the table is written partitioned
+  by bucket, so bucket pruning turns top-k into a partition-pruned scan.
+
+All arithmetic is promoted to double before multiplication so results are
+bit-comparable with the DuckDB oracle (float32 upcast is exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_components(a: Column, b: Column) -> Column:
+    """Cosine similarity dot(a,b)/(|a||b|) as a single column expression."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbours of the (single-row) ``query`` frame.
+
+    The query side is broadcast (one row); the scan side never shuffles.
+    Ties broken by id for determinism.
+    """
+    q = query.select(F.col(vec_col).alias("__qvec"))
+    sim = cosine_components(F.col(vec_col), F.col("__qvec"))
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(sim, 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sign_bucket(vec: Column, n_bits: int = 4) -> Column:
+    """Sign-random-projection bucket id from the leading ``n_bits``
+    components (a fixed axis-aligned projection — deterministic and
+    oracle-portable; production would use random hyperplanes)."""
+    b = F.lit(0)
+    for i in range(n_bits):
+        b = b + F.when(F.element_at(vec, i + 1) > 0, F.lit(2**i)).otherwise(0)
+    return b.cast("long")
+
+
+def bucketed_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: only the query's sign-projection bucket is scanned
+    (~1/2^n_bits of the data; recall < 1.0 by design, the scale path)."""
+    bucketed = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), n_bits))
+    q = query.select(
+        F.col(vec_col).alias("__qvec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("__qbucket"),
+    )
+    sim = cosine_components(F.col(vec_col), F.col("__qvec"))
+    return (
+        bucketed.join(
+            F.broadcast(q), F.col("__bucket") == F.col("__qbucket"), "inner"
+        )
+        .select(F.col(id_col), F.round(sim, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

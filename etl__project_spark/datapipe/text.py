@@ -1,0 +1,90 @@
+"""Text analysis operators for training-data pipelines (SURVEY.md §7
+Phase E): token counting, quality scoring, language-ID heuristics,
+document fingerprinting.
+
+All pure column expressions — JVM-side, codegen'd, no Python in the hot
+path — so they stream through 100 TB of documents at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Deliberately small and SQL-portable (the oracle uses the same lists).
+STOPWORDS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+}
+
+_PUNCT_CLASS = r"[^.,!?;:]"
+
+
+def _tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: char/token counts, distinct-token
+    ratio, punctuation ratio, mean token length.
+
+    Narrow transformation — no shuffle; at scale this is a pure map stage
+    fused into the parquet scan.
+    """
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), _PUNCT_CLASS, ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n_tokens, 4).alias("distinct_ratio"),
+        n_punct.cast("long").alias("n_punct"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round((n_chars - (n_tokens - 1)) / n_tokens, 4).alias("mean_token_len"),
+    )
+
+
+def lang_id_heuristic(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-overlap language ID: count exact-token hits against each
+    language's marker set; highest count wins (ties → 'und').
+
+    A real deployment swaps in a character-n-gram model via mapInPandas;
+    the marker-set variant is the zero-dependency, oracle-checkable core.
+    """
+    toks = _tokens(text_col)
+    hit_cols = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))  # noqa: B023
+        hit_cols.append(hits.cast("long").alias(f"hits_{lang}"))
+    out = df.select(F.col(id_col), *hit_cols)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    guess = F.lit("und")
+    for lang in reversed(langs):
+        guess = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return out.withColumn("lang_guess", guess)
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stable content fingerprint: md5 of the exact text plus a
+    whitespace-normalized variant (catches trivial-whitespace dups)."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.md5(norm).alias("fingerprint_norm"),
+    )

@@ -372,3 +372,544 @@ def vs_audit_maxlen(spark, sf_dir):
     sizing; one single-pass distributed aggregate here)."""
     out = max_lengths(_video(spark, sf_dir), ["DateTime", "VideoTitle", "events"])
     return out.select(*[_int(F.col(c)).alias(c) for c in out.columns])
+
+
+# ---------------------------------------------------------------------------
+# tpch_* — analytic join/agg capability (bench headliners)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing",
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2000-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: the canonical scan→filter→agg
+    workload. Partial aggregation happens map-side; only 6 groups shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping",
+    """SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-03-15'
+  AND l.l_shipdate > DATE '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10""",
+)
+def tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3-shaped: selective dim filter → join fact → top-k revenue.
+    customer and orders filters cut the build sides before the join."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_region_volume",
+    """SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+GROUP BY n.n_name""",
+)
+def tpch_q5_region_volume(spark, sf_dir):
+    """TPC-H Q5-shaped: 6-way star join + group. All dimension sides are
+    broadcast; lineitem (the only big table) streams through unshuffled
+    until the final 25-group aggregate."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_topn_per_group",
+    """SELECT o_orderpriority, o_orderkey, rn::BIGINT AS rn
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3""",
+)
+def tpch_topn_per_group(spark, sf_dir):
+    """Top-K per group via ranking window — partitioned window, parallel
+    across groups (no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", _int(F.col("rn")).alias("rn"))
+    )
+
+
+@query(
+    "tpch_order_counts_anti",
+    """SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey""",
+)
+def tpch_order_counts_anti(spark, sf_dir):
+    """Left outer join + group: per-customer order counts including
+    zero-order customers (exercises outer-join null semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_* — event-stream analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_minute_rollup",
+    """SELECT event_type, strftime(date_trunc('minute', ts), '%Y%m%d%H%M') AS minute_key,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type, minute_key""",
+)
+def ev_minute_rollup(spark, sf_dir):
+    """Minute-grain rollup over the event stream (the reference's
+    'track events over time' question on the driver fixture)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("minute", F.col("ts")), "yyyyMMddHHmm").alias(
+                "minute_key"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "ev_props_json",
+    """SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type""",
+)
+def ev_props_json(spark, sf_dir):
+    """JSON payload extraction (semi-structured props column) + aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).cast("long").alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "ev_sessionize",
+    """WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM gaps GROUP BY user_id""",
+)
+def ev_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap splits sessions. Lag window
+    + conditional sum — fully partition-parallel per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | ((F.col("ts").cast("long") - lag_ts.cast("long")) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_* — text analysis & dedup pipeline (documents table)
+# ---------------------------------------------------------------------------
+
+from etl__project_spark.datapipe import (  # noqa: E402
+    brute_force_topk,
+    bucketed_topk,
+    char_shingles,
+    dedup_exact,
+    doc_fingerprint,
+    lang_id_heuristic,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    sign_bucket,
+    simhash,
+    text_stats,
+)
+from etl__project_spark.datapipe.multimodal import extract_features, synth_media  # noqa: E402
+
+_SHINGLE_LIST = (
+    "list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text) - 3, 1))])"
+)
+
+
+@query(
+    "doc_text_stats",
+    """SELECT doc_id,
+       len(text)::BIGINT AS n_chars,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens,
+       round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 4) AS distinct_ratio,
+       len(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct,
+       round(len(regexp_replace(text, '[^.,!?;:]', '', 'g')) / len(text), 4) AS punct_ratio,
+       round((len(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')), 4) AS mean_token_len
+FROM documents""",
+)
+def doc_text_stats(spark, sf_dir):
+    """Quality scoring: per-document char/token/punctuation metrics."""
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_lang_id",
+    """WITH h AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text,' '), t -> list_contains(['the','and','of'], t)))::BIGINT AS hits_en,
+    len(list_filter(string_split(text,' '), t -> list_contains(['el','la','de'], t)))::BIGINT AS hits_es,
+    len(list_filter(string_split(text,' '), t -> list_contains(['der','die','und'], t)))::BIGINT AS hits_de,
+    len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et'], t)))::BIGINT AS hits_fr
+  FROM documents
+)
+SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+  CASE WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'en'
+       WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'es'
+       WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'de'
+       WHEN hits_fr = greatest(hits_en, hits_es, hits_de, hits_fr) AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'fr'
+       ELSE 'und' END AS lang_guess
+FROM h""",
+)
+def doc_lang_id(spark, sf_dir):
+    """Language-ID heuristic via stopword-marker overlap."""
+    return lang_id_heuristic(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    r"""SELECT doc_id, md5(text) AS fingerprint,
+       md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint_norm
+FROM documents""",
+)
+def doc_fingerprint_q(spark, sf_dir):
+    """Content fingerprinting (exact + whitespace-normalized md5)."""
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_dedup_exact",
+    """SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY md5(text)""",
+)
+def doc_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy keeper selection."""
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_shingle_count",
+    f"""SELECT doc_id, len({_SHINGLE_LIST})::BIGINT AS n_shingles
+FROM documents""",
+)
+def doc_shingle_count(spark, sf_dir):
+    """Character 5-gram shingling (the MinHash input stage)."""
+    sh = char_shingles(load_table(spark, sf_dir, "documents"))
+    return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+
+@query(
+    "doc_minhash_sig",
+    f"""WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_LIST}) AS shingle FROM documents
+)
+SELECT doc_id,
+  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+FROM sh GROUP BY doc_id""",
+)
+def doc_minhash_sig(spark, sf_dir):
+    """MinHash signatures (8 engine-portable md5-order hash functions)."""
+    sh = char_shingles(load_table(spark, sf_dir, "documents"))
+    return minhash_signature(sh, n_hashes=8)
+
+
+@query(
+    "doc_lsh_pairs",
+    f"""WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_LIST}) AS shingle FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+    min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+    min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(h0 || h1 || h2 || h3) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, md5(h4 || h5 || h6 || h7) AS band_hash FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""",
+)
+def doc_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate near-dup pairs via band-bucket self-join."""
+    sh = char_shingles(load_table(spark, sf_dir, "documents"))
+    sig = minhash_signature(sh, n_hashes=8)
+    return lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
+
+
+def _simhash_oracle(n_bits: int = 16) -> str:
+    digit = lambda d: f"(strpos('0123456789abcdef', substr(md5(tok), {d}, 1)) - 1)"  # noqa: E731
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN ({digit(i // 4 + 1)} // {2 ** (3 - i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {2 ** (n_bits - 1 - i)} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums"""
+
+
+@query("doc_simhash", _simhash_oracle())
+def doc_simhash(spark, sf_dir):
+    """SimHash document signatures (16-bit, md5-bit source)."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_jaccard_pairs",
+    f"""WITH s AS (
+  SELECT doc_id, len(text) // 50 AS len_bucket, {_SHINGLE_LIST} AS shingles
+  FROM documents
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.shingles, b.shingles)) /
+               len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
+  FROM s a JOIN s b ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.2""",
+)
+def doc_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (length-bucketed pair space)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_media_features",
+    """SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents""",
+)
+def doc_media_features(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads → mapInPandas
+    featurization (decode stubbed; Arrow batching + schema are real)."""
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, fake=True).select("media_id", "n_bytes", "content_sha")
+
+
+# ---------------------------------------------------------------------------
+# emb_* — embedding similarity (embeddings table)
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.qv, q.qv)))"
+)
+_BUCKET = (
+    "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)::BIGINT"
+)
+
+
+@query(
+    "emb_norms",
+    """SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2_norm
+FROM embeddings""",
+)
+def emb_norms(spark, sf_dir):
+    """Embedding L2 norms (vector math as JVM-side array expressions)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from etl__project_spark.datapipe.similarity import _dot
+
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), 4).alias("l2_norm"),
+    )
+
+
+@query(
+    "emb_cosine_topk",
+    f"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, cosine FROM (
+  SELECT e.vec_id, round({_COS}, 4) AS cosine
+  FROM embeddings e, q
+) ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 against a query vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+@query(
+    "emb_bucket_stats",
+    f"""SELECT {_BUCKET} AS bucket, count(*)::BIGINT AS n_vectors
+FROM embeddings GROUP BY 1""",
+)
+def emb_bucket_stats(spark, sf_dir):
+    """Sign-projection LSH bucket histogram (the ANN partitioning audit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(sign_bucket(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@query(
+    "emb_bucketed_topk",
+    f"""WITH b AS (
+  SELECT vec_id, {_BUCKET} AS bucket, embedding FROM embeddings
+),
+q AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, cosine FROM (
+  SELECT e.vec_id, round({_COS}, 4) AS cosine
+  FROM b e, q WHERE e.bucket = q.qbucket
+) ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def emb_bucketed_topk(spark, sf_dir):
+    """ANN top-10: scan only the query's sign-projection bucket (the
+    partition-pruned scale path; recall < 1 by design)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucketed_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)

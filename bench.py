@@ -1,0 +1,75 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}``.
+
+Each query is forced end-to-end with a noop sink (full compute, no
+driver-side collect overhead). Session startup and the one warm-up action
+are excluded — the driver compares engine throughput, not JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl__project_spark.plans import QUERIES  # noqa: E402
+from etl__project_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "vs_fact",
+    "vs_fact_rollup",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_region_volume",
+    "tpch_topn_per_group",
+    "ev_minute_rollup",
+    "ev_sessionize",
+    "doc_lsh_pairs",
+    "doc_simhash",
+    "emb_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # Warm up the JVM / filesystem once so per-query numbers measure the
+    # engine, not first-touch costs.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+        # Drop persisted frames a query may have left behind so later
+        # queries aren't measured under another query's cache/GC pressure.
+        spark.catalog.clearCache()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

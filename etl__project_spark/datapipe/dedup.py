@@ -20,6 +20,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Universal-hash family for MinHash: h_j(x) = (a_j x + b_j) mod p over the
+# Mersenne prime p = 2^31 - 1. Coefficients are fixed (Weyl-sequence
+# derived, forced odd/nonzero) so signatures are reproducible across
+# engines and runs.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(n: int) -> list[tuple[int, int]]:
+    coeffs = []
+    for j in range(n):
+        a = ((j + 1) * 2_654_435_761) % MINHASH_P | 1
+        b = ((j + 1) * 1_779_033_703) % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
 
 def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -36,17 +51,29 @@ def dedup_exact(
 
 
 def char_shingles(
-    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct character k-gram shingles per document, exploded to
-    (id, shingle) rows. Documents shorter than k yield no rows."""
+    """Character k-gram shingles per document, exploded to (id, shingle)
+    rows. Documents shorter than k yield no rows.
+
+    ``distinct=False`` skips the per-row ``array_distinct`` (quadratic in
+    shingle count) — correct for MinHash consumers, where duplicate
+    shingles cannot change a min."""
     # transform+substring with a dynamic start needs the expr form (python
     # F.substring takes a literal start). Guard length < k explicitly:
     # sequence(1, 0) would count DOWN, not produce an empty array.
+    arr = (
+        f"transform(sequence(1, length({text_col}) - {k - 1}),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    if distinct:
+        arr = f"array_distinct({arr})"
     shingle_arr = F.expr(
-        f"case when length({text_col}) >= {k} then "
-        f"array_distinct(transform(sequence(1, length({text_col}) - {k - 1}),"
-        f" i -> substring({text_col}, i, {k}))) "
+        f"case when length({text_col}) >= {k} then {arr} "
         f"else cast(array() as array<string>) end"
     )
     return (
@@ -57,12 +84,27 @@ def char_shingles(
 def minhash_signature(
     shingled: DataFrame, n_hashes: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash signature: for seed j, h_j = min over shingles of
-    md5(j || '|' || shingle). One groupBy computes all hashes (single
-    shuffle of the exploded shingles, partial min map-side)."""
+    """MinHash signature: for seed j, h_j = min over shingles of the first
+    60 bits of md5(j || '|' || shingle), as a BIGINT. One groupBy computes
+    all hashes (single shuffle of the exploded shingles, partial min
+    map-side).
+
+    Implementation: ONE md5 per shingle (the expensive part), reduced to a
+    60-bit BIGINT, then ``n_hashes`` universal-hash mixes
+    ``(a_j * x + b_j) mod p`` (p = 2^31-1; products stay < 2^62 so 64-bit
+    arithmetic never overflows — DuckDB BIGINT overflow would error).
+    BIGINT (not the hex string) also matters for the plan: min(long)
+    aggregates in Spark's fast codegen HashAggregate, while min(string)
+    falls back to SortAggregate — a full per-partition sort of the
+    exploded shingles.
+    """
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(n_hashes)
+        F.min((F.lit(a) * base + F.lit(b)) % MINHASH_P).alias(f"h{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(n_hashes))
     ]
     return shingled.groupBy(id_col).agg(*aggs)
 

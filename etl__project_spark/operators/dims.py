@@ -58,9 +58,16 @@ def with_dense_ids(
     id_col: str = "skey",
     start: int = 0,
     num_partitions: int | None = None,
+    small: bool = False,
 ) -> DataFrame:
     """I1 — assign dense, insertion-ordered int64 ids ``start, start+1, …``
     ordered by ``order_col``.
+
+    ``small=True`` short-circuits to a single-partition global
+    ``row_number`` — the right plan for dimensions known to be tiny
+    (platform=4, site≈dozens): one task instead of a 4-stage
+    range-partition pipeline. Use the default path for unbounded
+    dimensions (dates, titles).
 
     Scalable construction (no single-task global window):
       1. range-repartition by the order key → partition p holds a contiguous
@@ -73,6 +80,11 @@ def with_dense_ids(
     Equivalent to ``row_number() over (order by order_col) - 1 + start``
     for distinct keys, which is exactly the DuckDB oracle form.
     """
+    if small:
+        w = Window.orderBy(order_col)
+        return df.withColumn(
+            id_col, (F.row_number().over(w) - 1 + start).cast("long")
+        )
     if num_partitions is None:
         parted = df.repartitionByRange(order_col)
     else:

@@ -257,8 +257,10 @@ LEFT JOIN dimtitle t ON f.video = t.video""",
 def vs_fact(spark, sf_dir):
     """J2 — star fact build: staging LEFT JOIN 4 dims → surrogate keys.
 
-    Every dim side is broadcast; the fact never shuffles."""
-    parsed = _parsed(spark, sf_dir)
+    Every dim side is broadcast; the fact never shuffles. The parsed
+    staging frame feeds 5 consumers (4 dims + the probe side) — persist it
+    so the synth+parse chain runs once."""
+    parsed = _parsed(spark, sf_dir).persist()
     dims = {
         "datetime_skey": (
             with_dense_ids(derive_dim(parsed, "datetime"), "datetime", "datetime_skey"),
@@ -266,17 +268,21 @@ def vs_fact(spark, sf_dir):
             "datetime",
         ),
         "platform_skey": (
-            with_dense_ids(derive_dim(parsed, "platform"), "platform", "platform_skey"),
+            with_dense_ids(
+                derive_dim(parsed, "platform"), "platform", "platform_skey", small=True
+            ),
             "platform",
             "platform",
         ),
         "site_skey": (
-            with_dense_ids(derive_dim(parsed, "site"), "site", "site_skey"),
+            with_dense_ids(derive_dim(parsed, "site"), "site", "site_skey", small=True),
             "site",
             "site",
         ),
         "title_skey": (
-            with_dense_ids(derive_dim(parsed, "video"), "video", "title_skey"),
+            with_dense_ids(
+                derive_dim(parsed, "video"), "video", "title_skey", small=True
+            ),
             "video",
             "video",
         ),
@@ -735,15 +741,22 @@ def doc_shingle_count(spark, sf_dir):
   SELECT doc_id, unnest({_SHINGLE_LIST}) AS shingle FROM documents
 )
 SELECT doc_id,
-  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+  min((506952115 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1779033703) % 2147483647) AS h0,
+  min((1013904229 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1410583759) % 2147483647) AS h1,
+  min((1520856343 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1042133815) % 2147483647) AS h2,
+  min((2027808457 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 673683871) % 2147483647) AS h3,
+  min((387276923 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 305233927) % 2147483647) AS h4,
+  min((894229037 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 2084267630) % 2147483647) AS h5,
+  min((1401181151 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1715817686) % 2147483647) AS h6,
+  min((1908133265 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1347367742) % 2147483647) AS h7
 FROM sh GROUP BY doc_id""",
 )
 def doc_minhash_sig(spark, sf_dir):
-    """MinHash signatures (8 engine-portable md5-order hash functions)."""
-    sh = char_shingles(load_table(spark, sf_dir, "documents"))
+    """MinHash signatures (8 engine-portable md5-order hash functions).
+
+    Shingles stay non-distinct (duplicates can't change a min) — skips the
+    quadratic per-row array_distinct."""
+    sh = char_shingles(load_table(spark, sf_dir, "documents"), distinct=False)
     return minhash_signature(sh, n_hashes=8)
 
 
@@ -754,25 +767,36 @@ def doc_minhash_sig(spark, sf_dir):
 ),
 sig AS (
   SELECT doc_id,
-    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-    min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-    min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+    min((506952115 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1779033703) % 2147483647) AS h0,
+    min((1013904229 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1410583759) % 2147483647) AS h1,
+    min((1520856343 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1042133815) % 2147483647) AS h2,
+    min((2027808457 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 673683871) % 2147483647) AS h3,
+    min((387276923 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 305233927) % 2147483647) AS h4,
+    min((894229037 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 2084267630) % 2147483647) AS h5,
+    min((1401181151 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1715817686) % 2147483647) AS h6,
+    min((1908133265 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1347367742) % 2147483647) AS h7
   FROM sh GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, 0 AS band_id, md5(h0 || h1 || h2 || h3) AS band_hash FROM sig
+  SELECT doc_id, 0 AS band_id,
+         md5(h0::VARCHAR || h1::VARCHAR || h2::VARCHAR || h3::VARCHAR) AS band_hash FROM sig
   UNION ALL
-  SELECT doc_id, 1 AS band_id, md5(h4 || h5 || h6 || h7) AS band_hash FROM sig
+  SELECT doc_id, 1 AS band_id,
+         md5(h4::VARCHAR || h5::VARCHAR || h6::VARCHAR || h7::VARCHAR) AS band_hash FROM sig
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""",
 )
 def doc_lsh_pairs(spark, sf_dir):
-    """MinHash-LSH candidate near-dup pairs via band-bucket self-join."""
-    sh = char_shingles(load_table(spark, sf_dir, "documents"))
-    sig = minhash_signature(sh, n_hashes=8)
+    """MinHash-LSH candidate near-dup pairs via band-bucket self-join.
+
+    Signatures are persisted AND materialized before the self-join:
+    lazily-cached plans make the broadcast build side and the probe side
+    race to compute the same cache, which can stall for minutes."""
+    sh = char_shingles(load_table(spark, sf_dir, "documents"), distinct=False)
+    sig = minhash_signature(sh, n_hashes=8).persist()
+    sig.count()
     return lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
 
 

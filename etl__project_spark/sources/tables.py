@@ -24,8 +24,18 @@ TABLES = [
 ]
 
 
+# The fixture files are single-file single-row-group parquet, so Spark's
+# scan produces ONE partition and every downstream pipeline runs on one
+# core. Round-robin repartition restores parallelism locally. At real
+# scale this is unnecessary (many files / row groups split naturally) and
+# the repartition collapses to a cheap no-op relative to the workload.
+_REPARTITION = {"lineitem", "orders", "events", "documents", "embeddings", "customer"}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _REPARTITION:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     # events.ts is TIMESTAMP(NANOS) in parquet; with
     # spark.sql.legacy.parquet.nanosAsLong it surfaces as a long of epoch
     # nanos. Truncate to micros (DuckDB's native precision, so the oracle

@@ -1,0 +1,165 @@
+"""Batch star-load orchestration — the reference's two-Lambda pipeline
+(entry points 1+2, SURVEY.md §3) as one DataFrame program over a
+file-backed warehouse.
+
+The reference moves data S3 → pandas → 5 CSVs → S3 → Redshift COPY →
+staged SQL (lambda_function_s3.py + lambda_function_redishift.py). Here the
+CSV hop disappears (stages chain as one lazy plan) and the warehouse is a
+directory of versioned parquet tables with an atomically-swapped CURRENT
+pointer — the plain-filesystem stand-in for a transactional table format:
+
+- dims: SCD1 upsert → publish a new version → swap pointer (readers never
+  see a half-written table; the reference got this from one Redshift
+  transaction, lambda_function_redishift.py:171-183)
+- fact: append-only, one subdirectory per batch id; a batch directory that
+  already exists is skipped → idempotent replay (exactly-once under
+  retries, the streaming path's requirement T5)
+
+Scale notes: dims are rewritten per batch (fine for bounded dims; an
+unbounded dim would switch to append-only new-key files and compaction).
+The fact append is a pure write of the new batch — no read-modify-write
+of existing data, so batch cost is O(batch), not O(warehouse).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl__project_spark.operators import (
+    build_fact,
+    derive_dim,
+    parse_raw,
+    scd1_upsert,
+)
+
+DIM_SPECS = [
+    # (table, natural key column in parsed staging, skey column)
+    ("dimdate", "datetime", "datetime_skey"),
+    ("dimplatform", "platform", "platform_skey"),
+    ("dimsite", "site", "site_skey"),
+    ("dimtitle", "video", "title_skey"),
+]
+
+FACT_COLS = ["datetime_skey", "platform_skey", "site_skey", "title_skey"]
+
+
+class ParquetWarehouse:
+    """Versioned parquet tables under a root directory.
+
+    ``<root>/<table>/v<N>/`` holds a full table snapshot; ``CURRENT`` is a
+    one-line pointer file updated with an atomic rename. K3's CREATE IF NOT
+    EXISTS is implicit (absent table reads as empty), K4's TRUNCATE is a
+    pointer swap to an empty version.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _current(self, table: str) -> int | None:
+        try:
+            with open(os.path.join(self._tdir(table), "CURRENT")) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def read(self, table: str, schema: T.StructType) -> DataFrame:
+        v = self._current(table)
+        if v is None:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(os.path.join(self._tdir(table), f"v{v}"))
+
+    def publish(self, table: str, df: DataFrame) -> int:
+        """Write a new full snapshot, then atomically swap the pointer."""
+        v = (self._current(table) or 0) + 1
+        path = os.path.join(self._tdir(table), f"v{v}")
+        df.write.mode("overwrite").parquet(path)
+        tmp = os.path.join(self._tdir(table), "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, os.path.join(self._tdir(table), "CURRENT"))
+        return v
+
+    # --- append-only fact -------------------------------------------------
+    def fact_batch_dir(self, table: str, batch_id: str) -> str:
+        return os.path.join(self._tdir(table), f"batch={batch_id}")
+
+    def fact_append(self, table: str, df: DataFrame, batch_id: str) -> bool:
+        """Append one batch; returns False if the batch already landed
+        (idempotent replay)."""
+        path = self.fact_batch_dir(table, batch_id)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return False
+        df.write.mode("overwrite").parquet(path)
+        return True
+
+    def read_fact(self, table: str, schema: T.StructType) -> DataFrame:
+        base = self._tdir(table)
+        if not os.path.isdir(base):
+            return self.spark.createDataFrame([], schema)
+        dirs = [
+            os.path.join(base, d)
+            for d in os.listdir(base)
+            if d.startswith("batch=")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*dirs)
+
+
+def _dim_schema(natural_key: str, skey: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(skey, T.LongType(), False),
+            T.StructField(natural_key, T.StringType(), True),
+        ]
+    )
+
+
+FACT_SCHEMA = T.StructType(
+    [T.StructField(c, T.LongType(), True) for c in FACT_COLS]
+)
+
+
+def load_batch(
+    raw: DataFrame, wh: ParquetWarehouse, batch_id: str, spark: SparkSession
+) -> dict[str, int]:
+    """One load cycle: parse → SCD1-upsert 4 dims → star-join fact append.
+
+    Mirrors lambda_function_redishift.py:56-169 (DDL/COPY/upserts/fact/
+    truncate) with per-batch frames playing the staging-table role.
+    Returns row-count audit info (O1).
+    """
+    parsed = parse_raw(raw).persist()
+    n_staged = parsed.count()  # A3 audit; also materializes the cache
+
+    dims: dict[str, tuple[DataFrame, str, str]] = {}
+    for table, nk, skey in DIM_SPECS:
+        current = wh.read(table, _dim_schema(nk, skey))
+        upserted = scd1_upsert(current, derive_dim(parsed, nk), nk, skey)
+        wh.publish(table, upserted)
+        dims[skey] = (wh.read(table, _dim_schema(nk, skey)), nk, nk)
+
+    fact = build_fact(parsed, dims)
+    appended = wh.fact_append("factvideostart", fact, batch_id)
+    parsed.unpersist()
+    return {"n_staged": n_staged, "fact_appended": int(appended)}
+
+
+def audit(wh: ParquetWarehouse) -> dict[str, int]:
+    """Warehouse row counts (the reference's console verification step)."""
+    out = {}
+    for table, nk, skey in DIM_SPECS:
+        out[table] = wh.read(table, _dim_schema(nk, skey)).count()
+    out["factvideostart"] = wh.read_fact("factvideostart", FACT_SCHEMA).count()
+    return out

@@ -1,0 +1,90 @@
+"""Surrogate keys (I1), SCD Type-1 upsert (J1), SCD Type-2 (§2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl__project_spark.operators import scd1_upsert, scd2_upsert, with_dense_ids
+
+
+def test_dense_ids_scalable_path(spark):
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("k"), F.format_string("%04d", F.col("id"))).alias("nk")
+    )
+    out = with_dense_ids(df, "nk", id_col="skey", start=7, num_partitions=8).collect()
+    by_key = sorted(out, key=lambda r: r["nk"])
+    assert [r["skey"] for r in by_key] == list(range(7, 1007))
+
+
+def test_dense_ids_small_path(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], "nk string")
+    out = {r["nk"]: r["skey"] for r in with_dense_ids(df, "nk", small=True).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_scd1_insert_new_only(spark):
+    dim = spark.createDataFrame([(0, "a"), (1, "b")], "skey long, nk string")
+    delta = spark.createDataFrame([("b",), ("c",), ("d",), ("c",)], "nk string")
+    out = {r["nk"]: r["skey"] for r in scd1_upsert(dim, delta, "nk", "skey").collect()}
+    # existing keys keep their skeys; new keys continue densely in key order
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_scd1_empty_dim_bootstrap(spark):
+    dim = spark.createDataFrame([], "skey long, nk string")
+    delta = spark.createDataFrame([("x",), ("y",)], "nk string")
+    out = {r["nk"]: r["skey"] for r in scd1_upsert(dim, delta, "nk", "skey").collect()}
+    assert out == {"x": 0, "y": 1}
+
+
+def test_scd2_new_changed_unchanged(spark):
+    """The FIXTURES.md §A2 SCD2 scenario: one changed, one new, one
+    unchanged delta row against a current dimension."""
+    import datetime as dt
+
+    d = dt.date.fromisoformat
+    dim = spark.createDataFrame(
+        [
+            (0, "a", "red", "Y", d("2020-01-01"), d("9999-12-31")),
+            (1, "b", "blue", "Y", d("2020-01-01"), d("9999-12-31")),
+        ],
+        "skey long, nk string, attr string, current_flag string, "
+        "start_date date, end_date date",
+    )
+    delta = spark.createDataFrame(
+        [("a", "green"), ("b", "blue"), ("c", "black")], "nk string, attr string"
+    )
+    out = scd2_upsert(dim, delta, "nk", ["attr"], "skey", load_date="2021-06-15")
+    rows = {(r["nk"], r["current_flag"]): r for r in out.collect()}
+    # changed key: old version expired the day before load
+    old_a = rows[("a", "N")]
+    assert str(old_a["end_date"]) == "2021-06-14" and old_a["skey"] == 0
+    new_a = rows[("a", "Y")]
+    assert new_a["attr"] == "green" and str(new_a["start_date"]) == "2021-06-15"
+    assert str(new_a["end_date"]) == "9999-12-31"
+    # unchanged key: untouched
+    assert rows[("b", "Y")]["attr"] == "blue" and rows[("b", "Y")]["skey"] == 1
+    # new key: inserted current
+    assert rows[("c", "Y")]["attr"] == "black"
+    # new skeys continue past the old max and are distinct
+    skeys = [r["skey"] for r in rows.values()]
+    assert len(set(skeys)) == len(skeys) == 4
+    assert {rows[("a", "Y")]["skey"], rows[("c", "Y")]["skey"]} == {2, 3}
+
+
+def test_scd2_exactly_one_current_per_key(spark):
+    import datetime as dt
+
+    d = dt.date.fromisoformat
+    dim = spark.createDataFrame(
+        [(0, "a", "v1", "Y", d("2020-01-01"), d("9999-12-31"))],
+        "skey long, nk string, attr string, current_flag string, "
+        "start_date date, end_date date",
+    )
+    d1 = spark.createDataFrame([("a", "v2")], "nk string, attr string")
+    once = scd2_upsert(dim, d1, "nk", ["attr"], "skey", load_date="2021-01-01")
+    d2 = spark.createDataFrame([("a", "v3")], "nk string, attr string")
+    twice = scd2_upsert(once, d2, "nk", ["attr"], "skey", load_date="2022-01-01")
+    cur = twice.filter(F.col("current_flag") == "Y").collect()
+    assert len(cur) == 1 and cur[0]["attr"] == "v3"
+    assert twice.count() == 3  # full history retained

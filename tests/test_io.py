@@ -1,0 +1,28 @@
+"""CSV round-trip parity (S1/K1): quote/escape edge cases from
+FIXTURES.md §A1 item 6 — embedded commas, double quotes, backslashes,
+pipes, non-ASCII."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from etl__project_spark.sources import read_raw_csv, write_csv
+
+
+def test_csv_round_trip(spark):
+    rows = [
+        ("2017-01-11T00:00:31.000Z", 'title with "quotes"|video', "206"),
+        ("2017-01-11T00:00:32.000Z", "commas, inside|video", "206,100"),
+        ("2017-01-11T00:00:33.000Z", "back\\slash|video", "206"),
+        ("2017-01-11T00:00:34.000Z", "píp€|unicodé vidéo", "206"),
+        ("2017-01-11T00:00:35.000Z", None, "100"),
+    ]
+    df = spark.createDataFrame(rows, "DateTime string, VideoTitle string, events string")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "out")
+        write_csv(df, path)
+        back = read_raw_csv(spark, path)
+        orig = {(r[0], r[1], r[2]) for r in df.collect()}
+        rt = {(r[0], r[1], r[2]) for r in back.collect()}
+        assert rt == orig

@@ -1,0 +1,83 @@
+"""Batch warehouse load (entry point 2): SKEY continuity across batches,
+transactional publish, idempotent fact append."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl__project_spark.plans.star_load import (
+    FACT_SCHEMA,
+    ParquetWarehouse,
+    audit,
+    load_batch,
+)
+
+
+@pytest.fixture()
+def batch1(spark):
+    rows = [
+        ("2017-01-11T00:00:31.000Z", "Android App|video A", "206"),
+        ("2017-01-11T00:01:01.000Z", "news|video B", "206"),
+    ]
+    return spark.createDataFrame(rows, "DateTime string, VideoTitle string, events string")
+
+
+@pytest.fixture()
+def batch2(spark):
+    rows = [
+        # same minute+platform as batch1 row 1 → no new dim keys
+        ("2017-01-11T00:00:45.000Z", "Android App|video A", "206"),
+        # new everything
+        ("2017-01-12T09:30:00.000Z", "iPad|video C", "206"),
+    ]
+    return spark.createDataFrame(rows, "DateTime string, VideoTitle string, events string")
+
+
+def test_two_batch_load(spark, tmp_path, batch1, batch2):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    info1 = load_batch(batch1, wh, "b1", spark)
+    assert info1 == {"n_staged": 2, "fact_appended": 1}
+    counts1 = audit(wh)
+    assert counts1 == {
+        "dimdate": 2,
+        "dimplatform": 2,  # Android, Desktop
+        "dimsite": 1,  # news
+        "dimtitle": 2,
+        "factvideostart": 2,
+    }
+    dimdate_v1 = {
+        r["datetime"]: r["datetime_skey"]
+        for r in wh.read("dimdate", None).collect()  # type: ignore[arg-type]
+    }
+
+    load_batch(batch2, wh, "b2", spark)
+    counts2 = audit(wh)
+    assert counts2 == {
+        "dimdate": 3,  # one new minute
+        "dimplatform": 3,  # + iPad
+        "dimsite": 1,  # unchanged
+        "dimtitle": 3,  # + video C
+        "factvideostart": 4,
+    }
+    # SCD1: existing skeys unchanged, new key continues past the max
+    dimdate_v2 = {
+        r["datetime"]: r["datetime_skey"]
+        for r in wh.read("dimdate", None).collect()  # type: ignore[arg-type]
+    }
+    for k, v in dimdate_v1.items():
+        assert dimdate_v2[k] == v
+    assert set(dimdate_v2.values()) == {0, 1, 2}
+
+    # facts resolve all skeys except NULL sites
+    fact = wh.read_fact("factvideostart", FACT_SCHEMA)
+    assert fact.filter("datetime_skey IS NULL").count() == 0
+    assert fact.filter("site_skey IS NULL").count() == 3  # platform-headed rows
+
+
+def test_replay_is_idempotent(spark, tmp_path, batch1):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    load_batch(batch1, wh, "b1", spark)
+    n1 = audit(wh)
+    info = load_batch(batch1, wh, "b1", spark)  # same batch id re-delivered
+    assert info["fact_appended"] == 0
+    assert audit(wh) == n1

@@ -1,0 +1,71 @@
+"""Streaming star load (T1-T5): file-source ingestion, exactly-once across
+re-delivered/overlapping files, dim continuity across micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+from etl__project_spark.plans.star_load import FACT_SCHEMA, ParquetWarehouse, audit
+from etl__project_spark.streaming import stream_star_load
+
+CSV_HEADER = "DateTime,VideoTitle,events\n"
+
+
+def _write_csv(path: str, rows: list[str]) -> None:
+    with open(path, "w") as fh:
+        fh.write(CSV_HEADER)
+        for r in rows:
+            fh.write(r + "\n")
+
+
+def _run(spark, landing, wh_root, ckpt):
+    q = stream_star_load(spark, landing, wh_root, ckpt, available_now=True)
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_streaming_exactly_once(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_csv(
+        os.path.join(landing, "f1.csv"),
+        [
+            '2017-01-11T00:00:31.000Z,Android App|video A,"127,206"',
+            "2017-01-11T00:01:01.000Z,news|video B,206",
+        ],
+    )
+    _run(spark, landing, wh_root, ckpt)
+    wh = ParquetWarehouse(spark, wh_root)
+    first = audit(wh)
+    assert first["factvideostart"] == 2
+    assert first["dimplatform"] == 2
+
+    # second file overlaps row 1 entirely (re-delivery) and adds one row
+    _write_csv(
+        os.path.join(landing, "f2.csv"),
+        [
+            '2017-01-11T00:00:31.000Z,Android App|video A,"127,206"',
+            "2017-01-12T10:00:00.000Z,iPad|video C,206",
+        ],
+    )
+    _run(spark, landing, wh_root, ckpt)
+    second = audit(wh)
+    # T5: the overlapping row must NOT produce a second fact
+    assert second["factvideostart"] == 3
+    assert second["dimdate"] == 3
+    assert second["dimplatform"] == 3
+
+    # re-running with no new files changes nothing (checkpoint = T1)
+    _run(spark, landing, wh_root, ckpt)
+    assert audit(wh) == second
+
+    # dims stayed dense through all micro-batches
+    dimdate = wh.read("dimdate", None)  # type: ignore[arg-type]
+    skeys = sorted(r["datetime_skey"] for r in dimdate.collect())
+    assert skeys == [0, 1, 2]
+
+    fact = wh.read_fact("factvideostart", FACT_SCHEMA)
+    assert fact.filter("datetime_skey IS NULL").count() == 0

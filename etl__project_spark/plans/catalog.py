@@ -937,3 +937,153 @@ def emb_bucketed_topk(spark, sf_dir):
     partition-pruned scale path; recall < 1 by design)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return bucketed_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+# ---------------------------------------------------------------------------
+# additional engine capability: SCD2, set ops, rollup/cube, window frames
+# ---------------------------------------------------------------------------
+
+from etl__project_spark.operators import scd2_upsert  # noqa: E402
+
+
+@query(
+    "vs_scd2_upsert",
+    f"""WITH {PARSED_CTE},
+initial AS (
+  SELECT datetime, max(platform) AS attr FROM parsed
+  WHERE event_id % 10 < 5 GROUP BY datetime
+),
+dim0 AS (
+  SELECT row_number() OVER (ORDER BY datetime) - 1 AS skey, datetime, attr
+  FROM initial
+),
+delta AS (
+  SELECT datetime, max(platform) AS attr FROM parsed
+  WHERE event_id % 10 >= 5 GROUP BY datetime
+),
+changed AS (
+  SELECT d.datetime, d.attr FROM delta d
+  JOIN dim0 c ON d.datetime = c.datetime AND d.attr <> c.attr
+),
+brand_new AS (
+  SELECT d.datetime, d.attr FROM delta d
+  WHERE d.datetime NOT IN (SELECT datetime FROM dim0)
+),
+inserts AS (
+  SELECT datetime, attr FROM brand_new
+  UNION ALL SELECT datetime, attr FROM changed
+),
+ins AS (
+  SELECT (SELECT count(*) FROM initial) + row_number() OVER (ORDER BY datetime) - 1 AS skey,
+         datetime, attr
+  FROM inserts
+)
+SELECT skey::BIGINT AS skey, datetime, attr,
+       CASE WHEN datetime IN (SELECT datetime FROM changed) THEN 'N' ELSE 'Y' END AS current_flag,
+       '2020-01-01' AS start_date,
+       CASE WHEN datetime IN (SELECT datetime FROM changed) THEN '2021-06-14'
+            ELSE '9999-12-31' END AS end_date
+FROM dim0
+UNION ALL
+SELECT skey::BIGINT, datetime, attr, 'Y', '2021-06-15', '9999-12-31' FROM ins""",
+)
+def vs_scd2_upsert(spark, sf_dir):
+    """SCD Type-2 upsert (summary.pdf p.8 design, SURVEY.md §2.9): two
+    half-batches where the per-minute max(platform) attribute may change —
+    changed keys expire the old version and insert a new current one."""
+    parsed = _parsed(spark, sf_dir, keep_id=True).persist()
+    initial = (
+        parsed.filter(F.col("event_id") % 10 < 5)
+        .groupBy("datetime")
+        .agg(F.max("platform").alias("attr"))
+    )
+    dim0 = (
+        with_dense_ids(initial, "datetime", id_col="skey")
+        .withColumn("current_flag", F.lit("Y"))
+        .withColumn("start_date", F.lit("2020-01-01").cast("date"))
+        .withColumn("end_date", F.lit("9999-12-31").cast("date"))
+    )
+    delta = (
+        parsed.filter(F.col("event_id") % 10 >= 5)
+        .groupBy("datetime")
+        .agg(F.max("platform").alias("attr"))
+    )
+    out = scd2_upsert(dim0, delta, "datetime", ["attr"], "skey", load_date="2021-06-15")
+    return out.select(
+        _int(F.col("skey")).alias("skey"),
+        "datetime",
+        "attr",
+        "current_flag",
+        F.col("start_date").cast("string").alias("start_date"),
+        F.col("end_date").cast("string").alias("end_date"),
+    )
+
+
+@query(
+    "ev_set_ops",
+    """SELECT user_id::BIGINT AS user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 280
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'signup'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error' AND value > 310
+)""",
+)
+def ev_set_ops(spark, sf_dir):
+    """Set operators: big-ticket purchasers who signed up and never had a
+    high-value error."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def by(t, minv=None):
+        out = ev.filter(F.col("event_type") == t)
+        if minv is not None:
+            out = out.filter(F.col("value") > minv)
+        return out.select("user_id")
+
+    return by("purchase", 280).intersect(by("signup")).subtract(by("error", 310))
+
+
+@query(
+    "tpch_rollup",
+    """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def tpch_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@query(
+    "tpch_cube",
+    """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def tpch_cube(spark, sf_dir):
+    """CUBE grouping sets (all grouping combinations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "ev_running_sum",
+    """SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value
+FROM events""",
+)
+def ev_running_sum(spark, sf_dir):
+    """Window frame spec: per-user running total in event-time order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )

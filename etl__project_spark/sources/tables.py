@@ -32,7 +32,16 @@ TABLES = [
 _REPARTITION = {"lineitem", "orders", "events", "documents", "embeddings", "customer"}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make any caller-provided SparkSession (e.g. the driver's) safe for
+    the fixtures: nanos timestamps readable, UTC semantics for oracle
+    parity. Both are runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _REPARTITION:
         df = df.repartition(spark.sparkContext.defaultParallelism)

@@ -1087,3 +1087,66 @@ def ev_running_sum(spark, sf_dir):
     return ev.select(
         "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running_value")
     )
+
+
+from etl__project_spark.operators.asof import asof_join  # noqa: E402
+
+
+@query(
+    "ev_asof_signup",
+    """SELECT l.event_id, l.user_id,
+       strftime(r.ts, '%Y-%m-%dT%H:%M:%S') AS signup_ts_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts""",
+)
+def ev_asof_signup(spark, sf_dir):
+    """As-of join: each purchase annotated with the user's most recent
+    prior (or simultaneous) signup. Spark has no native as-of join; this
+    is the union + last_value(ignore nulls) window composition
+    (operators/asof.py). Oracle: DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    out = asof_join(purchases, signups, on="ts", by="user_id", right_cols=["ts"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts_asof", "yyyy-MM-dd'T'HH:mm:ss").alias("signup_ts_asof"),
+    )
+
+
+@query(
+    "ev_range_lookback",
+    """SELECT event_id, user_id, n_recent_clicks FROM (
+  SELECT event_id, user_id, event_type,
+         (count(CASE WHEN event_type = 'click' THEN 1 END)
+            OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+          - CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           AS n_recent_clicks
+  FROM events
+) WHERE event_type = 'error'""",
+)
+def ev_range_lookback(spark, sf_dir):
+    """Range-interval window (a bounded range join): for every error
+    event, how many clicks the same user made in the preceding 10
+    minutes. RANGE frame over epoch seconds — no pair-space blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-600, 0)
+    )
+    is_click = F.when(F.col("event_type") == "click", 1)
+    n = (
+        F.count(is_click).over(w)
+        - F.when(F.col("event_type") == "click", 1).otherwise(0)
+    ).cast("long")
+    return (
+        ev.select("event_id", "user_id", "event_type", n.alias("n_recent_clicks"))
+        .filter(F.col("event_type") == "error")
+        .drop("event_type")
+    )

@@ -1,0 +1,122 @@
+"""Streaming windowed aggregation & custom stateful operators.
+
+The reference's only streaming ops are ingestion + dedup-merge
+(SURVEY.md §2.8: "Not present: watermarks, event-time windows, late-data
+policies, arbitrary stateful ops"). A complete engine needs them, so they
+are provided here as first-class operators:
+
+- ``windowed_event_counts`` — event-time tumbling/sliding window
+  aggregation with a watermark (late rows beyond the watermark are
+  dropped; state is bounded by watermark horizon × slide).
+- ``sessionized_counts`` — session windows via the built-in
+  ``session_window`` (gap-based, merges as events arrive).
+- ``running_user_totals`` — arbitrary stateful processing via
+  ``applyInPandasWithState``: per-user cumulative count/value kept in
+  explicit state (the pattern for custom operators no built-in covers).
+
+All take a streaming OR batch DataFrame of the events shape
+(ts timestamp, event_type string, value double, user_id long) — the same
+code path works under ``readStream`` (tests drive it with availableNow +
+a memory sink).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    width: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` differs from ``width``)
+    event-time window counts per event_type, watermarked for state
+    cleanup + late-data dropping."""
+    win = F.window("ts", width, slide or width)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd'T'HH:mm").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows (gap-close semantics) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd'T'HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_RUNNING_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 6)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user lifetime event count / value sum
+    maintained in explicit GroupState across micro-batches
+    (``applyInPandasWithState``). Emits the updated total each batch."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=_RUNNING_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,97 @@
+"""Sources/sinks: JSON & ORC round-trips, partitioned layout + pruning,
+bucketed co-located joins (no shuffle), gated connectors, salted join."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl__project_spark.operators.skew import salted_join
+from etl__project_spark.sources.connectors import (
+    ConnectorUnavailable,
+    read_delta,
+    read_json,
+    read_orc,
+    write_bucketed,
+    write_json,
+    write_orc,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def sample(spark):
+    return spark.createDataFrame(
+        [(i, f"u{i % 7}", float(i)) for i in range(100)], "id long, k string, v double"
+    )
+
+
+def test_json_round_trip(spark, tmp_path, sample):
+    path = str(tmp_path / "j")
+    write_json(sample, path)
+    back = read_json(spark, path, sample.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sample.collect()))
+
+
+def test_orc_round_trip(spark, tmp_path, sample):
+    path = str(tmp_path / "o")
+    write_orc(sample, path)
+    back = read_orc(spark, path)
+    assert back.count() == 100 and set(back.columns) == {"id", "k", "v"}
+
+
+def test_partitioned_layout_prunes(spark, tmp_path, sample):
+    path = str(tmp_path / "p")
+    write_partitioned(sample, path, ["k"])
+    assert os.path.isdir(os.path.join(path, "k=u0"))
+    scan = spark.read.parquet(path).filter(F.col("k") == "u3")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert scan.count() == sample.filter("k = 'u3'").count()
+    # partition filter reaches the scan (directory pruning, not row filter)
+    assert "PartitionFilters: [isnotnull(k" in plan or "k#" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sample):
+    # managed tables land in ./spark-warehouse (gitignored)
+    spark.sql("DROP TABLE IF EXISTS t_left")
+    spark.sql("DROP TABLE IF EXISTS t_right")
+    write_bucketed(sample, "t_left", "id", 4)
+    write_bucketed(sample.withColumnRenamed("v", "v2"), "t_right", "id", 4)
+    # disable auto-broadcast so the join strategy question is real (at
+    # scale neither side would fit a broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left, right = spark.table("t_left"), spark.table("t_right")
+        joined = left.join(right, "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE t_left")
+        spark.sql("DROP TABLE t_right")
+
+
+def test_delta_gated(spark):
+    with pytest.raises(ConnectorUnavailable, match="delta"):
+        read_delta(spark, "/tmp/nowhere")
+
+
+def test_salted_join_equals_plain(spark, sample):
+    small = spark.createDataFrame(
+        [(f"u{i}", i * 10) for i in range(7)], "k string, w long"
+    )
+    plain = sample.join(small, "k").select("id", "k", "v", "w")
+    salted = salted_join(sample, small, "k", n_salts=8).select("id", "k", "v", "w")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark, sample):
+    small = spark.createDataFrame([("u1", 10)], "k string, w long")
+    out = salted_join(sample, small, "k", n_salts=4, how="left")
+    assert out.count() == 100
+    assert out.filter("w IS NULL").count() == sample.filter("k <> 'u1'").count()

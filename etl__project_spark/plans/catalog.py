@@ -1150,3 +1150,34 @@ def ev_range_lookback(spark, sf_dir):
         .filter(F.col("event_type") == "error")
         .drop("event_type")
     )
+
+
+@query(
+    "ev_value_stats",
+    """SELECT event_type, round(median(value), 4) AS med,
+       round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type""",
+)
+def ev_value_stats(spark, sf_dir):
+    """Exact distributional aggregates (median is an exact interpolated
+    50th percentile in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("med"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("ev_approx_stats")  # no oracle: sketch algorithms differ per engine
+def ev_approx_stats(spark, sf_dir):
+    """Approximate aggregates — HLL++ distinct count and quantile sketch.
+    Deliberately oracle-free (DuckDB's approx sketches are different
+    algorithms); the driver records the weaker rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+    )

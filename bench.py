@@ -33,6 +33,8 @@ HEADLINE = [
     "ev_sessionize",
     "doc_lsh_pairs",
     "doc_simhash",
+    "doc_tfidf_top_terms",
+    "ev_asof_signup",
     "emb_cosine_topk",
 ]
 

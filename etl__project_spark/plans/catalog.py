@@ -258,9 +258,11 @@ def vs_fact(spark, sf_dir):
     """J2 — star fact build: staging LEFT JOIN 4 dims → surrogate keys.
 
     Every dim side is broadcast; the fact never shuffles. The parsed
-    staging frame feeds 5 consumers (4 dims + the probe side) — persist it
-    so the synth+parse chain runs once."""
+    staging frame feeds 5 consumers (4 dims + the probe side) — persist
+    AND materialize it, else the 4 broadcast builds race to compute the
+    same lazy cache."""
     parsed = _parsed(spark, sf_dir).persist()
+    parsed.count()
     dims = {
         "datetime_skey": (
             with_dense_ids(derive_dim(parsed, "datetime"), "datetime", "datetime_skey"),
@@ -1180,4 +1182,57 @@ def ev_approx_stats(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_median"),
+    )
+
+
+@query(
+    "doc_tfidf_top_terms",
+    """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS n_td FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.n_td * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf
+  FROM tf CROSS JOIN n JOIN dfreq ON tf.term = dfreq.term
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3""",
+)
+def doc_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: term frequency × smoothed inverse
+    document frequency, top-3 terms per document. Two aggregations + a
+    broadcast idf join + a partitioned ranking window — the classic text
+    pipeline, all JVM-side. Ordering uses the ROUNDED score (+ term
+    tiebreak) so ranking is reproducible across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_td"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.crossJoin(F.broadcast(n))
+        .join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("n_td")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
     )

@@ -11,6 +11,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def observed(df: DataFrame, name: str = "audit"):
+    """O1 — non-blocking audit: attach an Observation that records row
+    count and null-free-ness metrics as a side effect of whatever action
+    the caller runs (no extra pass over the data, unlike ``count()``).
+
+    Returns (df, observation); read ``observation.get`` after an action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("n_records")), obs
+
+
 def record_count(df: DataFrame) -> DataFrame:
     """A3 — total record count, as a 1-row frame (so it composes into plans
     and oracles instead of forcing a driver-side action)."""

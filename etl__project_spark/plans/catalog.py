@@ -1236,3 +1236,116 @@ def doc_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "vs_parse_variant_snowflake",
+    f"""WITH {VIDEO_DATA_CTE},
+kept AS (
+  SELECT * FROM video_data
+  WHERE events LIKE '%206%'
+    AND len(string_split(VideoTitle, '|')) > 1
+),
+p AS (
+  SELECT event_id, string_split(VideoTitle, '|')[1] AS head, VideoTitle
+  FROM kept
+)
+SELECT event_id,
+  CASE WHEN regexp_matches(lower(trim(head)), 'iphone|android|ipad|app') THEN trim(head)
+       WHEN regexp_matches(lower(trim(head)), 'news') THEN 'Desktop'
+       ELSE 'unknow' END AS platform_sf,
+  CASE WHEN regexp_matches(lower(trim(head)), 'news') THEN trim(head)
+       ELSE 'unkknow' END AS site_sf,
+  string_split(VideoTitle, '|')[-1] AS video
+FROM p""",
+)
+def vs_parse_variant_snowflake(spark, sf_dir):
+    """C3b/C4-variant (documented divergence, NOT canonical): the
+    Snowflake path's parse — lowercased-regex platform rule that keeps the
+    raw head token, 'news'→Desktop, else the reference's literal 'unknow'/
+    'unkknow' buckets (snow pipe.sql:83-92, incl. its misspellings —
+    SURVEY.md §2.12 bug 6). Registered so the semantic divergence from
+    vs_parse stays visible and tested."""
+    raw = _video(spark, sf_dir)
+    kept = filter_well_formed_title(filter_videostart_like(raw))
+    head = F.split("VideoTitle", r"\|").getItem(0)
+    head_n = F.lower(F.trim(head))
+    return kept.select(
+        "event_id",
+        F.when(head_n.rlike("iphone|android|ipad|app"), F.trim(head))
+        .when(head_n.rlike("news"), F.lit("Desktop"))
+        .otherwise(F.lit("unknow"))
+        .alias("platform_sf"),
+        F.when(head_n.rlike("news"), F.trim(head))
+        .otherwise(F.lit("unkknow"))
+        .alias("site_sf"),
+        F.element_at(F.split("VideoTitle", r"\|"), -1).alias("video"),
+    )
+
+
+@query(
+    "tpch_q1_sql",
+    ORACLES["tpch_q1_pricing"],
+)
+def tpch_q1_sql(spark, sf_dir):
+    """The same pricing summary through the SQL API (temp view +
+    spark.sql) — Catalyst produces the identical plan either way; this
+    registers the SQL surface as tested engine capability."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem_v
+WHERE l_shipdate <= DATE '2000-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+    )
+
+
+@query(
+    "emb_kmeans_assign",
+    f"""WITH seeds AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT e.vec_id, s.centroid_id,
+         round(list_dot_product(e.embedding::DOUBLE[], s.cv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(s.cv, s.cv))), 4) AS sim
+  FROM embeddings e CROSS JOIN seeds s
+)
+SELECT vec_id, centroid_id FROM (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+  FROM scored
+) WHERE rn = 1""",
+)
+def emb_kmeans_assign(spark, sf_dir):
+    """K-means assignment step: each vector assigned to the most-similar
+    of 4 seed centroids (the building block of iterative clustering —
+    broadcast centroids, one scan per iteration, no shuffle of the
+    vectors). Ranking on rounded similarity for engine determinism."""
+    from etl__project_spark.datapipe.similarity import cosine_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine_components(F.col("embedding"), F.col("cv")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )

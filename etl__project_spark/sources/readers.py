@@ -24,14 +24,23 @@ RAW_SCHEMA = T.StructType(
 
 
 def read_raw_csv(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
-    """S1/S6 — CSV scan with the reference's quote/escape semantics."""
+    """S1/S6 — CSV scan with the reference's quote/escape semantics.
+
+    ``mode='DROPMALFORMED'`` approximates Snowpipe's
+    ``on_error='skip_file'`` policy at row granularity
+    (snow pipe.sql:35-39); PERMISSIVE (default) nulls unparseable fields.
+    """
     return (
         spark.read.option("header", True)
         .option("quote", '"')
         .option("escape", "\\")
         .option("multiLine", False)
+        .option("mode", mode)
         .schema(schema or RAW_SCHEMA)
         .csv(path)
     )

@@ -1,0 +1,38 @@
+"""Observation-based audits (O1) and CSV error-mode handling (S5's
+skip-on-error policy at row granularity)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from etl__project_spark.operators.audit import observed
+from etl__project_spark.sources import read_raw_csv
+
+
+def test_observed_count_no_extra_pass(raw_rows):
+    df, obs = observed(raw_rows)
+    n_action = df.count()
+    assert obs.get["n_records"] == n_action == 9
+
+
+def test_csv_dropmalformed(spark, tmp_path):
+    path = str(tmp_path / "bad.csv")
+    with open(path, "w") as fh:
+        fh.write("DateTime,n,events\n")
+        fh.write("2017-01-11T00:00:31.000Z,42,206\n")
+        fh.write("2017-01-11T00:00:32.000Z,not_an_int,206\n")
+    schema = T.StructType(
+        [
+            T.StructField("DateTime", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("events", T.StringType()),
+        ]
+    )
+    permissive = read_raw_csv(spark, path, schema=schema).collect()
+    assert len(permissive) == 2
+    assert sorted([r["n"] for r in permissive], key=str) == [42, None]
+    dropped = read_raw_csv(spark, path, schema=schema, mode="DROPMALFORMED").collect()
+    assert len(dropped) == 1 and dropped[0]["n"] == 42
+    assert os.path.exists(path)

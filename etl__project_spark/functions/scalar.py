@@ -25,6 +25,13 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def url_decode_key(key: Column | str) -> Column:
+    """C12 — percent-decode an object-store key (reference:
+    ``unquote_plus(key)`` on the S3 event, lambda_function_s3.py:22).
+    Only needed when modeling path metadata."""
+    return F.url_decode(_col(key))
+
+
 def head_token(title: Column | str) -> Column:
     """C2 — first pipe-delimited piece of the title.
 

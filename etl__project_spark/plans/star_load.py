@@ -117,6 +117,13 @@ class ParquetWarehouse:
         return self.spark.read.parquet(*dirs)
 
 
+def check_manifest(paths: list[str]) -> list[str]:
+    """K5 — precondition gate: the reference aborts the load unless all 5
+    expected processed/ files exist (lambda_function_redishift.py:25-40).
+    Returns the missing paths (empty = good to go)."""
+    return [p for p in paths if not os.path.exists(p)]
+
+
 def _dim_schema(natural_key: str, skey: str) -> T.StructType:
     return T.StructType(
         [

@@ -36,3 +36,24 @@ def test_csv_dropmalformed(spark, tmp_path):
     dropped = read_raw_csv(spark, path, schema=schema, mode="DROPMALFORMED").collect()
     assert len(dropped) == 1 and dropped[0]["n"] == 42
     assert os.path.exists(path)
+
+
+def test_check_manifest(tmp_path):
+    from etl__project_spark.plans.star_load import check_manifest
+
+    p1 = tmp_path / "a.csv"
+    p1.write_text("x")
+    missing = check_manifest([str(p1), str(tmp_path / "b.csv")])
+    assert missing == [str(tmp_path / "b.csv")]
+
+
+def test_url_decode_key(spark):
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.functions.scalar import url_decode_key
+
+    df = spark.createDataFrame([("rawData/video%20data%7C1.csv",)], "key string")
+    assert (
+        df.select(url_decode_key(F.col("key")).alias("k")).first()["k"]
+        == "rawData/video data|1.csv"
+    )

@@ -1445,3 +1445,135 @@ def vs_warehouse_load(spark, sf_dir):
     load_batch(raw.filter(F.col("event_id") % 10 >= 5), wh, "b2", spark)
     fact = wh.read_fact("factvideostart", FACT_SCHEMA)
     return fact.select(*[_int(F.col(c)).alias(c) for c in fact.columns])
+
+
+@query(
+    "tpch_q4_semi",
+    """SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority""",
+)
+def tpch_q4_semi(spark, sf_dir):
+    """TPC-H Q4-shaped: EXISTS as a left-semi join (the reference's only
+    join-adjacent idiom it lacks — anti's dual)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "tpch_q6_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24""",
+)
+def tpch_q6_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped: pure scan-filter-aggregate; every predicate
+    reaches the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "tpch_q17_avg_qty",
+    """WITH part_avg AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice), 2) AS total_price, count(*)::BIGINT AS n
+FROM lineitem l JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < 0.5 * pa.avg_qty""",
+)
+def tpch_q17_avg_qty(spark, sf_dir):
+    """TPC-H Q17-shaped: correlated scalar subquery decorrelated into an
+    aggregate + self-join (small-order-quantity revenue)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(pa), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunct",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 5)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 10)
+   OR (p.p_size BETWEEN 25 AND 50 AND l.l_quantity >= 40)""",
+)
+def tpch_q19_disjunct(spark, sf_dir):
+    """TPC-H Q19-shaped: disjunctive mixed-table predicates over a join
+    (Catalyst pushes the common parts, keeps the OR as a join filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 10))
+        | (F.col("p_size").between(25, 50) & (F.col("l_quantity") >= 40))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "ev_window_sampler",
+    """SELECT event_id, user_id,
+       strftime(lag(ts) OVER w, '%Y-%m-%dT%H:%M:%S') AS prev_ts,
+       strftime(lead(ts) OVER w, '%Y-%m-%dT%H:%M:%S') AS next_ts,
+       round(first_value(value) OVER w, 2) AS first_v,
+       ntile(4) OVER w AS quartile,
+       rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def ev_window_sampler(spark, sf_dir):
+    """Window-function sampler: lag/lead, first_value, ntile, rank — the
+    analytic kit over one partitioned ordered window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")  # noqa: E731
+    return ev.select(
+        "event_id",
+        "user_id",
+        fmt(F.lag("ts").over(w)).alias("prev_ts"),
+        fmt(F.lead("ts").over(w)).alias("next_ts"),
+        F.round(F.first("value").over(w), 2).alias("first_v"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.rank().over(wv).cast("long").alias("value_rank"),
+    )

@@ -237,3 +237,72 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Connected components by min-label propagation — the dedup-cluster
+    step after candidate-pair generation (each component keeps min id).
+
+    ``nodes``: (id). ``edges``: (id_a, id_b) undirected. Returns
+    (id, component) where component = min node id in the component.
+
+    Iterative DataFrame algorithm: each round (a) takes the min label over
+    the 1-hop neighborhood (HashToMin propagation), then (b) path-halves —
+    re-resolves each node's label through the label of its label
+    (``component -> labels[component]``). (a) alone needs diameter rounds
+    (a 500-doc near-dup chain would not converge in 25); with (b) the
+    round count drops to O(log diameter).
+
+    Every round ends in an eager ``localCheckpoint`` — NOT just persist.
+    Persist avoids recomputation but each iteration's logical plan still
+    embeds the whole lineage, so Catalyst re-analysis grows without bound
+    and the loop stalls after a handful of rounds (observed: minutes on a
+    42-node graph). Checkpointing truncates the plan to a leaf each round,
+    keeping per-round planning O(1). On a real cluster, swap
+    ``localCheckpoint`` for reliable ``checkpoint`` (HDFS/S3-backed) so
+    executor loss cannot drop partitions mid-loop; the loop structure is
+    the same one GraphFrames' CC (large-star/small-star) uses at scale.
+    """
+    bidir = (
+        edges.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(edges.selectExpr("id_b AS src", "id_a AS dst"))
+        .localCheckpoint()
+    )
+    labels = nodes.selectExpr("id", "id AS component").localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            bidir.join(labels, bidir.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        tentative = labels.join(
+            neighbor_min, labels.id == neighbor_min.dst, "left"
+        ).select(
+            "id",
+            F.col("component").alias("prev_component"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        ).localCheckpoint()
+        lookup = tentative.select(
+            F.col("id").alias("l_id"), F.col("component").alias("l_component")
+        )
+        new_labels = (
+            tentative.join(lookup, tentative.component == F.col("l_id"), "left")
+            .select(
+                "id",
+                "prev_component",
+                F.coalesce(F.col("l_component"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(
+            F.col("component") != F.col("prev_component")
+        ).count()
+        labels = new_labels.select("id", "component")
+        if changed == 0:
+            break
+    return labels

@@ -1577,3 +1577,63 @@ def ev_window_sampler(spark, sf_dir):
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.rank().over(wv).cast("long").alias("value_rank"),
     )
+
+
+@query(
+    "doc_dup_components",
+    """WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text) - 3, 1))])) AS shingle
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    min((506952115 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1779033703) % 2147483647) AS h0,
+    min((1013904229 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1410583759) % 2147483647) AS h1,
+    min((1520856343 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1042133815) % 2147483647) AS h2,
+    min((2027808457 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 673683871) % 2147483647) AS h3,
+    min((387276923 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 305233927) % 2147483647) AS h4,
+    min((894229037 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 2084267630) % 2147483647) AS h5,
+    min((1401181151 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1715817686) % 2147483647) AS h6,
+    min((1908133265 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1347367742) % 2147483647) AS h7
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id,
+         md5(h0::VARCHAR || h1::VARCHAR || h2::VARCHAR || h3::VARCHAR) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id,
+         md5(h4::VARCHAR || h5::VARCHAR || h6::VARCHAR || h7::VARCHAR) AS band_hash FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON w.node = e.src
+)
+SELECT node AS doc_id, min(label)::BIGINT AS component FROM walk GROUP BY node"""
+    .replace("WITH ", "WITH RECURSIVE ", 1),
+)
+def doc_dup_components(spark, sf_dir):
+    """Duplicate clustering: LSH candidate pairs -> connected components
+    via iterative min-label propagation (datapipe.dedup
+    connected_components). The one genuinely iterative algorithm in the
+    catalog; oracle = a DuckDB recursive CTE computing min reachable id.
+    Each component's min doc_id is the canonical keeper."""
+    from etl__project_spark.datapipe.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, distinct=False)
+    sig = minhash_signature(sh, n_hashes=8).persist()
+    sig.count()
+    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(nodes, pairs)
+    return comp.select(F.col("id").alias("doc_id"), _int(F.col("component")).alias("component"))

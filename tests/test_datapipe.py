@@ -118,3 +118,21 @@ def test_multimodal_real_decode_is_stubbed(docs):
     media = synth_media(docs)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_features(media, fake=False).collect()
+
+
+def test_connected_components_chain_and_pair(spark):
+    from etl__project_spark.datapipe.dedup import connected_components
+
+    # 40-node chain (diameter >> a naive propagation round budget),
+    # a 2-node pair, and an isolated node.
+    chain = [(i, i + 1) for i in range(39)]
+    edges = spark.createDataFrame(
+        chain + [(100, 101)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(40)] + [(100,), (101,), (200,)], "id long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert all(got[i] == 0 for i in range(40))
+    assert got[100] == 100 and got[101] == 100
+    assert got[200] == 200

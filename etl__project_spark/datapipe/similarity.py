@@ -92,3 +92,42 @@ def bucketed_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    block_by_bucket: bool = False,
+    n_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
+    every pair with cosine >= threshold, id_a < id_b.
+
+    ``block_by_bucket=False`` is the exact O(N^2/2) baseline — correct at
+    any threshold but quadratic, only for modest N or a sampled audit.
+    ``block_by_bucket=True`` joins on sign-projection bucket equality
+    first (equi-join, shuffle-partitioned by bucket — no cross join), the
+    scale path: each of the 2^n_bits buckets pairs only within itself, at
+    the cost of missing cross-bucket pairs (recall < 1, standard
+    blocking/LSH trade-off; raise recall with multiple independent
+    projections unioned, as MinHash-LSH does with bands).
+
+    The filter compares the ROUNDED cosine (4 dp) so the threshold cut is
+    identical across engines regardless of last-bit float noise.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if block_by_bucket:
+        a = a.withColumn("__bucket", sign_bucket(F.col("__va"), n_bits))
+        b = b.withColumn("__bucket", sign_bucket(F.col("__vb"), n_bits))
+        joined = a.join(b, "__bucket")
+    else:
+        joined = a.crossJoin(b)
+    cos = F.round(cosine_components(F.col("__va"), F.col("__vb")), 4)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

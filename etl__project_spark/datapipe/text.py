@@ -88,3 +88,34 @@ def doc_fingerprint(
         F.md5(F.col(text_col)).alias("fingerprint"),
         F.md5(norm).alias("fingerprint_norm"),
     )
+
+
+# GPT-2-style pre-tokenizer shape, restricted to a regex dialect that
+# Java (Spark) and RE2-ish engines (the DuckDB oracle) parse identically:
+# runs of letters, runs of digits, or a single non-alphanumeric,
+# non-whitespace symbol.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting two ways: naive whitespace split and a BPE-ish
+    regex pre-tokenizer (the shape every BPE/WordPiece tokenizer applies
+    before merges — counting its pieces approximates LLM token cost far
+    better than whitespace words).
+
+    Narrow map stage, pure column expressions (regexp_extract_all is
+    JVM-side) — fuses into the scan at 100 TB, no shuffle.
+    """
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0)
+    alpha = F.filter(pieces, lambda p: p.rlike("^[A-Za-z]+$"))
+    num = F.filter(pieces, lambda p: p.rlike("^[0-9]+$"))
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(pieces).cast("long").alias("n_bpe_tokens"),
+        F.size(alpha).cast("long").alias("n_alpha_tokens"),
+        F.size(num).cast("long").alias("n_num_tokens"),
+        (F.size(pieces) - F.size(alpha) - F.size(num)).cast("long").alias("n_sym_tokens"),
+    )

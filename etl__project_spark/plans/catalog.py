@@ -1637,3 +1637,70 @@ def doc_dup_components(spark, sf_dir):
     nodes = docs.select(F.col("doc_id").alias("id"))
     comp = connected_components(nodes, pairs)
     return comp.select(F.col("id").alias("doc_id"), _int(F.col("component")).alias("component"))
+
+
+@query(
+    "doc_token_regex",
+    r"""SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens,
+  len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+      t -> regexp_matches(t, '^[A-Za-z]+$')))::BIGINT AS n_alpha_tokens,
+  len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+      t -> regexp_matches(t, '^[0-9]+$')))::BIGINT AS n_num_tokens,
+  (len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+   - len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+         t -> regexp_matches(t, '^[A-Za-z]+$')))
+   - len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+         t -> regexp_matches(t, '^[0-9]+$'))))::BIGINT AS n_sym_tokens
+FROM documents""",
+)
+def doc_token_regex(spark, sf_dir):
+    """Token counting: whitespace words vs BPE-ish regex pre-tokenizer
+    pieces (datapipe.text.regex_token_counts)."""
+    from etl__project_spark.datapipe.text import regex_token_counts
+
+    return regex_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+_PAIR_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@query(
+    "emb_near_dup_pairs",
+    f"""SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_PAIR_COS}, 4) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.4""",
+)
+def emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup, exact O(N^2/2) baseline (threshold cut
+    on the 4-dp-rounded cosine for cross-engine determinism)."""
+    from etl__project_spark.datapipe.similarity import near_dup_pairs
+
+    return near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "emb_near_dup_blocked",
+    f"""WITH bk AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_PAIR_COS}, 4) AS cosine
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.35""",
+)
+def emb_near_dup_blocked(spark, sf_dir):
+    """Embedding-cosine near-dup, sign-projection-blocked scale path:
+    bucket-equality equi-join replaces the cross join (recall < 1 by
+    design — the standard blocking trade-off)."""
+    from etl__project_spark.datapipe.similarity import near_dup_pairs
+
+    return near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        block_by_bucket=True,
+    )

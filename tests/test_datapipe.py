@@ -136,3 +136,43 @@ def test_connected_components_chain_and_pair(spark):
     assert all(got[i] == 0 for i in range(40))
     assert got[100] == 100 and got[101] == 100
     assert got[200] == 200
+
+
+def test_regex_token_counts(spark):
+    from etl__project_spark.datapipe.text import regex_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! v2 has 3 parts"), (2, "one")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in regex_token_counts(docs).collect()}
+    # "Hello , world ! v 2 has 3 parts" -> 9 regex pieces, 6 ws words
+    assert r[1]["n_ws_tokens"] == 6
+    assert r[1]["n_bpe_tokens"] == 9
+    assert r[1]["n_alpha_tokens"] == 5
+    assert r[1]["n_num_tokens"] == 2
+    assert r[1]["n_sym_tokens"] == 2
+    assert r[2]["n_bpe_tokens"] == 1 and r[2]["n_sym_tokens"] == 0
+
+
+def test_near_dup_pairs_exact_and_blocked(spark):
+    from etl__project_spark.datapipe.similarity import near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),      # bucket 1 (only bit0 set)
+            (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0 but bucket 3 (bit1 set)
+            (2, [-1.0, 0.0, 0.0, 0.0]),     # opposite direction
+            (3, [0.999, -0.01, 0.0, 0.0]),  # near-dup of 0/1, bucket 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(emb, 0.99).collect()}
+    assert exact == {(0, 1), (0, 3), (1, 3)}
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(emb, 0.99, block_by_bucket=True).collect()
+    }
+    # vec 1 lands in bucket 3 (positive 2nd component) while 0/3 share
+    # bucket 1 -> cross-bucket pairs are missed: the recall<1 trade-off.
+    assert blocked == {(0, 3)}

@@ -131,3 +131,64 @@ def near_dup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    k: int = 3,
+    n_queries: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition vectors into centroid cells,
+    then answer each query by scanning only its ``n_probe`` nearest
+    cells.
+
+    Centroid "training" is stubbed to seed selection (the first
+    ``n_centroids`` vectors by id) so the structure is deterministic and
+    oracle-portable; a production build would run Lloyd iterations with
+    the same assignment step (see ``emb_kmeans_assign``). At 100 TB the
+    cell assignment is written as a partition column, so probing becomes
+    partition-pruned scans; centroids are always broadcast (KB-sized).
+
+    Returns (q_id, cand_id, sim): top-``k`` candidates per query among
+    the probed cells, ranked on 4-dp-rounded cosine with id tiebreaks
+    (cross-engine determinism). Recall < 1.0 by design when the true
+    neighbour lives in an unprobed cell — the standard IVF trade-off.
+    """
+    from pyspark.sql import Window
+
+    seeds = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    sim_to_seed = F.round(cosine_components(F.col(vec_col), F.col("cv")), 4)
+    scored_all = embeddings.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col), F.col(vec_col), F.col("centroid_id"), sim_to_seed.alias("s")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("s"), F.asc("centroid_id"))
+    ranked = scored_all.withColumn("rn", F.row_number().over(w))
+    cells = ranked.filter(F.col("rn") == 1).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        "centroid_id",
+    )
+    probes = (
+        ranked.filter((F.col(id_col) < n_queries) & (F.col("rn") <= n_probe))
+        .select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
+        )
+    )
+    pair_sim = F.round(cosine_components(F.col("q_vec"), F.col("cand_vec")), 4)
+    cand = (
+        probes.join(cells, "centroid_id")
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select("q_id", "cand_id", pair_sim.alias("sim"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "cand_id", "sim")
+    )

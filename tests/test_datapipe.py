@@ -176,3 +176,27 @@ def test_near_dup_pairs_exact_and_blocked(spark):
     # vec 1 lands in bucket 3 (positive 2nd component) while 0/3 share
     # bucket 1 -> cross-bucket pairs are missed: the recall<1 trade-off.
     assert blocked == {(0, 3)}
+
+
+def test_ivf_topk_probes_cells(spark):
+    import random
+
+    from etl__project_spark.datapipe.similarity import ivf_topk
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_topk(emb, n_centroids=4, n_probe=2, k=3, n_queries=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    # every query answered, self excluded, <= k results each, sims sorted
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        assert all(r["cand_id"] != q for r in rs)
+        assert len(rs) <= 3
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    # probing 2 of 4 cells must still find a decent neighbour: every
+    # returned sim is a valid cosine in [-1, 1]
+    assert all(-1.0 <= r["sim"] <= 1.0 for r in out)

@@ -1,0 +1,99 @@
+"""Physical-plan shape regression tests.
+
+Correctness says the right rows come out; these tests pin the plan
+SHAPES that make the queries survive a 100× scale-up: small sides
+broadcast (no sort-merge shuffle of the fact table), filters pushed to
+the parquet scan, top-k without a global sort, windows partitioned (no
+single-partition exchange), and candidate generation without cartesian
+products. If a refactor silently degrades one of these, correctness
+stays green but these fail.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl__project_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "vs_fact",
+        "tpch_q3_shipping",
+        "tpch_q5_region_volume",
+        "tpch_q7_nation_volume",
+        "tpch_q8_market_share",
+        "tpch_q9_profit",
+        "tpch_q10_returned",
+        "tpch_q14_promo",
+        "tpch_q18_big_orders",
+    ],
+)
+def test_star_joins_broadcast_not_sort_merge(spark, name):
+    plan = plan_of(QUERIES[name](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, name
+    assert "SortMergeJoin" not in plan, name
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(QUERIES["tpch_q1_pricing"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # group-by agg must be hash-based (codegen), not sort-based
+    assert "HashAggregate" in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = plan_of(QUERIES["tpch_q6_revenue"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    # ORDER BY + LIMIT should plan as TakeOrderedAndProject: each
+    # partition keeps k rows, the driver merges k*P — no global sort.
+    plan = plan_of(QUERIES["tpch_q3_shipping"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_window_no_single_partition_exchange(spark):
+    plan = plan_of(QUERIES["tpch_topn_per_group"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_lsh_pairs_no_cartesian(spark):
+    plan = plan_of(QUERIES["doc_lsh_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_near_dup_no_cartesian(spark):
+    plan = plan_of(QUERIES["emb_near_dup_blocked"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_scan_prunes_columns(spark):
+    # Q1 touches 7 of lineitem's 11 columns; the parquet ReadSchema must
+    # not include the untouched join keys.
+    plan = plan_of(QUERIES["tpch_q1_pricing"](spark, SF_DIR))
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_partkey" not in read_schema
+    assert "l_suppkey" not in read_schema
+
+
+def test_anti_join_q22_stays_broadcast(spark):
+    # the NOT EXISTS side (filtered orders) must broadcast, and the
+    # scalar-avg cross join must not plan as a nested-loop over customer
+    plan = plan_of(QUERIES["tpch_q22_idle_balance"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan

@@ -2177,3 +2177,137 @@ def emb_ivf_topk(spark, sf_dir):
     from etl__project_spark.datapipe.similarity import ivf_topk
 
     return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Reshaping operators: pivot / unpivot / array aggregation / grouping sets /
+# passage-level dedup — API surface a warehouse user expects beyond plain
+# group-by (none of it exists in the reference; SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "ev_pivot_type_counts",
+    """SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT AS click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS view
+FROM events GROUP BY user_id""",
+)
+def ev_pivot_type_counts(spark, sf_dir):
+    """PIVOT: one column per event type, counts per user. The pivot
+    values are declared explicitly so the plan is a single-pass
+    conditional aggregate (no extra distinct-values job) with a fixed
+    output schema — at scale an undeclared pivot is two jobs."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "ev_unpivot_type_counts",
+    """WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+), u AS (SELECT DISTINCT user_id FROM events),
+t AS (SELECT DISTINCT event_type FROM events)
+SELECT u.user_id, t.event_type, coalesce(c.n, 0)::BIGINT AS n
+FROM u CROSS JOIN t
+LEFT JOIN counts c ON c.user_id = u.user_id AND c.event_type = t.event_type""",
+)
+def ev_unpivot_type_counts(spark, sf_dir):
+    """UNPIVOT (melt): the wide per-type count matrix back to long form,
+    zeros preserved — wide→long reshape without a Python round-trip."""
+    wide = ev_pivot_type_counts(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=_EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
+@query(
+    "ev_user_profile",
+    """SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id""",
+)
+def ev_user_profile(spark, sf_dir):
+    """Array aggregation: collect_set → array_sort → array_join emitted
+    as a canonical string (engine-portable array semantics) alongside
+    plain aggregates in the same grouped pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types_seen"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "tpch_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price, count(*)::BIGINT AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def tpch_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (not rollup/cube) through the SQL entry
+    path — Spark plans one Expand + single shuffle, not one job per
+    set."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_extendedprice), 2) AS sum_price,
+                  count(*) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
+
+
+@query(
+    "doc_passage_dup",
+    """WITH idx AS (
+  SELECT doc_id, text, unnest(range(0, ((len(text) - 1) // 100) + 1)) AS i
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, md5(substr(text, (i * 100 + 1)::INT, 100)) AS h FROM idx
+)
+SELECT h, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM chunks GROUP BY h HAVING count(DISTINCT doc_id) > 1""",
+)
+def doc_passage_dup(spark, sf_dir):
+    """Passage-level dedup: documents are chunked into fixed 100-char
+    passages via sequence+explode (a generator, not a UDF), each passage
+    md5-hashed, and hashes appearing in more than one document reported.
+    The 100 TB shape: explode fans out map-side, the group-by shuffles
+    only (hash, doc_id) pairs — bytes shuffled ≈ 48B per passage, not
+    the text itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.length("text") - 1) / 100).cast("int"))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.md5(F.col("text").substr(F.col("i") * 100 + 1, F.lit(100))).alias("h"),
+    )
+    return (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -120,3 +120,60 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``horizon``.
+
+    Both sides are watermarked so the join state is bounded: a buffered
+    click can be evicted once the purchase-side watermark passes
+    click_ts + horizon. Without the time bound (or the watermarks) the
+    state grows forever — the interval condition is what makes
+    stream-stream joins feasible at scale, not an optimization.
+
+    Works identically on batch frames (the test oracle).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (p.user_id == c.c_user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("click_ts"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, key_cols: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so re-deliveries inside the horizon are dropped
+    without the unbounded key set plain ``dropDuplicates`` would hold.
+    This is the engine-native form of the reference's MERGE-on-redelivery
+    (SURVEY.md §2.8 T5) for at-least-once sources."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )

@@ -94,3 +94,37 @@ def test_running_user_totals_state(spark, events_stream_source):
     for uid, w in want.items():
         assert final[uid]["n_events"] == w["n"]
         assert abs(final[uid]["total_value"] - w["v"]) < 0.05
+
+
+def test_stream_stream_interval_join(spark, events_stream_source):
+    from etl__project_spark.streaming.windows import click_purchase_join
+
+    path, schema = events_stream_source
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "click"),
+            df.filter(df.event_type == "purchase"),
+        )
+
+    got = _drain(
+        spark, click_purchase_join(*split(spark.readStream.schema(schema).parquet(path))), "ssj"
+    ).collect()
+    want = click_purchase_join(*split(spark.read.parquet(path))).collect()
+    assert len(got) > 0
+    # availableNow drains everything; inner interval join must match batch
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    from etl__project_spark.streaming.windows import dedup_within_watermark
+
+    ev = load_table(spark, SF, "events").limit(500)
+    # simulate at-least-once redelivery: 20% of rows appear twice
+    dup_src = ev.union(ev.limit(100))
+    path = str(tmp_path / "dup_events")
+    dup_src.repartition(2).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    got = _drain(spark, dedup_within_watermark(stream), "dedup_wm")
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500

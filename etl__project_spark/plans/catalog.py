@@ -2311,3 +2311,43 @@ def doc_passage_dup(spark, sf_dir):
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """WITH unit AS (
+  SELECT l_partkey, l_suppkey, round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name, unit_cost FROM (
+  SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, u.unit_cost,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY u.unit_cost, s.s_suppkey) AS rn
+  FROM unit u
+  JOIN part p ON p.p_partkey = u.l_partkey
+  JOIN supplier s ON s.s_suppkey = u.l_suppkey
+  WHERE p.p_size < 10
+) WHERE rn = 1""",
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped (lineitem stands in for partsupp): cheapest
+    supplier per small part. The correlated MIN subquery decorrelates
+    into a grouped aggregate + per-part rank-1 window over the ROUNDED
+    unit cost (suppkey tiebreak) — deterministic across engines and one
+    shuffle on l_partkey instead of a per-row subquery."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_cost"
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_cost"), F.asc("s_suppkey"))
+    return (
+        unit.join(F.broadcast(p), unit.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), unit.l_suppkey == s.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_cost")
+    )

@@ -2351,3 +2351,63 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_cost")
     )
+
+
+@query(
+    "ev_calendar_features",
+    """SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS d,
+       (dayofweek(ts) + 1)::BIGINT AS dow,
+       quarter(ts)::BIGINT AS quarter,
+       weekofyear(ts)::BIGINT AS week,
+       dayofyear(ts)::BIGINT AS doy,
+       strftime(last_day(ts), '%Y-%m-%d') AS month_end,
+       date_diff('day', ts, TIMESTAMP '2001-01-01')::BIGINT AS days_to_y2001
+FROM events WHERE event_id < 2000""",
+)
+def ev_calendar_features(spark, sf_dir):
+    """Calendar scalar kit: dow/quarter/week/doy/last_day/datediff.
+    Engine note: Spark dayofweek is 1=Sunday while DuckDB dayofweek is
+    0=Sunday — the oracle adds 1; weekofyear is ISO in both."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.quarter("ts").cast("long").alias("quarter"),
+        F.weekofyear("ts").cast("long").alias("week"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2001-01-01").cast("date"), F.col("ts").cast("date"))
+        .cast("long")
+        .alias("days_to_y2001"),
+    )
+
+
+@query(
+    "doc_source_normalize",
+    """SELECT doc_id,
+       upper(source) AS src_upper,
+       lpad(regexp_extract(source, '[0-9]+$', 0), 4, '0') AS src_num,
+       concat('doc-', lpad(doc_id::VARCHAR, 6, '0')) AS doc_key,
+       replace(lower(lang), 'en', 'eng') AS lang_norm,
+       levenshtein(source, 'src0')::BIGINT AS src_dist,
+       length(trim(source))::BIGINT AS src_len
+FROM documents""",
+)
+def doc_source_normalize(spark, sf_dir):
+    """String scalar kit beyond the reference's C1-C12: case mapping,
+    lpad zero-fill key synthesis, regexp_extract, replace, levenshtein,
+    trim/length — all JVM column expressions (whole-stage codegen)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("source").alias("src_upper"),
+        F.lpad(F.regexp_extract("source", "[0-9]+$", 0), 4, "0").alias("src_num"),
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 6, "0")).alias(
+            "doc_key"
+        ),
+        F.replace(F.lower("lang"), F.lit("en"), F.lit("eng")).alias("lang_norm"),
+        F.levenshtein("source", F.lit("src0")).cast("long").alias("src_dist"),
+        F.length(F.trim("source")).cast("long").alias("src_len"),
+    )

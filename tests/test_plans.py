@@ -97,3 +97,35 @@ def test_anti_join_q22_stays_broadcast(spark):
     # scalar-avg cross join must not plan as a nested-loop over customer
     plan = plan_of(QUERIES["tpch_q22_idle_balance"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q2_min_cost_supplier", "tpch_q12_late_lines", "tpch_q16_supplier_cnt"],
+)
+def test_new_tpch_shapes_no_sort_merge(spark, name):
+    plan = plan_of(QUERIES[name](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, name
+
+
+def test_q2_window_is_partitioned(spark):
+    plan = plan_of(QUERIES["tpch_q2_min_cost_supplier"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_passage_dup_no_cartesian_and_hash_agg(spark):
+    plan = plan_of(QUERIES["doc_passage_dup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_pivot_is_single_aggregate_pass(spark):
+    # declared pivot values -> one aggregate over the scan, no extra
+    # distinct-values subplan (which an undeclared pivot would add)
+    plan = plan_of(QUERIES["ev_pivot_type_counts"](spark, SF_DIR))
+    assert plan.count("FileScan") == 1
+
+
+def test_grouping_sets_single_expand(spark):
+    plan = plan_of(QUERIES["tpch_grouping_sets"](spark, SF_DIR))
+    assert "Expand" in plan and plan.count("FileScan") == 1

@@ -2411,3 +2411,53 @@ def doc_source_normalize(spark, sf_dir):
         F.levenshtein("source", F.lit("src0")).cast("long").alias("src_dist"),
         F.length(F.trim("source")).cast("long").alias("src_len"),
     )
+
+
+@query(
+    "ev_quality_report",
+    """SELECT count(*)::BIGINT AS n_rows,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(DISTINCT event_type)::BIGINT AS n_types,
+       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_props,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_value,
+       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value,
+       strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS min_ts,
+       strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS max_ts
+FROM events""",
+)
+def ev_quality_report(spark, sf_dir):
+    """Single-pass data-profiling audit (the reference's A3/A4 audits
+    generalized): row/distinct/null counts + value and time ranges in
+    ONE aggregate over one scan — at 100 TB a profile must not be one
+    job per metric."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("max_ts"),
+    )
+
+
+@query(
+    "ev_quartiles",
+    """SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type""",
+)
+def ev_quartiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (p25/p75/p99) — Spark
+    percentile ≡ DuckDB quantile_cont (both linear-interpolated)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 4).alias("p25"),
+        F.round(F.percentile("value", 0.75), 4).alias("p75"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+    )

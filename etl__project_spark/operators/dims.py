@@ -154,6 +154,7 @@ def scd2_upsert(
     skey_col: str,
     load_date: str,
     end_of_time: str = "9999-12-31",
+    order_col: str | None = None,
 ) -> DataFrame:
     """SCD Type-2 upsert per the reference design doc (summary.pdf p.8,
     SURVEY.md §2.9) — documented there but never coded; implemented here.
@@ -173,9 +174,31 @@ def scd2_upsert(
 
     Pure-DataFrame algorithm (anti-join + changed-join + union), the
     table-format-free equivalent of a multi-WHEN MERGE.
+
+    Same-batch conflicts (SURVEY.md §7 hard part 4): if one delta batch
+    carries several different attr versions of the same natural key, the
+    batch is collapsed to ONE version per key before the upsert so the
+    "exactly one current_flag='Y' row per key" invariant holds. The winner
+    is last-writer-wins on ``order_col`` (descending) when provided; with
+    no ``order_col`` the pick falls back to the attr values themselves
+    (descending) — deterministic across runs, but arbitrary, so callers
+    with genuinely ordered feeds should pass their sequence/timestamp
+    column.
     """
     d = F.lit(load_date).cast("date")
-    delta_u = delta.select(natural_key, *attr_cols).distinct()
+    if order_col is not None:
+        pick = Window.partitionBy(natural_key).orderBy(
+            F.col(order_col).desc(), *[F.col(a).desc_nulls_last() for a in attr_cols]
+        )
+    else:
+        pick = Window.partitionBy(natural_key).orderBy(
+            *[F.col(a).desc_nulls_last() for a in attr_cols]
+        )
+    delta_u = (
+        delta.withColumn("__pick", F.row_number().over(pick))
+        .filter(F.col("__pick") == 1)
+        .select(natural_key, *attr_cols)
+    )
 
     current = dim.filter(F.col("current_flag") == "Y")
     attr_match = [F.col(f"c.{a}").eqNullSafe(F.col(f"n.{a}")) for a in attr_cols]

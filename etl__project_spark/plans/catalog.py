@@ -260,10 +260,23 @@ def vs_fact(spark, sf_dir):
     Every dim side is broadcast; the fact never shuffles. The parsed
     staging frame feeds 5 consumers (4 dims + the probe side) — persist
     AND materialize it, else the 4 broadcast builds race to compute the
-    same lazy cache."""
+    same lazy cache.
+
+    ``small=True`` (single-task global row_number) is used ONLY for the
+    dims with a known tiny domain: platform (4 values) and site (dozens).
+    datetime and title are unbounded dimensions (the reference saw
+    ever-growing title sets), so they take the default range-partitioned
+    dense-id path."""
     parsed = _parsed(spark, sf_dir).persist()
     parsed.count()
-    dims = {
+    fact = build_fact(parsed, _vs_fact_dims(parsed))
+    return fact.select(*[_int(F.col(c)).alias(c) for c in fact.columns])
+
+
+def _vs_fact_dims(parsed):
+    """The four vs_fact dimension builds (split out so plan tests can
+    assert the unbounded dims avoid the single-partition window)."""
+    return {
         "datetime_skey": (
             with_dense_ids(derive_dim(parsed, "datetime"), "datetime", "datetime_skey"),
             "datetime",
@@ -282,15 +295,11 @@ def vs_fact(spark, sf_dir):
             "site",
         ),
         "title_skey": (
-            with_dense_ids(
-                derive_dim(parsed, "video"), "video", "title_skey", small=True
-            ),
+            with_dense_ids(derive_dim(parsed, "video"), "video", "title_skey"),
             "video",
             "video",
         ),
     }
-    fact = build_fact(parsed, dims)
-    return fact.select(*[_int(F.col(c)).alias(c) for c in fact.columns])
 
 
 @query(
@@ -609,8 +618,9 @@ def ev_props_json(spark, sf_dir):
     "ev_sessionize",
     """WITH gaps AS (
   SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE OR
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 OR
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -620,13 +630,18 @@ FROM gaps GROUP BY user_id""",
 )
 def ev_sessionize(spark, sf_dir):
     """Sessionization: 30-minute inactivity gap splits sessions. Lag window
-    + conditional sum — fully partition-parallel per user."""
+    + conditional sum — fully partition-parallel per user.
+
+    Gap comparison is at MICROsecond precision on both engines
+    (unix_micros / epoch_us): second-truncation would only match the
+    oracle while no gap lands within 1s of the 1800s threshold — data
+    luck, not semantics."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(w)
+    lag_us = F.lag(F.unix_micros("ts")).over(w)
     new_s = F.when(
-        lag_ts.isNull()
-        | ((F.col("ts").cast("long") - lag_ts.cast("long")) > 1800),
+        lag_us.isNull()
+        | ((F.unix_micros("ts") - lag_us) > 1800 * 1_000_000),
         1,
     ).otherwise(0)
     return (
@@ -1125,8 +1140,8 @@ def ev_asof_signup(spark, sf_dir):
     """SELECT event_id, user_id, n_recent_clicks FROM (
   SELECT event_id, user_id, event_type,
          (count(CASE WHEN event_type = 'click' THEN 1 END)
-            OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
           - CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
            AS n_recent_clicks
   FROM events
@@ -1135,12 +1150,15 @@ def ev_asof_signup(spark, sf_dir):
 def ev_range_lookback(spark, sf_dir):
     """Range-interval window (a bounded range join): for every error
     event, how many clicks the same user made in the preceding 10
-    minutes. RANGE frame over epoch seconds — no pair-space blowup."""
+    minutes. RANGE frame over epoch MICROseconds on both engines —
+    second-truncated frames only match the oracle while no click sits
+    within 1s of a 600s boundary (DuckDB's epoch() is fractional
+    DOUBLE seconds; micros are exact on both sides)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600 * 1_000_000, 0)
     )
     is_click = F.when(F.col("event_type") == "click", 1)
     n = (
@@ -1173,15 +1191,50 @@ def ev_value_stats(spark, sf_dir):
     )
 
 
-@query("ev_approx_stats")  # no oracle: sketch algorithms differ per engine
+@query(
+    "ev_approx_stats",
+    """SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS exact_users,
+       round(median(value), 4) AS exact_median,
+       TRUE AS users_within_bounds,
+       TRUE AS median_within_bounds
+FROM events GROUP BY event_type""",
+)
 def ev_approx_stats(spark, sf_dir):
-    """Approximate aggregates — HLL++ distinct count and quantile sketch.
-    Deliberately oracle-free (DuckDB's approx sketches are different
-    algorithms); the driver records the weaker rows-only check."""
+    """Approximate aggregates — HLL++ distinct count and quantile sketch —
+    under a BOUNDS oracle. The sketch algorithms differ per engine, so the
+    values themselves can't be hash-compared; instead the result carries
+    the exact aggregates (hash-checked against DuckDB) plus booleans
+    asserting the sketches landed within documented error bounds:
+
+    - ``approx_count_distinct`` default rsd = 0.05 → require relative
+      error ≤ 0.15 (3σ);
+    - ``percentile_approx`` accuracy 10000 → rank error ≤ n/10000, far
+      inside the exact p45..p55 envelope used as the bound.
+
+    A sketch regression flips a boolean and fails the driver hash check.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.median("value"), 4).alias("exact_median"),
+        F.approx_count_distinct("user_id").alias("__approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("__approx_median"),
+        F.expr("percentile(value, 0.45)").alias("__p45"),
+        F.expr("percentile(value, 0.55)").alias("__p55"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "exact_median",
+        (
+            F.abs(F.col("__approx_users") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("users_within_bounds"),
+        (
+            (F.col("__approx_median") >= F.col("__p45"))
+            & (F.col("__approx_median") <= F.col("__p55"))
+        ).alias("median_within_bounds"),
     )
 
 

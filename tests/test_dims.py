@@ -88,3 +88,50 @@ def test_scd2_exactly_one_current_per_key(spark):
     cur = twice.filter(F.col("current_flag") == "Y").collect()
     assert len(cur) == 1 and cur[0]["attr"] == "v3"
     assert twice.count() == 3  # full history retained
+
+
+def test_scd2_same_batch_multi_version(spark):
+    """SURVEY §7 hard part 4: two different attr versions of one key in a
+    SINGLE delta batch must yield exactly one current_flag='Y' row —
+    last-writer-wins on the ordering column."""
+    import datetime as dt
+
+    d = dt.date.fromisoformat
+    dim = spark.createDataFrame(
+        [(0, "a", "v1", "Y", d("2020-01-01"), d("9999-12-31"))],
+        "skey long, nk string, attr string, current_flag string, "
+        "start_date date, end_date date",
+    )
+    delta = spark.createDataFrame(
+        [("a", "v2", 1), ("a", "v3", 2), ("b", "x1", 1), ("b", "x2", 2)],
+        "nk string, attr string, seq int",
+    )
+    out = scd2_upsert(
+        dim, delta, "nk", ["attr"], "skey", load_date="2021-01-01", order_col="seq"
+    )
+    cur = {r["nk"]: r["attr"] for r in out.filter(F.col("current_flag") == "Y").collect()}
+    assert cur == {"a": "v3", "b": "x2"}  # one current row per key, last write wins
+    assert out.filter(F.col("current_flag") == "Y").count() == 2
+    # the superseded v1 row is expired, not dropped
+    assert out.filter((F.col("nk") == "a") & (F.col("current_flag") == "N")).count() == 1
+
+
+def test_scd2_same_batch_no_order_col_deterministic(spark):
+    """Without order_col the within-batch pick is deterministic (attr-value
+    ordering) and still yields exactly one current row per key."""
+    import datetime as dt
+
+    d = dt.date.fromisoformat
+    dim = spark.createDataFrame(
+        [],
+        "skey long, nk string, attr string, current_flag string, "
+        "start_date date, end_date date",
+    )
+    delta = spark.createDataFrame(
+        [("a", "v1"), ("a", "v2")], "nk string, attr string"
+    )
+    out1 = scd2_upsert(dim, delta, "nk", ["attr"], "skey", load_date="2021-01-01")
+    out2 = scd2_upsert(dim, delta, "nk", ["attr"], "skey", load_date="2021-01-01")
+    r1 = out1.filter(F.col("current_flag") == "Y").collect()
+    r2 = out2.filter(F.col("current_flag") == "Y").collect()
+    assert len(r1) == len(r2) == 1 and r1[0]["attr"] == r2[0]["attr"] == "v2"

@@ -129,3 +129,23 @@ def test_pivot_is_single_aggregate_pass(spark):
 def test_grouping_sets_single_expand(spark):
     plan = plan_of(QUERIES["tpch_grouping_sets"](spark, SF_DIR))
     assert "Expand" in plan and plan.count("FileScan") == 1
+
+
+def test_unbounded_dims_avoid_single_partition_window(spark):
+    """VERDICT r1 #3: unbounded dims (datetime, title) must take the
+    range-partitioned dense-id path — a single-partition global
+    row_number window over an unbounded dim is a one-task bottleneck at
+    scale. Tiny enumerated dims (platform, site) may stay small=True."""
+    from etl__project_spark.plans.catalog import _parsed, _vs_fact_dims
+
+    parsed = _parsed(spark, SF_DIR)
+    dims = _vs_fact_dims(parsed)
+    for skey in ("datetime_skey", "title_skey"):
+        plan = plan_of(dims[skey][0])
+        # scalable path: full rows range-partitioned, row_number windows
+        # partitioned by __pid (parallel)
+        assert "rangepartitioning" in plan.lower(), skey
+        assert "windowspecdefinition(__pid" in plan, skey
+        # the ONE allowed single-partition exchange is the per-partition
+        # offsets window — ≤ #partitions rows by construction, never data
+        assert plan.count("Exchange SinglePartition") <= 1, skey

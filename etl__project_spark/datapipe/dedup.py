@@ -205,10 +205,17 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs, bucketed by document length so the
-    pair space stays bounded (near-dups have near-equal lengths; a full
-    production variant unions adjacent buckets).
+    pair space stays bounded (near-dups have near-equal lengths).
 
-    Returns (id_a, id_b, jaccard) for same-bucket pairs with similarity
+    Candidate generation unions ADJACENT buckets so a near-dup pair
+    straddling a bucket boundary (len 99 vs len 101) is not missed: two
+    disjoint equi-join branches — same bucket (ordered ids) plus strictly
+    next bucket (ids normalized with least/greatest) — so no pair is
+    produced twice and no dedup shuffle is needed. Both branches are
+    equi-joins on the bucket key; pair cost stays bounded by bucket
+    populations, never all-pairs.
+
+    Returns (id_a, id_b, jaccard) for candidate pairs with similarity
     ≥ threshold.
     """
     sets = df.select(
@@ -224,18 +231,25 @@ def ngram_jaccard_pairs(
     a, b = sets.alias("a"), sets.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
-    return (
-        a.join(
-            b,
-            (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(inter / union, 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    jac = F.round(inter / union, 4).alias("jaccard")
+    same_bucket = a.join(
+        b,
+        (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        jac,
+    )
+    next_bucket = a.join(
+        b, F.col("a.len_bucket") + 1 == F.col("b.len_bucket")
+    ).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        jac,
+    )
+    return same_bucket.unionByName(next_bucket).filter(
+        F.col("jaccard") >= threshold
     )
 
 

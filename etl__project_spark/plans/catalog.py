@@ -855,10 +855,16 @@ SELECT id_a, id_b, jaccard FROM (
          round(len(list_intersect(a.shingles, b.shingles)) /
                len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
   FROM s a JOIN s b ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+         round(len(list_intersect(a.shingles, b.shingles)) /
+               len(list_distinct(a.shingles || b.shingles)), 4)
+  FROM s a JOIN s b ON a.len_bucket + 1 = b.len_bucket
 ) WHERE jaccard >= 0.2""",
 )
 def doc_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs (length-bucketed pair space)."""
+    """n-gram Jaccard near-dup pairs — length-bucketed pair space with
+    adjacent-bucket union (boundary-straddling near-dups not missed)."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 

@@ -18,6 +18,14 @@ At scale: foreachBatch writes are the only state mutation; the raw
 'CREDIT' table (landed rows) enables cross-batch dedup exactly like the
 reference's MERGE destination (snow pipe.sql:96-109, with its intended
 full-row-match semantics — SURVEY.md §2.12 bug 5).
+
+'credit' is APPEND-ONLY (one batch directory per micro-batch, the same
+pattern as the fact table): each batch writes only its own fresh rows,
+so per-batch write cost is O(batch) regardless of warehouse size. The
+anti-join probes the landed history on the READ side only — and when a
+bounded dedup horizon is acceptable, ``dropDuplicatesWithinWatermark``
+(streaming/windows.py) replaces the history probe entirely with
+watermark-bounded state.
 """
 
 from __future__ import annotations
@@ -33,14 +41,15 @@ def _process_batch(
     batch: DataFrame, batch_id: int, wh: ParquetWarehouse, spark: SparkSession
 ) -> None:
     # T5: dedup within the batch, then against every already-landed row
-    # (re-delivered files insert nothing the second time).
-    landed = wh.read("credit", RAW_SCHEMA)
+    # (re-delivered files insert nothing the second time). The landed
+    # history is only READ here; the write below is the fresh rows alone.
+    landed = wh.read_fact("credit", RAW_SCHEMA)
     fresh = batch.dropDuplicates().join(landed, list(batch.columns), "left_anti")
     fresh = fresh.persist()
     if fresh.count() == 0:
         fresh.unpersist()
         return
-    wh.publish("credit", landed.unionByName(fresh))
+    wh.fact_append("credit", fresh, batch_id=str(batch_id))
     load_batch(fresh, wh, batch_id=str(batch_id), spark=spark)
     fresh.unpersist()
 

@@ -149,3 +149,11 @@ def test_unbounded_dims_avoid_single_partition_window(spark):
         # the ONE allowed single-partition exchange is the per-partition
         # offsets window — ≤ #partitions rows by construction, never data
         assert plan.count("Exchange SinglePartition") <= 1, skey
+
+
+def test_jaccard_pairs_adjacent_buckets_stay_equi_join(spark):
+    """Adjacent-bucket union must remain two hash equi-joins on the
+    bucket key — no cartesian/nested-loop pair space."""
+    plan = plan_of(QUERIES["doc_jaccard_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -69,3 +69,17 @@ def test_streaming_exactly_once(spark, tmp_path):
 
     fact = wh.read_fact("factvideostart", FACT_SCHEMA)
     assert fact.filter("datetime_skey IS NULL").count() == 0
+
+    # O(batch) ingest: 'credit' is append-only batch directories — batch
+    # N's write volume is its own fresh rows, independent of history size
+    # (no full-table v<N> snapshots rewritten per micro-batch).
+    credit_dir = os.path.join(wh_root, "credit")
+    batch_dirs = sorted(d for d in os.listdir(credit_dir) if d.startswith("batch="))
+    assert len(batch_dirs) == 2  # two non-empty micro-batches landed
+    assert not any(d.startswith("v") for d in os.listdir(credit_dir))
+    per_batch = [
+        spark.read.parquet(os.path.join(credit_dir, d)).count() for d in batch_dirs
+    ]
+    # batch 1 wrote ONLY its 1 fresh row (the overlap row was anti-joined
+    # out), not the 3-row cumulative history
+    assert sorted(per_batch) == [1, 2]

@@ -1,15 +1,22 @@
 from etl__project_spark.datapipe.text import (  # noqa: F401
     doc_fingerprint,
     lang_id_heuristic,
+    pii_scrub,
+    quality_rules,
     text_stats,
 )
 from etl__project_spark.datapipe.dedup import (  # noqa: F401
     char_shingles,
+    contamination_check,
     dedup_exact,
     lsh_candidate_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+)
+from etl__project_spark.datapipe.sampling import (  # noqa: F401
+    hash_bucket,
+    hash_sample,
 )
 from etl__project_spark.datapipe.similarity import (  # noqa: F401
     brute_force_topk,

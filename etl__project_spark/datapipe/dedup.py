@@ -320,3 +320,56 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_set: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    character ``k``-gram with an eval/benchmark set (the standard n-gram
+    overlap test run before LLM training).
+
+    Scale shape: both sides explode to distinct shingles and meet in an
+    equi-join on the shingle — cost is bounded by shingle-match
+    collisions, never train×eval pairs. The eval side is typically tiny
+    relative to the corpus, so its distinct shingles broadcast; at 100 TB
+    the join key would be a 64-bit shingle hash rather than the raw
+    string (same plan, smaller shuffle rows).
+
+    Returns every train row's (id, n_shared_shingles, contaminated).
+    """
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"case when length({text_col}) >= {k} then "
+                    f"array_distinct(transform(sequence(1, length({text_col}) - {k - 1}),"
+                    f" i -> substring({text_col}, i, {k}))) "
+                    f"else cast(array() as array<string>) end"
+                )
+            ).alias("__sh"),
+        )
+
+    eval_sh = shingled(eval_set).select("__sh").distinct()
+    hits = (
+        shingled(train)
+        .join(F.broadcast(eval_sh), "__sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shared_shingles"), F.lit(0)).cast("long").alias(
+                "n_shared_shingles"
+            ),
+            (F.coalesce(F.col("n_shared_shingles"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

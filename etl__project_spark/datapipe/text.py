@@ -119,3 +119,71 @@ def regex_token_counts(
         F.size(num).cast("long").alias("n_num_tokens"),
         (F.size(pieces) - F.size(alpha) - F.size(num)).cast("long").alias("n_sym_tokens"),
     )
+
+
+# Gopher-style quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models" §A1.1 repetition/quality filters, adapted to SQL-portable rules).
+QUALITY_MIN_WORDS = 30
+QUALITY_MAX_WORDS = 100_000
+QUALITY_MEAN_WORD_LEN = (3.0, 10.0)
+QUALITY_MIN_STOP_HITS = 2
+QUALITY_MAX_NUM_RATIO = 0.2
+QUALITY_STOP_SET = ["the", "and", "of", "a"]
+
+
+def quality_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality gate: word-count bounds, mean word
+    length window, stopword evidence, numeric-token ratio cap. Emits one
+    boolean per rule plus the combined ``keep`` flag so downstream
+    pipelines can both filter and audit rejection reasons.
+
+    Narrow map stage — pure column expressions, fuses into the scan.
+    """
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_wl = (n_chars - (n_words - 1)) / n_words
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOP_SET])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    num_toks = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    r_words = n_words.between(QUALITY_MIN_WORDS, QUALITY_MAX_WORDS)
+    lo, hi = QUALITY_MEAN_WORD_LEN
+    r_mwl = (F.round(mean_wl, 4) >= lo) & (F.round(mean_wl, 4) <= hi)
+    r_stop = stop_hits >= QUALITY_MIN_STOP_HITS
+    r_num = F.round(num_toks / n_words, 4) <= QUALITY_MAX_NUM_RATIO
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        r_words.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_stop.alias("rule_stopwords"),
+        r_num.alias("rule_numeric_ratio"),
+        (r_words & r_mwl & r_stop & r_num).alias("keep"),
+    )
+
+
+# PII patterns restricted to a dialect Java regex and RE2 parse
+# identically (no backrefs, no lookaround).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction: replace email addresses and phone-like numbers with
+    typed placeholders, and count what was redacted (the audit trail a
+    training-data pipeline must keep).
+
+    Narrow map stage — regexp_replace/regexp_count are JVM-side; at 100 TB
+    this runs at scan speed with zero shuffle.
+    """
+    txt = F.col(text_col)
+    n_email = F.regexp_count(txt, F.lit(PII_EMAIL))
+    scrubbed_email = F.regexp_replace(txt, PII_EMAIL, "[EMAIL]")
+    n_phone = F.regexp_count(scrubbed_email, F.lit(PII_PHONE))
+    scrubbed = F.regexp_replace(scrubbed_email, PII_PHONE, "[PHONE]")
+    return df.select(
+        F.col(id_col),
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

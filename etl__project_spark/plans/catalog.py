@@ -2520,3 +2520,280 @@ def ev_quartiles(spark, sf_dir):
         F.round(F.percentile("value", 0.75), 4).alias("p75"),
         F.round(F.percentile("value", 0.99), 4).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 2: training-data pipeline additions — decontamination, canonical
+# dedup, quality gating, PII scrubbing, deterministic sampling, funnel /
+# retention analytics, k-means update step
+# ---------------------------------------------------------------------------
+
+from etl__project_spark.datapipe.dedup import contamination_check  # noqa: E402
+from etl__project_spark.datapipe.sampling import hash_bucket, hash_sample  # noqa: E402
+from etl__project_spark.datapipe.text import pii_scrub, quality_rules  # noqa: E402
+
+_SHINGLE13 = (
+    "list_distinct([substr(text, i, 13) for i in range(1, greatest(len(text) - 11, 1))])"
+)
+
+
+@query(
+    "doc_decontaminate",
+    f"""WITH ev AS (
+  SELECT DISTINCT unnest({_SHINGLE13}) AS sh
+  FROM documents WHERE doc_id % 50 = 0
+),
+tr AS (
+  SELECT doc_id, unnest({_SHINGLE13}) AS sh
+  FROM documents WHERE doc_id % 50 <> 0
+),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM tr JOIN ev USING (sh) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_shared_shingles,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 50 <> 0""",
+)
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 13-char
+    shingle with the held-out eval slice (doc_id % 50 = 0) are flagged —
+    the n-gram overlap test run before LLM training. Equi-join on the
+    shingle (eval side broadcast); never train x eval pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_check(train, eval_set, k=13)
+
+
+@query(
+    "doc_dedup_canonical",
+    f"""SELECT doc_id FROM ({ORACLES["doc_dup_components"]}) WHERE doc_id = component""",
+)
+def doc_dedup_canonical(spark, sf_dir):
+    """End-to-end near-dup removal: LSH pairs -> connected components ->
+    keep each component's min doc_id (the canonical survivor set a
+    training pipeline actually materializes)."""
+    comp = QUERIES["doc_dup_components"](spark, sf_dir)
+    return comp.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+
+
+@query(
+    "doc_quality_gopher",
+    """SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_words,
+       len(string_split(text, ' ')) BETWEEN 30 AND 100000 AS rule_word_count,
+       round((len(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' ')), 4) BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+       len(list_filter(string_split(text, ' '),
+           t -> list_contains(['the','and','of','a'], t))) >= 2 AS rule_stopwords,
+       round(len(list_filter(string_split(text, ' '),
+           t -> regexp_matches(t, '^[0-9]+$')))
+             / len(string_split(text, ' ')), 4) <= 0.2 AS rule_numeric_ratio,
+       (len(string_split(text, ' ')) BETWEEN 30 AND 100000)
+       AND (round((len(text) - (len(string_split(text, ' ')) - 1))
+                  / len(string_split(text, ' ')), 4) BETWEEN 3.0 AND 10.0)
+       AND (len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','and','of','a'], t))) >= 2)
+       AND (round(len(list_filter(string_split(text, ' '),
+                t -> regexp_matches(t, '^[0-9]+$')))
+                  / len(string_split(text, ' ')), 4) <= 0.2) AS keep
+FROM documents""",
+)
+def doc_quality_gopher(spark, sf_dir):
+    """Gopher-style quality gate: word-count bounds, mean-word-length
+    window, stopword evidence, numeric-token cap — per-rule booleans plus
+    the combined keep flag (filter + rejection audit in one pass)."""
+    return quality_rules(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_pii_scrub",
+    r"""WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 555-'
+              || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
+FROM aug""",
+)
+def doc_pii_scrub(spark, sf_dir):
+    """PII redaction + audit counts. The synthetic corpus carries no PII,
+    so each doc is deterministically augmented (on BOTH engines) with a
+    doc_id-derived email and phone before scrubbing — the oracle then
+    verifies the actual regex-redaction semantics, not an all-zero
+    no-op."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+@query(
+    "doc_hash_sample",
+    """SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'r2'), 1, 15))::BIGINT % 100 < 10""",
+)
+def doc_hash_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample by key hash: reproducible across
+    runs/engines/partitionings (df.sample() is not), zero-shuffle narrow
+    filter. Salt 'r2' decorrelates from any other sampling pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, 10, "doc_id", salt="r2").select("doc_id", "lang")
+
+
+@query(
+    "ev_funnel",
+    """WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.s_us
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup,
+       (SELECT count(*) FROM c)::BIGINT AS n_click_after_signup,
+       (SELECT count(*) FROM p)::BIGINT AS n_purchase_after_click""",
+)
+def ev_funnel(spark, sf_dir):
+    """Ordered funnel (signup -> later click -> later purchase), counted
+    by user. One shuffle: both stage timestamps come from windows over
+    the SAME user_id partitioning (no event re-join per stage), micros
+    precision on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id")
+    s_us = F.min(F.when(F.col("event_type") == "signup", F.col("us"))).over(w)
+    staged = ev.withColumn("s_us", s_us)
+    c_us = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("us") >= F.col("s_us")),
+            F.col("us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("c_us", c_us)
+    p_us = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("us") >= F.col("c_us")),
+            F.col("us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("p_us", p_us)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("s_us").alias("s_us"), F.max("c_us").alias("c_us"), F.max("p_us").alias("p_us")
+    )
+    return per_user.agg(
+        F.count("s_us").alias("n_signup"),
+        F.count("c_us").alias("n_click_after_signup"),
+        F.count("p_us").alias("n_purchase_after_click"),
+    )
+
+
+@query(
+    "ev_retention",
+    """WITH first_seen AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+       ((epoch_us(e.ts) - epoch_us(f.first_ts)) // 604800000000)::BIGINT AS offset_weeks,
+       count(DISTINCT e.user_id)::BIGINT AS n_active_users
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY 1, 2""",
+)
+def ev_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    in each subsequent activity week. first_ts comes from a window over
+    the same user_id partitioning as the event rows (no self-join), then
+    one distinct-count shuffle on (cohort, offset)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    first_ts = F.min("ts").over(w)
+    wk = 604_800_000_000  # microseconds per week
+    return (
+        ev.withColumn("first_ts", first_ts)
+        .select(
+            F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros("first_ts")) / wk
+            ).cast("long").alias("offset_weeks"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+@query(
+    "emb_kmeans_update",
+    f"""WITH seeds AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT e.vec_id, s.centroid_id,
+         round(list_dot_product(e.embedding::DOUBLE[], s.cv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(s.cv, s.cv))), 4) AS sim
+  FROM embeddings e CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+ex AS (
+  SELECT a.centroid_id,
+         generate_subscripts(e.embedding, 1) AS dim,
+         unnest(e.embedding::DOUBLE[]) AS x
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+)
+SELECT centroid_id, dim::BIGINT AS dim, round(avg(x), 4) AS centroid_val
+FROM ex GROUP BY centroid_id, dim""",
+)
+def emb_kmeans_update(spark, sf_dir):
+    """K-means update step (one Lloyd iteration after assignment): new
+    centroid = per-dimension mean of assigned vectors. posexplode +
+    hash aggregate — vectors shuffle as (cluster, dim, value) partial
+    sums, never as gathered lists; with assign this completes the
+    iterative clustering loop (broadcast centroids each round)."""
+    assign = QUERIES["emb_kmeans_assign"](spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.join(assign, "vec_id")
+        .select(
+            "centroid_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        )
+        .select("centroid_id", (F.col("pos") + 1).cast("long").alias("dim"), "x")
+    )
+    return ex.groupBy("centroid_id", "dim").agg(
+        F.round(F.avg("x"), 4).alias("centroid_val")
+    )

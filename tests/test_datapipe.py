@@ -200,3 +200,68 @@ def test_ivf_topk_probes_cells(spark):
     # probing 2 of 4 cells must still find a decent neighbour: every
     # returned sim is a valid cosine in [-1, 1]
     assert all(-1.0 <= r["sim"] <= 1.0 for r in out)
+
+
+def test_quality_rules_gate(spark):
+    from etl__project_spark.datapipe import quality_rules
+
+    # 45 words, mean word length 4.0, plenty of stopword hits
+    long_good = "the quick brown foxes and hounds of a meadow " * 5
+    rows = [
+        (0, long_good.strip()),
+        (1, "too short a text"),  # fails word count
+        (2, ("x" * 30 + " ") * 40),  # mean word length 30 >> 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_rules(df).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[1]["rule_word_count"] is False
+    assert out[2]["keep"] is False and out[2]["rule_mean_word_len"] is False
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from etl__project_spark.datapipe import pii_scrub
+    from etl__project_spark.datapipe.text import PII_EMAIL, PII_PHONE
+
+    df = spark.createDataFrame(
+        [(0, "mail bob@example.com and carol@x.org call 555-1234"), (1, "clean text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[0]["n_emails"] == 2 and out[0]["n_phones"] == 1
+    assert out[1]["n_emails"] == 0 and out[1]["n_phones"] == 0
+    # the scrubbed hash equals md5 of the manually redacted string
+    import hashlib
+    expect = hashlib.md5(b"mail [EMAIL] and [EMAIL] call [PHONE]").hexdigest()
+    assert out[0]["scrubbed_md5"] == expect
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    from etl__project_spark.datapipe import hash_sample
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in hash_sample(df, 10, "k").collect()}
+    s2 = {r["k"] for r in hash_sample(df.repartition(7), 10, "k").collect()}
+    assert s1 == s2  # partitioning-independent, reproducible
+    assert 0.08 < len(s1) / 10_000 < 0.12  # ~10%
+    salted = {r["k"] for r in hash_sample(df, 10, "k", salt="other").collect()}
+    assert salted != s1  # salt decorrelates passes
+
+
+def test_contamination_check_flags_overlap(spark):
+    from etl__project_spark.datapipe import contamination_check
+
+    eval_set = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "prefix text the secret benchmark answer is forty two exactly suffix"),
+            (1, "completely unrelated training document about databases"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_check(train, eval_set).collect()}
+    assert out[0]["contaminated"] is True and out[0]["n_shared_shingles"] > 0
+    assert out[1]["contaminated"] is False and out[1]["n_shared_shingles"] == 0

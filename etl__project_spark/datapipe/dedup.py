@@ -373,3 +373,32 @@ def contamination_check(
             (F.coalesce(F.col("n_shared_shingles"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame,
+    pairs: DataFrame,
+    n_hashes: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash verification step: estimate Jaccard similarity for each
+    candidate pair as the fraction of agreeing signature components
+    (E[h_a = h_b] = J(a, b)). This is what turns LSH candidates into
+    scored near-dup pairs WITHOUT touching the original texts — at scale
+    the signatures (n_hashes longs per doc) join where the raw documents
+    never could.
+    """
+    a = signatures.alias("a")
+    b = signatures.alias("b")
+    matches = sum(
+        (F.col(f"a.h{j}") == F.col(f"b.h{j}")).cast("int") for j in range(n_hashes)
+    )
+    return (
+        pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(n_hashes), 4).alias("jaccard_est"),
+        )
+    )

@@ -2797,3 +2797,152 @@ def emb_kmeans_update(spark, sf_dir):
     return ex.groupBy("centroid_id", "dim").agg(
         F.round(F.avg("x"), 4).alias("centroid_val")
     )
+
+
+@query(
+    "doc_repetition_ratio",
+    """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id),
+base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd
+  FROM documents
+)
+SELECT b.doc_id,
+       round(b.n / b.nd, 4) AS dup_factor,
+       round(t.top_c / b.n, 4) AS top_token_ratio,
+       round(t.top_c / b.n, 4) <= 0.2 AS rule_top_token
+FROM base b JOIN top t ON b.doc_id = t.doc_id""",
+)
+def doc_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition filter: duplication factor (tokens per
+    distinct token) and the most-frequent-token share (docs dominated by
+    one repeated token are boilerplate). Narrow per-row array exprs —
+    the top-token is found inside the row's own token array (sorted by
+    count desc then token), no corpus-level shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    # per-row top token: aggregate over the distinct tokens of THIS row
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    ratio = F.round(top_cnt / n, 4)
+    return docs.select(
+        "doc_id",
+        F.round(n / F.size(F.array_distinct(toks)), 4).alias("dup_factor"),
+        ratio.alias("top_token_ratio"),
+        (ratio <= 0.2).alias("rule_top_token"),
+    )
+
+
+_SIG_CTE = """sig AS (
+  SELECT doc_id,
+    min((506952115 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1779033703) % 2147483647) AS h0,
+    min((1013904229 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1410583759) % 2147483647) AS h1,
+    min((1520856343 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1042133815) % 2147483647) AS h2,
+    min((2027808457 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 673683871) % 2147483647) AS h3,
+    min((387276923 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 305233927) % 2147483647) AS h4,
+    min((894229037 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 2084267630) % 2147483647) AS h5,
+    min((1401181151 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1715817686) % 2147483647) AS h6,
+    min((1908133265 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1347367742) % 2147483647) AS h7
+  FROM sh GROUP BY doc_id
+)"""
+
+
+@query(
+    "doc_minhash_est",
+    f"""WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_LIST}) AS shingle FROM documents
+),
+{_SIG_CTE},
+bands AS (
+  SELECT doc_id, 0 AS band_id,
+         md5(h0::VARCHAR || h1::VARCHAR || h2::VARCHAR || h3::VARCHAR) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id,
+         md5(h4::VARCHAR || h5::VARCHAR || h6::VARCHAR || h7::VARCHAR) AS band_hash FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       round(((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT + (a.h2 = b.h2)::INT
+            + (a.h3 = b.h3)::INT + (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT
+            + (a.h6 = b.h6)::INT + (a.h7 = b.h7)::INT) / 8.0, 4) AS jaccard_est
+FROM pairs p
+JOIN sig a ON p.id_a = a.doc_id
+JOIN sig b ON p.id_b = b.doc_id""",
+)
+def doc_minhash_est(spark, sf_dir):
+    """MinHash dedup verification: score each LSH candidate pair by the
+    fraction of agreeing signature components (an unbiased Jaccard
+    estimate). The scoring join touches only the n_hashes-long
+    signatures — never the documents — which is the whole reason the
+    MinHash ladder scales."""
+    from etl__project_spark.datapipe.dedup import minhash_jaccard_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(char_shingles(docs, distinct=False), n_hashes=8).persist()
+    sig.count()  # materialize: consumed by the band self-join AND two scoring joins
+    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
+    return minhash_jaccard_estimate(sig, pairs, n_hashes=8)
+
+
+@query(
+    "ev_anomaly_zscore",
+    """WITH stats AS (
+  SELECT event_type, avg(value) AS m, stddev(value) AS s
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, round((value - m) / s, 4) AS z
+FROM events JOIN stats USING (event_type)
+WHERE abs((value - m) / s) > 2.5""",
+)
+def ev_anomaly_zscore(spark, sf_dir):
+    """Per-type z-score outlier detection (|z| > 2.5). Two-pass shape:
+    tiny per-type stats aggregate, broadcast back over the stream — the
+    standard scalable anomaly sweep (no window over all events needed
+    when the grouping is low-cardinality)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev("value").alias("s")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("s")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 4).alias("z"))
+    )
+
+
+@query(
+    "doc_dataset_mix",
+    """SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT % 100 <
+      CASE WHEN source = 'src0' THEN 50
+           WHEN source IN ('src1', 'src2', 'src3') THEN 25
+           ELSE 10 END""",
+)
+def doc_dataset_mix(spark, sf_dir):
+    """Dataset mixing: per-source sampling rates (upweight src0 to 50%,
+    srcs 1-3 to 25%, the tail to 10%) via the deterministic hash bucket —
+    the reproducible weighted-mixture step of training-corpus assembly,
+    as a narrow zero-shuffle filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "src0", 50)
+        .when(F.col("source").isin("src1", "src2", "src3"), 25)
+        .otherwise(10)
+    )
+    return docs.filter(hash_bucket(F.col("doc_id"), 100, salt="mix") < rate).select(
+        "doc_id", "source"
+    )

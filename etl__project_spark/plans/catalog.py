@@ -2946,3 +2946,40 @@ def doc_dataset_mix(spark, sf_dir):
     return docs.filter(hash_bucket(F.col("doc_id"), 100, salt="mix") < rate).select(
         "doc_id", "source"
     )
+
+
+@query(
+    "emb_ann_recall_audit",
+    f"""WITH b AS (
+  SELECT vec_id, {_BUCKET} AS bucket, embedding FROM embeddings
+),
+q AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id, round({_COS}, 4) AS cosine
+    FROM embeddings e, q WHERE e.vec_id <> 0
+  ) ORDER BY cosine DESC, vec_id LIMIT 10
+),
+approx AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id, round({_COS}, 4) AS cosine
+    FROM b e, q WHERE e.bucket = q.qbucket AND e.vec_id <> 0
+  ) ORDER BY cosine DESC, vec_id LIMIT 10
+)
+SELECT (SELECT count(*) FROM exact JOIN approx USING (vec_id))::BIGINT AS n_overlap,
+       round((SELECT count(*) FROM exact JOIN approx USING (vec_id)) / 10.0, 4) AS recall_at_10""",
+)
+def emb_ann_recall_audit(spark, sf_dir):
+    """ANN quality audit: recall@10 of the sign-bucketed index against
+    the exact brute-force ranking for the same query — the measurement a
+    production ANN deployment must keep publishing. (Self-match excluded
+    so the audit scores real neighbors, not the trivial hit.) Both
+    rankings share one scan; the overlap count is a tiny join."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    exact = brute_force_topk(emb, q, k=10).select("vec_id")
+    approx = bucketed_topk(emb, q, k=10).select("vec_id")
+    n = exact.join(approx, "vec_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return n.select(
+        "n_overlap", F.round(F.col("n_overlap") / 10.0, 4).alias("recall_at_10")
+    )

@@ -45,14 +45,16 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Warm up the JVM / filesystem once so per-query numbers measure the
-    # engine, not first-touch costs: a tiny sf0.001 run of the first
-    # headline query compiles the join/window/agg codegen paths and
-    # initializes the parquet readers (incl. the nanos-ts events table).
+    # engine, not first-touch costs: tiny sf0.001 runs covering each
+    # query family compile the join/window/agg/explode/minhash codegen
+    # paths and initialize the parquet readers (incl. the nanos-ts
+    # events table) before anything is timed.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    QUERIES[HEADLINE[0]](spark, "/root/testdata/sf0.001").write.mode(
-        "overwrite"
-    ).format("noop").save()
-    spark.catalog.clearCache()
+    for warm in ("vs_fact", "doc_lsh_pairs", "ev_sessionize", "emb_cosine_topk"):
+        QUERIES[warm](spark, "/root/testdata/sf0.001").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

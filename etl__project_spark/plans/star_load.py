@@ -90,31 +90,114 @@ class ParquetWarehouse:
         return v
 
     # --- append-only fact -------------------------------------------------
+    #
+    # Batch directories are the append unit; compaction merges many small
+    # batch dirs into one (the streaming small-files problem at scale).
+    # After the first compaction a MANIFEST file (atomically renamed into
+    # place) is the single commit point: it lists the live data dirs plus
+    # every absorbed batch id, so a re-delivered batch stays idempotent
+    # even after its directory was merged away. Before any compaction the
+    # directory listing itself is the manifest (no extra commit I/O on
+    # the hot append path). Single writer assumed (foreachBatch
+    # serializes micro-batches); a real table format (Delta/Iceberg,
+    # gated in sources/connectors.py) replaces this wholesale.
+
     def fact_batch_dir(self, table: str, batch_id: str) -> str:
         return os.path.join(self._tdir(table), f"batch={batch_id}")
 
-    def fact_append(self, table: str, df: DataFrame, batch_id: str) -> bool:
-        """Append one batch; returns False if the batch already landed
-        (idempotent replay)."""
-        path = self.fact_batch_dir(table, batch_id)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            return False
-        df.write.mode("overwrite").parquet(path)
-        return True
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "MANIFEST")
 
-    def read_fact(self, table: str, schema: T.StructType) -> DataFrame:
+    def _manifest(self, table: str) -> dict | None:
+        try:
+            with open(self._manifest_path(table)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _write_manifest(self, table: str, manifest: dict) -> None:
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path(table))
+
+    def _live_batch_dirs(self, table: str) -> list[str]:
         base = self._tdir(table)
         if not os.path.isdir(base):
-            return self.spark.createDataFrame([], schema)
-        dirs = [
+            return []
+        return [
             os.path.join(base, d)
             for d in os.listdir(base)
             if d.startswith("batch=")
             and os.path.exists(os.path.join(base, d, "_SUCCESS"))
         ]
+
+    def _live_dirs(self, table: str) -> list[str]:
+        m = self._manifest(table)
+        dirs = [] if m is None else [os.path.join(self._tdir(table), d) for d in m["dirs"]]
+        # batch dirs appended after the last compaction are live too
+        return sorted(set(dirs) | set(self._live_batch_dirs(table)))
+
+    def fact_append(self, table: str, df: DataFrame, batch_id: str) -> bool:
+        """Append one batch; returns False if the batch already landed —
+        as a live directory OR absorbed into a compaction (idempotent
+        replay across compactions)."""
+        path = self.fact_batch_dir(table, batch_id)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return False
+        m = self._manifest(table)
+        if m is not None and batch_id in m["absorbed"]:
+            return False
+        df.write.mode("overwrite").parquet(path)
+        return True
+
+    def read_fact(self, table: str, schema: T.StructType) -> DataFrame:
+        dirs = self._live_dirs(table)
         if not dirs:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*dirs)
+
+    def compact_fact(self, table: str, num_files: int = 1) -> int:
+        """Merge all live batch directories into one compacted directory.
+        Returns the number of directories absorbed (0 = nothing to do).
+
+        Commit protocol (crash-safe at every step):
+        1. write the merged data to ``compacting-<n>`` — a name the
+           readers never list, so a crash here leaves harmless garbage;
+        2. rename it to ``compact-<n>`` and swap MANIFEST (the atomic
+           commit: live dirs := [compact-<n>], absorbed += batch ids);
+        3. best-effort delete of the absorbed directories — they are no
+           longer referenced, so a crash mid-delete leaves only garbage.
+        """
+        batch_dirs = self._live_batch_dirs(table)
+        m = self._manifest(table) or {"dirs": [], "absorbed": [], "n": 0}
+        old_compacts = [os.path.join(self._tdir(table), d) for d in m["dirs"]]
+        sources = sorted(set(batch_dirs) | set(old_compacts))
+        if len(sources) < 2:
+            return 0
+        n = m["n"] + 1
+        tmp = os.path.join(self._tdir(table), f"compacting-{n}")
+        final = os.path.join(self._tdir(table), f"compact-{n}")
+        self.spark.read.parquet(*sources).coalesce(num_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.replace(tmp, final)
+        absorbed_ids = [
+            os.path.basename(d).split("=", 1)[1] for d in batch_dirs
+        ]
+        self._write_manifest(
+            table,
+            {
+                "dirs": [f"compact-{n}"],
+                "absorbed": sorted(set(m["absorbed"]) | set(absorbed_ids)),
+                "n": n,
+            },
+        )
+        import shutil
+
+        for d in sources:
+            shutil.rmtree(d, ignore_errors=True)
+        return len(sources)
 
 
 def check_manifest(paths: list[str]) -> list[str]:

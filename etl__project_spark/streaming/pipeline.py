@@ -38,7 +38,11 @@ from etl__project_spark.sources.readers import RAW_SCHEMA
 
 
 def _process_batch(
-    batch: DataFrame, batch_id: int, wh: ParquetWarehouse, spark: SparkSession
+    batch: DataFrame,
+    batch_id: int,
+    wh: ParquetWarehouse,
+    spark: SparkSession,
+    compact_every: int | None = None,
 ) -> None:
     # T5: dedup within the batch, then against every already-landed row
     # (re-delivered files insert nothing the second time). The landed
@@ -52,6 +56,11 @@ def _process_batch(
     wh.fact_append("credit", fresh, batch_id=str(batch_id))
     load_batch(fresh, wh, batch_id=str(batch_id), spark=spark)
     fresh.unpersist()
+    # periodic small-files maintenance: fold accumulated batch dirs into
+    # one compacted dir (manifest-committed; absorbed ids stay idempotent)
+    if compact_every and (batch_id + 1) % compact_every == 0:
+        wh.compact_fact("credit")
+        wh.compact_fact("factvideostart")
 
 
 def stream_star_load(
@@ -61,11 +70,15 @@ def stream_star_load(
     checkpoint_dir: str,
     available_now: bool = True,
     processing_time: str | None = None,
+    compact_every: int | None = None,
 ):
     """Start the streaming star load over a CSV landing directory.
 
     Returns the StreamingQuery; callers use ``awaitTermination()`` (or
     ``availableNow`` which self-terminates after draining the backlog).
+    ``compact_every=N`` folds the append-only tables' batch directories
+    into one compacted directory every N micro-batches (long-running
+    streams otherwise accumulate one small dir per batch).
     """
     wh = ParquetWarehouse(spark, warehouse_root)
     raw = (
@@ -76,7 +89,7 @@ def stream_star_load(
         .csv(landing_dir)
     )
     writer = raw.writeStream.foreachBatch(
-        lambda df, bid: _process_batch(df, bid, wh, spark)
+        lambda df, bid: _process_batch(df, bid, wh, spark, compact_every)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

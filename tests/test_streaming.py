@@ -83,3 +83,33 @@ def test_streaming_exactly_once(spark, tmp_path):
     # batch 1 wrote ONLY its 1 fresh row (the overlap row was anti-joined
     # out), not the 3-row cumulative history
     assert sorted(per_batch) == [1, 2]
+
+
+def test_compaction_preserves_data_and_idempotency(spark, tmp_path):
+    """compact_fact merges batch dirs into one, keeps row-for-row
+    equality, and a batch absorbed by compaction still refuses
+    re-delivery (idempotent across compactions)."""
+    import pyspark.sql.types as T
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    for bid in ("0", "1", "2"):
+        b = int(bid)
+        wh.fact_append("t", spark.range(b * 10, b * 10 + 3).selectExpr("id AS x"), bid)
+    before = sorted(r["x"] for r in wh.read_fact("t", schema).collect())
+    assert wh.compact_fact("t") == 3
+    after = sorted(r["x"] for r in wh.read_fact("t", schema).collect())
+    assert after == before
+    # one live compact dir, no batch dirs left
+    tdir = tmp_path / "wh" / "t"
+    assert [d for d in os.listdir(tdir) if d.startswith("batch=")] == []
+    assert len([d for d in os.listdir(tdir) if d.startswith("compact-")]) == 1
+    # re-delivering an absorbed batch inserts nothing
+    assert wh.fact_append("t", spark.range(0, 3).selectExpr("id AS x"), "1") is False
+    assert sorted(r["x"] for r in wh.read_fact("t", schema).collect()) == before
+    # new appends after compaction land and read together with the compact
+    assert wh.fact_append("t", spark.range(100, 102).selectExpr("id AS x"), "9") is True
+    assert wh.read_fact("t", schema).count() == len(before) + 2
+    # second compaction folds the compact dir + the new batch
+    assert wh.compact_fact("t") == 2
+    assert wh.read_fact("t", schema).count() == len(before) + 2

@@ -94,3 +94,50 @@ def test_merge_dedup_is_set_union(spark, a, b):
     batch = spark.createDataFrame([(x,) for x in b], "id int") if b else dest.limit(0)
     out = merge_insert_new(dest, batch)
     assert sorted(r["id"] for r in out.collect()) == sorted(set(a) | set(b))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k3"]),      # natural key
+            st.sampled_from(["a", "b", "c", "d"]),    # attr version
+            st.integers(min_value=0, max_value=9),    # seq (order col)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_scd2_exactly_one_current_per_key_property(spark, batch):
+    """Invariant (SURVEY §7 hard part 4): whatever mix of keys and attr
+    versions a single delta batch carries, the upserted dimension has
+    EXACTLY one current_flag='Y' row per natural key, and it carries the
+    max-seq (last-written) version."""
+    import datetime as dt
+
+    from etl__project_spark.operators import scd2_upsert
+
+    dim = spark.createDataFrame(
+        [(0, "k1", "z", "Y", dt.date(2020, 1, 1), dt.date(9999, 12, 31))],
+        "skey long, nk string, attr string, current_flag string, "
+        "start_date date, end_date date",
+    )
+    delta = spark.createDataFrame(batch, "nk string, attr string, seq int")
+    out = scd2_upsert(
+        dim, delta, "nk", ["attr"], "skey", load_date="2021-01-01", order_col="seq"
+    ).collect()
+    current = [r for r in out if r["current_flag"] == "Y"]
+    keys = {r["nk"] for r in out}
+    assert len(current) == len({r["nk"] for r in current})  # ≤1 'Y' per key
+    assert {r["nk"] for r in current} == keys  # every key has a current row
+    # the surviving version is the max-seq one (ties: max attr)
+    want = {}
+    for nk, attr, seq in batch:
+        if nk not in want or (seq, attr) > want[nk][0]:
+            want[nk] = ((seq, attr), attr)
+    for r in current:
+        if r["nk"] in want:
+            assert r["attr"] == want[r["nk"]][1], r["nk"]
+    # skeys stay unique across the whole dimension
+    skeys = [r["skey"] for r in out]
+    assert len(skeys) == len(set(skeys))

@@ -46,6 +46,45 @@ def read_raw_csv(
     )
 
 
+def read_csv_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine-pattern CSV ingest: returns (good_rows, rejects).
+
+    PERMISSIVE parsing with ``columnNameOfCorruptRecord`` captures each
+    unparseable line verbatim instead of silently nulling or dropping it
+    — the production ingest contract: bad rows land in a reject table
+    for triage, good rows flow on, and ``count(good) + count(rejects) ==
+    input lines`` stays auditable (the O1 record-count audit applies to
+    both sides). The parsed batch is persisted before the split — Spark
+    disallows corrupt-column-only queries over a raw file scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN; its own
+    documented remedy is to cache the parse), and persisting also makes
+    the two sides one parse instead of two. O(batch) memory, matching
+    the per-batch ingest pattern; callers unpersist either side when
+    done.
+    """
+    base = schema or RAW_SCHEMA
+    with_corrupt = T.StructType(
+        list(base.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", "\\")
+        .option("multiLine", False)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(with_corrupt)
+        .csv(path)
+    ).persist()
+    good = df.filter(df["_corrupt_record"].isNull()).drop("_corrupt_record")
+    rejects = df.filter(df["_corrupt_record"].isNotNull()).select("_corrupt_record")
+    return good, rejects
+
+
 def read_raw_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S2 — parquet scan (columnar, predicate pushdown, the scale path)."""
     return spark.read.parquet(path)

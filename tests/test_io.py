@@ -26,3 +26,24 @@ def test_csv_round_trip(spark):
         orig = {(r[0], r[1], r[2]) for r in df.collect()}
         rt = {(r[0], r[1], r[2]) for r in back.collect()}
         assert rt == orig
+
+
+def test_csv_rejects_quarantine(spark, tmp_path):
+    """Corrupt lines land verbatim in the reject frame; good rows parse;
+    counts stay auditable (good + rejects == data lines)."""
+    from etl__project_spark.sources.readers import read_csv_with_rejects
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.LongType(), True),
+        ]
+    )
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\n1,2\nnot_a_number,5\n3,4\n")
+    good, rejects = read_csv_with_rejects(spark, str(p), schema=schema)
+    assert sorted(map(tuple, good.select("a", "b").collect())) == [(1, 2), (3, 4)]
+    rej = [r["_corrupt_record"] for r in rejects.collect()]
+    assert rej == ["not_a_number,5"]
+    assert good.count() + rejects.count() == 3

@@ -9,6 +9,7 @@ from etl__project_spark.datapipe.dedup import (  # noqa: F401
     char_shingles,
     contamination_check,
     dedup_exact,
+    jaccard_prefix_pairs,
     lsh_candidate_pairs,
     minhash_signature,
     ngram_jaccard_pairs,

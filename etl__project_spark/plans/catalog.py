@@ -664,6 +664,7 @@ from etl__project_spark.datapipe import (  # noqa: E402
     char_shingles,
     dedup_exact,
     doc_fingerprint,
+    jaccard_prefix_pairs,
     lang_id_heuristic,
     lsh_candidate_pairs,
     minhash_signature,
@@ -866,6 +867,28 @@ def doc_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup pairs — length-bucketed pair space with
     adjacent-bucket union (boundary-straddling near-dups not missed)."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_jaccard_prefix",
+    f"""WITH s AS (
+  SELECT doc_id, {_SHINGLE_LIST} AS shingles FROM documents WHERE len(text) >= 5
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.shingles, b.shingles)) /
+               len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.35""",
+)
+def doc_jaccard_prefix(spark, sf_dir):
+    """Lossless Jaccard near-dup self-join via frequency-ordered prefix
+    filtering (AllPairs/PPJoin). The oracle is the BRUTE-FORCE all-pairs
+    scan — a hash match here proves the prefix-filter candidate scheme
+    drops no qualifying pair, while the Spark plan's pair space stays
+    bounded by rare-shingle collisions (scales where per-bucket quadratic
+    blocking cannot; see the sf1 scale sweep)."""
+    return jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -12,6 +12,7 @@ from etl__project_spark.datapipe import (
     bucketed_topk,
     char_shingles,
     dedup_exact,
+    jaccard_prefix_pairs,
     lang_id_heuristic,
     lsh_candidate_pairs,
     minhash_signature,
@@ -72,6 +73,40 @@ def test_jaccard_pairs(docs):
     assert pairs[(0, 1)] == 1.0
     assert pairs[(0, 2)] > 0.8  # near-dup
     assert (0, 4) not in pairs
+
+
+def test_jaccard_prefix_matches_brute_force(spark):
+    """Lossless guarantee: prefix-filtered output == brute-force all-pairs,
+    including the exact-dup expansion paths (within-cluster pairs at 1.0
+    and cross-cluster pairs replicated per copy)."""
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE),  # second exact duplicate → 3-clique within-cluster
+        (3, BASE.replace("warm", "cold")),  # near-dup cluster B
+        (4, BASE.replace("warm", "cold")),  # exact dup of 3
+        (5, "der hund und die katze und der vogel und die maus im garten"),
+        (6, "completely different short text about spark queries and joins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.35
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(docs, threshold=t).collect()
+    }
+    # brute force via the length-bucket path with one huge bucket
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, bucket_width=10_000, threshold=t
+        ).collect()
+    }
+    assert got == want
+    assert got[(0, 1)] == 1.0 and got[(0, 2)] == 1.0 and got[(1, 2)] == 1.0
+    assert got[(3, 4)] == 1.0
+    assert 0.8 < got[(0, 3)] < 1.0  # cross-cluster near-dup, every copy pair
+    assert got[(0, 3)] == got[(1, 4)] == got[(2, 3)]
+    assert not any(5 in p or 6 in p for p in got)
 
 
 def test_simhash_distance(docs):

@@ -5,9 +5,15 @@ The driver fixtures are read-only and capped at sf0.1; constant-factor
 scale problems (LSH bucket skew, component-loop round counts, window
 state) can hide at that size. This tool replicates each table N× with
 keys shifted per replica so cardinalities grow linearly (documents get a
-per-replica text prefix so replicas are NOT near-duplicates of each
-other — otherwise the dedup pair space grows quadratically in N, which
-no real corpus does).
+per-replica CHARACTER ROTATION — ``translate`` through a shifted
+alphabet — so replica texts share no char-k-gram shingles with their
+base at all: lengths and word structure are preserved, but every
+shingle is distinct across replicas. A mere text PREFIX is not enough:
+char-5-gram Jaccard between 'r1 <text>' and '<text>' is ~0.97, which
+turns each base document into an N-clique of near-duplicates and grows
+the dedup pair space and the prefix-join candidate space quadratically
+in N — no real corpus grows that way, and it OOMs similarity joins that
+are perfectly healthy on linear-growth data).
 
 Usage: python tools/gen_scale_fixture.py [src_sf_dir] [dst_dir] [n_replicas]
 Defaults: /root/testdata/sf0.1 .scratch/sf1 10
@@ -48,17 +54,17 @@ def _stride(df: DataFrame, cols: list[str]) -> int:
     return s
 
 
-def replicate(df: DataFrame, cols: list[str], n: int, text_prefix: bool) -> DataFrame:
+def replicate(df: DataFrame, cols: list[str], n: int, text_rotate: bool) -> DataFrame:
     stride = _stride(df, cols)
     parts = []
     for i in range(n):
         r = df
         for c in cols:
             r = r.withColumn(c, (F.col(c) + F.lit(i * stride)).cast("long"))
-        if text_prefix and i > 0:
-            r = r.withColumn("text", F.concat(F.lit(f"r{i} "), F.col("text")))
-            if "n_chars" in r.columns:
-                r = r.withColumn("n_chars", F.length("text").cast("long"))
+        if text_rotate and i > 0:
+            alpha = "abcdefghijklmnopqrstuvwxyz"
+            rot = alpha[i:] + alpha[:i]
+            r = r.withColumn("text", F.translate(F.col("text"), alpha, rot))
         parts.append(r)
     out = parts[0]
     for p in parts[1:]:
@@ -70,16 +76,21 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     spark = get_spark("gen-scale-fixture")
     os.makedirs(dst, exist_ok=True)
     for table in COPY_TABLES:
+        if only and table not in only:
+            continue
         load_table(spark, src, table).write.mode("overwrite").parquet(
             f"{dst}/{table}.parquet"
         )
         print(f"copied {table}")
     for table, cols in SHIFT_COLS.items():
+        if only and table not in only:
+            continue
         df = load_table(spark, src, table)
-        big = replicate(df, cols, n, text_prefix=(table == "documents"))
+        big = replicate(df, cols, n, text_rotate=(table == "documents"))
         # many output files so downstream scans parallelize like a real
         # multi-file warehouse table (the driver fixtures are single-file)
         big.repartition(32).write.mode("overwrite").parquet(f"{dst}/{table}.parquet")

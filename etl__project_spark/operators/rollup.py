@@ -1,0 +1,114 @@
+"""Incremental rollup maintenance: keep an aggregate table current by
+merging each append batch's PARTIAL aggregates into the stored rollup,
+never re-reading history.
+
+This is the core trick that makes aggregate tables viable at 100 TB:
+a day's rollup refresh costs O(batch + touched groups), not O(all
+events ever). It works for exactly the algebraic aggregates whose
+partial states merge associatively:
+
+    count  -> sum of partial counts
+    sum    -> sum of partial sums
+    min    -> min of partial mins
+    max    -> max of partial maxes
+    avg    -> derived at read time from (sum, count) — NEVER stored,
+              since avg of avgs is wrong under unequal group sizes
+
+Spark's own map-side partial aggregation uses the same algebra within
+one job; this module applies it ACROSS jobs (the stored rollup is a
+materialized partial state). Semantically this is incremental
+materialized-view maintenance for the insert-only case (the same
+contract as the streaming `fact_append` path in ``plans/star_load``:
+appends only, late data lands in whatever batch carries it).
+
+Exactness note: double-precision addition is not associative, so a
+merged SUM of doubles could differ from a one-shot SUM in the last
+bits. Where bit-exact parity with a full recompute matters (the
+catalog oracle hash-compares them), quantize the measure to a DECIMAL
+before summation — decimal addition is exact and associative, so the
+incremental result is byte-identical to the recompute at any merge
+tree shape.
+
+Reference basis: the reference pipeline recomputes its fact rollup
+from scratch each load (`ETL-load to snowflake/snow pipe.sql` rebuilds
+aggregates per COPY); this operator is the scale-correct replacement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# merge rule per partial-state column: how two partial states of the
+# same group combine. Keys are output column names.
+MergeSpec = dict[str, Callable[[str], Column]]
+
+ALGEBRAIC_MERGES: MergeSpec = {
+    "n": lambda c: F.sum(c).alias(c),
+    "total": lambda c: F.sum(c).alias(c),
+    "vmin": lambda c: F.min(c).alias(c),
+    "vmax": lambda c: F.max(c).alias(c),
+}
+
+
+def partial_rollup(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """One batch's partial aggregate state: (keys, n, total, vmin, vmax).
+
+    ``total`` sums the measure quantized to ``decimal`` (see module
+    docstring); pass ``decimal=None`` to sum raw doubles when bit-exact
+    merge/recompute parity is not required.
+    """
+    v = F.col(value_col)
+    total_src = v if decimal is None else F.round(v, 2).cast(decimal)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(total_src).alias("total"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+
+
+def merge_rollups(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    merges: MergeSpec = ALGEBRAIC_MERGES,
+) -> DataFrame:
+    """Merge a delta batch's partial rollup into the existing rollup.
+
+    Both inputs carry the same partial-state schema. Cost: one shuffle
+    of ``existing ∪ delta`` grouped rows — at steady state the delta
+    side is tiny and the existing side is the (already aggregated,
+    orders-of-magnitude smaller than raw) rollup. Groups untouched by
+    the delta pass through the merge unchanged; with a partitioned
+    rollup table, partition pruning on the delta's key range reduces
+    the read side to touched partitions only.
+    """
+    cols = [c for c in existing.columns if c not in keys]
+    return (
+        existing.unionByName(delta.select(existing.columns))
+        .groupBy(*keys)
+        .agg(*[merges[c](c) for c in cols])
+    )
+
+
+def finalize_rollup(rolled: DataFrame, keys: list[str]) -> DataFrame:
+    """Read-time projection of derived measures from the partial state:
+    emits (keys, n_events, total_value, min_value, max_value, avg_value)
+    with avg derived from (total, n) — correct under any merge history.
+    """
+    return rolled.select(
+        *keys,
+        F.col("n").alias("n_events"),
+        F.round(F.col("total").cast("double"), 2).alias("total_value"),
+        F.col("vmin").alias("min_value"),
+        F.col("vmax").alias("max_value"),
+        F.round(F.col("total").cast("double") / F.col("n"), 4).alias("avg_value"),
+    )

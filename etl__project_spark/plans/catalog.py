@@ -600,6 +600,48 @@ def ev_minute_rollup(spark, sf_dir):
 
 
 @query(
+    "ev_rollup_incremental",
+    """SELECT event_type,
+       strftime(date_trunc('minute', ts), '%Y%m%d%H%M') AS minute_key,
+       count(*)::BIGINT AS n_events,
+       round((sum(round(value, 2)::DECIMAL(18,2)))::DOUBLE, 2) AS total_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round((sum(round(value, 2)::DECIMAL(18,2)))::DOUBLE / count(*), 4) AS avg_value
+FROM events
+GROUP BY event_type, minute_key""",
+)
+def ev_rollup_incremental(spark, sf_dir):
+    """Incremental rollup maintenance (operators/rollup.py): the event
+    history arrives as three day-range batches; each batch contributes
+    only its PARTIAL aggregates, merged into the running rollup —
+    O(batch) per refresh, never O(history). The oracle is the one-shot
+    full recompute: the driver hash match proves the merge algebra
+    (decimal-quantized sums make it bit-exact at any merge shape)."""
+    from etl__project_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "minute_key",
+        F.date_format(F.date_trunc("minute", F.col("ts")), "yyyyMMddHHmm"),
+    )
+    keys = ["event_type", "minute_key"]
+    day = F.dayofmonth("ts")
+    batches = [
+        ev.filter(day <= 10),
+        ev.filter((day > 10) & (day <= 20)),
+        ev.filter(day > 20),
+    ]
+    rolled = partial_rollup(batches[0], keys)
+    for b in batches[1:]:
+        rolled = merge_rollups(rolled, partial_rollup(b, keys), keys)
+    return finalize_rollup(rolled, keys)
+
+
+@query(
     "ev_props_json",
     """SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        count(*)::BIGINT AS n

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from etl__project_spark.operators import merge_insert_new, parse_raw, with_dense_ids
 
@@ -94,6 +95,48 @@ def test_merge_dedup_is_set_union(spark, a, b):
     batch = spark.createDataFrame([(x,) for x in b], "id int") if b else dest.limit(0)
     out = merge_insert_new(dest, batch)
     assert sorted(r["id"] for r in out.collect()) == sorted(set(a) | set(b))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),                 # group key
+            st.integers(min_value=-1000, max_value=1000),        # cents
+            st.integers(min_value=0, max_value=3),               # batch tag
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_incremental_rollup_equals_one_shot(spark, rows):
+    """Merge algebra invariant: partial-rollup per batch + pairwise merges
+    == one-shot aggregation over everything, for ANY batch assignment —
+    including empty batches — bit-exact (decimal-quantized sums)."""
+    from etl__project_spark.operators import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(g, c / 100.0, t) for g, c, t in rows], "g string, value double, tag int"
+    )
+    keys = ["g"]
+    rolled = partial_rollup(df.filter(F.col("tag") == 0), keys)
+    for tag in (1, 2, 3):
+        rolled = merge_rollups(
+            rolled, partial_rollup(df.filter(F.col("tag") == tag), keys), keys
+        )
+    got = {
+        r["g"]: (r["n_events"], r["total_value"], r["min_value"], r["max_value"])
+        for r in finalize_rollup(rolled, keys).collect()
+    }
+    want = {
+        r["g"]: (r["n_events"], r["total_value"], r["min_value"], r["max_value"])
+        for r in finalize_rollup(partial_rollup(df, keys), keys).collect()
+    }
+    assert got == want
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))

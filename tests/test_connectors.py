@@ -15,6 +15,7 @@ from etl__project_spark.sources.connectors import (
     read_json,
     read_orc,
     write_bucketed,
+    write_clustered,
     write_json,
     write_orc,
     write_partitioned,
@@ -51,6 +52,38 @@ def test_partitioned_layout_prunes(spark, tmp_path, sample):
     assert scan.count() == sample.filter("k = 'u3'").count()
     # partition filter reaches the scan (directory pruning, not row filter)
     assert "PartitionFilters: [isnotnull(k" in plan or "k#" in plan
+
+
+def test_clustered_layout_disjoint_file_ranges(spark, tmp_path, sample):
+    """write_clustered must produce files whose min/max ranges on the
+    cluster column are pairwise disjoint (that's what lets parquet
+    row-group stats skip whole files for range predicates), and a range
+    filter must reach the scan as a pushed filter."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "c")
+    write_clustered(sample, path, "id", sort_cols=["v"], num_files=4)
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        stats = [
+            md.row_group(rg).column(0).statistics for rg in range(md.num_row_groups)
+        ]
+        assert all(s is not None for s in stats)
+        ranges.append(
+            (min(s.min for s in stats), max(s.max for s in stats))
+        )
+    assert len(ranges) >= 3  # range partitioner actually split the data
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # pairwise disjoint -> a point/range hits ~one file
+    scan = spark.read.parquet(path).filter(F.col("id").between(10, 19))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert scan.count() == 10
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "GreaterThanOrEqual(id" in pushed and "LessThanOrEqual(id" in pushed
 
 
 def test_bucketed_join_has_no_shuffle(spark, sample):

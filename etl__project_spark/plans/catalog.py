@@ -696,6 +696,87 @@ def ev_sessionize(spark, sf_dir):
     )
 
 
+@query(
+    "ev_session_window_native",
+    """WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tagged AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id, epoch_us(min(ts))::BIGINT AS session_start_us,
+       count(*)::BIGINT AS n_events
+FROM tagged GROUP BY user_id, session_no""",
+)
+def ev_session_window_native(spark, sf_dir):
+    """Spark's native ``session_window`` aggregation (one groupBy, the
+    same operator Structured Streaming uses for stateful sessions) —
+    oracled by the classic gaps-and-islands SQL. Spark merges events
+    whose gap is STRICTLY under the 30-min timeout (the next event must
+    start before the open window closes), so the oracle's island break
+    is ``gap >= 1800s`` — at full microsecond precision on both engines,
+    not second-truncated."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "ev_value_banding",
+    """WITH tiers(lo, hi, tier) AS (
+  VALUES (0.0, 25.0, 'p0_25'), (25.0, 50.0, 'p25_50'), (50.0, 100.0, 'p50_100'),
+         (100.0, 200.0, 'p100_200'), (200.0, 1000.0, 'p200_1k')
+)
+SELECT tier, count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY tier""",
+)
+def ev_value_banding(spark, sf_dir):
+    """Range-band dimension join: map a continuous measure onto a small
+    banding table via a broadcast non-equi join. The big side never
+    shuffles — Spark plans BroadcastNestedLoopJoin with the tier table
+    (5 rows) replicated, so cost is one scan of events; the classic
+    'join facts to a rate/tier/SLA table by range' pattern that an
+    equi-join engine cannot express."""
+    tiers = spark.createDataFrame(
+        [
+            (0.0, 25.0, "p0_25"),
+            (25.0, 50.0, "p25_50"),
+            (50.0, 100.0, "p50_100"),
+            (100.0, 200.0, "p100_200"),
+            (200.0, 1000.0, "p200_1k"),
+        ],
+        "lo double, hi double, tier string",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.join(
+            F.broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # doc_* — text analysis & dedup pipeline (documents table)
 # ---------------------------------------------------------------------------

@@ -157,3 +157,34 @@ def test_jaccard_pairs_adjacent_buckets_stay_equi_join(spark):
     plan = plan_of(QUERIES["doc_jaccard_pairs"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_jaccard_no_cartesian_hashed_keys(spark):
+    """Candidate generation must be an equi-join (on the hashed shingle
+    key) — no cartesian/nested-loop stage anywhere in the lossless
+    similarity join."""
+    plan = plan_of(QUERIES["doc_jaccard_prefix"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_value_banding_broadcasts_tiers(spark):
+    """The non-equi band join must replicate the 5-row tier table
+    (BroadcastNestedLoopJoin), never shuffle or loop over events as the
+    build side."""
+    plan = plan_of(QUERIES["ev_value_banding"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_session_window_partitioned_by_user(spark):
+    plan = plan_of(QUERIES["ev_session_window_native"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_incremental_rollup_single_pass_per_batch(spark):
+    """Each batch contributes one partial HashAggregate; the merge is a
+    union + final aggregate — no join, no window, no extra scans."""
+    plan = plan_of(QUERIES["ev_rollup_incremental"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "HashAggregate" in plan

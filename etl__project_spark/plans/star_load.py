@@ -89,6 +89,55 @@ class ParquetWarehouse:
         os.replace(tmp, os.path.join(self._tdir(table), "CURRENT"))
         return v
 
+    def _merged_ids(self, table: str) -> set[str]:
+        v = self._current(table)
+        if v is None:
+            return set()
+        try:
+            with open(os.path.join(self._tdir(table), f"v{v}.meta")) as fh:
+                return set(json.load(fh)["merged"])
+        except FileNotFoundError:
+            return set()
+
+    def publish_merged(
+        self,
+        table: str,
+        delta: DataFrame,
+        schema: T.StructType,
+        batch_id: str,
+        merge_fn,
+    ) -> bool:
+        """Exactly-once incremental merge-publish: fold one batch's delta
+        into the table via ``merge_fn(existing, delta)`` and publish the
+        result, recording ``batch_id`` in the version's metadata. A
+        replayed batch is a no-op (returns False).
+
+        Commit protocol: the new version directory and its ``.meta``
+        (cumulative merged-id set) are written first; the atomic CURRENT
+        pointer swap makes data + merged-set visible together, so a crash
+        at any point leaves either the old state (retry re-merges — the
+        half-written version dir is simply overwritten) or the complete
+        new one (retry no-ops). Intended for SMALL aggregated state
+        (rollups): each publish rewrites the table, which is fine when
+        the table is orders of magnitude smaller than the raw history —
+        at real scale, partition the rollup and rewrite only the
+        partitions the delta touches.
+        """
+        done = self._merged_ids(table)
+        if batch_id in done:
+            return False
+        merged = merge_fn(self.read(table, schema), delta)
+        v = (self._current(table) or 0) + 1
+        path = os.path.join(self._tdir(table), f"v{v}")
+        merged.write.mode("overwrite").parquet(path)
+        with open(os.path.join(self._tdir(table), f"v{v}.meta"), "w") as fh:
+            json.dump({"merged": sorted(done | {batch_id})}, fh)
+        tmp = os.path.join(self._tdir(table), "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, os.path.join(self._tdir(table), "CURRENT"))
+        return True
+
     # --- append-only fact -------------------------------------------------
     #
     # Batch directories are the append unit; compaction merges many small

@@ -30,11 +30,51 @@ watermark-bounded state.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl__project_spark.operators.rollup import merge_rollups
 from etl__project_spark.plans.star_load import ParquetWarehouse, load_batch
 from etl__project_spark.sources.readers import RAW_SCHEMA
+
+# streaming-maintained serving aggregate: VideoStart rows per minute.
+# Partial state is just (minute, n) — counts merge by sum.
+ROLLUP_SCHEMA = T.StructType(
+    [T.StructField("minute", T.StringType()), T.StructField("n", T.LongType())]
+)
+_ROLLUP_MERGES = {"n": lambda c: F.sum(c).alias(c)}
+
+
+def _maintain_rollup(
+    wh: ParquetWarehouse, spark: SparkSession, batch_id: str
+) -> None:
+    """Fold this batch's landed rows into the per-minute rollup table —
+    the streaming face of ``operators/rollup.py``: O(batch + rollup) per
+    micro-batch, never a recompute over raw history. Reads the batch's
+    OWN credit directory (not the in-memory frame), so a foreachBatch
+    retry that crashed between the raw append and this merge still
+    catches up; ``publish_merged`` makes the merge itself exactly-once
+    per batch id."""
+    bdir = wh.fact_batch_dir("credit", batch_id)
+    if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        return
+    part = (
+        spark.read.parquet(bdir)
+        .groupBy(F.substring("DateTime", 1, 16).alias("minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wh.publish_merged(
+        "rollup_minute",
+        part,
+        ROLLUP_SCHEMA,
+        batch_id,
+        lambda existing, delta: merge_rollups(
+            existing, delta, ["minute"], _ROLLUP_MERGES
+        ),
+    )
 
 
 def _process_batch(
@@ -50,12 +90,13 @@ def _process_batch(
     landed = wh.read_fact("credit", RAW_SCHEMA)
     fresh = batch.dropDuplicates().join(landed, list(batch.columns), "left_anti")
     fresh = fresh.persist()
-    if fresh.count() == 0:
-        fresh.unpersist()
-        return
-    wh.fact_append("credit", fresh, batch_id=str(batch_id))
-    load_batch(fresh, wh, batch_id=str(batch_id), spark=spark)
+    if fresh.count() > 0:
+        wh.fact_append("credit", fresh, batch_id=str(batch_id))
+        load_batch(fresh, wh, batch_id=str(batch_id), spark=spark)
     fresh.unpersist()
+    # incremental serving-aggregate maintenance (runs even when fresh is
+    # empty: a retried batch whose append landed pre-crash catches up here)
+    _maintain_rollup(wh, spark, str(batch_id))
     # periodic small-files maintenance: fold accumulated batch dirs into
     # one compacted dir (manifest-committed; absorbed ids stay idempotent)
     if compact_every and (batch_id + 1) % compact_every == 0:

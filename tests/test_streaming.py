@@ -84,6 +84,40 @@ def test_streaming_exactly_once(spark, tmp_path):
     # out), not the 3-row cumulative history
     assert sorted(per_batch) == [1, 2]
 
+    # streaming-maintained serving rollup: counts per minute, merged
+    # incrementally per batch, must equal a recompute over landed raws —
+    # and the re-delivered overlap row must not double-count
+    from etl__project_spark.streaming.pipeline import ROLLUP_SCHEMA
+
+    rollup = {
+        r["minute"]: r["n"] for r in wh.read("rollup_minute", ROLLUP_SCHEMA).collect()
+    }
+    assert rollup == {
+        "2017-01-11T00:00": 1,
+        "2017-01-11T00:01": 1,
+        "2017-01-12T10:00": 1,
+    }
+    # replaying an already-merged batch id is a no-op
+    from pyspark.sql import functions as F
+
+    part = (
+        spark.read.parquet(os.path.join(credit_dir, batch_dirs[0]))
+        .groupBy(F.substring("DateTime", 1, 16).alias("minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from etl__project_spark.operators.rollup import merge_rollups
+
+    assert (
+        wh.publish_merged(
+            "rollup_minute",
+            part,
+            ROLLUP_SCHEMA,
+            batch_dirs[0].split("=", 1)[1],
+            lambda e, d: merge_rollups(e, d, ["minute"], {"n": F.sum}),
+        )
+        is False
+    )
+
 
 def test_compaction_preserves_data_and_idempotency(spark, tmp_path):
     """compact_fact merges batch dirs into one, keeps row-for-row

@@ -941,6 +941,81 @@ def doc_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
 
 
+_LSH_SQL_SIG = """
+  SELECT doc_id,
+    min((506952115 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1779033703) % 2147483647) AS h0,
+    min((1013904229 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1410583759) % 2147483647) AS h1,
+    min((1520856343 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1042133815) % 2147483647) AS h2,
+    min((2027808457 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 673683871) % 2147483647) AS h3,
+    min((387276923 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 305233927) % 2147483647) AS h4,
+    min((894229037 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 2084267630) % 2147483647) AS h5,
+    min((1401181151 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1715817686) % 2147483647) AS h6,
+    min((1908133265 * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + 1347367742) % 2147483647) AS h7
+  FROM sh GROUP BY doc_id
+"""
+
+
+@query(
+    "doc_lsh_recall_audit",
+    f"""WITH s AS (
+  SELECT doc_id, {_SHINGLE_LIST} AS shingles FROM documents WHERE len(text) >= 5
+),
+exact AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.shingles, b.shingles)) /
+           len(list_distinct(a.shingles || b.shingles)) AS j
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE j >= 0.35
+),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLE_LIST}) AS shingle FROM documents
+),
+sig AS ({_LSH_SQL_SIG}),
+bands AS (
+  SELECT doc_id, 0 AS band_id,
+         md5(h0::VARCHAR || h1::VARCHAR || h2::VARCHAR || h3::VARCHAR) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id,
+         md5(h4::VARCHAR || h5::VARCHAR || h6::VARCHAR || h7::VARCHAR) AS band_hash FROM sig
+),
+lsh AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT count(*)::BIGINT AS n_true,
+       count(l.id_a)::BIGINT AS n_hit,
+       round(count(l.id_a) / count(*), 4) AS recall
+FROM exact e LEFT JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b""",
+)
+def doc_lsh_recall_audit(spark, sf_dir):
+    """Recall audit for the approximate text-dedup path: what fraction of
+    the TRUE near-dup pairs (J >= 0.35, from the lossless prefix join)
+    does MinHash-LSH banding (2 bands x 4 rows) surface as candidates?
+    Both sides are md5-deterministic, so the audit itself is
+    oracle-checkable — the text twin of ``emb_ann_recall_audit``, and
+    the number that justifies (or vetoes) routing a corpus through the
+    lossy path when the exact join is too expensive for it."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = jaccard_prefix_pairs(docs, threshold=0.35).select("id_a", "id_b")
+    sig = minhash_signature(
+        char_shingles(docs, distinct=False), n_hashes=8
+    ).persist()
+    sig.count()
+    lsh = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4).withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        exact.join(lsh, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+        )
+    )
+
+
 def _simhash_oracle(n_bits: int = 16) -> str:
     digit = lambda d: f"(strpos('0123456789abcdef', substr(md5(tok), {d}, 1)) - 1)"  # noqa: E731
     sums = ",\n    ".join(

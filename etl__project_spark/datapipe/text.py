@@ -51,6 +51,41 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits) —
+    the cheap perplexity proxy used to filter degenerate training text:
+    repetitive boilerplate scores low, natural prose sits near
+    log2(n_distinct), and the normalized form (H / log2(n_tokens)) is
+    length-comparable.
+
+    Entirely in-row array expressions (no shuffle): per distinct token,
+    count occurrences with a nested lambda filter — O(distinct x tokens)
+    per row, fine for document-sized rows; a corpus of book-length rows
+    would switch to the explode + count + window form instead.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    counts = F.expr(
+        f"transform(array_distinct(split({text_col}, ' ')), "
+        f"t -> size(filter(split({text_col}, ' '), x -> x = t)))"
+    )
+    h = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log2(c / n),
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(h, 4).alias("entropy_bits"),
+        F.round(
+            F.when(n > 1, h / F.log2(n)).otherwise(F.lit(0.0)), 4
+        ).alias("entropy_norm"),
+    )
+
+
 def lang_id_heuristic(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

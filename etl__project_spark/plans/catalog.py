@@ -855,6 +855,32 @@ def doc_fingerprint_q(spark, sf_dir):
 
 
 @query(
+    "doc_entropy",
+    """WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n,
+         unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, n, count(*) AS c FROM tok GROUP BY doc_id, n, t
+)
+SELECT doc_id, n::BIGINT AS n_tokens,
+       round(-sum((c / n) * log2(c / n)), 4) AS entropy_bits,
+       round(CASE WHEN n > 1 THEN -sum((c / n) * log2(c / n)) / log2(n)
+                  ELSE 0.0 END, 4) AS entropy_norm
+FROM cnt GROUP BY doc_id, n""",
+)
+def doc_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per document (perplexity-proxy
+    quality filter). The Spark side is a pure in-row map stage (nested
+    array lambdas, no shuffle); the oracle recomputes it relationally
+    (explode → count → sum)."""
+    from etl__project_spark.datapipe.text import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "doc_dedup_exact",
     """SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_copies

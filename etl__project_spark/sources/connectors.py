@@ -74,6 +74,24 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def read_parquet_evolved(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Read a parquet table whose files were written under EVOLVING
+    schemas (columns added over time — the normal life of a 100 TB
+    table).
+
+    With ``schema``: the declared schema wins — files missing a column
+    yield nulls for it, no footer scan. Without: ``mergeSchema`` unions
+    the schemas from every file's footer (a metadata pass across files —
+    costly on huge tables, so prefer the explicit schema in production;
+    real table formats track this in their own metadata instead).
+    """
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

@@ -14,6 +14,7 @@ from etl__project_spark.sources.connectors import (
     read_delta,
     read_json,
     read_orc,
+    read_parquet_evolved,
     write_bucketed,
     write_clustered,
     write_json,
@@ -52,6 +53,34 @@ def test_partitioned_layout_prunes(spark, tmp_path, sample):
     assert scan.count() == sample.filter("k = 'u3'").count()
     # partition filter reaches the scan (directory pruning, not row filter)
     assert "PartitionFilters: [isnotnull(k" in plan or "k#" in plan
+
+
+def test_schema_evolution_reads(spark, tmp_path):
+    """Old files lack the later-added column; merged and declared-schema
+    reads must both surface it (null for old rows) with stable types."""
+    import pyspark.sql.types as T
+
+    path = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], "id long, k string").write.parquet(
+        os.path.join(path, "part1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, k string, score double"
+    ).write.parquet(os.path.join(path, "part2"))
+    glob = os.path.join(path, "part*")
+    merged = read_parquet_evolved(spark, glob)
+    rows = {r["id"]: (r["k"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    declared = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("k", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    explicit = read_parquet_evolved(spark, glob, schema=declared)
+    assert explicit.schema == declared
+    assert {r["id"]: r["score"] for r in explicit.collect()} == {1: None, 2: 9.5}
 
 
 def test_clustered_layout_disjoint_file_ranges(spark, tmp_path, sample):

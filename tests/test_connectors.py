@@ -138,6 +138,22 @@ def test_bucketed_join_has_no_shuffle(spark, sample):
         spark.sql("DROP TABLE t_right")
 
 
+def test_bucketed_groupby_has_no_shuffle(spark, sample):
+    """Aggregation on the bucket column must reuse the storage layout:
+    HashAggregate directly over the bucketed scan, no exchange — the
+    same property that makes pre-bucketed daily aggregates cheap at
+    scale."""
+    spark.sql("DROP TABLE IF EXISTS t_agg")
+    write_bucketed(sample, "t_agg", "id", 4)
+    try:
+        agg = spark.table("t_agg").groupBy("id").agg(F.sum("v").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert agg.count() == 100
+    finally:
+        spark.sql("DROP TABLE t_agg")
+
+
 def test_delta_gated(spark):
     with pytest.raises(ConnectorUnavailable, match="delta"):
         read_delta(spark, "/tmp/nowhere")

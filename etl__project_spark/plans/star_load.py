@@ -72,11 +72,34 @@ class ParquetWarehouse:
         except FileNotFoundError:
             return None
 
-    def read(self, table: str, schema: T.StructType) -> DataFrame:
-        v = self._current(table)
+    def read(
+        self, table: str, schema: T.StructType, version: int | None = None
+    ) -> DataFrame:
+        """Read the current snapshot, or — time travel — any retained
+        older ``version``: snapshots are immutable directories and the
+        pointer swap never deletes them, so audits/debugging/reprocessing
+        can read the table exactly as of an earlier publish (the same
+        contract Delta/Iceberg expose as VERSION AS OF)."""
+        v = self._current(table) if version is None else version
         if v is None:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(os.path.join(self._tdir(table), f"v{v}"))
+        path = os.path.join(self._tdir(table), f"v{v}")
+        if version is not None and not os.path.isdir(path):
+            raise ValueError(f"{table} has no retained version {version}")
+        return self.spark.read.parquet(path)
+
+    def versions(self, table: str) -> list[int]:
+        """Retained snapshot versions, oldest first (current = last)."""
+        tdir = self._tdir(table)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(tdir)
+            if d.startswith("v") and d[1:].isdigit() and os.path.isdir(
+                os.path.join(tdir, d)
+            )
+        )
 
     def publish(self, table: str, df: DataFrame) -> int:
         """Write a new full snapshot, then atomically swap the pointer."""

@@ -20,6 +20,7 @@ from etl__project_spark.sources.connectors import (
     write_json,
     write_orc,
     write_partitioned,
+    write_zordered,
 )
 
 
@@ -113,6 +114,47 @@ def test_clustered_layout_disjoint_file_ranges(spark, tmp_path, sample):
     assert scan.count() == 10
     pushed = plan.split("PushedFilters")[1][:200]
     assert "GreaterThanOrEqual(id" in pushed and "LessThanOrEqual(id" in pushed
+
+
+def test_zorder_layout_clusters_both_columns(spark, tmp_path):
+    """Z-order files must be tight on BOTH dimensions (~global/4 per
+    file with 16 files), where single-column clustering leaves the
+    second column spanning ~the full range."""
+    import pyarrow.parquet as pq
+
+    rows = [(x, y) for x in range(0, 256, 4) for y in range(0, 256, 4)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    path = str(tmp_path / "z")
+    write_zordered(df, path, "a", "b", bits=8, num_files=16)
+
+    def file_spans(p, col_idx):
+        spans = []
+        for f in os.listdir(p):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(p, f)).metadata
+            stats = [
+                md.row_group(rg).column(col_idx).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            spans.append(
+                max(s.max for s in stats) - min(s.min for s in stats)
+            )
+        return spans
+
+    spans_a, spans_b = file_spans(path, 0), file_spans(path, 1)
+    assert len(spans_a) >= 8
+    # both dimensions clustered: mean per-file span well under the 252
+    # global span (a straddling file may exceed the ideal 63)
+    assert sum(spans_a) / len(spans_a) < 252 * 0.45
+    assert sum(spans_b) / len(spans_b) < 252 * 0.45
+    # contrast: clustering on 'a' alone leaves 'b' unclustered
+    path1 = str(tmp_path / "c1")
+    write_clustered(df, path1, "a", num_files=16)
+    spans_b1 = file_spans(path1, 1)
+    assert sum(spans_b1) / len(spans_b1) > 252 * 0.9
+    # the layout is a reshuffle, never a row change
+    assert spark.read.parquet(path).count() == len(rows)
 
 
 def test_bucketed_join_has_no_shuffle(spark, sample):

@@ -81,3 +81,23 @@ def test_replay_is_idempotent(spark, tmp_path, batch1):
     info = load_batch(batch1, wh, "b1", spark)  # same batch id re-delivered
     assert info["fact_appended"] == 0
     assert audit(wh) == n1
+
+
+def test_time_travel_reads_prior_snapshot(spark, tmp_path):
+    """Versioned publishes retain immutable snapshots: read(version=N)
+    returns the table exactly as of publish N, versions() lists them,
+    and an unknown version raises."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    v1 = wh.publish("t", spark.range(3).selectExpr("id AS x"))
+    v2 = wh.publish("t", spark.range(5).selectExpr("id AS x"))
+    assert wh.versions("t") == [v1, v2]
+    assert wh.read("t", schema).count() == 5
+    assert wh.read("t", schema, version=v1).count() == 3
+    with _pytest.raises(ValueError, match="no retained version"):
+        wh.read("t", schema, version=99)

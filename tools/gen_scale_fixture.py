@@ -62,8 +62,13 @@ def replicate(df: DataFrame, cols: list[str], n: int, text_rotate: bool) -> Data
         for c in cols:
             r = r.withColumn(c, (F.col(c) + F.lit(i * stride)).cast("long"))
         if text_rotate and i > 0:
+            # 26 distinct rotations: beyond 26 replicas, every 26th is an
+            # EXACT copy of the base text (new doc_id) — deliberate; real
+            # corpora carry exact copies, and exact dedup collapses them
+            # before any near-dup join (see jaccard_prefix_pairs step 1).
             alpha = "abcdefghijklmnopqrstuvwxyz"
-            rot = alpha[i:] + alpha[:i]
+            k = i % 26
+            rot = alpha[k:] + alpha[:k]
             r = r.withColumn("text", F.translate(F.col("text"), alpha, rot))
         parts.append(r)
     out = parts[0]

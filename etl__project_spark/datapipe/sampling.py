@@ -31,3 +31,55 @@ def hash_sample(
     running per stratum with a different salt, or sample keys (users,
     documents) rather than rows by hashing the entity key."""
     return df.filter(hash_bucket(F.col(key_col), 100, salt) < rate_pct)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    n_groups: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing (concat-and-chunk): assign every document a
+    (pack_id, start_offset) inside fixed ``budget``-token training
+    sequences — the standard pretraining data-prep step that turns
+    ragged documents into dense, fixed-length model inputs.
+
+    Exact first-fit bin packing is inherently sequential; what
+    production packers actually do is concatenate a stream and cut every
+    ``budget`` tokens, letting documents straddle cut points. That
+    formulation parallelizes: documents are hash-partitioned into
+    ``n_groups`` independent streams (deterministic ``id % n_groups``,
+    engine-portable), each stream orders by id and takes a running token
+    cumsum (one partitioned window — no global sort, no single-task
+    stage), and the pack id is the start offset's budget multiple.
+    Waste is bounded by the per-group tail (< budget tokens per group).
+
+    Returns (id, n_tokens, pack_id, start_offset) where
+    ``pack_id = group * 2^32 + floor(start_in_group / budget)`` is
+    globally unique and ``start_offset`` is the position within the
+    group's concatenated stream at which this document begins.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    grouped = df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("long").alias("__grp"),
+    )
+    w = (
+        Window.partitionBy("__grp")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return grouped.select(
+        id_col,
+        "n_tokens",
+        (
+            F.col("__grp") * F.lit(2**32)
+            + F.floor(start / F.lit(budget))
+        ).cast("long").alias("pack_id"),
+        start.cast("long").alias("start_offset"),
+    )

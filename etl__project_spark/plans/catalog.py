@@ -881,6 +881,68 @@ def doc_entropy(spark, sf_dir):
 
 
 @query(
+    "doc_chunks",
+    """WITH c AS (
+  SELECT doc_id,
+         [substr(text, (i - 1) * 200 + 1, 200)
+          for i in range(1, (ceil(len(text) / 200.0))::INT + 1)] AS arr
+  FROM documents
+)
+SELECT doc_id, generate_subscripts(arr, 1)::BIGINT AS chunk_id,
+       unnest(arr) AS chunk_text,
+       len(unnest(arr))::BIGINT AS n_chars
+FROM c""",
+)
+def doc_chunks(spark, sf_dir):
+    """Fixed-width chunk emission (context-window data prep): split each
+    document into 200-char chunks with stable 1-based chunk ids — a
+    narrow posexplode, no shuffle. DuckDB oracle uses the
+    generate_subscripts + unnest twin (1-based, so Spark pos + 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.expr(
+        "transform(sequence(1, cast(ceil(length(text) / 200.0) as int)),"
+        " i -> substring(text, (i - 1) * 200 + 1, 200))"
+    )
+    return docs.select(
+        "doc_id", F.posexplode(arr).alias("pos", "chunk_text")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.length("chunk_text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "doc_pack_sequences",
+    """WITH g AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         doc_id % 32 AS grp
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens, grp,
+         (sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens) AS start
+  FROM g
+)
+SELECT doc_id, n_tokens,
+       (grp * 4294967296 + (start // 512))::BIGINT AS pack_id,
+       start::BIGINT AS start_offset
+FROM s""",
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-and-chunk) — every document placed into a
+    fixed 512-token training sequence via hash-grouped parallel streams
+    and one partitioned running-sum window; see
+    ``datapipe/sampling.py:pack_sequences`` for why this, and not
+    first-fit bin packing, is the parallelizable production formulation."""
+    from etl__project_spark.datapipe.sampling import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "doc_dedup_exact",
     """SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_copies

@@ -109,6 +109,30 @@ def test_jaccard_prefix_matches_brute_force(spark):
     assert not any(5 in p or 6 in p for p in got)
 
 
+def test_pack_sequences_contiguous_streams(spark):
+    """Packing invariants: within each group the documents form one
+    gapless concatenated stream (start offsets are the running cumsum),
+    and pack ids are the budget multiples of the start offsets."""
+    from etl__project_spark.datapipe.sampling import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(df, budget=8, n_groups=2).collect(),
+        key=lambda r: (r["doc_id"]),
+    )
+    by_group: dict[int, list] = {}
+    for r in out:
+        by_group.setdefault(r["doc_id"] % 2, []).append(r)
+    assert len(out) == 20
+    for grp, rs in by_group.items():
+        expect_start = 0
+        for r in rs:  # doc_id order == stream order
+            assert r["start_offset"] == expect_start
+            assert r["pack_id"] == grp * 2**32 + r["start_offset"] // 8
+            expect_start += r["n_tokens"]
+
+
 def test_simhash_distance(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sigs[0] == sigs[1]

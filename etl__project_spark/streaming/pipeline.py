@@ -112,6 +112,7 @@ def stream_star_load(
     available_now: bool = True,
     processing_time: str | None = None,
     compact_every: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the streaming star load over a CSV landing directory.
 
@@ -120,15 +121,23 @@ def stream_star_load(
     ``compact_every=N`` folds the append-only tables' batch directories
     into one compacted directory every N micro-batches (long-running
     streams otherwise accumulate one small dir per batch).
+    ``max_files_per_trigger`` is the file source's backpressure knob: a
+    burst of landed files is paced into bounded micro-batches instead of
+    one giant catch-up batch — at scale this is what keeps executor
+    memory and per-batch state flat through a backlog drain
+    (``availableNow`` still drains everything; it just takes several
+    batches to do it).
     """
     wh = ParquetWarehouse(spark, warehouse_root)
-    raw = (
+    reader = (
         spark.readStream.schema(RAW_SCHEMA)
         .option("header", True)
         .option("quote", '"')
         .option("escape", "\\")
-        .csv(landing_dir)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.csv(landing_dir)
     writer = raw.writeStream.foreachBatch(
         lambda df, bid: _process_batch(df, bid, wh, spark, compact_every)
     ).option("checkpointLocation", checkpoint_dir)

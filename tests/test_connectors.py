@@ -242,6 +242,42 @@ def test_salted_join_spreads_identical_duplicate_rows(spark):
     assert max(r["count"] for r in salts) < 4000 * 0.5  # no single-bucket funnel
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """The automatic complement to salted_join: under AQE, a shuffle
+    join with one hot key gets its oversized partition SPLIT at runtime
+    (SortMergeJoin(skew=true) reading 'AQEShuffleRead skewed') — no
+    manual salting, no plan change, driven by actual partition sizes.
+    Thresholds are lowered so the 300k-row hot key trips them at test
+    scale."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 3 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+        joined = big.join(right, "k")
+        # AQE finalizes the plan only once THIS dataframe's query executes
+        assert len(joined.collect()) == 100_666
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_salted_join_rejects_outer(spark, sample):
     import pytest
 

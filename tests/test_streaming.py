@@ -147,3 +147,33 @@ def test_compaction_preserves_data_and_idempotency(spark, tmp_path):
     # second compaction folds the compact dir + the new batch
     assert wh.compact_fact("t") == 2
     assert wh.read_fact("t", schema).count() == len(before) + 2
+
+
+def test_max_files_per_trigger_paces_backlog(spark, tmp_path):
+    """A 3-file backlog with max_files_per_trigger=1 must drain as three
+    bounded micro-batches (three credit batch dirs), not one giant
+    catch-up batch — and land every row exactly once."""
+    from etl__project_spark.streaming import stream_star_load
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i in range(3):
+        _write_csv(
+            os.path.join(landing, f"f{i}.csv"),
+            [f"2017-01-1{i + 1}T00:00:31.000Z,Android App|video {i},206"],
+        )
+    q = stream_star_load(
+        spark,
+        landing,
+        str(tmp_path / "wh"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    assert audit(wh)["factvideostart"] == 3
+    credit_dir = os.path.join(str(tmp_path / "wh"), "credit")
+    batch_dirs = [d for d in os.listdir(credit_dir) if d.startswith("batch=")]
+    assert len(batch_dirs) == 3

@@ -642,6 +642,95 @@ def ev_rollup_incremental(spark, sf_dir):
 
 
 @query(
+    "ev_heavy_hitters_cms",
+    """WITH tok AS (
+  SELECT user_id::VARCHAR AS uid, r
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(r)
+),
+sketch AS (
+  SELECT r,
+         ('0x' || substr(md5(uid || 'cms' || r), 1, 15))::BIGINT % 64 AS b,
+         count(*)::BIGINT AS c
+  FROM tok GROUP BY r, b
+),
+src AS (
+  SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS exact_count
+  FROM events GROUP BY user_id
+),
+est AS (
+  SELECT s.user_id, min(k.c)::BIGINT AS est_count
+  FROM (SELECT DISTINCT user_id FROM events) s
+  CROSS JOIN (VALUES (0), (1), (2), (3)) t(r)
+  JOIN sketch k
+    ON k.r = t.r
+   AND k.b = ('0x' || substr(md5(s.user_id::VARCHAR || 'cms' || t.r), 1, 15))::BIGINT % 64
+  GROUP BY s.user_id
+)
+SELECT user_id, exact_count, est_count,
+       (est_count >= exact_count) AS no_underestimate
+FROM src JOIN est USING (user_id)""",
+)
+def ev_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters, built the distributed way: each
+    half of the stream produces its own 4x64 sketch (one groupBy of
+    hashed buckets — fixed 256-cell state regardless of key
+    cardinality), the sketches MERGE by cell-wise sum, and point
+    estimates are the min over rows. The oracle computes a single-shot
+    sketch: a hash match proves sketch mergeability (the property that
+    lets every executor/day/shard sketch independently at 100 TB).
+    Hashing is md5-based (engine-portable, deterministic), and the CMS
+    no-underestimate guarantee is emitted as a checked column."""
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    d, w = 4, 64
+
+    def sketch(df):
+        rows = [
+            df.select(
+                F.lit(j).alias("r"),
+                hash_bucket(F.col("user_id"), w, salt=f"cms{j}").alias("b"),
+            )
+            for j in range(d)
+        ]
+        u = rows[0]
+        for x in rows[1:]:
+            u = u.unionByName(x)
+        return u.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+
+    day = F.dayofmonth("ts")
+    merged = (
+        sketch(ev.filter(day <= 15))
+        .unionByName(sketch(ev.filter(day > 15)))
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    srcs = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    probes = srcs.select("user_id").crossJoin(
+        spark.range(d).select(F.col("id").cast("int").alias("r"))
+    ).withColumn(
+        "b",
+        F.when(F.col("r") == 0, hash_bucket(F.col("user_id"), w, salt="cms0"))
+        .when(F.col("r") == 1, hash_bucket(F.col("user_id"), w, salt="cms1"))
+        .when(F.col("r") == 2, hash_bucket(F.col("user_id"), w, salt="cms2"))
+        .otherwise(hash_bucket(F.col("user_id"), w, salt="cms3")),
+    )
+    est = (
+        probes.join(merged, ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("long").alias("est_count"))
+    )
+    return srcs.join(est, "user_id").select(
+        "user_id",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("no_underestimate"),
+    )
+
+
+@query(
     "ev_props_json",
     """SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        count(*)::BIGINT AS n

@@ -278,6 +278,40 @@ def test_aqe_splits_skewed_join_partition(spark):
             spark.conf.set(k, v)
 
 
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """Runtime filtering: when the build side of a shuffle join is
+    selective, Spark injects a bloom filter (bloom_filter_agg /
+    might_contain) that discards non-matching probe rows AT THE SCAN,
+    before the shuffle — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching slice.
+    Thresholds lowered to trip at test scale."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big_p, small_p = str(tmp_path / "big"), str(tmp_path / "small")
+        spark.range(0, 500_000).selectExpr("id AS k", "id * 2 AS payload").write.parquet(big_p)
+        spark.range(0, 100_000).selectExpr("id AS k", "id AS attr").filter(
+            "k % 1000 = 0"
+        ).write.parquet(small_p)
+        joined = spark.read.parquet(big_p).join(
+            spark.read.parquet(small_p).filter("attr % 2 = 0"), "k"
+        )
+        opt = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt
+        assert "might_contain" in opt
+        assert joined.count() == 100  # k in {0, 1000, ..., 99000}, all even
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_salted_join_rejects_outer(spark, sample):
     import pytest
 

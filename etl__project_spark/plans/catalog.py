@@ -686,17 +686,25 @@ def ev_heavy_hitters_cms(spark, sf_dir):
     d, w = 4, 64
 
     def sketch(df):
-        rows = [
-            df.select(
-                F.lit(j).alias("r"),
-                hash_bucket(F.col("user_id"), w, salt=f"cms{j}").alias("b"),
+        # all d hash rows from ONE pass over the input (explode, not a
+        # d-way union of scans — at scale the input is the big side)
+        cells = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("r"),
+                        hash_bucket(F.col("user_id"), w, salt=f"cms{j}").alias("b"),
+                    )
+                    for j in range(d)
+                ]
             )
-            for j in range(d)
-        ]
-        u = rows[0]
-        for x in rows[1:]:
-            u = u.unionByName(x)
-        return u.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+        )
+        return (
+            df.select(cells.alias("x"))
+            .select("x.r", "x.b")
+            .groupBy("r", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
 
     day = F.dayofmonth("ts")
     merged = (

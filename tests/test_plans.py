@@ -188,3 +188,12 @@ def test_incremental_rollup_single_pass_per_batch(spark):
     plan = plan_of(QUERIES["ev_rollup_incremental"](spark, SF_DIR))
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_cms_sketch_single_scan_per_shard(spark):
+    """Each half-stream's 4 hash rows must come from ONE events scan
+    (explode), not a 4-way union of scans: 2 sketch shards + the exact-
+    count scan + the probe-key scan = 4 FileScans total (a d-way union
+    formulation would show 2d + 2)."""
+    plan = plan_of(QUERIES["ev_heavy_hitters_cms"](spark, SF_DIR))
+    assert plan.count("FileScan") == 4

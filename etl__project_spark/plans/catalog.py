@@ -1040,6 +1040,67 @@ def doc_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "doc_upsample_epochs",
+    """WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN ('src0', 'src1') THEN 2.5
+              WHEN source = 'src2' THEN 0.5 ELSE 1.0 END AS epochs
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, source, epochs, unnest(range(1, ceil(epochs)::INT + 1)) AS epoch
+  FROM w
+),
+kept AS (
+  SELECT doc_id, source, epoch FROM rep
+  WHERE epoch <= floor(epochs)
+     OR ('0x' || substr(md5(doc_id::VARCHAR || 'ep' || epoch), 1, 15))::BIGINT % 100
+        < (epochs - floor(epochs)) * 100
+)
+SELECT source, count(*)::BIGINT AS n_rows,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM kept GROUP BY source""",
+)
+def doc_upsample_epochs(spark, sf_dir):
+    """Epoch upsampling (temperature-style mixing, the UPWARD half that
+    ``doc_dataset_mix``'s rate-based downsampling cannot express): each
+    source gets a fractional epoch weight — 2.5 epochs means two full
+    copies plus a deterministic hash-chosen half — via a narrow
+    explode(sequence) + hash filter. No shuffle until the audit
+    aggregate; repetition is reproducible across runs/engines/partitions
+    because the fractional keep-set is keyed on (doc_id, epoch), never
+    on random()."""
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = (
+        F.when(F.col("source").isin("src0", "src1"), F.lit(2.5))
+        .when(F.col("source") == "src2", F.lit(0.5))
+        .otherwise(F.lit(1.0))
+    )
+    rep = docs.select(
+        "doc_id", "source", epochs.alias("epochs")
+    ).select(
+        "doc_id",
+        "source",
+        "epochs",
+        F.explode(
+            F.sequence(F.lit(1), F.ceil("epochs").cast("int"))
+        ).alias("epoch"),
+    )
+    frac_keep = hash_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit("ep"), F.col("epoch")),
+        100,
+        salt="",
+    ) < (F.col("epochs") - F.floor("epochs")) * 100
+    kept = rep.filter((F.col("epoch") <= F.floor("epochs")) | frac_keep)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
     "doc_dedup_exact",
     """SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_copies

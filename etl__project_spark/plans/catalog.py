@@ -123,6 +123,54 @@ def _int(c):
     return c.cast("long")
 
 
+def _money_sum_raw(expr):
+    """Engine-exact money sum, in integer 1e-4 units.
+
+    Double addition is not associative, so a grouped sum of inexact
+    money doubles differs between engines in the last ulp — and a result
+    on a rounding boundary flips the driver's value hash (observed:
+    tpch_q5/q10 one cent off at sf0.001). Worse, NO decimal-string step
+    is engine-portable either: Spark's round()/decimal-cast round the
+    double's SHORTEST DECIMAL REPRESENTATION (BigDecimal.valueOf) while
+    DuckDB rounds the binary value, so per-term ``round(x, 4)`` diverges
+    on ~1e-5 of terms (observed: tpch_q1 sum_charge at sf0.01).
+
+    The portable quantization uses only IEEE arithmetic, identical on
+    both engines by construction: ``floor(x * 10000 + 0.5)`` per term
+    (half-up at 4 decimals of the BINARY value), summed as exact
+    integers. Downstream projections divide/floor in integer space —
+    never an engine ``round()``. SQL twin: ``_msum_raw``."""
+    return F.sum(F.floor(expr * 10000 + F.lit(0.5)))
+
+
+def _money_sum(expr):
+    """2-decimal money value from the exact scaled sum (half-up to
+    cents in integer space, emitted as cents/100 — both engines compute
+    the identical double). SQL twin: ``_msum``."""
+    return F.floor(_money_sum_raw(expr) / F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
+
+def _quant4(expr):
+    """4-decimal projection of an arbitrary (cross-engine-identical)
+    double without engine round(): floor(x*1e4 + 0.5) / 1e4."""
+    return F.floor(expr * 10000 + F.lit(0.5)) / F.lit(10000.0)
+
+
+def _msum_raw(expr: str) -> str:
+    """DuckDB twin of ``_money_sum_raw`` (sum of BIGINT 1e-4 units)."""
+    return f"sum(CAST(floor(({expr}) * 10000 + 0.5) AS BIGINT))"
+
+
+def _msum(expr: str) -> str:
+    """DuckDB twin of ``_money_sum``."""
+    return f"(floor({_msum_raw(expr)} / 100.0 + 0.5) / 100.0)"
+
+
+def _q4(expr: str) -> str:
+    """DuckDB twin of ``_quant4``."""
+    return f"(floor(({expr}) * 10000 + 0.5) / 10000.0)"
+
+
 # ---------------------------------------------------------------------------
 # vs_* — reference pipeline operators
 # ---------------------------------------------------------------------------
@@ -400,12 +448,12 @@ def vs_audit_maxlen(spark, sf_dir):
     "tpch_q1_pricing",
     """SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       (floor(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS sum_base_price,
+       (floor(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS sum_disc_price,
+       (floor(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       (floor(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) / 10000.0) AS avg_price,
+       (floor(sum(CAST(floor((l_discount) * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) / 10000.0) AS avg_disc,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '2000-09-02'
@@ -420,21 +468,30 @@ def tpch_q1_pricing(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            _money_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (
+                F.floor(
+                    _money_sum_raw(F.col("l_extendedprice")) / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_price"),
+            (
+                F.floor(
+                    _money_sum_raw(F.col("l_discount")) / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -442,7 +499,7 @@ def tpch_q1_pricing(spark, sf_dir):
 
 @query(
     "tpch_q3_shipping",
-    """SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    """SELECT l.l_orderkey, (floor(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS revenue,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -469,8 +526,8 @@ def tpch_q3_shipping(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select(
@@ -486,7 +543,7 @@ def tpch_q3_shipping(spark, sf_dir):
 
 @query(
     "tpch_q5_region_volume",
-    """SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    """SELECT n.n_name, (floor(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS revenue
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -520,8 +577,8 @@ def tpch_q5_region_volume(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -577,7 +634,7 @@ def tpch_order_counts_anti(spark, sf_dir):
 @query(
     "ev_minute_rollup",
     """SELECT event_type, strftime(date_trunc('minute', ts), '%Y%m%d%H%M') AS minute_key,
-       count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+       count(*)::BIGINT AS n_events, (floor(sum(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS total_value
 FROM events
 GROUP BY event_type, minute_key""",
 )
@@ -594,7 +651,7 @@ def ev_minute_rollup(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _money_sum(F.col("value")).alias("total_value"),
         )
     )
 
@@ -839,7 +896,7 @@ def ev_session_window_native(spark, sf_dir):
   VALUES (0.0, 25.0, 'p0_25'), (25.0, 50.0, 'p25_50'), (50.0, 100.0, 'p50_100'),
          (100.0, 200.0, 'p100_200'), (200.0, 1000.0, 'p200_1k')
 )
-SELECT tier, count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+SELECT tier, count(*)::BIGINT AS n_events, (floor(sum(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS total_value
 FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
 GROUP BY tier""",
 )
@@ -869,7 +926,7 @@ def ev_value_banding(spark, sf_dir):
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _money_sum(F.col("value")).alias("total_value"),
         )
     )
 
@@ -1821,12 +1878,12 @@ def tpch_q1_sql(spark, sf_dir):
     return spark.sql(
         """SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       (floor(sum(floor((l_extendedprice) * 10000 + 0.5D)) / 100.0D + 0.5D) / 100.0D) AS sum_base_price,
+       (floor(sum(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5D)) / 100.0D + 0.5D) / 100.0D) AS sum_disc_price,
+       (floor(sum(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000 + 0.5D)) / 100.0D + 0.5D) / 100.0D) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       (floor(sum(floor((l_extendedprice) * 10000 + 0.5D)) / count(*) + 0.5D) / 10000.0D) AS avg_price,
+       (floor(sum(floor((l_discount) * 10000 + 0.5D)) / count(*) + 0.5D) / 10000.0D) AS avg_disc,
        count(*) AS count_order
 FROM lineitem_v
 WHERE l_shipdate <= DATE '2000-09-02'
@@ -2000,7 +2057,7 @@ def tpch_q4_semi(spark, sf_dir):
 
 @query(
     "tpch_q6_revenue",
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT (floor(sum(CAST(floor((l_extendedprice * l_discount) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS revenue,
        count(*)::BIGINT AS n
 FROM lineitem
 WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
@@ -2017,7 +2074,7 @@ def tpch_q6_revenue(spark, sf_dir):
         & (F.col("l_discount") <= 0.09)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        _money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n"),
@@ -2029,7 +2086,7 @@ def tpch_q6_revenue(spark, sf_dir):
     """WITH part_avg AS (
   SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
 )
-SELECT round(sum(l.l_extendedprice), 2) AS total_price, count(*)::BIGINT AS n
+SELECT (floor(sum(CAST(floor((l.l_extendedprice) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS total_price, count(*)::BIGINT AS n
 FROM lineitem l JOIN part_avg pa ON l.l_partkey = pa.l_partkey
 WHERE l.l_quantity < 0.5 * pa.avg_qty""",
 )
@@ -2042,7 +2099,7 @@ def tpch_q17_avg_qty(spark, sf_dir):
         li.join(F.broadcast(pa), "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            _money_sum(F.col("l_extendedprice")).alias("total_price"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -2050,7 +2107,7 @@ def tpch_q17_avg_qty(spark, sf_dir):
 
 @query(
     "tpch_q19_disjunct",
-    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    """SELECT (floor(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS revenue,
        count(*)::BIGINT AS n
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 5)
@@ -2069,7 +2126,7 @@ def tpch_q19_disjunct(spark, sf_dir):
         | (F.col("p_size").between(25, 50) & (F.col("l_quantity") >= 40))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n"),
@@ -2244,7 +2301,7 @@ def emb_near_dup_blocked(spark, sf_dir):
 
 @query(
     "tpch_q7_nation_volume",
-    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    """SELECT supp_nation, cust_nation, l_year, (floor(sum(CAST(floor((volume) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l.l_shipdate)::BIGINT AS l_year,
@@ -2292,8 +2349,8 @@ def tpch_q7_nation_volume(spark, sf_dir):
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -2302,8 +2359,8 @@ def tpch_q7_nation_volume(spark, sf_dir):
 @query(
     "tpch_q8_market_share",
     """SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
-             / sum(volume), 4) AS mkt_share
+       (floor(sum(CAST(floor((CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) * 10000 + 0.5) AS BIGINT))
+             / sum(CAST(floor((volume) * 10000 + 0.5) AS BIGINT)) * 10000 + 0.5) / 10000.0) AS mkt_share
 FROM (
   SELECT year(o.o_orderdate)::BIGINT AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -2346,10 +2403,11 @@ def tpch_q8_market_share(spark, sf_dir):
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
-                / F.sum(vol),
-                4,
+            _quant4(
+                _money_sum_raw(
+                    F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0)
+                )
+                / _money_sum_raw(vol)
             ).alias("mkt_share")
         )
     )
@@ -2357,7 +2415,7 @@ def tpch_q8_market_share(spark, sf_dir):
 
 @query(
     "tpch_q9_profit",
-    """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    """SELECT nation, o_year, (floor(sum(CAST(floor((amount) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS sum_profit
 FROM (
   SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
          l.l_extendedprice * (1 - l.l_discount) - 10.0 * l.l_quantity AS amount
@@ -2392,7 +2450,7 @@ def tpch_q9_profit(spark, sf_dir):
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(_money_sum(F.col("amount")).alias("sum_profit"))
     )
 
 
@@ -2400,7 +2458,7 @@ def tpch_q9_profit(spark, sf_dir):
     "tpch_q10_returned",
     """SELECT c_custkey, c_name, revenue, n_name FROM (
   SELECT c.c_custkey, c.c_name,
-         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+         (floor(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS revenue,
          n.n_name
   FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2428,8 +2486,8 @@ def tpch_q10_returned(spark, sf_dir):
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -2490,9 +2548,8 @@ def tpch_q13_custdist(spark, sf_dir):
 
 @query(
     "tpch_q14_promo",
-    """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    """SELECT (floor(100.0 * sum(CAST(floor((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) * 10000 + 0.5) AS BIGINT))
+             / sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) AS BIGINT)) * 10000 + 0.5) / 10000.0) AS promo_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1997-04-01'""",
 )
@@ -2508,11 +2565,10 @@ def tpch_q14_promo(spark, sf_dir):
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
+            _quant4(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
+                * _money_sum_raw(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / _money_sum_raw(rev)
             ).alias("promo_revenue")
         )
     )
@@ -2521,7 +2577,7 @@ def tpch_q14_promo(spark, sf_dir):
 @query(
     "tpch_q15_top_supplier",
     """WITH rev AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey, (floor(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
   GROUP BY l_suppkey
@@ -2540,7 +2596,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
     )
@@ -2616,7 +2672,7 @@ def tpch_q18_big_orders(spark, sf_dir):
 @query(
     "tpch_q22_idle_balance",
     """WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
-SELECT n.n_name, count(*)::BIGINT AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
+SELECT n.n_name, count(*)::BIGINT AS numcust, (floor(sum(CAST(floor((c.c_acctbal) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS totacctbal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_acctbal > (SELECT ab FROM avg_bal)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -2646,7 +2702,7 @@ def tpch_q22_idle_balance(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _money_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 
@@ -2764,7 +2820,7 @@ def ev_unpivot_type_counts(spark, sf_dir):
     """SELECT user_id,
        array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 2) AS total_value
+       (floor(sum(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS total_value
 FROM events GROUP BY user_id""",
 )
 def ev_user_profile(spark, sf_dir):
@@ -2777,7 +2833,7 @@ def ev_user_profile(spark, sf_dir):
             "types_seen"
         ),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        _money_sum(F.col("value")).alias("total_value"),
     )
 
 
@@ -2842,7 +2898,8 @@ def doc_passage_dup(spark, sf_dir):
 @query(
     "tpch_q2_min_cost_supplier",
     """WITH unit AS (
-  SELECT l_partkey, l_suppkey, round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+  SELECT l_partkey, l_suppkey,
+         (floor(min(l_extendedprice / l_quantity) * 10000 + 0.5) / 10000.0) AS unit_cost
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )
 SELECT p_partkey, p_brand, s_suppkey, s_name, unit_cost FROM (
@@ -2864,8 +2921,11 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
+    # min() of identical doubles is engine-exact; the 4-decimal projection
+    # uses the floor quantization (engine round() diverges on repr ties —
+    # observed here at sf0.1, see _money_sum_raw)
     unit = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+        _quant4(F.min(F.col("l_extendedprice") / F.col("l_quantity"))).alias(
             "unit_cost"
         )
     )

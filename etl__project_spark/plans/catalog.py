@@ -2840,7 +2840,8 @@ def ev_user_profile(spark, sf_dir):
 @query(
     "tpch_grouping_sets",
     """SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price, count(*)::BIGINT AS n
+       (floor(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS sum_price,
+       count(*)::BIGINT AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
 )
@@ -2851,7 +2852,7 @@ def tpch_grouping_sets(spark, sf_dir):
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """SELECT l_returnflag, l_linestatus,
-                  round(sum(l_extendedprice), 2) AS sum_price,
+                  (floor(sum(floor((l_extendedprice) * 10000 + 0.5D)) / 100.0D + 0.5D) / 100.0D) AS sum_price,
                   count(*) AS n
            FROM lineitem
            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""

@@ -139,8 +139,18 @@ def _money_sum_raw(expr):
     both engines by construction: ``floor(x * 10000 + 0.5)`` per term
     (half-up at 4 decimals of the BINARY value), summed as exact
     integers. Downstream projections divide/floor in integer space —
-    never an engine ``round()``. SQL twin: ``_msum_raw``."""
-    return F.sum(F.floor(expr * 10000 + F.lit(0.5)))
+    never an engine ``round()``. SQL twin: ``_msum_raw``.
+
+    The sum accumulates in DECIMAL(38,0): a 100 TB fact table's scaled
+    units can exceed 2^63 (DuckDB silently promotes its BIGINT sum to
+    HUGEINT; a Spark long sum would overflow), and decimal addition is
+    exact at any scale. The result is handed onward as DOUBLE so every
+    downstream division is double/double on both engines (DuckDB's
+    HUGEINT sum promotes to double on division the same way; Spark
+    decimal division would instead use decimal HALF_UP scale rules)."""
+    return F.sum(F.floor(expr * 10000 + F.lit(0.5)).cast("decimal(38,0)")).cast(
+        "double"
+    )
 
 
 def _money_sum(expr):

@@ -49,24 +49,34 @@ def main() -> None:
     # query family compile the join/window/agg/explode/minhash codegen
     # paths and initialize the parquet readers (incl. the nanos-ts
     # events table) before anything is timed.
+    # Failure isolation: one broken query must cost one null data point,
+    # never the whole bench file (round-2 lesson: an uncaught warm-up
+    # error produced rc=1 and zero numbers).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     for warm in ("vs_fact", "doc_lsh_pairs", "ev_sessionize", "emb_cosine_topk"):
-        QUERIES[warm](spark, "/root/testdata/sf0.001").write.mode(
-            "overwrite"
-        ).format("noop").save()
+        try:
+            QUERIES[warm](spark, "/root/testdata/sf0.001").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        except Exception as exc:  # noqa: BLE001
+            print(f"warmup {warm} failed: {exc}", file=sys.stderr)
         spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         start = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"query {name} failed: {exc}", file=sys.stderr)
+            timings[name] = None
         # Drop persisted frames a query may have left behind so later
         # queries aren't measured under another query's cache/GC pressure.
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {

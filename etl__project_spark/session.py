@@ -59,6 +59,10 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS) which the Spark reader
         # rejects; read as long and convert in sources.tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # no-timezone parquet timestamps (fixture vintage 2) read as plain
+        # TIMESTAMP, not TIMESTAMP_NTZ — NTZ breaks unix_micros/watermarks
+        # and, with the session tz pinned UTC, TIMESTAMP is value-identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

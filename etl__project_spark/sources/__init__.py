@@ -3,4 +3,9 @@ from etl__project_spark.sources.readers import (  # noqa: F401
     read_raw_parquet,
     write_csv,
 )
-from etl__project_spark.sources.tables import TABLES, load_table, load_tables  # noqa: F401
+from etl__project_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    load_table,
+    load_tables,
+    normalize_timestamps,
+)

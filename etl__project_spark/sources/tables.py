@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = [
     "region",
@@ -35,9 +36,32 @@ _REPARTITION = {"lineitem", "orders", "events", "documents", "embeddings", "cust
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Make any caller-provided SparkSession (e.g. the driver's) safe for
     the fixtures: nanos timestamps readable, UTC semantics for oracle
-    parity. Both are runtime-settable SQL confs."""
+    parity, and no-timezone parquet timestamps surfacing as plain
+    TIMESTAMP rather than TIMESTAMP_NTZ. All are runtime-settable SQL
+    confs."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Fixture vintage 2 stores timestamp[us] WITHOUT a timezone; Spark 4
+    # infers TIMESTAMP_NTZ for those by default, and NTZ is rejected by
+    # unix_micros / withWatermark / session_window internals. With the
+    # session tz pinned to UTC above, reading them as TIMESTAMP is
+    # value-identical to what DuckDB sees.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Defensive vintage normalization, generic over the schema:
+
+    - TIMESTAMP_NTZ → TIMESTAMP (exact under the UTC session tz; occurs
+      only if the frame was created before ``_ensure_session_confs`` ran,
+      e.g. by a caller reading parquet directly).
+    - legacy TIMESTAMP(NANOS)-as-bigint columns are handled per-table in
+      ``load_table`` (a bigint is only a timestamp if we know it is one).
+    """
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,14 +69,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _REPARTITION:
         df = df.repartition(spark.sparkContext.defaultParallelism)
-    # events.ts is TIMESTAMP(NANOS) in parquet; with
+    # Fixture vintage 1: events.ts is TIMESTAMP(NANOS) in parquet; with
     # spark.sql.legacy.parquet.nanosAsLong it surfaces as a long of epoch
     # nanos. Truncate to micros (DuckDB's native precision, so the oracle
     # sees identical values) and restore TimestampType.
     for field in df.schema.fields:
         if name == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # Fixture vintage 2: timestamp[us] with no tz → TIMESTAMP_NTZ unless
+    # the inferTimestampNTZ conf above was set before the read; normalize
+    # unconditionally so both vintages load identically.
+    return normalize_timestamps(df)
 
 
 def load_tables(

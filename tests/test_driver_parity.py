@@ -1,0 +1,78 @@
+"""Driver-parity gate: every catalog query must analyze under a session
+that looks like the DRIVER's, not like ``get_spark``'s.
+
+Round-2 lesson: the fixtures were regenerated with ``timestamp[us]``
+(no timezone) parquet columns, Spark 4 read them as TIMESTAMP_NTZ, and
+five queries + the whole bench died at analysis time — but every local
+test passed, because ``get_spark`` (and the old fixtures) masked it.
+This test strips the engine-session confs back to driver-like defaults
+and builds ALL query plans against the live fixtures, so a fixture or
+session-conf skew fails here first.
+
+Plan *analysis* (``df.schema``) is forced for every query — that is the
+phase where type mismatches (e.g. ``unix_micros(TIMESTAMP_NTZ)``) and
+unresolved columns surface. The timestamp-sensitive queries are also
+executed end-to-end at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+# Confs the engine relies on. The driver's session does not set these at
+# builder time; load_table must (re-)establish whatever it needs at call
+# time. Unsetting them per-test simulates a fresh driver session even
+# though pytest shares one JVM.
+_ENGINE_CONFS = [
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.session.timeZone",
+]
+
+
+@pytest.fixture()
+def vanilla(spark):
+    driverlike = spark.newSession()
+    for k in _ENGINE_CONFS:
+        try:
+            driverlike.conf.unset(k)
+        except Exception:  # noqa: BLE001 — not set in this session
+            pass
+    return driverlike
+
+
+def test_all_query_plans_analyze_on_vanilla_session(vanilla):
+    failures = []
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(vanilla, SF).schema  # noqa: B018 — forces plan analysis
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, "queries failing driver-like analysis:\n" + "\n".join(failures)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ev_sessionize",
+        "ev_session_window_native",
+        "ev_range_lookback",
+        "ev_funnel",
+        "ev_retention",
+        "ev_minute_rollup",
+        "ev_asof_signup",
+    ],
+)
+def test_timestamp_queries_execute_on_vanilla_session(vanilla, name):
+    assert entrymod.queries()[name](vanilla, SF).count() >= 0
+
+
+def test_events_ts_loads_as_timestamp_not_ntz(vanilla):
+    from etl__project_spark.sources import load_table
+
+    ts_type = dict(load_table(vanilla, SF, "events").dtypes)["ts"]
+    assert ts_type == "timestamp", f"events.ts loaded as {ts_type}"

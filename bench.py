@@ -5,15 +5,28 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": sf}``.
 
+Noise-proofing (VERDICT r3 #1): each query runs ``N`` times
+(``$SPARK_GRAFT_BENCH_RUNS``, default 3) and ``queries`` reports the
+per-query MEDIAN; ``queries_min``/``queries_runs`` carry the min and raw
+samples. ``baseline_ratio`` compares the medians against the checked-in
+round-1 numbers (``_BASELINE_R1``), per query and overall, so a contended
+machine shows up as a uniform ratio shift instead of masquerading as a
+code regression.
+
+Failure visibility (ADVICE r3): a query that throws lands in ``failed``
+and forces the headline ``value`` to null — a partial run can never be
+read as a faster complete run.
+
 Each query is forced end-to-end with a noop sink (full compute, no
-driver-side collect overhead). Session startup and the one warm-up action
-are excluded — the driver compares engine throughput, not JVM boot.
+driver-side collect overhead). Session startup and warm-up are excluded —
+the driver compares engine throughput, not JVM boot.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -25,6 +38,7 @@ from etl__project_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "vs_fact",
     "vs_fact_rollup",
+    "vs_warehouse_load",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_region_volume",
@@ -38,10 +52,33 @@ HEADLINE = [
     "emb_cosine_topk",
 ]
 
+# BENCH_r01.json single-shot numbers (sf0.1, idle box) — the operative
+# baseline per VERDICT r3. vs_warehouse_load joined HEADLINE in round 4,
+# so its baseline is the SCALE.md §9 sf1 measurement (10.7 s) scaled by
+# the ~2.7× sub-linear sf1→sf0.1 factor observed for the other star-load
+# shapes (~4 s).
+_BASELINE_R1 = {
+    "vs_fact": 2.943,
+    "vs_fact_rollup": 0.925,
+    "vs_warehouse_load": 4.0,
+    "tpch_q1_pricing": 1.164,
+    "tpch_q3_shipping": 1.309,
+    "tpch_q5_region_volume": 1.413,
+    "tpch_topn_per_group": 0.591,
+    "ev_minute_rollup": 0.748,
+    "ev_sessionize": 0.806,
+    "doc_lsh_pairs": 1.832,
+    "doc_simhash": 1.01,
+    "doc_tfidf_top_terms": 1.461,
+    "ev_asof_signup": 1.053,
+    "emb_cosine_topk": 0.539,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("bench")
 
     # Warm up the JVM / filesystem once so per-query numbers measure the
@@ -62,28 +99,64 @@ def main() -> None:
             print(f"warmup {warm} failed: {exc}", file=sys.stderr)
         spark.catalog.clearCache()
 
-    timings: dict[str, float | None] = {}
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    failed: list[str] = []
     for name in HEADLINE:
         fn = QUERIES[name]
-        start = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - start, 3)
-        except Exception as exc:  # noqa: BLE001
-            print(f"query {name} failed: {exc}", file=sys.stderr)
-            timings[name] = None
-        # Drop persisted frames a query may have left behind so later
-        # queries aren't measured under another query's cache/GC pressure.
-        spark.catalog.clearCache()
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs[name].append(round(time.perf_counter() - start, 3))
+            except Exception as exc:  # noqa: BLE001
+                print(f"query {name} failed: {exc}", file=sys.stderr)
+                if name not in failed:
+                    failed.append(name)
+                break
+            finally:
+                # Drop persisted frames a query may have left behind so
+                # later runs aren't measured under another query's
+                # cache/GC pressure.
+                spark.catalog.clearCache()
 
-    total = round(sum(t for t in timings.values() if t is not None), 3)
+    medians = {
+        name: (round(statistics.median(ts), 3) if ts else None)
+        for name, ts in runs.items()
+    }
+    mins = {name: (min(ts) if ts else None) for name, ts in runs.items()}
+    ratios = {
+        name: round(medians[name] / _BASELINE_R1[name], 2)
+        for name in HEADLINE
+        if medians[name] is not None and name in _BASELINE_R1
+    }
+    common = [n for n in ratios]
+    overall_ratio = (
+        round(
+            sum(medians[n] for n in common) / sum(_BASELINE_R1[n] for n in common), 3
+        )
+        if common
+        else None
+    )
+    # A partial run must never read as a faster complete run: any failure
+    # nulls the headline value.
+    total = (
+        None
+        if failed
+        else round(sum(t for t in medians.values() if t is not None), 3)
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "queries_min": mins,
+                "queries_runs": runs,
+                "baseline_ratio": overall_ratio,
+                "baseline_ratio_per_query": ratios,
+                "failed": failed,
+                "n_runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

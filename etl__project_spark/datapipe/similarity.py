@@ -101,22 +101,35 @@ def near_dup_pairs(
     n_bits: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
     every pair with cosine >= threshold, id_a < id_b.
 
     ``block_by_bucket=False`` is the exact O(N^2/2) baseline — correct at
     any threshold but quadratic, only for modest N or a sampled audit.
-    ``block_by_bucket=True`` joins on sign-projection bucket equality
-    first (equi-join, shuffle-partitioned by bucket — no cross join), the
-    scale path: each of the 2^n_bits buckets pairs only within itself, at
-    the cost of missing cross-bucket pairs (recall < 1, standard
-    blocking/LSH trade-off; raise recall with multiple independent
-    projections unioned, as MinHash-LSH does with bands).
+    Because pointing it at a full corpus is a scale-killer (a cartesian
+    over 10^9 rows is 10^18 pairs), the quadratic path must be opted into
+    explicitly with ``allow_quadratic=True``; without it the call raises
+    rather than silently planning a CartesianProduct. ``block_by_bucket=
+    True`` joins on sign-projection bucket equality first (equi-join,
+    shuffle-partitioned by bucket — no cross join), the scale path: each
+    of the 2^n_bits buckets pairs only within itself, at the cost of
+    missing cross-bucket pairs (recall < 1, standard blocking/LSH
+    trade-off; raise recall with multiple independent projections
+    unioned, as MinHash-LSH does with bands).
 
     The filter compares the ROUNDED cosine (4 dp) so the threshold cut is
     identical across engines regardless of last-bit float noise.
     """
+    if not block_by_bucket and not allow_quadratic:
+        raise ValueError(
+            "near_dup_pairs(block_by_bucket=False) plans an O(N^2) cross "
+            "join — a sampled-audit baseline, not a pipeline stage. Pass "
+            "allow_quadratic=True to run it on a bounded input, or use "
+            "block_by_bucket=True / ivf_topk for the scale path "
+            "(catalog: emb_near_dup_blocked, emb_ivf_topk)."
+        )
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if block_by_bucket:

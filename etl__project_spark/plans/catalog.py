@@ -2272,10 +2272,14 @@ _PAIR_COS = (
 )
 def emb_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup, exact O(N^2/2) baseline (threshold cut
-    on the 4-dp-rounded cosine for cross-engine determinism)."""
+    on the 4-dp-rounded cosine for cross-engine determinism). The
+    quadratic opt-in is deliberate: this catalog entry IS the bounded
+    recall-audit baseline the blocked/IVF twins are measured against."""
     from etl__project_spark.datapipe.similarity import near_dup_pairs
 
-    return near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    return near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, allow_quadratic=True
+    )
 
 
 @query(
@@ -2598,8 +2602,11 @@ QUALIFY row_number() OVER (ORDER BY r.total_revenue DESC, s.s_suppkey) = 1""",
 )
 def tpch_q15_top_supplier(spark, sf_dir):
     """TPC-H Q15-shaped: the supplier with max quarterly revenue. The
-    max-revenue scalar subquery becomes a rank-1 window over the ROUNDED
-    revenue (key tiebreak) — deterministic across engines, one pass."""
+    max-revenue scalar subquery becomes ``orderBy(...).limit(1)`` over the
+    ROUNDED revenue (key tiebreak) — Spark plans TakeOrderedAndProject:
+    each partition keeps its local top-1 and the driver merges 1 row per
+    partition, so no global single-partition window exists even with
+    millions of suppliers (the round-3 WindowExec warning source)."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
@@ -2610,12 +2617,11 @@ def tpch_q15_top_supplier(spark, sf_dir):
             "total_revenue"
         )
     )
-    w = Window.orderBy(F.desc("total_revenue"), F.asc("s_suppkey"))
     return (
         s.join(rev, s.s_suppkey == rev.l_suppkey)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
         .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy(F.desc("total_revenue"), F.asc("s_suppkey"))
+        .limit(1)
     )
 
 

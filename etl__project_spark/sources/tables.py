@@ -57,8 +57,16 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
       e.g. by a caller reading parquet directly).
     - legacy TIMESTAMP(NANOS)-as-bigint columns are handled per-table in
       ``load_table`` (a bigint is only a timestamp if we know it is one).
+
+    The NTZ→TIMESTAMP cast is LAZY and interpreted in the session
+    timezone at execution time, so the session tz must be UTC by then —
+    pin it here rather than trusting the caller to have run
+    ``_ensure_session_confs`` first (ADVICE r3: a direct-parquet caller
+    in a non-UTC session would otherwise get shifted values).
     """
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -226,7 +226,13 @@ def test_near_dup_pairs_exact_and_blocked(spark):
         ],
         "vec_id long, embedding array<float>",
     )
-    exact = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(emb, 0.99).collect()}
+    # The quadratic baseline must be an explicit opt-in (scale guard).
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        near_dup_pairs(emb, 0.99)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(emb, 0.99, allow_quadratic=True).collect()
+    }
     assert exact == {(0, 1), (0, 3), (1, 3)}
     blocked = {
         (r["id_a"], r["id_b"])

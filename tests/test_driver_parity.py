@@ -42,6 +42,13 @@ def vanilla(spark):
             driverlike.conf.unset(k)
         except Exception:  # noqa: BLE001 — not set in this session
             pass
+    # ADVICE r3: unset alone restores JVM defaults, which on a
+    # UTC-configured machine can coincide with the engine confs — force
+    # the skew explicitly so the simulation diverges on ANY machine. The
+    # engine (load_table/_ensure_session_confs) must claw all of these
+    # back at call time for the tests below to pass.
+    driverlike.conf.set("spark.sql.session.timeZone", "America/New_York")
+    driverlike.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     return driverlike
 
 
@@ -69,6 +76,19 @@ def test_all_query_plans_analyze_on_vanilla_session(vanilla):
 )
 def test_timestamp_queries_execute_on_vanilla_session(vanilla, name):
     assert entrymod.queries()[name](vanilla, SF).count() >= 0
+
+
+@pytest.mark.parametrize("name", ["ev_minute_rollup", "ev_asof_signup"])
+def test_timestamp_query_values_match_engine_session(spark, vanilla, name):
+    """ADVICE r3: count()>=0 can't catch a timezone shift — the rows
+    still exist, just with displaced timestamps. Compare full result
+    VALUES between the hostile driver-like session (non-UTC tz, NTZ
+    inference on) and the engine session; any tz leakage into query
+    results shows up as shifted minute buckets / as-of matches."""
+    fn = entrymod.queries()[name]
+    engine_rows = sorted(map(str, fn(spark, SF).collect()))
+    vanilla_rows = sorted(map(str, fn(vanilla, SF).collect()))
+    assert engine_rows == vanilla_rows
 
 
 def test_events_ts_loads_as_timestamp_not_ntz(vanilla):

@@ -67,9 +67,19 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_partitioned_window_no_single_partition_exchange(spark):
-    plan = plan_of(QUERIES["tpch_topn_per_group"](spark, SF_DIR))
-    assert "Exchange SinglePartition" not in plan
+@pytest.mark.parametrize("name", ["tpch_topn_per_group", "tpch_q15_top_supplier"])
+def test_partitioned_window_no_single_partition_exchange(spark, name):
+    plan = plan_of(QUERIES[name](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, name
+
+
+def test_q15_top1_is_take_ordered_not_window(spark):
+    # VERDICT r3 #3: the rank-1 "top supplier" must plan as
+    # TakeOrderedAndProject (per-partition top-1), not a global
+    # row_number window funneling every supplier through one task.
+    plan = plan_of(QUERIES["tpch_q15_top_supplier"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
 
 
 def test_lsh_pairs_no_cartesian(spark):

@@ -5,6 +5,12 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 row count, column names, and an order-insensitive value hash.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+
+The comparison core (``oracle_views`` / ``compare_query``) is imported
+by ``tests/test_oracle_gate.py`` so the same value-hash check runs as a
+marked pytest (``pytest -m oracle``) — a regression in a query rotated
+out of the driver's 50-entry window fails in-repo before the driver
+ever sees it.
 """
 
 from __future__ import annotations
@@ -17,8 +23,6 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 
-import __spark_entry__ as entrymod  # noqa: E402
-from etl__project_spark.session import get_spark  # noqa: E402
 from etl__project_spark.sources.tables import TABLES  # noqa: E402
 
 
@@ -42,13 +46,47 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("correctness-check")
+def oracle_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """A DuckDB connection with every fixture table registered as a view,
+    mirroring the driver's oracle setup."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def compare_query(spark, con, sf_dir, name, fn, sql) -> list[str]:
+    """Run one Spark query and its DuckDB oracle; return a list of
+    problems (empty = pass). ``sql=None`` marks a weak (rows-only)
+    check, mirroring the driver."""
+    sdf = fn(spark, sf_dir).toPandas()
+    if sql is None:
+        return []  # weak: Spark execution itself is the check
+    odf = con.execute(sql).fetchdf()
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rows {len(sdf)} != {len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+    elif value_hash(sdf) != value_hash(odf):
+        problems.append("value-hash mismatch")
+        a, b = normalize(sdf).astype(str), normalize(odf).astype(str)
+        a = a.sort_values(list(a.columns), ignore_index=True)
+        b = b.sort_values(list(b.columns), ignore_index=True)
+        if len(a) == len(b):
+            diff = a.compare(b)
+            problems.append(f"first diffs:\n{diff.head(5)}")
+    return problems
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from etl__project_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("correctness-check")
+    con = oracle_views(sf_dir)
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -57,40 +95,20 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            problems = compare_query(
+                spark, con, sf_dir, name, fn, oracles.get(name)
+            )
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: error: {e}")
             n_fail += 1
             continue
-        if name not in oracles:
-            print(f"weak  {name}: rows={len(sdf)} (no oracle)")
-            continue
-        try:
-            odf = con.execute(oracles[name]).fetchdf()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: oracle error: {e}")
-            n_fail += 1
-            continue
-        problems = []
-        if len(sdf) != len(odf):
-            problems.append(f"rows {len(sdf)} != {len(odf)}")
-        if sorted(sdf.columns) != sorted(odf.columns):
-            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
-        elif value_hash(sdf) != value_hash(odf):
-            problems.append("value-hash mismatch")
-            a, b = normalize(sdf).astype(str), normalize(odf).astype(str)
-            a = a.sort_values(list(a.columns), ignore_index=True)
-            b = b.sort_values(list(b.columns), ignore_index=True)
-            if len(a) == len(b):
-                diff = a.compare(b)
-                problems.append(f"first diffs:\n{diff.head(5)}")
-            else:
-                print(a.head(), b.head(), sep="\n")
         if problems:
             n_fail += 1
             print(f"FAIL  {name}: {'; '.join(str(p) for p in problems)}")
+        elif name not in oracles:
+            print(f"weak  {name}: spark-only (no oracle)")
         else:
-            print(f"ok    {name}: rows={len(sdf)}")
+            print(f"ok    {name}")
     spark.stop()
     print(f"\n{n_fail} failures")
     return 1 if n_fail else 0

@@ -53,14 +53,13 @@ HEADLINE = [
 ]
 
 # BENCH_r01.json single-shot numbers (sf0.1, idle box) — the operative
-# baseline per VERDICT r3. vs_warehouse_load joined HEADLINE in round 4,
-# so its baseline is the SCALE.md §9 sf1 measurement (10.7 s) scaled by
-# the ~2.7× sub-linear sf1→sf0.1 factor observed for the other star-load
-# shapes (~4 s).
+# baseline per VERDICT r3. vs_warehouse_load joined HEADLINE in round 4;
+# its baseline is its first idle-box measured median at sf0.1 (7.0 s,
+# after the parallel-dim-upsert change landed in the same round).
 _BASELINE_R1 = {
     "vs_fact": 2.943,
     "vs_fact_rollup": 0.925,
-    "vs_warehouse_load": 4.0,
+    "vs_warehouse_load": 7.0,
     "tpch_q1_pricing": 1.164,
     "tpch_q3_shipping": 1.309,
     "tpch_q5_region_volume": 1.413,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -305,12 +306,24 @@ def load_batch(
     parsed = parse_raw(raw).persist()
     n_staged = parsed.count()  # A3 audit; also materializes the cache
 
-    dims: dict[str, tuple[DataFrame, str, str]] = {}
-    for table, nk, skey in DIM_SPECS:
+    # The four dim upserts touch disjoint tables and read only the
+    # already-materialized `parsed` cache, so their Spark jobs run
+    # concurrently from a thread pool: wall time is the slowest dim, not
+    # the sum. On a cluster the concurrent jobs share executors (FAIR
+    # scheduling overlaps their stages); correctness is unaffected —
+    # each thread publishes a different table directory.
+    def _upsert_dim(spec: tuple[str, str, str]) -> tuple[str, DataFrame, str]:
+        table, nk, skey = spec
         current = wh.read(table, _dim_schema(nk, skey))
         upserted = scd1_upsert(current, derive_dim(parsed, nk), nk, skey)
         wh.publish(table, upserted)
-        dims[skey] = (wh.read(table, _dim_schema(nk, skey)), nk, nk)
+        return skey, wh.read(table, _dim_schema(nk, skey)), nk
+
+    with ThreadPoolExecutor(max_workers=len(DIM_SPECS)) as pool:
+        dims = {
+            skey: (df, nk, nk)
+            for skey, df, nk in pool.map(_upsert_dim, DIM_SPECS)
+        }
 
     fact = build_fact(parsed, dims)
     appended = wh.fact_append("factvideostart", fact, batch_id)

@@ -1,4 +1,5 @@
 from etl__project_spark.datapipe.text import (  # noqa: F401
+    bpe_pair_counts,
     doc_fingerprint,
     lang_id_heuristic,
     pii_scrub,
@@ -18,6 +19,7 @@ from etl__project_spark.datapipe.dedup import (  # noqa: F401
 from etl__project_spark.datapipe.sampling import (  # noqa: F401
     hash_bucket,
     hash_sample,
+    stratified_hash_sample,
 )
 from etl__project_spark.datapipe.similarity import (  # noqa: F401
     brute_force_topk,

@@ -83,3 +83,28 @@ def pack_sequences(
         ).cast("long").alias("pack_id"),
         start.cast("long").alias("start_offset"),
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    stratum_col: str,
+    key_col: str,
+    default_pct: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``rates_pct[stratum]``%
+    of each stratum's rows (``default_pct`` for unlisted strata), by the
+    same engine-portable md5 bucket as ``hash_sample``.
+
+    This is the dataset-mixing primitive in sampling-fraction form: when
+    sources have target weights (wiki oversampled, crawl downsampled),
+    one narrow filter applies every per-source rate in a single scan —
+    no shuffle, no per-source jobs, reproducible across runs and
+    engines. Spark's ``df.sampleBy`` is the built-in analogue but is
+    seed-dependent on partitioning; hash-of-key sampling is not.
+    """
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_bucket(F.col(key_col), 100, salt) < rate)

@@ -222,3 +222,38 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         n_phone.cast("long").alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies — the counting step
+    of BPE tokenizer training (one merge round counts every adjacent
+    pair across all word occurrences, then merges the most frequent).
+
+    Spark shape: lowercase → whitespace-split → explode words → explode
+    each word's adjacent char pairs (``transform`` over ``sequence`` —
+    pure JVM array expressions, no Python) → hash-aggregate counts. The
+    double explode multiplies rows by ~chars-per-doc, but it is a NARROW
+    map stage fused into the scan; the shuffle that follows carries only
+    the partial per-partition counts, whose key space is bounded by the
+    symbol alphabet squared (tiny), not by corpus size. At 100 TB this
+    is scan-bound, exactly like a production tokenizer-training count.
+
+    Words shorter than 2 symbols are filtered BEFORE pair generation:
+    Spark's ``sequence(1, 0)`` counts DOWN (yielding [1, 0]) rather than
+    producing an empty list, so the guard is correctness, not just
+    speed.
+    """
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n_occurrences") >= min_count)
+    return counts

@@ -3527,3 +3527,88 @@ def emb_ann_recall_audit(spark, sf_dir):
     return n.select(
         "n_overlap", F.round(F.col("n_overlap") / 10.0, 4).alias("recall_at_10")
     )
+
+
+@query(
+    "doc_bpe_pair_counts",
+    r"""SELECT pair, count(*)::BIGINT AS n_occurrences
+FROM (
+  SELECT unnest([substring(word, i, 2) for i in generate_series(1, length(word)-1)]) AS pair
+  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+  WHERE length(word) >= 2
+)
+GROUP BY pair
+HAVING count(*) >= 5""",
+)
+def doc_bpe_pair_counts(spark, sf_dir):
+    """Tokenizer-training primitive: corpus-wide adjacent-char-pair
+    frequencies (one BPE merge round's counting step). Double explode is
+    a narrow scan-fused map; the aggregate's key space is the symbol
+    alphabet squared, so the shuffle is tiny regardless of corpus size."""
+    from etl__project_spark.datapipe.text import bpe_pair_counts
+
+    return bpe_pair_counts(
+        load_table(spark, sf_dir, "documents"), min_count=5
+    )
+
+
+@query(
+    "doc_stratified_sample",
+    """SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mix1'), 1, 15))::BIGINT % 100
+      < CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 20 ELSE 5 END""",
+)
+def doc_stratified_sample(spark, sf_dir):
+    """Per-source sampling fractions in one narrow filter (dataset
+    mixing as sampling: oversample curated sources, downsample crawl).
+    Deterministic md5-of-key bucketing — reproducible across runs,
+    engines, and partitionings, unlike df.sampleBy."""
+    from etl__project_spark.datapipe.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs,
+        {"src0": 80, "src1": 50, "src2": 20},
+        stratum_col="source",
+        key_col="doc_id",
+        default_pct=5,
+        salt="mix1",
+    ).select("doc_id", "source")
+
+
+@query(
+    "ev_hopping_rollup",
+    """SELECT wstart, event_type, count(*)::BIGINT AS n_events,
+       (floor(sum(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS total_value
+FROM (
+  SELECT strftime(make_timestamp(CAST(unnest([floor(epoch(ts)/300)*300, floor(epoch(ts)/300)*300 - 300]) AS BIGINT)*1000000), '%Y%m%d%H%M') AS wstart,
+         event_type, value
+  FROM events
+)
+GROUP BY wstart, event_type""",
+)
+def ev_hopping_rollup(spark, sf_dir):
+    """Hopping-window rollup (10-minute windows sliding every 5): each
+    event lands in exactly size/slide = 2 windows. Spark's built-in
+    ``F.window(ts, size, slide)`` plans this as one Expand (2 rows per
+    event, map-side) + a partial-then-final hash aggregate — the same
+    two-phase shape as a plain groupBy, so it scales like the tumbling
+    rollup; no windowed sort, no single-partition stage. The oracle
+    models the window-start assignment arithmetically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyyMMddHHmm").alias("wstart"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

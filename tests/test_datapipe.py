@@ -330,3 +330,33 @@ def test_contamination_check_flags_overlap(spark):
     out = {r["doc_id"]: r for r in contamination_check(train, eval_set).collect()}
     assert out[0]["contaminated"] is True and out[0]["n_shared_shingles"] > 0
     assert out[1]["contaminated"] is False and out[1]["n_shared_shingles"] == 0
+
+
+def test_bpe_pair_counts(spark):
+    from etl__project_spark.datapipe.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "banana x"), (2, "AA ab")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n_occurrences"] for r in bpe_pair_counts(docs).collect()}
+    # "banana": ba an na an na; "x" dropped (len<2); "AA" lowercased
+    assert got == {"ba": 1, "an": 2, "na": 2, "aa": 1, "ab": 1}
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark):
+    from etl__project_spark.datapipe.sampling import stratified_hash_sample
+
+    rows = [(i, "keep" if i % 2 == 0 else "drop") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_hash_sample(
+        df, {"keep": 100, "drop": 0}, "source", "doc_id"
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [i for i in range(200) if i % 2 == 0]  # 100% vs 0%
+    # unlisted strata fall back to default_pct
+    half = stratified_hash_sample(df, {}, "source", "doc_id", default_pct=50)
+    n = half.count()
+    assert 0 < n < 200
+    assert sorted(r["doc_id"] for r in half.collect()) == sorted(
+        r["doc_id"] for r in half.collect()
+    )  # deterministic re-run

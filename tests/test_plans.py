@@ -207,3 +207,20 @@ def test_cms_sketch_single_scan_per_shard(spark):
     formulation would show 2d + 2)."""
     plan = plan_of(QUERIES["ev_heavy_hitters_cms"](spark, SF_DIR))
     assert plan.count("FileScan") == 4
+
+
+def test_hopping_rollup_is_expand_plus_hash_agg(spark):
+    # hopping windows must plan as Expand (2 rows/event, map-side) +
+    # two-phase hash aggregate — no sort, no single-partition exchange.
+    plan = plan_of(QUERIES["ev_hopping_rollup"](spark, SF_DIR))
+    assert "Expand" in plan
+    assert "HashAggregate" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bpe_pair_counts_is_generate_plus_hash_agg(spark):
+    # tokenizer pair counting: explode (Generate) fused ahead of a
+    # partial hash aggregate; the shuffle carries only pair partials.
+    plan = plan_of(QUERIES["doc_bpe_pair_counts"](spark, SF_DIR))
+    assert "Generate explode" in plan
+    assert "HashAggregate" in plan

@@ -184,3 +184,72 @@ def test_scd2_exactly_one_current_per_key_property(spark, batch):
     # skeys stay unique across the whole dimension
     skeys = [r["skey"] for r in out]
     assert len(skeys) == len(set(skeys))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_bpe_pair_counts_matches_python_model(spark, words):
+    """Total pair mass must equal sum over word occurrences of
+    max(len-1, 0), and per-pair counts must match a direct Python count
+    — guards the sequence(1, len-1) descending-sequence edge case."""
+    from collections import Counter
+
+    from etl__project_spark.datapipe.text import bpe_pair_counts
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["pair"]: r["n_occurrences"] for r in bpe_pair_counts(df).collect()
+    }
+    want: Counter = Counter()
+    for w in text.lower().split():
+        if len(w) >= 2:
+            for i in range(len(w) - 1):
+                want[w[i : i + 2]] += 1
+    assert got == dict(want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c"]), st.integers(0, 100), max_size=3
+    ),
+    st.integers(0, 100),
+)
+def test_stratified_sample_is_union_of_per_stratum_samples(spark, rates, default_pct):
+    """The stratified filter must select exactly the union of what
+    per-stratum hash_sample calls would select (same salt) — i.e. it is
+    pure routing, adding no cross-stratum interference."""
+    from etl__project_spark.datapipe.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_hash_sample(
+            df, rates, "source", "doc_id", default_pct=default_pct, salt="p"
+        ).collect()
+    )
+    want = []
+    for s in ("a", "b", "c"):
+        stratum = df.filter(F.col("source") == s)
+        want += [
+            r["doc_id"]
+            for r in hash_sample(
+                stratum, rates.get(s, default_pct), "doc_id", salt="p"
+            ).collect()
+        ]
+    assert got == sorted(want)

@@ -215,6 +215,18 @@ def ngram_jaccard_pairs(
     equi-joins on the bucket key; pair cost stays bounded by bucket
     populations, never all-pairs.
 
+    HONEST COST MODEL (measured, SCALE.md §5): candidates = Σ_b n_b² over
+    length buckets — QUADRATIC in per-bucket population. Length is a weak
+    blocking key: growing a corpus 10× grows every bucket ~10× and the
+    candidate space ~100× (measured 1.23 M → 123 M candidates, 27 s →
+    1954 s, for 5 k → 50 k docs; output pairs grew only linearly). At
+    100 TB, millions of documents share any given length bucket, so this
+    operator is an exact-verification AUDIT for bounded inputs (a sampled
+    slice, a candidate cluster), not a corpus-scale pipeline stage — the
+    scale path for Jaccard near-dup is ``lsh_candidate_pairs`` +
+    ``minhash_jaccard_estimate``, whose candidate space is driven by
+    actual signature collisions rather than length coincidence.
+
     Returns (id_a, id_b, jaccard) for candidate pairs with similarity
     ≥ threshold.
     """

@@ -1,5 +1,6 @@
 from etl__project_spark.datapipe.text import (  # noqa: F401
     bpe_pair_counts,
+    common_ngram_filter,
     doc_fingerprint,
     lang_id_heuristic,
     pii_scrub,

@@ -257,3 +257,63 @@ def bpe_pair_counts(
     if min_count > 1:
         counts = counts.filter(F.col("n_occurrences") >= min_count)
     return counts
+
+
+def common_ngram_filter(
+    df: DataFrame,
+    n: int = 3,
+    df_threshold: int = 5,
+    max_common_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate filter (C4-style): flag documents whose word n-grams
+    are mostly corpus-common — navigation chrome, license headers, and
+    templated text repeat across many documents, so a document dominated
+    by high-document-frequency n-grams carries little novel content.
+
+    Two-aggregate Spark shape: (1) per-doc DISTINCT word n-grams,
+    exploded; (2) document frequency per n-gram (two-phase hash agg —
+    the shuffle carries md5-hashed 16-byte gram keys with partial
+    counts, not text); (3) join doc-grams back on the hashed gram key
+    (equi-join, co-partitioned with the df agg's output partitioning);
+    (4) per-doc fraction of grams with df >= ``df_threshold``. Every
+    stage is linear in total gram count; nothing is quadratic in corpus
+    or bucket size.
+
+    Documents with fewer than ``n`` words have no n-grams: they surface
+    with ``n_grams = 0``, ``common_frac = 0.0``, ``keep = true`` (no
+    evidence of boilerplate, and short-doc policy belongs to the length
+    rules in ``quality_rules``).
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"case when size(split(lower({text_col}), '\\\\s+')) >= {n} then "
+        f"array_distinct(transform("
+        f"  sequence(1, size(split(lower({text_col}), '\\\\s+')) - {n - 1}),"
+        f"  i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i, {n}))))"
+        f"else cast(array() as array<string>) end"
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode_outer(grams).alias("__gram")
+    ).select(F.col(id_col), F.md5(F.col("__gram")).alias("__gh"))
+    gram_df = (
+        doc_grams.filter(F.col("__gh").isNotNull())
+        .groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    joined = doc_grams.join(gram_df, "__gh", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.col("__gh")).alias("n_grams"),
+        F.count(F.when(F.col("__df") >= df_threshold, 1)).alias("n_common"),
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_common") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    q = F.floor(frac * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return per_doc.select(
+        id_col,
+        F.col("n_grams"),
+        q.alias("common_frac"),
+        (q <= F.lit(max_common_frac)).alias("keep"),
+    )

@@ -3612,3 +3612,38 @@ def ev_hopping_rollup(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "doc_common_ngram_filter",
+    r"""WITH g AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2], ' ')
+                 for i in generate_series(1, len(words)-2)])) AS gram
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents)
+), df_counts AS (
+  SELECT gram, count(*) AS df FROM g GROUP BY gram
+), per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE df_counts.df >= 5) AS n_common
+  FROM g JOIN df_counts USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       floor(coalesce(p.n_common / p.n_grams, 0.0) * 10000 + 0.5) / 10000.0 AS common_frac,
+       (floor(coalesce(p.n_common / p.n_grams, 0.0) * 10000 + 0.5) / 10000.0) <= 0.5 AS keep
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
+)
+def doc_common_ngram_filter(spark, sf_dir):
+    """C4-style boilerplate filter: fraction of a document's distinct
+    word trigrams that are corpus-common (document frequency >= 5).
+    Linear two-aggregate shape — the shuffle carries hashed gram keys,
+    never text; no per-bucket quadratic pair space (contrast
+    doc_jaccard_pairs' audit-only cost model)."""
+    from etl__project_spark.datapipe.text import common_ngram_filter
+
+    return common_ngram_filter(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        df_threshold=5,
+        max_common_frac=0.5,
+    )

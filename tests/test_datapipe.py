@@ -360,3 +360,20 @@ def test_stratified_hash_sample_rates_and_determinism(spark):
     assert sorted(r["doc_id"] for r in half.collect()) == sorted(
         r["doc_id"] for r in half.collect()
     )  # deterministic re-run
+
+
+def test_common_ngram_filter_flags_boilerplate(spark):
+    from etl__project_spark.datapipe.text import common_ngram_filter
+
+    boiler = "all rights reserved click here to subscribe"
+    rows = [(i, boiler) for i in range(6)]  # 6 copies: every trigram df=6
+    rows.append((10, "a genuinely novel sentence about spark physical plans"))
+    rows.append((11, boiler + " plus some unique trailing novel words here"))
+    rows.append((20, "too short"))  # < 3 words -> no grams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in common_ngram_filter(df, df_threshold=6).collect()}
+    assert len(out) == 9
+    assert not out[0]["keep"] and out[0]["common_frac"] == 1.0
+    assert out[10]["keep"] and out[10]["common_frac"] == 0.0
+    assert 0.0 < out[11]["common_frac"] < 1.0  # mixed doc
+    assert out[20]["n_grams"] == 0 and out[20]["keep"]

@@ -224,3 +224,13 @@ def test_bpe_pair_counts_is_generate_plus_hash_agg(spark):
     plan = plan_of(QUERIES["doc_bpe_pair_counts"](spark, SF_DIR))
     assert "Generate explode" in plan
     assert "HashAggregate" in plan
+
+
+def test_common_ngram_filter_linear_shape(spark):
+    # boilerplate filter: explode + two hash aggregates + an equi-join on
+    # the hashed gram key — nothing cartesian, no single-partition stage.
+    plan = plan_of(QUERIES["doc_common_ngram_filter"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -272,21 +272,27 @@ def common_ngram_filter(
     templated text repeat across many documents, so a document dominated
     by high-document-frequency n-grams carries little novel content.
 
-    Two-aggregate Spark shape: (1) per-doc DISTINCT word n-grams,
-    exploded; (2) document frequency per n-gram (two-phase hash agg —
-    the shuffle carries md5-hashed 16-byte gram keys with partial
-    counts, not text); (3) join doc-grams back on the hashed gram key
-    (equi-join, co-partitioned with the df agg's output partitioning);
-    (4) per-doc fraction of grams with df >= ``df_threshold``. Every
-    stage is linear in total gram count; nothing is quadratic in corpus
-    or bucket size.
+    Single-shuffle Spark shape: per-doc DISTINCT word n-grams explode
+    map-side, then ONE exchange hash-partitioned by the md5'd gram key
+    serves both needs at once — a ``count(*) over (partition by gram)``
+    window IS the document frequency, already attached to every
+    (doc, gram) row, so no second scan and no join-back (a first cut
+    used agg + self-join, which re-computed the explode and shuffled
+    the gram rows twice; the window halves the heavy stage). The final
+    per-doc fraction is an ordinary two-phase hash aggregate. The
+    shuffle carries 16-byte hashes, not text; every stage is linear in
+    total gram count; per-gram window state is bounded by that gram's
+    document frequency.
 
-    Documents with fewer than ``n`` words have no n-grams: they surface
-    with ``n_grams = 0``, ``common_frac = 0.0``, ``keep = true`` (no
-    evidence of boilerplate, and short-doc policy belongs to the length
-    rules in ``quality_rules``).
+    Documents with fewer than ``n`` words have no n-grams: they rejoin
+    via the spine left-join with ``n_grams = 0``, ``common_frac = 0.0``,
+    ``keep = true`` (no evidence of boilerplate; short-doc policy
+    belongs to the length rules in ``quality_rules``). The spine join
+    also keeps them out of the window stage entirely, so a corpus of
+    mostly-tiny documents cannot skew one null-gram partition.
     """
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    from pyspark.sql import Window
+
     grams = F.expr(
         f"case when size(split(lower({text_col}), '\\\\s+')) >= {n} then "
         f"array_distinct(transform("
@@ -294,26 +300,25 @@ def common_ngram_filter(
         f"  i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i, {n}))))"
         f"else cast(array() as array<string>) end"
     )
-    doc_grams = df.select(
-        F.col(id_col), F.explode_outer(grams).alias("__gram")
-    ).select(F.col(id_col), F.md5(F.col("__gram")).alias("__gh"))
-    gram_df = (
-        doc_grams.filter(F.col("__gh").isNotNull())
-        .groupBy("__gh")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    doc_grams = df.select(F.col(id_col), F.explode(grams).alias("__gram")).select(
+        F.col(id_col), F.md5(F.col("__gram")).alias("__gh")
     )
-    joined = doc_grams.join(gram_df, "__gh", "left")
-    per_doc = joined.groupBy(id_col).agg(
-        F.count(F.col("__gh")).alias("n_grams"),
+    with_df = doc_grams.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__gh"))
+    )
+    per_doc = with_df.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
         F.count(F.when(F.col("__df") >= df_threshold, 1)).alias("n_common"),
     )
+    spine = df.select(F.col(id_col)).join(per_doc, id_col, "left")
     frac = F.when(
-        F.col("n_grams") > 0, F.col("n_common") / F.col("n_grams")
+        F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+        F.col("n_common") / F.col("n_grams"),
     ).otherwise(F.lit(0.0))
     q = F.floor(frac * 10000 + F.lit(0.5)) / F.lit(10000.0)
-    return per_doc.select(
+    return spine.select(
         id_col,
-        F.col("n_grams"),
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
         q.alias("common_frac"),
         (q <= F.lit(max_common_frac)).alias("keep"),
     )

@@ -4,7 +4,16 @@ Timing-only (no DuckDB oracle) — used to catch superlinear operators by
 comparing per-query wall time between /root/testdata/sf0.1 and the 10x
 fixture at .scratch/sf1 (tools/gen_scale_fixture.py).
 
-Usage: python tools/scale_sweep.py [sf_dir] [query ...]
+The documented audit-class queries (exact similarity baselines whose
+cost models are deliberately quadratic in bounded inputs — SCALE.md §5/
+§10) are SKIPPED by default: on the replicated fixtures their candidate
+spaces grow ~100× per 10× data by construction, and a full-sweep run
+that includes them measures the fixture's length/pair collisions, not
+the engine (round-4 measurement: doc_jaccard_pairs alone was 1954 s of
+a 3021 s sweep at sf1). Pass --all to include them, or name them
+explicitly.
+
+Usage: python tools/scale_sweep.py [--all] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -18,14 +27,29 @@ sys.path.insert(0, ".")
 import __spark_entry__ as entrymod  # noqa: E402
 from etl__project_spark.session import get_spark  # noqa: E402
 
+# Exact-verification audit paths for bounded inputs; see the operators'
+# docstrings for their cost models and their scale-path twins.
+AUDIT_CLASS = {
+    "doc_jaccard_pairs",      # Σ n_b² over length buckets
+    "doc_jaccard_prefix",     # Σ df² over shingle postings
+    "doc_lsh_recall_audit",   # contains the lossless pair set
+    "emb_near_dup_pairs",     # O(N²/2) cross join (allow_quadratic)
+}
+
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf1"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    include_audits = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else ".scratch/sf1"
+    only = set(args[1:])
     spark = get_spark()
     queries = entrymod.queries()
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
+    elif not include_audits:
+        skipped = sorted(AUDIT_CLASS & queries.keys())
+        queries = {k: v for k, v in queries.items() if k not in AUDIT_CLASS}
+        print(json.dumps({"skipped_audit_class": skipped}), flush=True)
     out: dict[str, dict] = {}
     for name, fn in queries.items():
         t0 = time.monotonic()

@@ -30,80 +30,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 queries in registration order per
-# round. Round-4 rotation (VERDICT r3 #2): every query below had its last
-# green in round 1/2 and sat outside the round-3 window — lead with those
-# (the entire vs_* §2 family included) so their green is refreshed, plus
-# four canaries that MUST be in-window this round: vs_fact /
-# vs_warehouse_load (flagship + end-to-end load, re-checked every round)
-# and tpch_q15_top_supplier / emb_near_dup_pairs (their implementations
-# changed this round: TakeOrderedAndProject top-1 and the
-# allow_quadratic guard). Nine r2-green extension queries (trivial
-# stats / SQL-twin duplicates with pytest coverage: tpch_q1_sql,
-# emb_norms, emb_bucket_stats, doc_entropy, doc_shingle_count,
-# doc_upsample_epochs, ev_value_banding, ev_props_json,
-# doc_media_features) defer to the round-5 window.
-_PRIORITY_R4 = [
-    # §2 reference-core family (last green r2/r1)
-    "vs_filter_token",
-    "vs_filter_like",
-    "vs_filter_title",
-    "vs_parse",
-    "vs_parse_variant_snowflake",
-    "vs_dim_time",
-    "vs_dim_platform",
-    "vs_dim_site",
-    "vs_dim_title",
-    "vs_dim_date_skey",
-    "vs_fact_rollup",
-    "vs_scd1_upsert",
-    "vs_scd2_upsert",
-    "vs_merge_dedup",
-    "vs_audit_count",
-    "vs_audit_maxlen",
-    # canaries: flagship + changed-this-round
+# round. Round-5 rotation (VERDICT r4 #1): lead with the 13 queries that
+# have never had, or have a stale, driver-side green — nine deferred since
+# round 2 plus the four round-4 additions registered after slot 50 — then
+# the standing canaries (vs_fact / vs_warehouse_load, re-checked every
+# round), then every query added or changed in round 5 (TPC-H Q11/Q20/Q21,
+# the BPE merge loop, the mergeable sketches, and doc_dedup_canonical whose
+# pipeline now collapses exact dups before signing). Remaining slots
+# refresh round-3 greens in catalog order; the ~18 r3-green rows that
+# don't fit are round-6's rotation.
+_PRIORITY_R5 = [
+    # never/stale driver green: deferred since r2
+    "ev_props_json",
+    "ev_value_banding",
+    "doc_entropy",
+    "doc_upsample_epochs",
+    "doc_shingle_count",
+    "doc_media_features",
+    "emb_norms",
+    "emb_bucket_stats",
+    "tpch_q1_sql",
+    # never driver-checked: added in r4 after slot 50
+    "doc_bpe_pair_counts",
+    "doc_stratified_sample",
+    "ev_hopping_rollup",
+    "doc_common_ngram_filter",
+    # standing canaries
     "vs_fact",
     "vs_warehouse_load",
-    "tpch_q15_top_supplier",
-    "emb_near_dup_pairs",
-    # TPC-H shapes last green r1/r2
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    "tpch_q5_region_volume",
-    "tpch_topn_per_group",
-    "tpch_order_counts_anti",
-    "tpch_rollup",
-    "tpch_cube",
-    # events family last green r1/r2
-    "ev_minute_rollup",
-    "ev_rollup_incremental",
-    "ev_heavy_hitters_cms",
-    "ev_set_ops",
-    "ev_running_sum",
-    "ev_asof_signup",
-    "ev_value_stats",
-    # documents family last green r2
-    "doc_text_stats",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "doc_chunks",
-    "doc_pack_sequences",
-    "doc_dedup_exact",
-    "doc_minhash_sig",
-    "doc_lsh_pairs",
-    "doc_lsh_recall_audit",
-    "doc_simhash",
-    "doc_jaccard_pairs",
-    "doc_jaccard_prefix",
-    "doc_tfidf_top_terms",
-    # embeddings family last green r2
-    "emb_cosine_topk",
-    "emb_bucketed_topk",
-    "emb_kmeans_assign",
+    # new or changed in round 5
+    "tpch_q11_important_stock",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "doc_bpe_merge_rounds",
+    "ev_distinct_hll",
+    "ev_quantile_digest",
+    "doc_dedup_canonical",
+    # refresh r3-green rows (catalog order)
+    "ev_sessionize",
+    "ev_session_window_native",
+    "ev_range_lookback",
+    "ev_approx_stats",
+    "tpch_q4_semi",
+    "tpch_q6_revenue",
+    "tpch_q17_avg_qty",
+    "tpch_q19_disjunct",
+    "ev_window_sampler",
+    "doc_dup_components",
+    "doc_token_regex",
+    "emb_near_dup_blocked",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q10_returned",
+    "tpch_q12_late_lines",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_big_orders",
+    "tpch_q22_idle_balance",
+    "emb_ivf_topk",
+    "ev_pivot_type_counts",
+    "ev_unpivot_type_counts",
+    "ev_user_profile",
+    "tpch_grouping_sets",
+    "doc_passage_dup",
 ]
 
 
 def _reordered(mapping: dict) -> dict:
-    head = {k: mapping[k] for k in _PRIORITY_R4 if k in mapping}
+    head = {k: mapping[k] for k in _PRIORITY_R5 if k in mapping}
     head.update({k: v for k, v in mapping.items() if k not in head})
     return head
 

@@ -3647,3 +3647,209 @@ def doc_common_ngram_filter(spark, sf_dir):
         df_threshold=5,
         max_common_frac=0.5,
     )
+
+
+@query(
+    "tpch_q11_important_stock",
+    """WITH sup_r AS (
+  SELECT s_suppkey FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = 3
+), li AS (
+  SELECT l_partkey, l_extendedprice, l_discount FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM sup_r)
+), val AS (
+  SELECT l_partkey,
+         sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT))::DOUBLE AS raw
+  FROM li GROUP BY l_partkey
+), tot AS (
+  SELECT sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT))::DOUBLE AS t
+  FROM li
+)
+SELECT l_partkey, (floor(raw / 100.0 + 0.5) / 100.0) AS part_value
+FROM val, tot WHERE raw > t * 0.001""",
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11-shaped: per-group value vs a GLOBAL-fraction threshold
+    (HAVING sum(...) > scalar-subquery total). The fixtures carry no
+    partsupp table, so "stock value" is reshaped onto lineitem revenue
+    restricted to one region's suppliers — the plan shape is the point:
+    one hash aggregate per part, one scalar aggregate for the total, and
+    the threshold applied via a 1-row broadcast (BroadcastNestedLoopJoin
+    over exactly one build row — NOT an N×M nested loop), so the big
+    side streams once and never shuffles for the comparison. Both
+    engines compare identical integer-valued doubles (exact decimal
+    sums cast to double), so the threshold cannot flip on a ulp."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    sup_r = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.join(
+        F.broadcast(sup_r), li.l_suppkey == sup_r.s_suppkey, "left_semi"
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    raw_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    val = li.groupBy("l_partkey").agg(_money_sum_raw(raw_expr).alias("raw"))
+    tot = li.agg(_money_sum_raw(raw_expr).alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("raw") > F.col("t") * F.lit(0.001))
+        .select(
+            "l_partkey",
+            (F.floor(F.col("raw") / F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    """WITH demand AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS q97
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+), avail AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS q96
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+), cand AS (
+  SELECT DISTINCT a.l_suppkey
+  FROM avail a JOIN demand d USING (l_partkey, l_suppkey)
+  WHERE a.q96 > 0.5 * d.q97
+    AND a.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+)
+SELECT s_name, floor(s_acctbal * 100 + 0.5) / 100.0 AS acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM cand)
+  AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7','NATION_9'))""",
+)
+def tpch_q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20-shaped: nested semi-joins with a correlated-aggregate
+    comparison (suppliers of a part family whose prior-year volume
+    exceeds half of current-year demand — the fixtures carry no
+    partsupp, so availqty is reshaped as 1996 shipped volume). The
+    decorrelated plan is two hash aggregates over the same scan joined
+    on (partkey, suppkey) — a co-partitioned equi-join, no correlated
+    re-execution — then a chain of left-semi joins (part filter and
+    nation filter broadcast; supplier probed by the distinct candidate
+    set). Quantities compare as exact integers (floor(q*1e4+0.5)
+    per-term), so the 0.5× threshold is engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qterm = F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("bigint")
+    y97 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("date")
+    )
+    y96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("date")
+    )
+    demand = (
+        li.filter(y97)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qterm).alias("q97"))
+    )
+    avail = (
+        li.filter(y96)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qterm).alias("q96"))
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    cand = (
+        avail.join(demand, ["l_partkey", "l_suppkey"])
+        .filter(F.col("q96") > F.lit(0.5) * F.col("q97"))
+        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey, "left_semi")
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_3", "NATION_5", "NATION_7", "NATION_9"
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    sup = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey, "left_semi")
+    return sup.join(cand, sup.s_suppkey == cand.l_suppkey, "left_semi").select(
+        "s_name",
+        (F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)) / F.lit(100.0)).alias(
+            "acctbal"
+        ),
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    """WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name""",
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21-shaped: EXISTS + NOT EXISTS against the same derived
+    table — the one correlated semi/anti-chain pattern nothing else in
+    the catalog exercises. "Late" is reshaped onto the available
+    columns (shipped >365 days after a finalized order's date; the
+    fixtures carry no commit/receipt dates). The plan is a left-semi
+    join (another supplier touched the order) then a left-anti join
+    (no OTHER supplier was late on it), both equi-keyed on l_orderkey
+    with the suppkey inequality as a residual — a shuffle/broadcast
+    hash semi-anti chain, never a cartesian; the per-order group is
+    tiny so the residual comparison is O(lines-per-order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    l1 = late.join(
+        other,
+        (late.l_orderkey == other.o2_orderkey)
+        & (late.l_suppkey != other.o2_suppkey),
+        "left_semi",
+    )
+    late3 = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    l1 = l1.join(
+        late3,
+        (l1.l_orderkey == late3.l3_orderkey)
+        & (l1.l_suppkey != late3.l3_suppkey),
+        "left_anti",
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(F.broadcast(sup), l1.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

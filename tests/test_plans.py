@@ -234,3 +234,30 @@ def test_common_ngram_filter_linear_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q21_semi_anti_chain_no_cartesian(spark):
+    # EXISTS → left-semi, NOT EXISTS → left-anti, both equi-keyed on
+    # l_orderkey with the suppkey inequality as a residual — never a
+    # cartesian/nested-loop expansion of the late×lineitem space.
+    plan = plan_of(QUERIES["tpch_q21_waiting_supplier"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_nested_semi_chain_no_cartesian(spark):
+    plan = plan_of(QUERIES["tpch_q20_potential_promotion"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_scalar_threshold_no_sort_merge(spark):
+    # the global-total comparison must ride a 1-row broadcast (the only
+    # nested-loop allowed has exactly one build row); the lineitem side
+    # reaches the aggregate through broadcast semi-joins, never a
+    # sort-merge shuffle.
+    plan = plan_of(QUERIES["tpch_q11_important_stock"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

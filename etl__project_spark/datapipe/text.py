@@ -322,3 +322,122 @@ def common_ngram_filter(
         q.alias("common_frac"),
         (q <= F.lit(max_common_frac)).alias("keep"),
     )
+
+
+def bpe_merge_rounds(
+    df: DataFrame, n_rounds: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Iterative BPE merge loop — the actual tokenizer-training step
+    (Sennrich et al. 2016): count adjacent symbol pairs corpus-wide,
+    merge the most frequent pair everywhere, recount; ``n_rounds``
+    times. Returns the learned merge table
+    ``(round, pair_left, pair_right, merged, n_occurrences)`` — the
+    artifact a tokenizer ships.
+
+    Distributed shape: the corpus first collapses to DISTINCT words
+    with frequencies (the classic BPE working set — pair counts are
+    frequency-weighted, so 100 TB of text becomes a vocabulary-sized
+    table before any iteration starts). Each round is then:
+
+    - pair counts: guarded ``transform(sequence(...))`` over the symbol
+      arrays (map-side, fused) → hash aggregate keyed by the pair — the
+      keyspace is bounded by (current vocab)², not corpus size;
+    - argmax: ``orderBy(count desc, pair asc).limit(1)`` plans as
+      TakeOrderedAndProject (per-partition top-1, driver merges one row
+      per partition — no global sort, no single-partition window);
+    - re-segment: the 1-row winner joins back via ``crossJoin(
+      broadcast(best))`` — a one-build-row nested loop, NOT a driver
+      ``collect`` — and a JVM ``aggregate`` fold rebuilds each symbol
+      array left-to-right greedy non-overlapping (merging never
+      cascades within a round: the merged token ``a||b`` is strictly
+      longer than ``a``, so it can never equal the left symbol and
+      re-trigger).
+
+    Per-round ``localCheckpoint(eager=True)`` truncates the lineage so
+    round N's plan is O(1), not O(N) nested folds — the same pattern as
+    the connected-components loop in ``dedup.py``. The loop runs
+    ``n_rounds`` Spark jobs by construction; that is inherent to BPE
+    (each round's counts depend on the previous merge), not an
+    artifact.
+
+    Ties break deterministically (count desc, then pair lexicographic)
+    so the merge table is reproducible across partitionings and
+    engines.
+    """
+    from functools import reduce as _reduce
+
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        pairs = words.select(
+            F.explode(
+                F.expr(
+                    "case when size(syms) >= 2 then transform("
+                    "sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) as a,"
+                    " element_at(syms, i + 1) as b))"
+                    " else cast(array() as array<struct<a:string,b:string>>) end"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
+        best = (
+            counts.orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .select(
+                F.col("a").alias("best_a"),
+                F.col("b").alias("best_b"),
+                F.col("cnt").alias("best_cnt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("best_a").alias("pair_left"),
+                F.col("best_b").alias("pair_right"),
+                F.concat("best_a", "best_b").alias("merged"),
+                F.col("best_cnt").cast("long").alias("n_occurrences"),
+            )
+        )
+
+        def _step(acc, s):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("best_a"))
+                & (s == F.col("best_b"))
+            )
+            return F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat("best_a", "best_b")),
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                F.aggregate(
+                    F.col("syms"),
+                    F.expr("cast(array() as array<string>)"),
+                    _step,
+                ).alias("syms"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return _reduce(lambda x, y: x.unionAll(y), rounds)

@@ -3853,3 +3853,58 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+_BPE_MERGE_STEP = """string_split(list_reduce(s.syms, (acc, x) -> CASE
+      WHEN (acc = b.a OR ends_with(acc, ' ' || b.a)) AND x = b.b
+      THEN substr(acc, 1, length(acc) - length(b.a)) || b.a || b.b
+      ELSE acc || ' ' || x END), ' ')"""
+
+_BPE_COUNTS = """SELECT syms[i] AS a, syms[i+1] AS b, sum(freq)::BIGINT AS cnt
+  FROM {src}, unnest(generate_series(1, len(syms)-1)) AS u(i)
+  GROUP BY 1, 2"""
+
+
+@query(
+    "doc_bpe_merge_rounds",
+    r"""WITH words0 AS (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+  WHERE length(word) >= 2 GROUP BY word
+),
+syms1 AS (
+  SELECT [substr(word, i, 1) for i in generate_series(1, length(word))] AS syms, freq
+  FROM words0
+),
+counts1 AS (%(counts1)s),
+best1 AS (SELECT a, b, cnt FROM counts1 ORDER BY cnt DESC, a, b LIMIT 1),
+syms2 AS (SELECT %(step)s AS syms, s.freq FROM syms1 s, best1 b),
+counts2 AS (%(counts2)s),
+best2 AS (SELECT a, b, cnt FROM counts2 ORDER BY cnt DESC, a, b LIMIT 1),
+syms3 AS (SELECT %(step)s AS syms, s.freq FROM syms2 s, best2 b),
+counts3 AS (%(counts3)s),
+best3 AS (SELECT a, b, cnt FROM counts3 ORDER BY cnt DESC, a, b LIMIT 1)
+SELECT 1::BIGINT AS round, a AS pair_left, b AS pair_right, a || b AS merged, cnt AS n_occurrences FROM best1
+UNION ALL SELECT 2::BIGINT, a, b, a || b, cnt FROM best2
+UNION ALL SELECT 3::BIGINT, a, b, a || b, cnt FROM best3"""
+    % {
+        "step": _BPE_MERGE_STEP,
+        "counts1": _BPE_COUNTS.format(src="syms1"),
+        "counts2": _BPE_COUNTS.format(src="syms2"),
+        "counts3": _BPE_COUNTS.format(src="syms3"),
+    },
+)
+def doc_bpe_merge_rounds(spark, sf_dir):
+    """Iterative BPE tokenizer training, 3 merge rounds (VERDICT r4 #3:
+    the loop doc_bpe_pair_counts only counted one round of). Each round
+    depends on the previous merge, so the oracle unrolls the rounds as
+    CTEs whose re-segmentation is the SAME left-to-right greedy fold
+    (DuckDB ``list_reduce`` over a space-joined token string) as the
+    engine's JVM ``aggregate``; ties break (count desc, pair asc) on
+    both engines. See ``datapipe/text.py:bpe_merge_rounds`` for the
+    distributed shape (vocabulary-collapse before iteration, bounded
+    pair keyspace, TakeOrderedAndProject argmax, 1-row broadcast
+    re-segmentation — no driver collect)."""
+    from etl__project_spark.datapipe.text import bpe_merge_rounds
+
+    return bpe_merge_rounds(load_table(spark, sf_dir, "documents"), n_rounds=3)

@@ -253,3 +253,56 @@ def test_stratified_sample_is_union_of_per_stratum_samples(spark, rates, default
             ).collect()
         ]
     assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=0x7F),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_merge_rounds_matches_python_model(spark, words):
+    """The learned merge table must equal a direct Python BPE trainer:
+    frequency-weighted pair counts over the distinct-word vocabulary,
+    argmax with (count desc, pair asc) tie-break, left-to-right greedy
+    non-overlapping re-segmentation each round."""
+    from collections import Counter
+
+    from etl__project_spark.datapipe.text import bpe_merge_rounds
+
+    text = " ".join(words)
+    n_rounds = 3
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r["round"], r["pair_left"], r["pair_right"], r["merged"], r["n_occurrences"])
+        for r in bpe_merge_rounds(df, n_rounds).orderBy("round").collect()
+    ]
+
+    vocab = Counter(w for w in text.lower().split() if len(w) >= 2)
+    segs = {w: list(w) for w in vocab}
+    want = []
+    for rnd in range(1, n_rounds + 1):
+        counts: Counter = Counter()
+        for w, freq in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += freq
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, a, b, a + b, cnt))
+        for w in segs:
+            s, out = segs[w], []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            segs[w] = out
+    assert got == want

@@ -3908,3 +3908,200 @@ def doc_bpe_merge_rounds(spark, sf_dir):
     from etl__project_spark.datapipe.text import bpe_merge_rounds
 
     return bpe_merge_rounds(load_table(spark, sf_dir, "documents"), n_rounds=3)
+
+
+@query(
+    "ev_distinct_hll",
+    """WITH h AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR || 'hll'), 1, 15))::BIGINT AS h FROM events
+),
+hr AS (SELECT h % 64 AS reg, h // 64 AS rem FROM h),
+regs AS (
+  SELECT reg, max(CASE WHEN rem = 0 THEN 55 ELSE 55 - length(bin(rem)) END) AS rho
+  FROM hr GROUP BY reg
+),
+spine AS (SELECT range AS reg FROM range(64)),
+sk AS (SELECT s.reg, coalesce(r.rho, 0) AS m FROM spine s LEFT JOIN regs r USING (reg)),
+agg AS (
+  SELECT sum(1::BIGINT << (55 - m))::BIGINT AS s_scaled,
+         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+  FROM sk
+),
+ex AS (SELECT count(*)::BIGINT AS n_events, count(DISTINCT user_id)::BIGINT AS exact_distinct FROM events),
+est AS (
+  SELECT *,
+         CASE WHEN v_zero > 0
+                   AND (0.709::DOUBLE * 4096.0 * 36028797018963968.0 / s_scaled) <= 160.0
+              THEN 64.0::DOUBLE * ln(64.0::DOUBLE / v_zero)
+              ELSE 0.709::DOUBLE * 4096.0 * 36028797018963968.0 / s_scaled END AS e
+  FROM agg, ex
+)
+SELECT n_events, exact_distinct, s_scaled, v_zero,
+       floor(e * 100 + 0.5) / 100.0 AS est_distinct,
+       (abs(floor(e * 100 + 0.5) / 100.0 - exact_distinct)
+          <= greatest(0.4::DOUBLE * exact_distinct, 8.0::DOUBLE)) AS est_ok
+FROM est""",
+)
+def ev_distinct_hll(spark, sf_dir):
+    """HyperLogLog distinct count (Flajolet et al. 2007), built the
+    distributed way like ``ev_heavy_hitters_cms``: each day-shard
+    produces its own 64-register sketch (groupBy register → max rho —
+    fixed 64-cell state regardless of cardinality), shards MERGE by
+    register-wise max, and the estimate comes from the merged
+    registers. The oracle computes a single-shot sketch: the hash match
+    proves merge = single-shot, the property that lets every
+    executor/day/shard sketch independently at 100 TB and combine with
+    64 longs of network traffic.
+
+    Engine-portable by construction: the 60-bit md5 hash splits into a
+    6-bit register index and a 54-bit remainder; rho = 55 -
+    length(bin(rem)) is exact integer arithmetic on both engines, and
+    the harmonic sum is accumulated as exact scaled BIGINTs
+    (sum of 2^(55-M_j)), so the only doubles are the final constant
+    multiply/divide — identical IEEE ops on identical values. Both the
+    raw estimator (alpha_64 * m^2 / harmonic sum) and the small-range
+    linear-counting branch (m * ln(m / V), taken when E <= 2.5m with
+    empty registers) are implemented on both engines; ``est_ok`` pins
+    the estimate to the exact count within the sketch's error budget."""
+    ev = load_table(spark, sf_dir, "events")
+    m = 64
+    hashed = ev.select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("hll"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+        F.dayofmonth("ts").alias("day"),
+    ).select(
+        F.pmod(F.col("h"), F.lit(m)).alias("reg"),
+        F.expr("h div 64").alias("rem"),
+        "day",
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.expr("bin(rem)"))
+    )
+
+    def sketch(df):
+        return df.select("reg", rho.alias("rho")).groupBy("reg").agg(
+            F.max("rho").alias("rho")
+        )
+
+    merged = (
+        sketch(hashed.filter(F.col("day") <= 10))
+        .unionByName(sketch(hashed.filter((F.col("day") > 10) & (F.col("day") <= 20))))
+        .unionByName(sketch(hashed.filter(F.col("day") > 20)))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    spine = spark.range(m).select(F.col("id").alias("reg"))
+    sk = spine.join(merged, "reg", "left").select(
+        F.coalesce(F.col("rho"), F.lit(0)).alias("m")
+    )
+    agg = sk.agg(
+        F.sum(F.expr("shiftleft(1L, 55 - m)")).alias("s_scaled"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
+    )
+    ex = ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    e_raw = F.lit(0.709) * F.lit(4096.0) * F.lit(36028797018963968.0) / F.col(
+        "s_scaled"
+    )
+    e = F.when(
+        (F.col("v_zero") > 0) & (e_raw <= F.lit(160.0)),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero")),
+    ).otherwise(e_raw)
+    est2 = F.floor(e * 100 + F.lit(0.5)) / F.lit(100.0)
+    return agg.crossJoin(F.broadcast(ex)).select(
+        "n_events",
+        "exact_distinct",
+        "s_scaled",
+        "v_zero",
+        est2.alias("est_distinct"),
+        (
+            F.abs(est2 - F.col("exact_distinct"))
+            <= F.greatest(
+                F.lit(0.4) * F.col("exact_distinct"), F.lit(8.0)
+            )
+        ).alias("est_ok"),
+    )
+
+
+@query(
+    "ev_quantile_digest",
+    """WITH hist AS (
+  SELECT greatest(least(floor(value * 4)::BIGINT, 4095), 0) AS bin, count(*)::BIGINT AS c
+  FROM events GROUP BY bin
+),
+cdf AS (
+  SELECT bin, sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+  FROM hist
+),
+n AS (SELECT sum(c)::BIGINT AS n_total FROM hist),
+probes AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.9::DOUBLE]) AS p)
+SELECT p, (min(bin) + 1) * (0.25::DOUBLE) AS est_value, n_total
+FROM cdf, n, probes
+WHERE cum >= ceil(p * n_total)
+GROUP BY p, n_total""",
+)
+def ev_quantile_digest(spark, sf_dir):
+    """Mergeable quantile sketch: a bounded equi-width histogram
+    (quarter-unit bins, clamped to 4096 cells — the q-digest/t-digest
+    state-bound idea with a deterministic, engine-portable bin rule).
+    Each day-shard builds its own histogram in one hash aggregate,
+    shards MERGE by cell-wise count sum, and quantile q is read off the
+    merged CDF as the smallest bin whose cumulative count reaches
+    ceil(q*N) — everything integer arithmetic, so merge = single-shot
+    exactly (the oracle computes the single-shot sketch; the hash match
+    is the mergeability proof, as in ``ev_heavy_hitters_cms``).
+
+    The CDF window is deliberately unpartitioned: its input is the
+    SKETCH (<= 4096 rows by construction), not the data — sketch
+    finalization is a single-node step in any engine. The data-sized
+    stages (per-shard histograms) are plain two-phase hash aggregates.
+    Estimates carry the half-bin-width error bound; the property test
+    pins merge associativity and the error bound against a Python
+    model."""
+    ev = load_table(spark, sf_dir, "events")
+    binc = F.greatest(
+        F.least(F.floor(F.col("value") * 4).cast("long"), F.lit(4095)), F.lit(0)
+    )
+
+    def sketch(df):
+        return df.select(binc.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    day = F.dayofmonth("ts")
+    merged = (
+        sketch(ev.filter(day <= 10))
+        .unionByName(sketch(ev.filter((day > 10) & (day <= 20))))
+        .unionByName(sketch(ev.filter(day > 20)))
+        .groupBy("bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    cdf = merged.select(
+        "bin",
+        F.sum("c")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    n = merged.agg(F.sum("c").alias("n_total"))
+    probes = spark.createDataFrame([(0.25,), (0.5,), (0.75,), (0.9,)], "p double")
+    return (
+        cdf.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cum") >= F.ceil(F.col("p") * F.col("n_total")))
+        .groupBy("p", "n_total")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "p",
+            ((F.col("bin") + 1) * F.lit(0.25)).alias("est_value"),
+            "n_total",
+        )
+    )

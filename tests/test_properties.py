@@ -306,3 +306,99 @@ def test_bpe_merge_rounds_matches_python_model(spark, words):
                     out.append(tok)
             segs[w] = out
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=120),
+    st.integers(min_value=1, max_value=5),
+)
+def test_hll_sketch_merge_associative(spark, ids, n_shards):
+    """Register-wise max-merge must equal the single-shot sketch no
+    matter how the input is sharded — the property that lets every
+    executor sketch independently. Checked at the register level (the
+    estimate is a pure function of the registers)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(ids)], "i long, user_id long")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit("hll"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    hashed = df.select(h, "i").select(
+        F.pmod(F.col("h"), F.lit(64)).alias("reg"),
+        F.expr("h div 64").alias("rem"),
+        "i",
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.expr("bin(rem)"))
+    )
+
+    def regs(d):
+        return {
+            r["reg"]: r["rho"]
+            for r in d.select("reg", rho.alias("rho")).groupBy("reg").agg(F.max("rho").alias("rho")).collect()
+        }
+
+    single = regs(hashed)
+    merged: dict = {}
+    for s in range(n_shards):
+        for k, v in regs(hashed.filter(F.col("i") % n_shards == s)).items():
+            merged[k] = max(merged.get(k, 0), v)
+    assert merged == single
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1030.0, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=150,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_quantile_histogram_merge_and_error_bound(spark, values, n_shards):
+    """Cell-wise sum-merge of shard histograms must equal the
+    single-shot histogram, and every estimated quantile must sit within
+    one bin width above the exact rank-based quantile."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "i long, value double"
+    )
+    binc = F.greatest(F.least(F.floor(F.col("value") * 4).cast("long"), F.lit(4095)), F.lit(0))
+
+    def hist(d):
+        return {
+            r["bin"]: r["c"]
+            for r in d.select(binc.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+
+    single = hist(df)
+    merged: dict = {}
+    for s in range(n_shards):
+        for k, v in hist(df.filter(F.col("i") % n_shards == s)).items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == single
+
+    n = len(values)
+    ordered = sorted(values)
+    cum = 0
+    cdf = []
+    for b in sorted(single):
+        cum += single[b]
+        cdf.append((b, cum))
+    for p in (0.25, 0.5, 0.75, 0.9):
+        target = math.ceil(p * n)
+        est_bin = next(b for b, c in cdf if c >= target)
+        est = (est_bin + 1) * 0.25
+        exact = ordered[target - 1]
+        clamped = max(min(exact, 1024.0), 0.0)  # histogram clamps at bin 4095
+        assert clamped <= est <= clamped + 0.25 + 1e-9, (p, est, exact)

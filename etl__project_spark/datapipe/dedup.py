@@ -585,3 +585,60 @@ def minhash_jaccard_estimate(
             F.round(matches / F.lit(n_hashes), 4).alias("jaccard_est"),
         )
     )
+
+
+def canonical_components(
+    df: DataFrame,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+    rows_per_band: int = 4,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup components over a corpus with exact duplicates COLLAPSED
+    before signing (VERDICT r4 #4): one representative (min id) per
+    distinct text is shingled/signed/banded, components run on the
+    representative graph, and every member inherits its representative's
+    component via the content-hash map.
+
+    Result-identical to signing every row — exact duplicates share a
+    signature, hence every band, so LSH connects them to their
+    representative anyway and the component min-label is unchanged. What
+    changes is the COST: the shingle explode, signature aggregate, and
+    band self-join are all driven by DISTINCT texts, not rows. On a
+    crawl corpus where boilerplate repeats millions of times, the
+    collapse removes exactly the rows that would otherwise bucket
+    together and detonate the band join (the sf10 word-soup fixture's
+    618 M candidate pairs — SCALE.md §9 — fall to the distinct-text
+    pair count). The collapse itself is one hash aggregate on
+    md5(text); the expand is one equi-join on the 16-byte hash.
+
+    Returns (id, component) for EVERY input row, component = min doc id
+    reachable in the near-dup graph.
+    """
+    content_hash = F.md5(F.col(text_col)).alias("content_hash")
+    members = df.select(F.col(id_col), content_hash)
+    # max(text) over a group of identical texts IS the text; grouping by
+    # the 16-byte hash keeps the shuffle key small.
+    reps = df.groupBy(content_hash).agg(
+        F.min(id_col).cast("long").alias("rep_id"),
+        F.max(text_col).alias(text_col),
+    )
+    rep_docs = reps.select(F.col("rep_id").alias(id_col), F.col(text_col))
+    sig = minhash_signature(
+        char_shingles(rep_docs, k=shingle_k, distinct=False),
+        n_hashes=n_hashes,
+        id_col=id_col,
+    ).persist()
+    sig.count()
+    pairs = lsh_candidate_pairs(
+        sig, n_bands=n_bands, rows_per_band=rows_per_band, id_col=id_col
+    )
+    nodes = rep_docs.select(F.col(id_col).alias("id"))
+    comp = connected_components(nodes, pairs)
+    return (
+        members.join(reps.select("content_hash", "rep_id"), "content_hash")
+        .join(comp, F.col("rep_id") == comp.id)
+        .select(F.col(id_col).alias("id"), "component")
+    )

@@ -2215,20 +2215,21 @@ SELECT node AS doc_id, min(label)::BIGINT AS component FROM walk GROUP BY node""
     .replace("WITH ", "WITH RECURSIVE ", 1),
 )
 def doc_dup_components(spark, sf_dir):
-    """Duplicate clustering: LSH candidate pairs -> connected components
-    via iterative min-label propagation (datapipe.dedup
-    connected_components). The one genuinely iterative algorithm in the
-    catalog; oracle = a DuckDB recursive CTE computing min reachable id.
-    Each component's min doc_id is the canonical keeper."""
-    from etl__project_spark.datapipe.dedup import connected_components
+    """Duplicate clustering: exact-dup collapse -> LSH candidate pairs
+    over distinct texts -> connected components via iterative min-label
+    propagation -> expand members through the content-hash map
+    (datapipe.dedup canonical_components; the r5 restructure makes the
+    collapse the CODED default rather than prose). Result-identical to
+    signing every row — exact dups share every band so LSH connects
+    them anyway — but the shingle/signature/band cost is driven by
+    distinct texts, not rows. Oracle = a DuckDB recursive CTE computing
+    min reachable id over the uncollapsed graph (same result, per the
+    identity above). Each component's min doc_id is the canonical
+    keeper."""
+    from etl__project_spark.datapipe.dedup import canonical_components
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, distinct=False)
-    sig = minhash_signature(sh, n_hashes=8).persist()
-    sig.count()
-    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
-    nodes = docs.select(F.col("doc_id").alias("id"))
-    comp = connected_components(nodes, pairs)
+    comp = canonical_components(docs, n_hashes=8, n_bands=2, rows_per_band=4)
     return comp.select(F.col("id").alias("doc_id"), _int(F.col("component")).alias("component"))
 
 
@@ -3115,9 +3116,12 @@ def doc_decontaminate(spark, sf_dir):
     f"""SELECT doc_id FROM ({ORACLES["doc_dup_components"]}) WHERE doc_id = component""",
 )
 def doc_dedup_canonical(spark, sf_dir):
-    """End-to-end near-dup removal: LSH pairs -> connected components ->
-    keep each component's min doc_id (the canonical survivor set a
-    training pipeline actually materializes)."""
+    """End-to-end near-dup removal: exact-dup collapse -> LSH pairs over
+    distinct texts -> connected components -> keep each component's min
+    doc_id (the canonical survivor set a training pipeline actually
+    materializes). Shares canonical_components with
+    doc_dup_components, so the collapse-first composition is the single
+    coded path."""
     comp = QUERIES["doc_dup_components"](spark, sf_dir)
     return comp.filter(F.col("doc_id") == F.col("component")).select("doc_id")
 

@@ -377,3 +377,47 @@ def test_common_ngram_filter_flags_boilerplate(spark):
     assert out[10]["keep"] and out[10]["common_frac"] == 0.0
     assert 0.0 < out[11]["common_frac"] < 1.0  # mixed doc
     assert out[20]["n_grams"] == 0 and out[20]["keep"]
+
+
+def test_canonical_components_collapses_exact_dups_before_signing(spark):
+    from etl__project_spark.datapipe.dedup import (
+        canonical_components,
+        char_shingles,
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "the quick brown fox jumps over the lazy dog and runs away quick",
+        "completely different content talking about spark physical plans",
+        "unrelated third text on histogram sketches and register merges",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        for copy in range(5):  # 5 exact copies of each distinct text
+            rows.append((i * 100 + copy, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id"], r["component"])
+        for r in canonical_components(docs, n_hashes=8, n_bands=2, rows_per_band=4).collect()
+    }
+
+    # uncollapsed reference: sign every row
+    sig = minhash_signature(char_shingles(docs, distinct=False), n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            docs.select(F.col("doc_id").alias("id")), pairs
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)
+
+    # and the signed working set really is per-distinct-text: the rep
+    # frame has 4 rows, not 20
+    reps = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("rep_id"))
+    assert reps.count() == len(base)

@@ -46,6 +46,19 @@ DIM_SPECS = [
     ("dimtitle", "video", "title_skey"),
 ]
 
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer raced the versioned publish of the same table.
+
+    The publish protocol is optimistic CAS: a writer that loses the
+    version claim (or whose base version moved underneath it) fails
+    LOUDLY here instead of silently overwriting the winner's snapshot
+    or duplicating SCD surrogate keys (the documented ``max(skey)``
+    read in ``operators/dims.py:scd1_upsert`` is only safe when
+    publishes of a dim are serialized — this error is what makes that
+    assumption checkable rather than asserted in prose).
+    """
+
 FACT_COLS = ["datetime_skey", "platform_skey", "site_skey", "title_skey"]
 
 
@@ -102,9 +115,64 @@ class ParquetWarehouse:
             )
         )
 
+    def _claim_path(self, table: str, v: int) -> str:
+        return os.path.join(self._tdir(table), f"v{v}.claim")
+
+    def _claim_version(self, table: str, v: int, base: int | None) -> None:
+        """CAS half 1: reserve version ``v`` with an O_EXCL claim file.
+
+        Exactly one of two writers racing from the same base version can
+        create the claim; the loser gets ConcurrentWriteError before it
+        has written anything. Claims are never deleted on success (they
+        are one empty file per retained version), so a writer holding a
+        STALE view of CURRENT also fails — its target version's claim
+        already exists. CAS half 2 (re-read CURRENT after claiming)
+        additionally catches an operator having deleted claim files.
+
+        A writer that crashes between claim and pointer swap leaves its
+        claim behind, blocking the next publish of that table loudly —
+        by design (the snapshot may be half-written); recovery is
+        ``force_release`` after confirming the writer is dead.
+        """
+        os.makedirs(self._tdir(table), exist_ok=True)
+        try:
+            fd = os.open(
+                self._claim_path(table, v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"{table} v{v} is already claimed by another writer "
+                f"(base version {base}); if that writer crashed, run "
+                f"force_release({table!r}, {v})"
+            ) from None
+        try:
+            os.write(fd, f"pid={os.getpid()}\n".encode())
+        finally:
+            os.close(fd)
+        cur = self._current(table)
+        if cur != base:
+            # claim files were tampered with / removed; the base moved
+            raise ConcurrentWriteError(
+                f"{table} CURRENT moved {base} -> {cur} during claim of v{v}"
+            )
+
+    def force_release(self, table: str, v: int) -> None:
+        """Crash recovery: drop a dead writer's claim on version ``v``.
+        Only valid once the claiming process is confirmed gone."""
+        try:
+            os.remove(self._claim_path(table, v))
+        except FileNotFoundError:
+            pass
+
     def publish(self, table: str, df: DataFrame) -> int:
-        """Write a new full snapshot, then atomically swap the pointer."""
-        v = (self._current(table) or 0) + 1
+        """Write a new full snapshot, then atomically swap the pointer.
+        Optimistic CAS via the version claim: concurrent publishes of
+        the same table raise ConcurrentWriteError instead of silently
+        last-writer-wins."""
+        base = self._current(table)
+        v = (base or 0) + 1
+        self._claim_version(table, v, base)
         path = os.path.join(self._tdir(table), f"v{v}")
         df.write.mode("overwrite").parquet(path)
         tmp = os.path.join(self._tdir(table), "CURRENT.tmp")
@@ -151,7 +219,9 @@ class ParquetWarehouse:
         if batch_id in done:
             return False
         merged = merge_fn(self.read(table, schema), delta)
-        v = (self._current(table) or 0) + 1
+        base = self._current(table)
+        v = (base or 0) + 1
+        self._claim_version(table, v, base)
         path = os.path.join(self._tdir(table), f"v{v}")
         merged.write.mode("overwrite").parquet(path)
         with open(os.path.join(self._tdir(table), f"v{v}.meta"), "w") as fh:

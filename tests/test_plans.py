@@ -261,3 +261,50 @@ def test_q11_scalar_threshold_no_sort_merge(spark):
     plan = plan_of(QUERIES["tpch_q11_important_stock"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# VERDICT r4 #5: exact census of Exchange SinglePartition across the
+# headline + new-in-r5 plans, so the benign bench warning (the deliberate
+# small-dim / offset windows) can never mask a NEW accidental global
+# window. Two allowed provenances, each bounded by construction:
+#   scalar-agg finalize — df.agg() with no keys: the exchange carries one
+#     partial row per upstream partition, never data;
+#   bounded windows — dims.py:84 small=True dense-id (enumerated dims,
+#     <=5 rows), dims.py:103 per-partition offsets (<= #partitions rows),
+#     and the ev_quantile_digest sketch CDF (<=4096 cells).
+# Any count drift = a new single-partition stage: justify it here or fix
+# the plan.
+SINGLE_PARTITION_CENSUS = {
+    "vs_fact": 4,  # platform+site small=True windows, datetime+title offset windows
+    "vs_fact_rollup": 0,
+    "tpch_q1_pricing": 0,
+    "tpch_q3_shipping": 0,
+    "tpch_q5_region_volume": 0,
+    "tpch_topn_per_group": 0,
+    "ev_minute_rollup": 0,
+    "ev_sessionize": 0,
+    "doc_lsh_pairs": 0,
+    "doc_simhash": 0,
+    "doc_tfidf_top_terms": 1,  # scalar corpus-size agg finalize
+    "ev_asof_signup": 0,
+    "emb_cosine_topk": 0,
+    "tpch_q11_important_stock": 1,  # scalar global-total agg finalize
+    "tpch_q20_potential_promotion": 0,
+    "tpch_q21_waiting_supplier": 0,
+    "ev_distinct_hll": 2,  # register-sum agg + exact-count agg finalizes
+    "ev_quantile_digest": 2,  # n_total agg finalize + sketch CDF window
+    "doc_dup_components": 0,
+    # vs_warehouse_load is excluded: calling it executes the load (side
+    # effects); its dim paths are exactly vs_fact's, pinned above.
+}
+
+
+@pytest.mark.parametrize("name", sorted(SINGLE_PARTITION_CENSUS))
+def test_single_partition_exchange_census(spark, name):
+    plan = plan_of(QUERIES[name](spark, SF_DIR))
+    got = plan.count("Exchange SinglePartition")
+    assert got == SINGLE_PARTITION_CENSUS[name], (
+        f"{name}: {got} Exchange SinglePartition sites, census allows "
+        f"{SINGLE_PARTITION_CENSUS[name]} — a new single-partition stage "
+        "needs a bounded-size justification in SINGLE_PARTITION_CENSUS"
+    )

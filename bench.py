@@ -9,7 +9,7 @@ Noise-proofing (VERDICT r3 #1): each query runs ``N`` times
 (``$SPARK_GRAFT_BENCH_RUNS``, default 3) and ``queries`` reports the
 per-query MEDIAN; ``queries_min``/``queries_runs`` carry the min and raw
 samples. ``baseline_ratio`` compares the medians against the checked-in
-round-1 numbers (``_BASELINE_R1``), per query and overall, so a contended
+round-1 numbers (``_BASELINE``), per query and overall, so a contended
 machine shows up as a uniform ratio shift instead of masquerading as a
 code regression.
 
@@ -52,14 +52,18 @@ HEADLINE = [
     "emb_cosine_topk",
 ]
 
-# BENCH_r01.json single-shot numbers (sf0.1, idle box) — the operative
-# baseline per VERDICT r3. vs_warehouse_load joined HEADLINE in round 4;
-# its baseline is its first idle-box measured median at sf0.1 (7.0 s,
-# after the parallel-dim-upsert change landed in the same round).
-_BASELINE_R1 = {
+# Operative baseline per VERDICT r3: BENCH_r01.json single-shot numbers
+# (sf0.1, idle box) for the 13 round-1 queries. vs_warehouse_load joined
+# HEADLINE in round 4; its entry is the round-5 idle-box median measured
+# by THIS harness (median-of-3 at sf0.1, 2026-08-14 — ADVICE r4: the
+# prior 7.0 was a same-round hand projection the harness never
+# reproduced, while BENCH_r04's 9.245 s on the shared judge box read as
+# a standing 1.32x regression; the idle re-measure confirms that was
+# contention, not code).
+_BASELINE = {
     "vs_fact": 2.943,
     "vs_fact_rollup": 0.925,
-    "vs_warehouse_load": 7.0,
+    "vs_warehouse_load": 7.193,
     "tpch_q1_pricing": 1.164,
     "tpch_q3_shipping": 1.309,
     "tpch_q5_region_volume": 1.413,
@@ -118,20 +122,27 @@ def main() -> None:
                 # cache/GC pressure.
                 spark.catalog.clearCache()
 
+    # ADVICE r4: a query that fails on run 2+ of N still has surviving
+    # partial samples; reporting their median/ratio would read as a clean
+    # measurement. Failed queries report null median/min/ratio — the raw
+    # partial samples stay visible in queries_runs only.
     medians = {
-        name: (round(statistics.median(ts), 3) if ts else None)
+        name: (round(statistics.median(ts), 3) if ts and name not in failed else None)
         for name, ts in runs.items()
     }
-    mins = {name: (min(ts) if ts else None) for name, ts in runs.items()}
+    mins = {
+        name: (min(ts) if ts and name not in failed else None)
+        for name, ts in runs.items()
+    }
     ratios = {
-        name: round(medians[name] / _BASELINE_R1[name], 2)
+        name: round(medians[name] / _BASELINE[name], 2)
         for name in HEADLINE
-        if medians[name] is not None and name in _BASELINE_R1
+        if medians[name] is not None and name in _BASELINE
     }
     common = [n for n in ratios]
     overall_ratio = (
         round(
-            sum(medians[n] for n in common) / sum(_BASELINE_R1[n] for n in common), 3
+            sum(medians[n] for n in common) / sum(_BASELINE[n] for n in common), 3
         )
         if common
         else None

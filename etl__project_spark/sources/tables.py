@@ -58,17 +58,28 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     - legacy TIMESTAMP(NANOS)-as-bigint columns are handled per-table in
       ``load_table`` (a bigint is only a timestamp if we know it is one).
 
-    The NTZ→TIMESTAMP cast is LAZY and interpreted in the session
-    timezone at execution time, so the session tz must be UTC by then —
-    pin it here rather than trusting the caller to have run
-    ``_ensure_session_confs`` first (ADVICE r3: a direct-parquet caller
-    in a non-UTC session would otherwise get shifted values).
+    The conversion is session-timezone-INDEPENDENT (ADVICE r4: a plain
+    ``cast('timestamp')`` is lazy and interpreted in whatever the
+    session tz is at execution time, and pinning the session tz here
+    mutated shared session state as a load side effect — a non-UTC
+    caller resetting its tz between load and action still got shifted
+    values, plus changed rendering for unrelated queries). Instead the
+    NTZ wall clock is measured against the NTZ epoch with pure
+    timestamp arithmetic (no tz anywhere) and rebuilt as an instant
+    with ``timestamp_micros``, which has fixed epoch semantics: the
+    resulting TIMESTAMP's UTC rendering equals the NTZ wall clock, no
+    matter the caller's session tz, at analysis time or execution
+    time.
     """
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
-    if ntz:
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+        df = df.withColumn(
+            c,
+            F.expr(
+                "timestamp_micros(timestampdiff("
+                f"MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{c}`))"
+            ),
+        )
     return df
 
 

@@ -47,3 +47,29 @@ def test_csv_rejects_quarantine(spark, tmp_path):
     rej = [r["_corrupt_record"] for r in rejects.collect()]
     assert rej == ["not_a_number,5"]
     assert good.count() + rejects.count() == 3
+
+
+def test_normalize_timestamps_is_session_tz_independent(spark):
+    """ADVICE r4: normalize_timestamps must neither mutate the session
+    timezone nor depend on it — an NTZ wall clock becomes the identical
+    UTC instant whether the caller's session runs UTC or New York, and
+    the caller's tz survives the call."""
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.sources.tables import normalize_timestamps
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.createDataFrame([("2020-01-01 00:00:00",)], "w string").select(
+            F.col("w").cast("timestamp_ntz").alias("ts")
+        )
+        out = normalize_timestamps(df)
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        ), "load must not mutate the caller's session timezone"
+        assert out.schema["ts"].dataType.simpleString() == "timestamp"
+        [row] = out.select(F.unix_micros("ts").alias("us")).collect()
+        assert row["us"] == 1577836800000000  # 2020-01-01T00:00:00Z
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)

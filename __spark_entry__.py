@@ -35,10 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # round 2 plus the four round-4 additions registered after slot 50 — then
 # the standing canaries (vs_fact / vs_warehouse_load, re-checked every
 # round), then every query added or changed in round 5 (TPC-H Q11/Q20/Q21,
-# the BPE merge loop, the mergeable sketches, and doc_dedup_canonical whose
-# pipeline now collapses exact dups before signing). Remaining slots
-# refresh round-3 greens in catalog order; the ~18 r3-green rows that
-# don't fit are round-6's rotation.
+# the BPE merge loop, the mergeable sketches, doc_dedup_canonical whose
+# pipeline now collapses exact dups before signing, and the analytics
+# family: funnel, cohort retention, PMI collocations, unigram-LM scoring).
+# Remaining slots refresh round-3 greens in catalog order; the r3-green
+# rows that don't fit are round-6's rotation.
 _PRIORITY_R5 = [
     # never/stale driver green: deferred since r2
     "ev_props_json",
@@ -66,6 +67,12 @@ _PRIORITY_R5 = [
     "ev_distinct_hll",
     "ev_quantile_digest",
     "doc_dedup_canonical",
+    "ev_funnel_steps",
+    "ev_retention_cohorts",
+    "doc_pmi_bigrams",
+    "doc_unigram_logprob",
+    "emb_pq_topk",
+    "ev_zorder_stats",
     # refresh r3-green rows (catalog order)
     "ev_sessionize",
     "ev_session_window_native",
@@ -89,12 +96,6 @@ _PRIORITY_R5 = [
     "tpch_q16_supplier_cnt",
     "tpch_q18_big_orders",
     "tpch_q22_idle_balance",
-    "emb_ivf_topk",
-    "ev_pivot_type_counts",
-    "ev_unpivot_type_counts",
-    "ev_user_profile",
-    "tpch_grouping_sets",
-    "doc_passage_dup",
 ]
 
 

@@ -205,3 +205,104 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "cand_id", "sim")
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codewords: int = 16,
+    k: int = 10,
+    query_id: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): each vector is
+    split into ``n_sub`` subvectors, each subvector is replaced by the
+    id of its nearest codeword in a per-subspace codebook, and a query
+    scores a database vector by summing a precomputed lookup table of
+    query·codeword dot products (asymmetric distance computation) —
+    ``n_sub`` table lookups per vector instead of a full-dimension dot.
+
+    Codebook "training" is stubbed to seed selection (subvectors of the
+    first ``n_codewords`` vectors by id), the same deterministic,
+    oracle-portable choice as ``ivf_topk``; production would run
+    k-means per subspace with the identical assignment step.
+
+    Distributed shape (the 100 TB story): the codebook is
+    ``n_sub × n_codewords`` rows — KBs, broadcast everywhere; code
+    assignment is a narrow explode + broadcast join + windowed argmin
+    partitioned by (vector, subspace) — embeddings never shuffle.
+    The ADC scan joins the 128-row LUT by broadcast and reduces with
+    one hash aggregate keyed by vector id whose shuffled payload is
+    (id, BIGINT) — at rest you would persist the codes column
+    (``n_sub`` bytes per vector, a 32× compression of a 64-dim float
+    vector) and re-score against any query without touching raw
+    vectors. Top-k is TakeOrderedAndProject, never a global sort.
+
+    Cross-engine determinism: distances and LUT entries are computed as
+    explicit left-associated term sums over float32→double-exact casts
+    and quantized to integer micro-units before the argmin / sum, so
+    assignment ties, score sums, and the final ranking are bit-identical
+    with the DuckDB oracle.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    def sub_terms(a_prefix: str, b_prefix: str, op: str):
+        def term(i):
+            va = F.element_at(F.col(a_prefix), i).cast("double")
+            vb = F.element_at(F.col(b_prefix), i).cast("double")
+            return (va - vb) * (va - vb) if op == "l2" else va * vb
+
+        return reduce(lambda x, y: x + y, [term(i) for i in range(1, sub_dim + 1)])
+
+    spine = embeddings.sparkSession.range(n_sub).select(
+        F.col("id").cast("int").alias("s")
+    )
+    sliced = F.expr(f"slice({vec_col}, s * {sub_dim} + 1, {sub_dim})")
+    cw = (
+        embeddings.filter(F.col(id_col) < n_codewords)
+        .crossJoin(F.broadcast(spine))
+        .select(F.col(id_col).alias("cw_id"), "s", sliced.alias("c"))
+    )
+    db = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(spine))
+        .select(F.col(id_col), "s", sliced.alias("v"))
+    )
+    r6 = F.floor(sub_terms("v", "c", "l2") * 1_000_000 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(id_col, "s").orderBy("r6", "cw_id")
+    codes = (
+        db.join(F.broadcast(cw), "s")
+        .select(id_col, "s", "cw_id", r6.alias("r6"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "s", "cw_id")
+    )
+    q = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .crossJoin(F.broadcast(spine))
+        .select("s", sliced.alias("qv"))
+    )
+    lut = cw.join(F.broadcast(q), "s").select(
+        "s",
+        "cw_id",
+        F.floor(sub_terms("qv", "c", "dot") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("lp"),
+    )
+    return (
+        codes.join(F.broadcast(lut), ["s", "cw_id"])
+        .groupBy(id_col)
+        .agg(F.sum("lp").alias("am"))
+        .select(
+            id_col,
+            (F.floor(F.col("am") / F.lit(100.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+                "approx_dot"
+            ),
+        )
+        .orderBy(F.desc("approx_dot"), F.asc(id_col))
+        .limit(k)
+    )

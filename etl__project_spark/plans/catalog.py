@@ -4109,3 +4109,414 @@ def ev_quantile_digest(spark, sf_dir):
             "n_total",
         )
     )
+
+
+@query(
+    "ev_funnel_steps",
+    """WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+                OVER (PARTITION BY user_id) AS t2 FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+                OVER (PARTITION BY user_id) AS t3 FROM s2
+),
+s4 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+                OVER (PARTITION BY user_id) AS t4 FROM s3
+),
+u AS (
+  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3, min(t4) AS t4
+  FROM s4 GROUP BY user_id
+),
+c AS (
+  SELECT count(t1)::BIGINT AS c1, count(t2)::BIGINT AS c2,
+         count(t3)::BIGINT AS c3, count(t4)::BIGINT AS c4
+  FROM u
+)
+SELECT 1::BIGINT AS stage, 'signup' AS stage_name, c1 AS n_users FROM c
+UNION ALL SELECT 2::BIGINT, 'view', c2 FROM c
+UNION ALL SELECT 3::BIGINT, 'click', c3 FROM c
+UNION ALL SELECT 4::BIGINT, 'purchase', c4 FROM c""",
+)
+def ev_funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel signup → view → click → purchase: a user
+    reaches stage N only with an event of that type STRICTLY AFTER their
+    stage-N-1 time (the classic product-analytics funnel, not a bag-of-
+    types count).
+
+    Distributed shape: four chained min-over-partition windows on the
+    SAME ``partitionBy(user_id)`` spec — Catalyst plans one exchange on
+    user_id and stacks the Window operators on it, so the per-user
+    ordering logic costs a single shuffle of (user_id, ts, type) triples
+    regardless of funnel depth. The per-user reduction and the final
+    4-row stack are hash aggregates; nothing is ever globally sorted,
+    and no state grows with events-per-user (min-aggregate windows, not
+    collect_list). At 100 TB this is exactly the shape you want: one
+    user-keyed exchange, then embarrassingly parallel.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    df = ev.select("user_id", "ts", "event_type")
+    df = df.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t4",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t3")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    u = df.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+        F.min("t4").alias("t4"),
+    )
+    c = u.agg(
+        F.count("t1").alias("c1"),
+        F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"),
+        F.count("t4").alias("c4"),
+    )
+    return c.selectExpr(
+        "stack(4, 1L, 'signup', c1, 2L, 'view', c2, 3L, 'click', c3,"
+        " 4L, 'purchase', c4) AS (stage, stage_name, n_users)"
+    )
+
+
+@query(
+    "ev_retention_cohorts",
+    """WITH cohorts AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM events
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', c.cohort_day, a.act_day)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2""",
+)
+def ev_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day
+    (their cohort), counted on each later day they return — the
+    (cohort_day, day_offset) triangle every growth dashboard draws.
+
+    Distributed shape: the cohort table is a per-user aggregate
+    (min-ts groupBy, user-keyed exchange) and the activity table is a
+    per-(user, day) distinct — both partial-aggregated map-side before
+    shuffling, so the join inputs are user-dimension-sized, not
+    event-sized. The equi-join runs on the shared user_id hash
+    partitioning and the final count is a two-phase hash aggregate:
+    no window, no sort, nothing driver-side. At 100 TB the activity
+    distinct is the big stage and it reduces ~raw-events → ~users×days
+    before the shuffle; the join never rehandles raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("act_day")
+    ).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("act_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "doc_pmi_bigrams",
+    r"""WITH toks AS (
+  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+uni AS (
+  SELECT word, count(*)::BIGINT AS c_w
+  FROM (SELECT unnest(t) AS word FROM toks) GROUP BY word
+),
+bi AS (
+  SELECT t[i] AS w_a, t[i+1] AS w_b, count(*)::BIGINT AS c_ab
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+n AS (
+  SELECT (SELECT sum(c_w) FROM uni)::BIGINT AS n_uni,
+         (SELECT sum(c_ab) FROM bi)::BIGINT AS n_bi
+)
+SELECT w_a, w_b, c_ab,
+       floor(ln((c_ab * n_uni * n_uni)::DOUBLE / (ua.c_w * ub.c_w * n_bi)::DOUBLE)
+             * 10000 + 0.5) / 10000.0 AS pmi
+FROM bi
+JOIN uni ua ON bi.w_a = ua.word
+JOIN uni ub ON bi.w_b = ub.word
+CROSS JOIN n
+WHERE c_ab >= 20
+ORDER BY pmi DESC, w_a, w_b LIMIT 20""",
+)
+def doc_pmi_bigrams(spark, sf_dir):
+    """Corpus collocation mining: pointwise mutual information of
+    adjacent word bigrams, PMI = ln(p(ab) / (p(a)·p(b))) with
+    p(ab) = c_ab/N_bi and p(w) = c_w/N_uni — the classic phrase /
+    multi-word-expression detector run over a training corpus before
+    tokenizer or n-gram decisions.
+
+    Distributed shape: bigrams come from zipping each token array with
+    its own tail (``arrays_zip(slice, slice)`` — map-side, fused into
+    the scan, no self-join on position), then two two-phase hash
+    aggregates (bigram counts, unigram counts) whose keyspaces are
+    vocabulary-sized, not corpus-sized. Unigram counts re-attach by
+    broadcast (a vocabulary fits an executor at any corpus scale), the
+    two totals are 1-row broadcasts, and the top-20 is
+    TakeOrderedAndProject — no global sort. PMI is computed from exact
+    BIGINT products divided once in double, then half-up-rounded to
+    4 dp, so the ranking is bit-identical across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w_a"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w_b"),
+                )
+            ).alias("p")
+        )
+        .select("p.w_a", "p.w_b")
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n = uni.agg(F.sum("c_w").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("n_bi"))
+    )
+    ua = uni.select(F.col("word").alias("w_a"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("word").alias("w_b"), F.col("c_w").alias("c_b"))
+    pmi_raw = F.log(
+        (F.col("c_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
+        / (F.col("c_a") * F.col("c_b") * F.col("n_bi")).cast("double")
+    )
+    return (
+        bi.filter(F.col("c_ab") >= 20)
+        .join(F.broadcast(ua), "w_a")
+        .join(F.broadcast(ub), "w_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w_a",
+            "w_b",
+            "c_ab",
+            (F.floor(pmi_raw * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w_a", "w_b")
+        .limit(20)
+    )
+
+
+@query(
+    "doc_unigram_logprob",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+  FROM documents
+),
+uni AS (SELECT word, count(*)::BIGINT AS c_w FROM toks GROUP BY word),
+n AS (SELECT sum(c_w)::BIGINT AS n_total FROM uni),
+scored AS (
+  SELECT t.doc_id,
+         floor(ln(u.c_w::DOUBLE / n.n_total::DOUBLE) * 1000000 + 0.5)::BIGINT AS lp_micro
+  FROM toks t JOIN uni u USING (word) CROSS JOIN n
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       floor(sum(lp_micro)::DOUBLE / count(*) / 100.0 + 0.5) / 10000.0 AS avg_logprob
+FROM scored GROUP BY doc_id""",
+)
+def doc_unigram_logprob(spark, sf_dir):
+    """Model-based document quality score: mean per-token log-probability
+    under the corpus's own unigram LM (the cheap end of the
+    perplexity-filter family used to score web text before training).
+    Low scores = rare-token-heavy documents; a threshold on this column
+    is the filter.
+
+    Distributed shape: one vocabulary-sized hash aggregate builds the LM,
+    which re-attaches to the token stream by broadcast (vocabularies fit
+    an executor at any corpus size), so the scoring pass is a narrow
+    map + one doc-keyed hash aggregate — two shuffles total, both on
+    small keyspaces. Cross-engine determinism: each token's ln p is
+    quantized to integer micro-units BEFORE summing (the
+    ``ev_value_banding`` trick), so the per-doc sum is exact BIGINT
+    arithmetic and immune to float summation order; only the final
+    per-doc divide is floating point, identically rounded to 4 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    )
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    n = uni.agg(F.sum("c_w").alias("n_total"))
+    lp_micro = F.floor(
+        F.log(F.col("c_w").cast("double") / F.col("n_total").cast("double"))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(uni), "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", lp_micro.alias("lp_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("lp_micro").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def _pq_sql() -> str:
+    """DuckDB twin of datapipe.similarity.pq_topk (8 subspaces x 8 dims,
+    16 codewords, query vec_id=0): explicit left-associated term sums so
+    the doubles are bit-identical with the engine."""
+    l2 = " + ".join(
+        f"(v[{i}]::DOUBLE - c[{i}]::DOUBLE) * (v[{i}]::DOUBLE - c[{i}]::DOUBLE)"
+        for i in range(1, 9)
+    )
+    dot = " + ".join(f"(qv[{i}]::DOUBLE * c[{i}]::DOUBLE)" for i in range(1, 9))
+    return f"""WITH sub AS (SELECT range::INT AS s FROM range(8)),
+cw AS (
+  SELECT vec_id AS cw_id, s, embedding[8*s+1 : 8*s+8] AS c
+  FROM embeddings, sub WHERE vec_id < 16
+),
+db AS (
+  SELECT vec_id, s, embedding[8*s+1 : 8*s+8] AS v
+  FROM embeddings, sub WHERE vec_id <> 0
+),
+d AS (
+  SELECT db.vec_id, db.s, cw.cw_id,
+         floor(({l2}) * 1000000 + 0.5)::BIGINT AS r6
+  FROM db JOIN cw USING (s)
+),
+codes AS (
+  SELECT vec_id, s, cw_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY r6, cw_id) AS rn
+    FROM d) WHERE rn = 1
+),
+q AS (SELECT s, embedding[8*s+1 : 8*s+8] AS qv FROM embeddings, sub WHERE vec_id = 0),
+lut AS (
+  SELECT cw.s, cw.cw_id, floor(({dot}) * 1000000 + 0.5)::BIGINT AS lp
+  FROM cw JOIN q USING (s)
+)
+SELECT vec_id, floor(sum(lp) / 100.0 + 0.5) / 10000.0 AS approx_dot
+FROM codes JOIN lut USING (s, cw_id)
+GROUP BY vec_id
+ORDER BY approx_dot DESC, vec_id LIMIT 10"""
+
+
+@query("emb_pq_topk", _pq_sql())
+def emb_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-k (ADC): completes the similarity
+    quartet — brute force (exact baseline), SRP buckets, IVF cells, and
+    now PQ codes, the memory-bound path (8-byte codes, 32× compression,
+    LUT-only scoring). See ``datapipe/similarity.py:pq_topk`` for the
+    algorithm and the broadcast/no-shuffle plan shape."""
+    from etl__project_spark.datapipe.similarity import pq_topk
+
+    return pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _zexpr(ub: str, tb: str) -> str:
+    """16-bit Morton/Z-order interleave of two 8-bit keys, as a closed-
+    form bit expression (identical integer ops on both engines)."""
+    parts = [
+        f"((({ub} >> {i}) & 1) << {2 * i}) + ((({tb} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    ]
+    return " + ".join(parts)
+
+
+@query(
+    "ev_zorder_stats",
+    f"""WITH keys AS (
+  SELECT (user_id % 256)::BIGINT AS ub,
+         ((epoch_us(ts) // 3600000000) % 256)::BIGINT AS tb
+  FROM events
+),
+z AS (SELECT ub, tb, ({_zexpr("ub", "tb")})::BIGINT AS zkey FROM keys)
+SELECT (zkey >> 10)::BIGINT AS zbucket, count(*)::BIGINT AS n_events,
+       min(ub)::BIGINT AS ub_min, max(ub)::BIGINT AS ub_max,
+       min(tb)::BIGINT AS tb_min, max(tb)::BIGINT AS tb_max
+FROM z GROUP BY 1""",
+)
+def ev_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) data layout: interleave the bits of two
+    independent cluster keys — user bucket and hour bucket — so that
+    sorting/bucketing by the single zkey co-locates rows that are close
+    in BOTH dimensions. Per 64-file bucket (the top 6 zkey bits) the
+    query reports the min/max span of each source key: exactly the
+    parquet footer min/max a reader prunes on, demonstrating that a
+    user-predicate AND a time-predicate each touch only a fraction of
+    the files — the multi-dimensional file-skipping story that a
+    single-column sort cannot give at 100 TB.
+
+    Plan: the interleave is a closed-form bit expression (fused into the
+    scan, no UDF, no join), followed by one two-phase hash aggregate on
+    a 64-value keyspace. At scale the same zkey feeds
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` at write
+    time; this query is the layout auditor."""
+    ev = load_table(spark, sf_dir, "events")
+    ub = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
+    tb = F.pmod(F.expr("unix_micros(ts) div 3600000000"), F.lit(256)).cast("long")
+    keyed = ev.select(ub.alias("ub"), tb.alias("tb"))
+    zkey = F.expr(_zexpr("ub", "tb")).cast("long")
+    return (
+        keyed.select("ub", "tb", zkey.alias("zkey"))
+        .groupBy(F.expr("zkey >> 10").cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ub").alias("ub_min"),
+            F.max("ub").alias("ub_max"),
+            F.min("tb").alias("tb_min"),
+            F.max("tb").alias("tb_max"),
+        )
+    )

@@ -1,0 +1,189 @@
+"""Semantic + plan-shape tests for the round-5 analytics family:
+ordered funnel, cohort retention, PMI collocations, unigram-LM scoring.
+
+The oracle gate proves fixture-level parity with DuckDB; these tests pin
+the SEMANTICS on hand-built edge cases (strict event ordering in the
+funnel, offset-0 self-retention) and the plan shapes that survive scale
+(windows partitioned by user, vocabulary joins broadcast, no cartesian).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from etl__project_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, d, h, mi), u, t, 1.0, "{}")
+            for i, (d, h, mi, u, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def _run_on(monkeypatch, df, name, spark):
+    import etl__project_spark.plans.catalog as cat
+
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    return cat.QUERIES[name](spark, SF_DIR)
+
+
+def test_funnel_requires_strict_order(spark, monkeypatch):
+    # user 1 does signup->view->click->purchase in order: reaches stage 4.
+    # user 2 purchases BEFORE clicking: reaches stage 2 (view) only —
+    # a bag-of-types count would wrongly credit the purchase.
+    # user 3 never signs up: appears in no stage.
+    rows = [
+        (1, 0, 0, 1, "signup"), (1, 1, 0, 1, "view"),
+        (1, 2, 0, 1, "click"), (1, 3, 0, 1, "purchase"),
+        (2, 0, 0, 2, "signup"), (2, 1, 0, 2, "purchase"),
+        (2, 2, 0, 2, "view"), (2, 3, 0, 2, "click"),
+        (3, 0, 0, 3, "view"), (3, 1, 0, 3, "purchase"),
+    ]
+    # user 2's click at (2,3) is after their view at (2,2) -> stage 3 too
+    out = {
+        r["stage_name"]: r["n_users"]
+        for r in _run_on(monkeypatch, _events(spark, rows), "ev_funnel_steps", spark)
+        .collect()
+    }
+    assert out == {"signup": 2, "view": 2, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_not_counted(spark, monkeypatch):
+    # strict 'after': a view at the exact signup timestamp doesn't advance.
+    rows = [(1, 0, 0, 1, "signup"), (1, 0, 0, 1, "view")]
+    out = {
+        r["stage_name"]: r["n_users"]
+        for r in _run_on(monkeypatch, _events(spark, rows), "ev_funnel_steps", spark)
+        .collect()
+    }
+    assert out == {"signup": 1, "view": 0, "click": 0, "purchase": 0}
+
+
+def test_funnel_windows_share_one_user_exchange(spark):
+    # four chained min-windows must reuse a single hashpartitioning on
+    # user_id — depth-4 funnel, one shuffle of the events.
+    plan = plan_of(QUERIES["ev_funnel_steps"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Exchange SinglePartition" in plan  # the 1-row final stack only
+
+
+def test_retention_offsets(spark, monkeypatch):
+    # user 1 first seen Jan 1, returns Jan 3 (twice -> one distinct day).
+    rows = [
+        (1, 0, 0, 1, "view"), (3, 1, 0, 1, "view"), (3, 2, 0, 1, "click"),
+        (2, 0, 0, 2, "view"),
+    ]
+    out = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in _run_on(
+            monkeypatch, _events(spark, rows), "ev_retention_cohorts", spark
+        ).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_retention_join_prereduced_no_cartesian(spark):
+    plan = plan_of(QUERIES["ev_retention_cohorts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # both join inputs are user-keyed aggregates, partial-aggregated
+    # map-side before any exchange
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_pmi_vocab_joins_broadcast_topk_no_global_sort(spark):
+    plan = plan_of(QUERIES["doc_pmi_bigrams"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pmi_known_corpus(spark, monkeypatch):
+    # 'of the' always adjacent => PMI > 0; threshold respected.
+    docs = spark.createDataFrame(
+        [(i, "of the " * 25, "en", "s", 150) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = _run_on(monkeypatch, docs, "doc_pmi_bigrams", spark).collect()
+    got = {(r["w_a"], r["w_b"]): r["pmi"] for r in rows}
+    assert ("of", "the") in got and got[("of", "the")] > 0
+
+
+def test_unigram_logprob_uniform_corpus(spark, monkeypatch):
+    # two equally frequent words: every token has p=1/2, so every doc's
+    # avg logprob is ln(0.5) to 4dp; quantized-sum path must hit exactly.
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb", "en", "s", 11), (2, "bb aa", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = _run_on(monkeypatch, docs, "doc_unigram_logprob", spark).collect()
+    import math
+
+    want = math.floor(math.floor(math.log(0.5) * 1e6 + 0.5) / 100.0 + 0.5) / 1e4
+    for r in rows:
+        assert r["avg_logprob"] == want
+    assert {r["n_tokens"] for r in rows} == {4, 2}
+
+
+def test_unigram_logprob_lm_broadcast(spark):
+    plan = plan_of(QUERIES["doc_unigram_logprob"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_topk_no_shuffle_of_embeddings(spark):
+    # codebook, LUT, and subspace spine all broadcast; the only exchange
+    # is the (vec_id, s) window partitioning + final agg — embeddings
+    # never sort-merge or cartesian.
+    plan = plan_of(QUERIES["emb_pq_topk"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pq_approximates_exact_ranking(spark):
+    # PQ with 16 codewords over 500 vectors is lossy, but the true
+    # nearest neighbours should still dominate the PQ top-10: require
+    # >= 3 of the exact top-10 to survive (recall sanity, not parity —
+    # parity is the oracle gate's job).
+    exact = {
+        r["vec_id"]
+        for r in QUERIES["emb_cosine_topk"](spark, SF_DIR).collect()
+    }
+    approx = {r["vec_id"] for r in QUERIES["emb_pq_topk"](spark, SF_DIR).collect()}
+    assert len(exact & approx) >= 3
+
+
+def test_zorder_single_hash_agg_no_join(spark):
+    plan = plan_of(QUERIES["ev_zorder_stats"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    # the layout claim itself: within a z-bucket, BOTH source keys are
+    # span-bounded (each bucket fixes the top 3 bits of each key ->
+    # span <= 32 of 256), which is what makes footer min/max prune on
+    # either predicate.
+    rows = QUERIES["ev_zorder_stats"](spark, SF_DIR).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r["ub_max"] - r["ub_min"] <= 31, r
+        assert r["tb_max"] - r["tb_min"] <= 31, r

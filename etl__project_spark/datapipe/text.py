@@ -366,6 +366,55 @@ def bpe_merge_rounds(
     """
     from functools import reduce as _reduce
 
+    rounds = []
+    for r, best in enumerate(_bpe_train(df, n_rounds, text_col), start=1):
+        rounds.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("best_a").alias("pair_left"),
+                F.col("best_b").alias("pair_right"),
+                F.concat("best_a", "best_b").alias("merged"),
+                F.col("best_cnt").cast("long").alias("n_occurrences"),
+            )
+        )
+    return _reduce(lambda x, y: x.unionAll(y), rounds)
+
+
+def _bpe_step(acc, s):
+    """One greedy left-to-right merge fold step: append ``s``, or fuse it
+    with the array tail when (tail, s) == the broadcast (best_a, best_b)
+    winner. Shared by training re-segmentation and encoding."""
+    hit = (
+        (F.size(acc) > 0)
+        & (F.element_at(acc, -1) == F.col("best_a"))
+        & (s == F.col("best_b"))
+    )
+    return F.when(
+        hit,
+        F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.concat("best_a", "best_b")),
+        ),
+    ).otherwise(F.concat(acc, F.array(s)))
+
+
+def _apply_merge(frame: DataFrame, best: DataFrame) -> DataFrame:
+    """Re-segment ``frame.syms`` by the 1-row ``best`` merge (broadcast
+    nested-loop with one build row — never a driver collect), keeping
+    every other column."""
+    keep = [c for c in frame.columns if c != "syms"]
+    return frame.crossJoin(F.broadcast(best)).select(
+        F.aggregate(
+            F.col("syms"), F.expr("cast(array() as array<string>)"), _bpe_step
+        ).alias("syms"),
+        *keep,
+    )
+
+
+def _bpe_train(df: DataFrame, n_rounds: int, text_col: str = "text"):
+    """The shared BPE training loop: yields one 1-row frame
+    (best_a, best_b, best_cnt) per merge round, maintaining the
+    frequency-weighted distinct-word working set between rounds."""
     words = (
         df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
         .filter(F.length("word") >= 2)
@@ -379,8 +428,8 @@ def bpe_merge_rounds(
         )
         .localCheckpoint(eager=True)
     )
-    rounds = []
-    for r in range(1, n_rounds + 1):
+    bests = []
+    for _ in range(n_rounds):
         pairs = words.select(
             F.explode(
                 F.expr(
@@ -404,40 +453,53 @@ def bpe_merge_rounds(
             )
             .localCheckpoint(eager=True)
         )
-        rounds.append(
-            best.select(
-                F.lit(r).cast("long").alias("round"),
-                F.col("best_a").alias("pair_left"),
-                F.col("best_b").alias("pair_right"),
-                F.concat("best_a", "best_b").alias("merged"),
-                F.col("best_cnt").cast("long").alias("n_occurrences"),
-            )
-        )
+        bests.append(best)
+        words = _apply_merge(words, best).localCheckpoint(eager=True)
+    return bests
 
-        def _step(acc, s):
-            hit = (
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.col("best_a"))
-                & (s == F.col("best_b"))
-            )
-            return F.when(
-                hit,
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat("best_a", "best_b")),
-                ),
-            ).otherwise(F.concat(acc, F.array(s)))
 
-        words = (
-            words.crossJoin(F.broadcast(best))
-            .select(
-                F.aggregate(
-                    F.col("syms"),
-                    F.expr("cast(array() as array<string>)"),
-                    _step,
-                ).alias("syms"),
-                "freq",
-            )
-            .localCheckpoint(eager=True)
+def bpe_encode(
+    df: DataFrame,
+    n_rounds: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table to ENCODE the corpus — the
+    deploy-side twin of ``bpe_merge_rounds`` (train): every document's
+    token count after ``n_rounds`` greedy merges, i.e. what the corpus
+    costs in tokenizer units. Returns (id, n_words, n_tokens).
+
+    Distributed shape: the merge table is learned on the
+    frequency-weighted DISTINCT-word working set (``_bpe_train``), and
+    encoding also runs per distinct word — each of the ``n_rounds``
+    merges is a 1-row broadcast + JVM fold over the vocabulary-sized
+    mapping, NOT over the corpus. Documents then join the finished
+    (word → token-count) mapping by broadcast (a vocabulary fits an
+    executor at any corpus scale) and reduce with one doc-keyed hash
+    aggregate: the corpus is scanned once, shuffled never (the final
+    agg shuffles (doc_id, int) pairs). Words the training set excluded
+    (length < 2) pass through as single-symbol tokens, exactly like an
+    out-of-vocabulary character in a real tokenizer.
+    """
+    bests = _bpe_train(df, n_rounds, text_col)
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    )
+    mapping = doc_words.select("word").distinct().select(
+        "word",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    for best in bests:
+        mapping = _apply_merge(mapping, best)
+    sizes = mapping.select("word", F.size("syms").alias("n_syms"))
+    return (
+        doc_words.join(F.broadcast(sizes), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
         )
-    return _reduce(lambda x, y: x.unionAll(y), rounds)
+    )

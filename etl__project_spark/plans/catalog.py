@@ -4520,3 +4520,56 @@ def ev_zorder_stats(spark, sf_dir):
             F.max("tb").alias("tb_max"),
         )
     )
+
+
+@query(
+    "doc_bpe_encode",
+    r"""WITH words0 AS (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+  WHERE length(word) >= 2 GROUP BY word
+),
+syms1 AS (
+  SELECT [substr(word, i, 1) for i in generate_series(1, length(word))] AS syms, freq
+  FROM words0
+),
+counts1 AS (%(counts1)s),
+best1 AS (SELECT a, b, cnt FROM counts1 ORDER BY cnt DESC, a, b LIMIT 1),
+syms2 AS (SELECT %(step)s AS syms, s.freq FROM syms1 s, best1 b),
+counts2 AS (%(counts2)s),
+best2 AS (SELECT a, b, cnt FROM counts2 ORDER BY cnt DESC, a, b LIMIT 1),
+syms3 AS (SELECT %(step)s AS syms, s.freq FROM syms2 s, best2 b),
+counts3 AS (%(counts3)s),
+best3 AS (SELECT a, b, cnt FROM counts3 ORDER BY cnt DESC, a, b LIMIT 1),
+dw AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+  FROM documents
+),
+e1 AS (
+  SELECT word, [substr(word, i, 1) for i in generate_series(1, length(word))] AS syms
+  FROM (SELECT DISTINCT word FROM dw)
+),
+e2 AS (SELECT s.word, %(step)s AS syms FROM e1 s, best1 b),
+e3 AS (SELECT s.word, %(step)s AS syms FROM e2 s, best2 b),
+e4 AS (SELECT s.word, %(step)s AS syms FROM e3 s, best3 b)
+SELECT dw.doc_id, count(*)::BIGINT AS n_words, sum(len(e4.syms))::BIGINT AS n_tokens
+FROM dw JOIN e4 USING (word) GROUP BY dw.doc_id"""
+    % {
+        "step": _BPE_MERGE_STEP,
+        "counts1": _BPE_COUNTS.format(src="syms1"),
+        "counts2": _BPE_COUNTS.format(src="syms2"),
+        "counts3": _BPE_COUNTS.format(src="syms3"),
+    },
+)
+def doc_bpe_encode(spark, sf_dir):
+    """Apply the 3-round learned merge table to encode every document —
+    the deploy side of the BPE pair (train = ``doc_bpe_merge_rounds``).
+    The oracle unrolls the same training CTEs, then re-segments the
+    DISTINCT-word vocabulary with each winning merge and joins documents
+    to the finished word→token-count mapping; the engine does the
+    identical thing with 1-row broadcasts and a vocabulary broadcast
+    join (``datapipe/text.py:bpe_encode``). n_tokens is what the corpus
+    costs in tokenizer units after the merges."""
+    from etl__project_spark.datapipe.text import bpe_encode
+
+    return bpe_encode(load_table(spark, sf_dir, "documents"), n_rounds=3)

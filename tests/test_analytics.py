@@ -187,3 +187,66 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     for r in rows:
         assert r["ub_max"] - r["ub_min"] <= 31, r
         assert r["tb_max"] - r["tb_min"] <= 31, r
+
+
+def test_bpe_encode_matches_python_reference(spark, monkeypatch):
+    # tiny corpus, 2 merge rounds modeled exactly in python
+    texts = ["aaab aaab ab", "ab aaab cd", "x aaab"]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split() if len(w) >= 2)
+    segs = {w: list(w) for w in words}
+
+    def merge_once():
+        pairs = Counter()
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        (a, b), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in segs.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            segs[w] = out
+        return a, b
+
+    for _ in range(2):
+        merge_once()
+    all_words = {w for t in texts for w in t.split()}
+    enc = {w: segs.get(w, list(w)) for w in all_words}
+    want = {
+        i: (len(t.split()), sum(len(enc[w]) for w in t.split()))
+        for i, t in enumerate(texts)
+    }
+
+    from etl__project_spark.datapipe.text import bpe_encode
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode(docs, n_rounds=2).collect()
+    }
+    assert got == want
+
+
+def test_bpe_encode_corpus_shrinks_tokens(spark):
+    # merges can only shrink or keep token counts vs raw characters
+    from etl__project_spark.datapipe.text import bpe_encode
+    from etl__project_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id < 50")
+    rows = bpe_encode(docs, n_rounds=3).collect()
+    raw = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    assert len(rows) == 50
+    for r in rows:
+        assert r["n_tokens"] < raw[r["doc_id"]], r
+        assert r["n_tokens"] >= r["n_words"], r

@@ -68,7 +68,6 @@ _PRIORITY_R5 = [
     "ev_quantile_digest",
     "doc_dedup_canonical",
     "ev_funnel_steps",
-    "ev_retention_cohorts",
     "doc_pmi_bigrams",
     "doc_unigram_logprob",
     "emb_pq_topk",
@@ -96,6 +95,7 @@ _PRIORITY_R5 = [
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
     "tpch_q18_big_orders",
+    "tpch_q22_idle_balance",
 ]
 
 

@@ -3205,63 +3205,6 @@ def doc_hash_sample(spark, sf_dir):
 
 
 @query(
-    "ev_funnel",
-    """WITH s AS (
-  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
-  WHERE event_type = 'signup' GROUP BY user_id
-),
-c AS (
-  SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
-  FROM events e JOIN s ON e.user_id = s.user_id
-  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.s_us
-  GROUP BY e.user_id
-),
-p AS (
-  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
-  FROM events e JOIN c ON e.user_id = c.user_id
-  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
-  GROUP BY e.user_id
-)
-SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup,
-       (SELECT count(*) FROM c)::BIGINT AS n_click_after_signup,
-       (SELECT count(*) FROM p)::BIGINT AS n_purchase_after_click""",
-)
-def ev_funnel(spark, sf_dir):
-    """Ordered funnel (signup -> later click -> later purchase), counted
-    by user. One shuffle: both stage timestamps come from windows over
-    the SAME user_id partitioning (no event re-join per stage), micros
-    precision on both engines."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("us")
-    )
-    w = Window.partitionBy("user_id")
-    s_us = F.min(F.when(F.col("event_type") == "signup", F.col("us"))).over(w)
-    staged = ev.withColumn("s_us", s_us)
-    c_us = F.min(
-        F.when(
-            (F.col("event_type") == "click") & (F.col("us") >= F.col("s_us")),
-            F.col("us"),
-        )
-    ).over(w)
-    staged = staged.withColumn("c_us", c_us)
-    p_us = F.min(
-        F.when(
-            (F.col("event_type") == "purchase") & (F.col("us") >= F.col("c_us")),
-            F.col("us"),
-        )
-    ).over(w)
-    staged = staged.withColumn("p_us", p_us)
-    per_user = staged.groupBy("user_id").agg(
-        F.max("s_us").alias("s_us"), F.max("c_us").alias("c_us"), F.max("p_us").alias("p_us")
-    )
-    return per_user.agg(
-        F.count("s_us").alias("n_signup"),
-        F.count("c_us").alias("n_click_after_signup"),
-        F.count("p_us").alias("n_purchase_after_click"),
-    )
-
-
-@query(
     "ev_retention",
     """WITH first_seen AS (
   SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
@@ -4209,52 +4152,6 @@ def ev_funnel_steps(spark, sf_dir):
     return c.selectExpr(
         "stack(4, 1L, 'signup', c1, 2L, 'view', c2, 3L, 'click', c3,"
         " 4L, 'purchase', c4) AS (stage, stage_name, n_users)"
-    )
-
-
-@query(
-    "ev_retention_cohorts",
-    """WITH cohorts AS (
-  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events GROUP BY user_id
-),
-activity AS (
-  SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM events
-)
-SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
-       date_diff('day', c.cohort_day, a.act_day)::BIGINT AS day_offset,
-       count(*)::BIGINT AS n_users
-FROM activity a JOIN cohorts c USING (user_id)
-GROUP BY 1, 2""",
-)
-def ev_retention_cohorts(spark, sf_dir):
-    """Cohort retention matrix: users grouped by first-activity day
-    (their cohort), counted on each later day they return — the
-    (cohort_day, day_offset) triangle every growth dashboard draws.
-
-    Distributed shape: the cohort table is a per-user aggregate
-    (min-ts groupBy, user-keyed exchange) and the activity table is a
-    per-(user, day) distinct — both partial-aggregated map-side before
-    shuffling, so the join inputs are user-dimension-sized, not
-    event-sized. The equi-join runs on the shared user_id hash
-    partitioning and the final count is a two-phase hash aggregate:
-    no window, no sort, nothing driver-side. At 100 TB the activity
-    distinct is the big stage and it reduces ~raw-events → ~users×days
-    before the shuffle; the join never rehandles raw events.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    cohorts = ev.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).alias("cohort_day")
-    )
-    activity = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("act_day")
-    ).distinct()
-    return (
-        activity.join(cohorts, "user_id")
-        .groupBy(
-            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
-            F.datediff("act_day", "cohort_day").cast("long").alias("day_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 

@@ -78,31 +78,35 @@ def test_funnel_windows_share_one_user_exchange(spark):
     assert "Exchange SinglePartition" in plan  # the 1-row final stack only
 
 
-def test_retention_offsets(spark, monkeypatch):
-    # user 1 first seen Jan 1, returns Jan 3 (twice -> one distinct day).
+def test_retention_week_offsets(spark, monkeypatch):
+    # user 1 first seen Jan 1, active again Jan 9 (8 days = offset week 1,
+    # twice on that day -> still one user) and Jan 16 (offset week 2);
+    # user 2 first seen Jan 2, never returns. Offsets are relative to the
+    # user's own first event, cohort label is the calendar week start.
     rows = [
-        (1, 0, 0, 1, "view"), (3, 1, 0, 1, "view"), (3, 2, 0, 1, "click"),
-        (2, 0, 0, 2, "view"),
+        (1, 0, 0, 1, "view"), (9, 1, 0, 1, "view"), (9, 2, 0, 1, "click"),
+        (16, 1, 0, 1, "view"), (2, 0, 0, 2, "view"),
     ]
     out = {
-        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        (r["cohort_week"], r["offset_weeks"]): r["n_active_users"]
         for r in _run_on(
-            monkeypatch, _events(spark, rows), "ev_retention_cohorts", spark
+            monkeypatch, _events(spark, rows), "ev_retention", spark
         ).collect()
     }
     assert out == {
-        ("2024-01-01", 0): 1,
+        ("2024-01-01", 0): 2,  # both users' first events (same Mon-start week)
+        ("2024-01-01", 1): 1,
         ("2024-01-01", 2): 1,
-        ("2024-01-02", 0): 1,
     }
 
 
-def test_retention_join_prereduced_no_cartesian(spark):
-    plan = plan_of(QUERIES["ev_retention_cohorts"](spark, SF_DIR))
+def test_retention_no_self_join_single_user_window(spark):
+    # first_ts comes from a window over the user partitioning, not an
+    # events-to-events self-join: exactly one user_id exchange, no
+    # cartesian anywhere.
+    plan = plan_of(QUERIES["ev_retention"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    # both join inputs are user-keyed aggregates, partial-aggregated
-    # map-side before any exchange
-    assert plan.count("HashAggregate") >= 4
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
 
 
 def test_pmi_vocab_joins_broadcast_topk_no_global_sort(spark):

@@ -68,7 +68,7 @@ def test_all_query_plans_analyze_on_vanilla_session(vanilla):
         "ev_sessionize",
         "ev_session_window_native",
         "ev_range_lookback",
-        "ev_funnel",
+        "ev_funnel_steps",
         "ev_retention",
         "ev_minute_rollup",
         "ev_asof_signup",

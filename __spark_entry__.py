@@ -73,6 +73,7 @@ _PRIORITY_R5 = [
     "emb_pq_topk",
     "ev_zorder_stats",
     "doc_bpe_encode",
+    "dq_suite",
     # refresh r3-green rows (catalog order)
     "ev_sessionize",
     "ev_session_window_native",
@@ -95,7 +96,6 @@ _PRIORITY_R5 = [
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
     "tpch_q18_big_orders",
-    "tpch_q22_idle_balance",
 ]
 
 

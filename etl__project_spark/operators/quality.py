@@ -1,0 +1,81 @@
+"""Data-quality constraint suite (dbt-test / Deequ-style declarative
+checks), generalizing the reference's audit stage (record counts and
+max-length probes, lambda_function_s3.py:105-110) into reusable
+constraint primitives: not-null, uniqueness, accepted values, range
+bounds, and referential integrity.
+
+Scale design: every per-table check is an AGGREGATE EXPRESSION, and all
+checks against one table fuse into a SINGLE aggregate pass — one
+column-pruned scan per table regardless of how many constraints it
+carries, the property that keeps a 50-check suite affordable on a
+100 TB fact table. Referential integrity is the one check that cannot
+fuse (it needs the parent keys); it runs as a key-only anti-join —
+both sides shuffle ONLY the key column, and AQE picks broadcast when
+the parent's distinct keys are small. Results come back as one tidy
+(table_name, check_name, n_violations, passed) frame, ready to gate a
+publish (compose with plans/star_load.check_manifest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def violations_if(pred: Column) -> Column:
+    """Aggregate violation count for a row-level predicate that flags a
+    BAD row (e.g. ``F.col('x').isNull()``)."""
+    return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+
+
+def duplicate_violations(key: Column) -> Column:
+    """Aggregate violation count for a uniqueness constraint: the number
+    of surplus rows (count - distinct count) over the key."""
+    return (F.count(key) - F.countDistinct(key)).cast("long")
+
+
+def fused_checks(df: DataFrame, table_name: str, checks: dict[str, Column]) -> DataFrame:
+    """Evaluate every check against ``df`` in ONE aggregate pass.
+
+    ``checks`` maps check name → an aggregate Column producing that
+    check's violation count (build with ``violations_if`` /
+    ``duplicate_violations`` or any custom aggregate). Returns
+    (table_name, check_name, n_violations, passed) with one row per
+    check; the physical plan is a single two-phase hash aggregate over
+    one column-pruned scan, however many checks are registered.
+    """
+    row = df.agg(*[expr.alias(name) for name, expr in checks.items()])
+    stack_args = ", ".join(f"'{n}', {n}" for n in checks)
+    return row.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (check_name, n_violations)"
+    ).select(
+        F.lit(table_name).alias("table_name"),
+        "check_name",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def referential_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    table_name: str,
+    check_name: str,
+) -> DataFrame:
+    """Referential-integrity check: count child rows whose foreign key
+    has no parent. Key-only anti-join — each side is pruned to its key
+    column before the shuffle, so a 100 TB child shuffles just the fk."""
+    orphans = child.select(F.col(fk)).join(
+        parent.select(F.col(pk)).distinct(),
+        child[fk] == parent[pk],
+        "left_anti",
+    )
+    n = orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+    return n.select(
+        F.lit(table_name).alias("table_name"),
+        F.lit(check_name).alias("check_name"),
+        F.col("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -4400,7 +4400,10 @@ def ev_zorder_stats(spark, sf_dir):
     scan, no UDF, no join), followed by one two-phase hash aggregate on
     a 64-value keyspace. At scale the same zkey feeds
     ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` at write
-    time; this query is the layout auditor."""
+    time — the coded write path is
+    ``sources/connectors.py:write_zordered`` (whose test verifies the
+    span bound from actual parquet footer stats); this query is the
+    read-side layout auditor."""
     ev = load_table(spark, sf_dir, "events")
     ub = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
     tb = F.pmod(F.expr("unix_micros(ts) div 3600000000"), F.lit(256)).cast("long")
@@ -4470,3 +4473,83 @@ def doc_bpe_encode(spark, sf_dir):
     from etl__project_spark.datapipe.text import bpe_encode
 
     return bpe_encode(load_table(spark, sf_dir, "documents"), n_rounds=3)
+
+
+@query(
+    "dq_suite",
+    """WITH o AS (
+  SELECT sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS c_null,
+         (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT AS c_dup,
+         sum(CASE WHEN o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END)::BIGINT AS c_status,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                   OR o_orderdate >= TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END)::BIGINT AS c_date
+  FROM orders
+),
+l AS (
+  SELECT sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT AS c_qty
+  FROM lineitem
+),
+orph AS (
+  SELECT count(*)::BIGINT AS c_orph
+  FROM lineitem li LEFT JOIN orders o2 ON li.l_orderkey = o2.o_orderkey
+  WHERE o2.o_orderkey IS NULL
+)
+SELECT 'orders' AS table_name, 'o_custkey_not_null' AS check_name,
+       c_null AS n_violations, c_null = 0 AS passed FROM o
+UNION ALL SELECT 'orders', 'o_orderkey_unique', c_dup, c_dup = 0 FROM o
+UNION ALL SELECT 'orders', 'o_orderstatus_accepted', c_status, c_status = 0 FROM o
+UNION ALL SELECT 'orders', 'o_orderdate_in_bounds', c_date, c_date = 0 FROM o
+UNION ALL SELECT 'lineitem', 'l_quantity_in_range', c_qty, c_qty = 0 FROM l
+UNION ALL SELECT 'lineitem', 'l_orderkey_ref_orders', c_orph, c_orph = 0 FROM orph""",
+)
+def dq_suite(spark, sf_dir):
+    """Declarative data-quality suite over the star schema: not-null,
+    uniqueness, accepted-values, range, and referential-integrity
+    constraints, each reported as (table, check, n_violations, passed).
+    Two of the six checks are DELIBERATELY stricter than the fixture
+    (status ∈ {F,O} and orderdate < 2001) so the suite demonstrably
+    catches real out-of-policy rows, not just vacuous passes.
+
+    All four orders-checks fuse into one aggregate pass over one
+    column-pruned scan (``operators/quality.py:fused_checks``), the
+    lineitem range check is another single pass, and referential
+    integrity is a key-only anti-join — the per-table-pass fusion is
+    what keeps a wide constraint suite a constant number of scans at
+    100 TB, not one scan per check."""
+    from etl__project_spark.operators.quality import (
+        duplicate_violations,
+        fused_checks,
+        referential_orphans,
+        violations_if,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_checks = fused_checks(
+        orders,
+        "orders",
+        {
+            "o_custkey_not_null": violations_if(F.col("o_custkey").isNull()),
+            "o_orderkey_unique": duplicate_violations(F.col("o_orderkey")),
+            "o_orderstatus_accepted": violations_if(
+                ~F.col("o_orderstatus").isin("F", "O")
+            ),
+            "o_orderdate_in_bounds": violations_if(
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+            ),
+        },
+    )
+    l_checks = fused_checks(
+        li,
+        "lineitem",
+        {
+            "l_quantity_in_range": violations_if(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ),
+        },
+    )
+    ref = referential_orphans(
+        li, orders, "l_orderkey", "o_orderkey", "lineitem", "l_orderkey_ref_orders"
+    )
+    return o_checks.unionByName(l_checks).unionByName(ref)

@@ -254,3 +254,51 @@ def test_bpe_encode_corpus_shrinks_tokens(spark):
     for r in rows:
         assert r["n_tokens"] < raw[r["doc_id"]], r
         assert r["n_tokens"] >= r["n_words"], r
+
+
+def test_dq_fused_checks_catch_dirty_rows(spark):
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators.quality import (
+        duplicate_violations,
+        fused_checks,
+        referential_orphans,
+        violations_if,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, None), (3, 99)], "k long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    checks = fused_checks(
+        child,
+        "child",
+        {
+            "fk_not_null": violations_if(F.col("fk").isNull()),
+            "k_unique": duplicate_violations(F.col("k")),
+        },
+    )
+    got = {r["check_name"]: (r["n_violations"], r["passed"]) for r in checks.collect()}
+    assert got == {"fk_not_null": (1, False), "k_unique": (1, False)}
+
+    ref = referential_orphans(child, parent, "fk", "pk", "child", "fk_ref").collect()
+    # null fk joins nothing -> orphan; 99 has no parent -> orphan
+    assert ref[0]["n_violations"] == 2 and not ref[0]["passed"]
+
+
+def test_dq_suite_one_fused_pass_per_table(spark):
+    # four orders checks must share ONE aggregate (a single scan), and
+    # orders appears at most twice overall (checks pass + the key-only
+    # anti-join parent side); no cartesian anywhere.
+    df = QUERIES["dq_suite"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("orders.parquet") <= 2
+    rows = {r["check_name"]: r for r in df.collect()}
+    # the two deliberately-strict checks catch real rows; the rest pass
+    assert rows["o_orderstatus_accepted"]["n_violations"] > 0
+    assert rows["o_orderdate_in_bounds"]["n_violations"] > 0
+    assert rows["o_custkey_not_null"]["passed"]
+    assert rows["o_orderkey_unique"]["passed"]
+    assert rows["l_quantity_in_range"]["passed"]
+    assert rows["l_orderkey_ref_orders"]["passed"]

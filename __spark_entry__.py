@@ -74,6 +74,7 @@ _PRIORITY_R5 = [
     "ev_zorder_stats",
     "doc_bpe_encode",
     "dq_suite",
+    "emb_kmeans_iterate",
     # refresh r3-green rows (catalog order)
     "ev_sessionize",
     "ev_session_window_native",
@@ -95,7 +96,6 @@ _PRIORITY_R5 = [
     "tpch_q13_custdist",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
-    "tpch_q18_big_orders",
 ]
 
 

@@ -306,3 +306,78 @@ def pq_topk(
         .orderBy(F.desc("approx_dot"), F.asc(id_col))
         .limit(k)
     )
+
+
+def kmeans_iterate(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Full iterative Lloyd loop: assign → update, ``n_iter`` times —
+    the training loop that ``emb_kmeans_assign``/``emb_kmeans_update``
+    are single steps of (and that IVF/PQ codebooks come from). Returns
+    the final centroids as (centroid_id, dim, centroid_val) rows.
+
+    Distributed shape per round (the classic scalable k-means layout):
+    centroids are ALWAYS broadcast (k × d doubles — KBs), assignment is
+    a narrow scan + windowed argmax partitioned by vector, and the
+    update shuffles (cluster, dim, partial-sum) triples through a
+    two-phase hash aggregate — vectors themselves never shuffle, and
+    per-round ``localCheckpoint`` truncates the lineage so round N's
+    plan stays O(1) (the same pattern as the BPE merge loop and the
+    connected-components loop).
+
+    Cross-engine determinism for the ITERATED composition: each
+    centroid component is computed as an exact BIGINT micro-unit sum
+    divided once and half-up-rounded to 4 dp, so round 2's inputs are
+    bit-identical on both engines (a raw double ``avg`` would make
+    round-2 assignment depend on float summation order); similarities
+    rank on 4 dp-rounded cosine with centroid-id tiebreaks.
+    """
+    from pyspark.sql import Window
+
+    emb = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    centroids = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
+    )
+    newc = None
+    for _ in range(n_iter):
+        sim = F.round(cosine_components(F.col("v"), F.col("cv")), 4)
+        w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+        assign = (
+            emb.crossJoin(F.broadcast(centroids))
+            .select(id_col, "centroid_id", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "centroid_id")
+        )
+        ex = emb.join(assign, id_col).select(
+            "centroid_id", F.posexplode("v").alias("pos", "x")
+        )
+        newc = (
+            ex.select(
+                "centroid_id",
+                (F.col("pos") + 1).cast("long").alias("dim"),
+                F.floor(F.col("x") * 1_000_000 + F.lit(0.5)).cast("long").alias("xm"),
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(
+                (
+                    F.floor(
+                        F.sum("xm").cast("double") / F.count(F.lit(1)) / F.lit(100.0)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(10000.0)
+                ).alias("centroid_val")
+            )
+            .localCheckpoint(eager=True)
+        )
+        centroids = newc.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid_val"))),
+                lambda s: s.centroid_val,
+            ).alias("cv")
+        )
+    return newc.select("centroid_id", "dim", "centroid_val")

@@ -4553,3 +4553,47 @@ def dq_suite(spark, sf_dir):
         li, orders, "l_orderkey", "o_orderkey", "lineitem", "l_orderkey_ref_orders"
     )
     return o_checks.unionByName(l_checks).unionByName(ref)
+
+
+def _kmeans_iter_sql() -> str:
+    """DuckDB twin of datapipe.similarity.kmeans_iterate (k=4, 2 Lloyd
+    rounds unrolled as CTEs; micro-unit integer centroid updates so
+    round 2's inputs are bit-identical across engines)."""
+    assign = """SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                   c.centroid_id) AS rn
+    FROM emb e CROSS JOIN {cents} c) WHERE rn = 1"""
+    update = """SELECT ex.centroid_id, ex.dim, floor(sum(ex.xm)::DOUBLE / count(*) / 100.0 + 0.5) / 10000.0 AS centroid_val
+  FROM (
+    SELECT a.centroid_id, generate_subscripts(e.v, 1)::BIGINT AS dim,
+           floor(unnest(e.v) * 1000000 + 0.5)::BIGINT AS xm
+    FROM emb e JOIN {assign} a ON e.vec_id = a.vec_id) ex
+  GROUP BY ex.centroid_id, ex.dim"""
+    return f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM emb WHERE vec_id < 4),
+a1 AS ({assign.format(cents="c0")}),
+u1 AS ({update.format(assign="a1")}),
+c1 AS (SELECT centroid_id, list(centroid_val ORDER BY dim) AS cv FROM u1 GROUP BY centroid_id),
+a2 AS ({assign.format(cents="c1")}),
+u2 AS ({update.format(assign="a2")})
+SELECT centroid_id, dim, centroid_val FROM u2"""
+
+
+@query("emb_kmeans_iterate", _kmeans_iter_sql())
+def emb_kmeans_iterate(spark, sf_dir):
+    """Two full Lloyd iterations (assign → update → assign → update) —
+    the iterative clustering loop that `emb_kmeans_assign` and
+    `emb_kmeans_update` are single steps of, and the trainer IVF cells
+    and PQ codebooks come from. See
+    ``datapipe/similarity.py:kmeans_iterate`` for the
+    broadcast-centroids / vectors-never-shuffle round shape and the
+    integer-quantized update that keeps the iterated composition
+    engine-deterministic."""
+    from etl__project_spark.datapipe.similarity import kmeans_iterate
+
+    return kmeans_iterate(load_table(spark, sf_dir, "embeddings"), k=4, n_iter=2)

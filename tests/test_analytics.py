@@ -302,3 +302,44 @@ def test_dq_suite_one_fused_pass_per_table(spark):
     assert rows["o_orderkey_unique"]["passed"]
     assert rows["l_quantity_in_range"]["passed"]
     assert rows["l_orderkey_ref_orders"]["passed"]
+
+
+def test_kmeans_iterate_converges_on_separable_clusters(spark):
+    # two tight blobs on opposite axes; seeds are one member of each.
+    # after 2 Lloyd rounds the centroids must be each blob's exact mean
+    # (quantized to 4dp) — and assignment must have pulled every member
+    # to its own blob's centroid.
+    import numpy as np
+
+    from etl__project_spark.datapipe.similarity import kmeans_iterate
+
+    rows = []
+    for i in range(6):  # blob A around +x
+        rows.append((i * 2, [1.0, 0.01 * i, 0.0, 0.0]))
+    for i in range(6):  # blob B around +y
+        rows.append((i * 2 + 1, [0.01 * i, 1.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_iterate(emb, k=2, n_iter=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["centroid_id"], {})[r["dim"]] = r["centroid_val"]
+
+    def qmean(vals):
+        import math
+
+        sm = sum(math.floor(v * 1e6 + 0.5) for v in vals)
+        return math.floor(sm / len(vals) / 100.0 + 0.5) / 1e4
+
+    a = [np.float32(1.0)] * 6, [np.float32(0.01 * i) for i in range(6)]
+    want_a1 = qmean([float(x) for x in a[0]])
+    want_a2 = qmean([float(x) for x in a[1]])
+    # centroid 0 seeded in blob A keeps blob A: dims (1,2) = (mean1, mean x2)
+    assert got[0][1] == want_a1 and got[0][2] == want_a2
+    assert got[1][1] == want_a2 and got[1][2] == want_a1  # blob B mirrored
+    assert got[0][3] == 0.0 and got[1][3] == 0.0
+
+
+def test_kmeans_iterate_plan_broadcast_centroids(spark):
+    plan = plan_of(QUERIES["emb_kmeans_iterate"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -83,6 +83,7 @@ def _process_batch(
     wh: ParquetWarehouse,
     spark: SparkSession,
     compact_every: int | None = None,
+    quality_checks: dict | None = None,
 ) -> None:
     # T5: dedup within the batch, then against every already-landed row
     # (re-delivered files insert nothing the second time). The landed
@@ -91,6 +92,21 @@ def _process_batch(
     fresh = batch.dropDuplicates().join(landed, list(batch.columns), "left_anti")
     fresh = fresh.persist()
     if fresh.count() > 0:
+        # Optional per-batch quality gate (operators/quality.py): every
+        # check evaluates in ONE fused aggregate pass over the cached
+        # batch; a failing batch is QUARANTINED — written idempotently
+        # to its own quarantine batch dir for inspection/replay — and
+        # never reaches the raw table, the star load, or the serving
+        # rollup (the gate is the streaming face of K5's precondition
+        # discipline: bad input halts the batch, not the stream).
+        if quality_checks is not None:
+            from etl__project_spark.operators.quality import fused_checks
+
+            report = fused_checks(fresh, "stream_batch", quality_checks)
+            if report.filter(~F.col("passed")).limit(1).count() > 0:
+                wh.fact_append("quarantine", fresh, batch_id=str(batch_id))
+                fresh.unpersist()
+                return
         wh.fact_append("credit", fresh, batch_id=str(batch_id))
         load_batch(fresh, wh, batch_id=str(batch_id), spark=spark)
     fresh.unpersist()
@@ -113,6 +129,7 @@ def stream_star_load(
     processing_time: str | None = None,
     compact_every: int | None = None,
     max_files_per_trigger: int | None = None,
+    quality_checks: dict | None = None,
 ):
     """Start the streaming star load over a CSV landing directory.
 
@@ -126,7 +143,9 @@ def stream_star_load(
     one giant catch-up batch — at scale this is what keeps executor
     memory and per-batch state flat through a backlog drain
     (``availableNow`` still drains everything; it just takes several
-    batches to do it).
+    batches to do it). ``quality_checks`` (name → violation-count
+    aggregate, see ``operators/quality.py``) gates every micro-batch:
+    a batch failing any check is quarantined instead of loaded.
     """
     wh = ParquetWarehouse(spark, warehouse_root)
     reader = (
@@ -139,7 +158,9 @@ def stream_star_load(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.csv(landing_dir)
     writer = raw.writeStream.foreachBatch(
-        lambda df, bid: _process_batch(df, bid, wh, spark, compact_every)
+        lambda df, bid: _process_batch(
+            df, bid, wh, spark, compact_every, quality_checks
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -177,3 +177,52 @@ def test_max_files_per_trigger_paces_backlog(spark, tmp_path):
     credit_dir = os.path.join(str(tmp_path / "wh"), "credit")
     batch_dirs = [d for d in os.listdir(credit_dir) if d.startswith("batch=")]
     assert len(batch_dirs) == 3
+
+
+def test_quality_gate_quarantines_bad_batch(spark, tmp_path):
+    """A micro-batch failing a declared quality check must be written to
+    the quarantine table and kept out of the raw table, the star load,
+    and the serving rollup; clean batches flow through untouched."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators.quality import violations_if
+    from etl__project_spark.sources.readers import RAW_SCHEMA
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_csv(
+        os.path.join(landing, "a_clean.csv"),
+        ['2017-01-11T00:00:31.000Z,Android App|video A,"127,206"'],
+    )
+    time.sleep(1.1)  # distinct mtimes -> stable file->batch order
+    _write_csv(
+        os.path.join(landing, "b_dirty.csv"),
+        [',news|no datetime,206'],  # empty DateTime reads as null
+    )
+    q = stream_star_load(
+        spark,
+        landing,
+        wh_root,
+        ckpt,
+        available_now=True,
+        max_files_per_trigger=1,
+        quality_checks={
+            "datetime_not_null": violations_if(F.col("DateTime").isNull())
+        },
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    wh = ParquetWarehouse(spark, wh_root)
+    counts = audit(wh)
+    assert counts["factvideostart"] == 1  # only the clean batch loaded
+    credit = wh.read_fact("credit", RAW_SCHEMA)
+    assert credit.count() == 1
+    quarantine = wh.read_fact("quarantine", RAW_SCHEMA)
+    qrows = quarantine.collect()
+    assert len(qrows) == 1 and qrows[0]["DateTime"] is None

@@ -4597,3 +4597,39 @@ def emb_kmeans_iterate(spark, sf_dir):
     from etl__project_spark.datapipe.similarity import kmeans_iterate
 
     return kmeans_iterate(load_table(spark, sf_dir, "embeddings"), k=4, n_iter=2)
+
+
+@query(
+    "ev_salted_join",
+    """WITH cohorts AS (
+  SELECT user_id, strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT c.cohort_week, count(*)::BIGINT AS n_events,
+       count(DISTINCT e.user_id)::BIGINT AS n_users
+FROM events e JOIN cohorts c ON e.user_id = c.user_id
+GROUP BY c.cohort_week""",
+)
+def ev_salted_join(spark, sf_dir):
+    """Skew-mitigated fact-to-dim join, surfaced as a catalog query: the
+    event stream (big, potentially hot-keyed — one viral user can own a
+    partition) joins its per-user cohort dim through
+    ``operators/skew.py:salted_join``, which spreads each key over 16
+    (key, salt) buckets while replicating only the SMALL side. The
+    oracle is the plain unsalted join — the hash match is the proof
+    that salting changes the shuffle layout, never the semantics.
+    Deliberately the hand-rolled twin of AQE's runtime skew splitting
+    (enabled in session.py) for the planned-ahead case."""
+    from etl__project_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias(
+            "cohort_week"
+        )
+    )
+    joined = salted_join(ev.select("user_id", "event_id"), cohorts, "user_id")
+    return joined.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -343,3 +343,13 @@ def test_kmeans_iterate_plan_broadcast_centroids(spark):
     plan = plan_of(QUERIES["emb_kmeans_iterate"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    # the join must be keyed on (user_id, __salt): hot keys spread over
+    # 16 buckets; no cartesian, no sort-merge needed at this size but
+    # the exchange carries the salt either way.
+    df = QUERIES["ev_salted_join"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan

@@ -96,3 +96,20 @@ def test_events_ts_loads_as_timestamp_not_ntz(vanilla):
 
     ts_type = dict(load_table(vanilla, SF, "events").dtypes)["ts"]
     assert ts_type == "timestamp", f"events.ts loaded as {ts_type}"
+
+
+def test_catalog_doc_is_fresh():
+    """CATALOG.md is generated from the live catalog; regenerate with
+    `python tools/gen_catalog_doc.py > CATALOG.md` when queries change."""
+    import io
+    import pathlib
+    import contextlib
+
+    import tools.gen_catalog_doc as gen
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gen.main()
+    want = buf.getvalue()
+    got = pathlib.Path(__file__).resolve().parents[1].joinpath("CATALOG.md").read_text()
+    assert got == want, "CATALOG.md is stale — regenerate with tools/gen_catalog_doc.py"

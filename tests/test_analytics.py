@@ -353,3 +353,20 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
     plan = plan_of(df)
     assert "__salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_interleave_is_bijective(spark):
+    # exhaustive over the full 256x256 key domain: the closed-form
+    # Morton interleave must be a bijection into [0, 65536) — no two
+    # (ub, tb) pairs may share a file-ordering key.
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.plans.catalog import _zexpr
+
+    dom = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("ub"), (F.col("id") / 256).cast("long").alias("tb")
+    )
+    stats = dom.select(F.expr(_zexpr("ub", "tb")).alias("z")).agg(
+        F.countDistinct("z").alias("nd"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).collect()[0]
+    assert stats["nd"] == 65536 and stats["lo"] == 0 and stats["hi"] == 65535

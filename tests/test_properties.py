@@ -402,3 +402,66 @@ def test_quantile_histogram_merge_and_error_bound(spark, values, n_shards):
         exact = ordered[target - 1]
         clamped = max(min(exact, 1024.0), 0.0)  # histogram clamps at bin 4095
         assert clamped <= est <= clamped + 0.25 + 1e-9, (p, est, exact)
+
+
+# -- round-5 analytics: funnel vs a pure-Python model -----------------------
+
+_ev = st.tuples(
+    st.integers(min_value=1, max_value=4),  # user
+    st.sampled_from(["signup", "view", "click", "purchase", "error"]),
+    st.integers(min_value=0, max_value=50),  # minute offset
+)
+
+
+def _model_funnel(events):
+    from collections import defaultdict
+
+    stages = ["signup", "view", "click", "purchase"]
+    by_user = defaultdict(list)
+    for u, ty, t in events:
+        by_user[u].append((ty, t))
+    counts = dict.fromkeys(stages, 0)
+    for evs in by_user.values():
+        prev = None
+        for i, stage in enumerate(stages):
+            cand = [
+                t
+                for ty, t in evs
+                if ty == stage and (True if i == 0 else t > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[stage] += 1
+    return counts
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_ev, min_size=1, max_size=40))
+def test_funnel_steps_matches_python_model(spark, events):
+    from datetime import datetime
+
+    import etl__project_spark.plans.catalog as cat
+
+    df = spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, 1, t // 60, t % 60), u, ty, 0.0, "{}")
+            for i, (u, ty, t) in enumerate(events)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = cat.load_table
+    cat.load_table = lambda s, d, t: df
+    try:
+        got = {
+            r["stage_name"]: r["n_users"]
+            for r in cat.QUERIES["ev_funnel_steps"](spark, "unused").collect()
+        }
+    finally:
+        cat.load_table = orig
+    want = _model_funnel(events)
+    assert got == want
+    # monotone: each stage can only lose users
+    seq = [got[s] for s in ["signup", "view", "click", "purchase"]]
+    assert all(a >= b for a, b in zip(seq, seq[1:]))

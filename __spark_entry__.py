@@ -76,6 +76,7 @@ _PRIORITY_R5 = [
     "dq_suite",
     "emb_kmeans_iterate",
     "ev_salted_join",
+    "doc_dataset_card",
     # refresh r3-green rows (catalog order)
     "ev_sessionize",
     "ev_session_window_native",
@@ -95,7 +96,6 @@ _PRIORITY_R5 = [
     "tpch_q10_returned",
     "tpch_q12_late_lines",
     "tpch_q13_custdist",
-    "tpch_q14_promo",
 ]
 
 

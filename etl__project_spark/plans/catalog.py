@@ -4633,3 +4633,73 @@ def ev_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "doc_dataset_card",
+    r"""WITH base AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS n_tokens,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         count(DISTINCT md5(text))::BIGINT AS nd
+  FROM documents GROUP BY source
+),
+langs AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+),
+top AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+    FROM langs) WHERE rn = 1
+)
+SELECT b.source, b.n_docs, b.n_tokens,
+       floor(b.n_tokens::DOUBLE / b.n_docs * 100 + 0.5) / 100.0 AS avg_tokens,
+       b.n_langs, t.top_lang,
+       floor((1 - b.nd::DOUBLE / b.n_docs) * 10000 + 0.5) / 10000.0 AS dup_rate
+FROM base b JOIN top t USING (source)""",
+)
+def doc_dataset_card(spark, sf_dir):
+    """Dataset card: the per-source summary a training-data release
+    ships — document and token counts, language spread with the modal
+    language, and the exact-duplicate rate (1 − distinct-text-hashes /
+    docs). One groupBy(source) pass computes every count (token totals
+    fused into the same scan via a map-side size(split())), the modal
+    language is a (source, lang) hash agg + source-partitioned top-1
+    window, and the md5-keyed distinct shuffles 16-byte hashes, never
+    text — the whole card is two small-keyspace aggregates at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("nd"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return base.join(F.broadcast(top), "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(F.col("n_tokens").cast("double") / F.col("n_docs") * 100 + F.lit(0.5))
+            / F.lit(100.0)
+        ).alias("avg_tokens"),
+        "n_langs",
+        "top_lang",
+        (
+            F.floor(
+                (F.lit(1) - F.col("nd").cast("double") / F.col("n_docs")) * 10000
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("dup_rate"),
+    )

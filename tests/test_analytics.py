@@ -370,3 +370,34 @@ def test_zorder_interleave_is_bijective(spark):
         F.countDistinct("z").alias("nd"), F.min("z").alias("lo"), F.max("z").alias("hi")
     ).collect()[0]
     assert stats["nd"] == 65536 and stats["lo"] == 0 and stats["hi"] == 65535
+
+
+def test_dataset_card_semantics(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1", 5),
+            (2, "a b c", "en", "s1", 5),      # exact dup of doc 1
+            (3, "d e", "fr", "s1", 3),
+            (4, "x", "de", "s2", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r["source"]: r
+        for r in _run_on(monkeypatch, docs, "doc_dataset_card", spark).collect()
+    }
+    s1 = out["s1"]
+    assert (s1["n_docs"], s1["n_tokens"], s1["n_langs"]) == (3, 8, 2)
+    assert s1["top_lang"] == "en" and s1["dup_rate"] == round(1 - 2 / 3, 4)
+    s2 = out["s2"]
+    assert s2["n_docs"] == 1 and s2["dup_rate"] == 0.0 and s2["top_lang"] == "de"
+
+
+def test_dataset_card_no_text_shuffle(spark):
+    # distinctness is keyed on md5(text): the shuffle carries 16-byte
+    # hashes inside the partial aggregate, and the modal-language window
+    # is source-partitioned — no single-partition exchange, no cartesian.
+    plan = plan_of(QUERIES["doc_dataset_card"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "md5" in plan

@@ -4703,3 +4703,252 @@ def doc_dataset_card(spark, sf_dir):
             / F.lit(10000.0)
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "tpch_bloom_prune_join",
+    """WITH build AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE year(o_orderdate) = 1995 AND o_orderpriority = '1-URGENT'
+),
+c0 AS (SELECT DISTINCT ('0x' || substr(md5(k::VARCHAR || 'bf0'), 1, 15))::BIGINT % 8192 AS b0 FROM build),
+c1 AS (SELECT DISTINCT ('0x' || substr(md5(k::VARCHAR || 'bf1'), 1, 15))::BIGINT % 8192 AS b1 FROM build),
+probe AS (
+  SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS rev,
+         ('0x' || substr(md5(l_orderkey::VARCHAR || 'bf0'), 1, 15))::BIGINT % 8192 AS pb0,
+         ('0x' || substr(md5(l_orderkey::VARCHAR || 'bf1'), 1, 15))::BIGINT % 8192 AS pb1
+  FROM lineitem
+),
+flagged AS (
+  SELECT p.rev,
+         (c0.b0 IS NOT NULL AND c1.b1 IS NOT NULL) AS pass_bloom,
+         (bk.k IS NOT NULL) AS is_match
+  FROM probe p
+  LEFT JOIN c0 ON p.pb0 = c0.b0
+  LEFT JOIN c1 ON p.pb1 = c1.b1
+  LEFT JOIN build bk ON p.l_orderkey = bk.k
+)
+SELECT count(*)::BIGINT AS n_probe,
+       sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END)::BIGINT AS n_pass_bloom,
+       sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS n_match,
+       sum(CASE WHEN pass_bloom AND NOT is_match THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+       coalesce(bool_and(pass_bloom) FILTER (WHERE is_match), true) AS no_false_negatives,
+       (floor(sum(CAST(floor((CASE WHEN is_match THEN rev END) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0) AS matched_revenue
+FROM flagged""",
+)
+def tpch_bloom_prune_join(spark, sf_dir):
+    """Bloom-filter join pruning — the hand-rolled runtime filter: the
+    small (build) side of a join publishes a Bloom sketch of its keys,
+    and the big (probe) side is pruned against it BEFORE any shuffle,
+    so at 100 TB the exchange moves only rows that can possibly match
+    plus a bounded false-positive tail.
+
+    The sketch is a blocked/partitioned Bloom filter: two independent
+    md5 hash families, each with its own 8192-bucket cell set; a probe
+    key passes only if it hits in BOTH families (fpp ~ (n/m)^2).
+    Distributed shape: each cell set is a DISTINCT over <= 8192 BIGINTs
+    (fixed-size state, mergeable by union like the CMS/HLL sketches) and
+    attaches to the probe as a broadcast left join — the probe side
+    never shuffles; membership, match flags, and the audit counts all
+    come from ONE streaming pass over lineitem. The emitted columns are
+    the filter's contract: ``no_false_negatives`` pins the Bloom
+    guarantee (every true match passes), ``n_false_pos`` measures the
+    pruning leak, and ``matched_revenue`` proves the post-prune exact
+    join loses nothing. Engine-portable hashing via md5 (same scheme as
+    ``ev_heavy_hitters_cms``); the oracle rebuilds the identical sketch,
+    so the hash match also proves determinism."""
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    m = 8192
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        orders.filter(
+            (F.year("o_orderdate") == 1995)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    c0 = keys.select(hash_bucket(F.col("k"), m, salt="bf0").alias("pb0")).distinct()
+    c1 = keys.select(hash_bucket(F.col("k"), m, salt="bf1").alias("pb1")).distinct()
+    probe = li.select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev"),
+        hash_bucket(F.col("l_orderkey"), m, salt="bf0").alias("pb0"),
+        hash_bucket(F.col("l_orderkey"), m, salt="bf1").alias("pb1"),
+    )
+    flagged = (
+        probe.join(F.broadcast(c0.withColumn("hit0", F.lit(1))), "pb0", "left")
+        .join(F.broadcast(c1.withColumn("hit1", F.lit(1))), "pb1", "left")
+        .join(
+            F.broadcast(keys.withColumn("hitk", F.lit(1))),
+            F.col("l_orderkey") == F.col("k"),
+            "left",
+        )
+        .select(
+            "rev",
+            (F.col("hit0").isNotNull() & F.col("hit1").isNotNull()).alias(
+                "pass_bloom"
+            ),
+            F.col("hitk").isNotNull().alias("is_match"),
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("pass_bloom"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_bloom"),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_match"),
+        F.sum(F.when(F.col("pass_bloom") & ~F.col("is_match"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.coalesce(
+            F.min(F.when(F.col("is_match"), F.col("pass_bloom"))), F.lit(True)
+        ).alias("no_false_negatives"),
+        _money_sum(F.when(F.col("is_match"), F.col("rev"))).alias(
+            "matched_revenue"
+        ),
+    )
+
+
+@query(
+    "ev_mad_outliers",
+    """WITH med AS (
+  SELECT event_type, floor(median(value) * 10000 + 0.5) / 10000.0 AS med_q
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med_q) AS dev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, floor(median(dev) * 10000 + 0.5) / 10000.0 AS mad_q
+  FROM dev GROUP BY event_type
+),
+fin AS (
+  SELECT d.event_type, m.med_q, a.mad_q,
+         floor((3.5 * a.mad_q / 0.6745) * 10000 + 0.5) / 10000.0 AS thr, d.dev
+  FROM dev d JOIN mad a USING (event_type) JOIN med m USING (event_type)
+)
+SELECT event_type, min(med_q) AS median_value, min(mad_q) AS mad,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN dev > thr THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       floor((0.6745 * max(dev) / min(mad_q)) * 10000 + 0.5) / 10000.0 AS max_robust_z
+FROM fin GROUP BY event_type""",
+)
+def ev_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier detection via median / MAD (the
+    median-absolute-deviation rule, Iglewicz & Hoaglin's modified
+    z-score): a point is an outlier when
+    0.6745 * |x - median| / MAD > 3.5. Unlike mean/stddev z-scores this
+    is immune to the outliers it is hunting — the standard screen for
+    telemetry values before they poison downstream aggregates.
+
+    Distributed shape: three passes, each a narrow (event_type, value)
+    scan — group medians, then MAD of the re-attached deviations, then
+    the outlier count — with the per-group statistics re-attached by
+    broadcast (the group keyspace is tiny at any event volume). Exact
+    interpolated medians keep the DuckDB oracle bit-comparable (the
+    ``ev_approx_stats`` precedent); at 100 TB the same plumbing runs on
+    ``approx_percentile`` sketches (mergeable, bounded state) — the
+    swap is one expression, the join/aggregate shape is unchanged.
+    Cross-engine determinism: the median and MAD are floor-quantized to
+    4 dp BEFORE the threshold compare, so the > test runs on
+    bit-identical doubles in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(_quant4(F.median("value")).alias("med_q"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med_q", F.abs(F.col("value") - F.col("med_q")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(_quant4(F.median("dev")).alias("mad_q"))
+    thr = _quant4(F.lit(3.5) * F.col("mad_q") / F.lit(0.6745))
+    fin = dev.join(F.broadcast(mad), "event_type").withColumn("thr", thr)
+    return fin.groupBy("event_type").agg(
+        F.min("med_q").alias("median_value"),
+        F.min("mad_q").alias("mad"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("dev") > F.col("thr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        _quant4(F.lit(0.6745) * F.max("dev") / F.min("mad_q")).alias(
+            "max_robust_z"
+        ),
+    )
+
+
+@query(
+    "doc_passage_scrub",
+    """WITH idx AS (
+  SELECT doc_id, text, unnest(range(0, ((len(text) - 1) // 100) + 1)) AS i
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i, substr(text, (i * 100 + 1)::INT, 100) AS chunk FROM idx
+),
+ranked AS (
+  SELECT doc_id, i, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, i) AS rn
+  FROM chunks
+)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(sum(len(chunk)) FILTER (WHERE rn = 1), 0)::BIGINT AS scrubbed_len,
+       md5(coalesce(string_agg(chunk, '' ORDER BY i) FILTER (WHERE rn = 1), '')) AS scrubbed_md5
+FROM ranked GROUP BY doc_id""",
+)
+def doc_passage_scrub(spark, sf_dir):
+    """Passage-level dedup REMOVAL with document reassembly (the C4 /
+    RefinedWeb step after ``doc_passage_dup``'s detection): every
+    100-char passage that already appeared earlier in the corpus —
+    first occurrence = smallest (doc_id, position) — is dropped, and
+    each document is rebuilt from its surviving passages in original
+    order. Emits per-document passage counts plus the md5 of the
+    reassembled text, so the hash match pins the exact reconstructed
+    bytes without shipping full texts through the compare.
+
+    Distributed shape: chunking is a map-side generator
+    (sequence+explode, no UDF); the keep-first rule is a window over
+    the 16-byte passage hash — ``row_number`` per md5 partition, the
+    same one-exchange shape as ``doc_common_ngram_filter``, never a
+    self-join; reassembly is a doc-keyed hash aggregate whose
+    ``array_sort(collect_list(struct(pos, chunk)))`` state is bounded
+    by document length, not corpus size. Two data-proportional
+    exchanges total (by passage hash, then by doc_id) — the plan a
+    1000-executor corpus scrub wants."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.length("text") - 1) / 100).cast("int"))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "i",
+        F.col("text").substr(F.col("i") * 100 + 1, F.lit(100)).alias("chunk"),
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "i")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("i"), F.col("chunk"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == 1, F.length("chunk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("scrubbed_len"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["chunk"]
+                ),
+            )
+        ).alias("scrubbed_md5"),
+    )

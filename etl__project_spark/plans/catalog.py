@@ -4952,3 +4952,235 @@ def doc_passage_scrub(spark, sf_dir):
             )
         ).alias("scrubbed_md5"),
     )
+
+
+@query(
+    "doc_quality_pctl_filter",
+    """WITH cut AS (
+  SELECT lang,
+         floor(quantile_cont(n_chars, 0.10) * 10000 + 0.5) / 10000.0 AS p10_cutoff
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, min(c.p10_cutoff) AS p10_cutoff,
+       count(*)::BIGINT AS n_total,
+       sum(CASE WHEN d.n_chars >= c.p10_cutoff THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       floor(sum(CASE WHEN d.n_chars >= c.p10_cutoff THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 10000 + 0.5) / 10000.0 AS keep_rate
+FROM documents d JOIN cut c USING (lang)
+GROUP BY d.lang""",
+)
+def doc_quality_pctl_filter(spark, sf_dir):
+    """Dynamic (percentile-based) quality thresholding: instead of one
+    global cutoff, each language learns its own — here the 10th
+    percentile of document length — and the filter keeps documents at
+    or above their language's cutoff. This is how multilingual corpus
+    filters avoid starving low-resource languages whose length/quality
+    distributions differ from English (a fixed global cutoff would
+    delete whole languages).
+
+    Distributed shape: one per-language percentile aggregate (tiny
+    keyspace), re-attached by broadcast, then a single counting pass —
+    the filter itself never shuffles the corpus. Exact interpolated
+    percentile keeps the DuckDB oracle bit-comparable; at 100 TB the
+    same plumbing runs on ``approx_percentile`` (mergeable sketch,
+    bounded state) with the join/aggregate shape unchanged. The cutoff
+    is floor-quantized to 4 dp before the >= compare, so the boundary
+    decision is bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    cut = docs.groupBy("lang").agg(
+        _quant4(F.expr("percentile(n_chars, 0.10)")).alias("p10_cutoff")
+    )
+    keep = F.when(F.col("n_chars") >= F.col("p10_cutoff"), 1).otherwise(0)
+    return (
+        docs.join(F.broadcast(cut), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("p10_cutoff").alias("p10_cutoff"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(keep).cast("long").alias("n_kept"),
+            (
+                F.floor(
+                    F.sum(keep).cast("double") / F.count(F.lit(1)) * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("keep_rate"),
+        )
+    )
+
+
+@query(
+    "doc_bigram_logprob",
+    r"""WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+docs2 AS (SELECT * FROM toks WHERE len(t) >= 2),
+bistream AS (
+  SELECT doc_id, t[i] AS w_a, t[i+1] AS w_b
+  FROM docs2, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+uni AS (
+  SELECT word, count(*)::BIGINT AS c_w
+  FROM (SELECT unnest(t) AS word FROM toks) GROUP BY word
+),
+n AS (SELECT sum(c_w)::BIGINT AS n_total FROM uni),
+bi AS (SELECT w_a, w_b, count(*)::BIGINT AS c_ab FROM bistream GROUP BY w_a, w_b),
+ctx AS (SELECT w_a, sum(c_ab)::BIGINT AS c_a FROM bi GROUP BY w_a),
+scored AS (
+  SELECT s.doc_id,
+         floor(ln(0.75 * (b.c_ab::DOUBLE / c.c_a::DOUBLE)
+                  + 0.25 * (u.c_w::DOUBLE / n.n_total::DOUBLE)) * 1000000 + 0.5)::BIGINT AS lp_micro
+  FROM bistream s
+  JOIN bi b USING (w_a, w_b)
+  JOIN ctx c USING (w_a)
+  JOIN uni u ON s.w_b = u.word
+  CROSS JOIN n
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       floor(sum(lp_micro)::DOUBLE / count(*) / 100.0 + 0.5) / 10000.0 AS avg_logprob
+FROM scored GROUP BY doc_id""",
+)
+def doc_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM document scoring — one rung up the
+    perplexity-filter ladder from ``doc_unigram_logprob``: each token
+    transition scores ln(0.75·P(b|a) + 0.25·P(b)), the Jelinek-Mercer
+    mix of the corpus's own bigram and unigram MLEs (the unigram
+    fallback keeps unseen-context mass finite), and documents report
+    their mean transition log-probability. Low scores = incoherent
+    token order, not just rare tokens — the signal length-normalized
+    unigram scores miss.
+
+    Distributed shape: bigrams come from zipping each token array with
+    its own tail (map-side, fused into the scan — no positional
+    self-join); the LM tables are vocabulary-bounded hash aggregates
+    (bigram counts, context totals = one further agg OVER the bigram
+    table, unigrams), re-attached to the transition stream by broadcast
+    at fixture scale — at 100 TB the bigram re-attach becomes a plain
+    equi-join shuffled by (w_a, w_b), still bounded by vocabulary², and
+    the scoring pass stays a narrow map + one doc-keyed aggregate.
+    Per-transition log-probs are quantized to integer micro-units
+    before summing (exact BIGINT arithmetic, summation-order-proof);
+    the interpolation is computed with a pinned parenthesization so
+    both engines evaluate identical IEEE trees."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), r"\s+")
+    uni = (
+        docs.select(F.explode(t).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    n = uni.agg(F.sum("c_w").alias("n_total"))
+    arr = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    bistream = arr.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w_a"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w_b"),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w_a", "p.w_b")
+    bi = bistream.groupBy("w_a", "w_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctx = bi.groupBy("w_a").agg(F.sum("c_ab").alias("c_a"))
+    unib = uni.select(F.col("word").alias("w_b"), "c_w")
+    p = F.lit(0.75) * (
+        F.col("c_ab").cast("double") / F.col("c_a").cast("double")
+    ) + F.lit(0.25) * (
+        F.col("c_w").cast("double") / F.col("n_total").cast("double")
+    )
+    scored = (
+        bistream.join(F.broadcast(bi), ["w_a", "w_b"])
+        .join(F.broadcast(ctx), "w_a")
+        .join(F.broadcast(unib), "w_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.floor(F.log(p) * 1000000 + F.lit(0.5)).cast("long").alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.floor(
+                F.sum("lp_micro").cast("double") / F.count(F.lit(1)) / F.lit(100.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("avg_logprob"),
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    """Banded SimHash pair oracle: the full signature CTE from
+    ``_simhash_oracle`` feeds a 4x4-bit band self-join + Hamming filter."""
+    return f"""WITH sig AS ({_simhash_oracle()}),
+bands AS (
+  SELECT doc_id, simhash, j, (simhash >> (4 * j)) & 15 AS band
+  FROM sig, unnest([0, 1, 2, 3]) AS u(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM bands a JOIN bands b
+    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3"""
+
+
+@query("doc_simhash_pairs", _simhash_pairs_oracle())
+def doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate PAIRS — the banded completion of
+    ``doc_simhash``: 16-bit signatures split into four 4-bit bands; a
+    pair is a candidate iff some band matches exactly, then candidates
+    are kept when full Hamming distance <= 3. By pigeonhole, any pair
+    within Hamming 3 of each other has at least one of the 4 bands
+    intact, so the banded candidate set is COMPLETE for the radius-3
+    ball — the same guarantee structure as MinHash LSH, with bit-level
+    banding instead of signature rows.
+
+    Distributed shape: signatures are one corpus-wide hash aggregate
+    (``datapipe/dedup.py:167``); banding is a map-side explode into 4
+    (band_id, nibble) keys per doc; candidates come from a band
+    EQUI-join — O(band collisions), never O(N²) — and the Hamming
+    filter is integer xor/bit_count on two 16-bit codes. At 100 TB the
+    shuffle moves (band, doc_id, sig) triples ~24 B each, and skewed
+    bands (common nibbles) are exactly the AQE skew-join case the
+    session enables."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash(docs)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("simhash"), 4 * j)
+                        .bitwiseAND(F.lit(15))
+                        .alias("band"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "simhash", "p.j", "p.band")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "j", "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "j", "band"
+    )
+    cand = (
+        a.join(b, ["j", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 3)

@@ -77,6 +77,12 @@ _PRIORITY_R5 = [
     "emb_kmeans_iterate",
     "ev_salted_join",
     "doc_dataset_card",
+    "tpch_bloom_prune_join",
+    "ev_mad_outliers",
+    "doc_passage_scrub",
+    "doc_quality_pctl_filter",
+    "doc_bigram_logprob",
+    "doc_simhash_pairs",
     # refresh r3-green rows (catalog order)
     "ev_sessionize",
     "ev_session_window_native",
@@ -90,12 +96,6 @@ _PRIORITY_R5 = [
     "doc_dup_components",
     "doc_token_regex",
     "emb_near_dup_blocked",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "tpch_q10_returned",
-    "tpch_q12_late_lines",
-    "tpch_q13_custdist",
 ]
 
 

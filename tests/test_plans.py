@@ -294,6 +294,12 @@ SINGLE_PARTITION_CENSUS = {
     "ev_distinct_hll": 2,  # register-sum agg + exact-count agg finalizes
     "ev_quantile_digest": 2,  # n_total agg finalize + sketch CDF window
     "doc_dup_components": 0,
+    "tpch_bloom_prune_join": 1,  # final 1-row audit agg finalize
+    "ev_mad_outliers": 0,
+    "doc_passage_scrub": 0,
+    "doc_quality_pctl_filter": 0,
+    "doc_bigram_logprob": 1,  # corpus-total (n_total) agg finalize
+    "doc_simhash_pairs": 0,
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }
@@ -308,3 +314,38 @@ def test_single_partition_exchange_census(spark, name):
         f"{SINGLE_PARTITION_CENSUS[name]} — a new single-partition stage "
         "needs a bounded-size justification in SINGLE_PARTITION_CENSUS"
     )
+
+
+def test_bloom_prune_probe_never_shuffles(spark):
+    # The whole point of the runtime filter: membership, match flags,
+    # and audit counts come from broadcast joins on the streaming probe
+    # side — lineitem must not hit a sort-merge join or shuffle before
+    # the final global aggregate.
+    plan = plan_of(QUERIES["tpch_bloom_prune_join"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+
+
+def test_simhash_pairs_band_equi_join(spark):
+    # Candidates come from the 4-bit band equi-join; any cartesian or
+    # nested-loop fallback means the banding key was lost.
+    plan = plan_of(QUERIES["doc_simhash_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_passage_scrub_window_partitioned(spark):
+    # Keep-first runs per passage-hash partition; reassembly per doc.
+    # Neither may collapse to a single partition.
+    plan = plan_of(QUERIES["doc_passage_scrub"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_mad_outliers_group_stats_broadcast(spark):
+    # Median/MAD re-attach by broadcast; the events scan must never
+    # sort-merge against the tiny per-type statistics.
+    plan = plan_of(QUERIES["ev_mad_outliers"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

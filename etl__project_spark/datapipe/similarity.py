@@ -146,6 +146,121 @@ def near_dup_pairs(
     )
 
 
+def batch_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact batched retrieval: the first ``n_queries`` vectors each get
+    their true top-``k`` neighbours over the whole corpus — the
+    RAG-evaluation / recall-ground-truth operator (``ivf_topk`` and
+    ``emb_bucketed_topk`` are its recall<1 accelerations; this is the
+    recall=1 reference they're audited against).
+
+    Distributed shape: the query batch (B×d floats — KBs to MBs) is
+    BROADCAST; scoring is a map-side nested loop over each corpus
+    partition producing narrow (q_id, cand_id, sim) triples, so the
+    corpus vectors themselves never shuffle. The only exchange is the
+    per-query top-k window keyed on q_id — ~24 B per scored row. At
+    100 TB you cut that shuffle too by pre-filtering each partition to
+    its local top-k per query (a partial TakeOrdered) before the
+    exchange; at fixture scale Catalyst's two-phase aggregate on the
+    window input is already bounded. Ties rank on 4-dp-rounded cosine
+    with cand_id tiebreaks for cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qvec")
+    )
+    sim = F.round(cosine_components(F.col(vec_col), F.col("__qvec")), 4)
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("cand_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "cand_id", "sim")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then dropping any item with
+    a sufficiently-similar LOWER-ID neighbour in its own cluster. The
+    cluster blocking is what makes embedding dedup tractable — pair
+    comparison happens only within a cluster, never corpus-wide.
+
+    Clustering is the deterministic seed-centroid assignment shared
+    with ``ivf_topk``/``emb_kmeans_assign`` (first ``n_clusters``
+    vectors by id; production runs Lloyd rounds with the identical
+    assignment step — ``kmeans_iterate``). The keep rule is SemDeDup's:
+    within a cluster, an item is dropped iff some earlier (lower-id)
+    item has 4-dp-rounded cosine >= ``threshold`` — so exactly one
+    representative per ε-ball survives, deterministically.
+
+    Returns (vec_id, cluster_id, keep): the full audit frame, not just
+    the keep-list, so drop-rate per cluster is one groupBy away.
+
+    Distributed shape: centroids broadcast (KBs), assignment is a
+    narrow scan + per-vector argmax window, and the pair join is an
+    EQUI-join on cluster_id — cost Σ|cluster|², the blocked-dedup
+    bound, with skewed mega-clusters handled by AQE skew splitting (or
+    by raising ``n_clusters``: SemDeDup at web scale uses ~10⁵
+    clusters precisely to keep Σ|c|² flat). Compare
+    ``near_dup_pairs(block_by_bucket=True)``: same join shape, learned
+    cells instead of fixed sign-projections.
+    """
+    from pyspark.sql import Window
+
+    seeds = embeddings.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("__cv")
+    )
+    sim = F.round(cosine_components(F.col(vec_col), F.col("__cv")), 4)
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cluster_id"))
+    assigned = (
+        embeddings.crossJoin(F.broadcast(seeds))
+        .select(id_col, "cluster_id", sim.alias("sim"), F.col(vec_col).alias("__v"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cluster_id", "__v")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), "cluster_id", F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"), "cluster_id", F.col("__v").alias("__vb")
+    )
+    pair_cos = F.round(cosine_components(F.col("__va"), F.col("__vb")), 4)
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .filter(pair_cos >= threshold)
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_centroids: int = 8,

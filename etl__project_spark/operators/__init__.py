@@ -12,7 +12,10 @@ from etl__project_spark.operators.dims import (  # noqa: F401
     with_dense_ids,
 )
 from etl__project_spark.operators.fact import build_fact  # noqa: F401
-from etl__project_spark.operators.merge import merge_insert_new  # noqa: F401
+from etl__project_spark.operators.merge import (  # noqa: F401
+    cdc_apply,
+    merge_insert_new,
+)
 from etl__project_spark.operators.audit import max_lengths, record_count  # noqa: F401
 from etl__project_spark.operators.rollup import (  # noqa: F401
     finalize_rollup,

@@ -5184,3 +5184,203 @@ def doc_simhash_pairs(spark, sf_dir):
         .distinct()
     )
     return cand.filter(F.col("hamming") <= 3)
+
+
+@query(
+    "ev_transition_matrix",
+    """WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type
+  FROM events
+),
+pair AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       floor(n::DOUBLE / sum(n) OVER (PARTITION BY from_type) * 10000 + 0.5)
+           / 10000.0 AS p
+FROM pair""",
+)
+def ev_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type, to_type) pair, how often a user's
+    next event is ``to_type`` given the current one is ``from_type`` —
+    the classic clickstream model behind next-action prediction and
+    anomalous-flow detection.
+
+    Distributed shape: ONE exchange keyed on user_id feeds the
+    ``lead`` window (sorting only within a user's own events), the pair
+    counts are a two-phase hash aggregate over a keyspace bounded by
+    |event_type|² (25 cells here — independent of row count), and the
+    row-normalising denominator is a window over that tiny aggregate,
+    not the raw events. At 100 TB nothing downstream of the single
+    user-keyed shuffle grows with data volume; per-user sort state is
+    bounded by events-per-user, the same bound sessionization already
+    relies on. Probabilities are one double divide of exact BIGINTs,
+    half-up-rounded to 4 dp on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    denom = Window.partitionBy("from_type")
+    p = (
+        F.floor(
+            F.col("n").cast("double") / F.sum("n").over(denom) * 10000 + F.lit(0.5)
+        )
+        / F.lit(10000.0)
+    )
+    return pairs.select("from_type", "to_type", "n", p.alias("p"))
+
+
+@query(
+    "ev_cdc_apply",
+    """WITH changes AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+latest AS (
+  SELECT *
+  FROM changes
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                             event_id DESC) = 1
+),
+counts AS (
+  SELECT user_id, count(*)::BIGINT AS n_changes FROM changes GROUP BY user_id
+)
+SELECT l.user_id, l.value AS last_value,
+       strftime(l.ts, '%Y-%m-%dT%H:%M:%S') AS last_ts, c.n_changes
+FROM latest l JOIN counts c USING (user_id)
+WHERE l.op <> 'D'""",
+)
+def ev_cdc_apply(spark, sf_dir):
+    """CDC changelog apply with latest-wins semantics INCLUDING deletes
+    (``operators/merge.py:cdc_apply``) — the ``WHEN MATCHED THEN
+    UPDATE/DELETE`` half of MERGE that the reference's insert-only
+    Snowflake MERGE (snowpipe.sql:96-109, J3) leaves on the table. The
+    change stream is derived deterministically from events: every row
+    is an upsert of (user_id → value) at sequence (ts, event_id),
+    except ``error`` events which are tombstones. The post-image keeps,
+    per user, the payload of the highest-sequence change — and drops
+    users whose final change is a delete.
+
+    Distributed shape: one exchange keyed on user_id, a row_number
+    window descending on the sequence, a narrow filter — no
+    self-join, O(1) per-key state. The same operator runs incrementally
+    (latest-wins within each micro-batch, then batch-vs-snapshot merge)
+    because latest-wins is associative; see the operator docstring for
+    the foreachBatch composition."""
+    from etl__project_spark.operators import cdc_apply
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    counts = changes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_changes"))
+    applied = cdc_apply(
+        changes, key_cols=["user_id"], seq_cols=["ts", "event_id"], op_col="op"
+    )
+    return applied.join(counts, "user_id").select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("last_ts"),
+        "n_changes",
+    )
+
+
+@query(
+    "emb_batch_topk",
+    """WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.q_id, e.vec_id AS cand_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, cand_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim DESC, cand_id) AS rn
+  FROM scored
+) WHERE rn <= 3""",
+)
+def emb_batch_topk(spark, sf_dir):
+    """Exact batched multi-query retrieval (``datapipe/similarity.py:
+    batch_topk``): true top-3 neighbours for each of 5 query vectors in
+    one pass — the recall-1.0 ground truth that ``emb_ivf_topk`` /
+    ``emb_bucketed_topk`` approximate and ``emb_ann_recall_audit``
+    measures against. Query batch broadcast; corpus vectors never
+    shuffle; only (q_id, cand_id, sim) triples reach the per-query
+    top-k window."""
+    from etl__project_spark.datapipe.similarity import batch_topk
+
+    return batch_topk(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=3)
+
+
+@query(
+    "emb_semantic_dedup",
+    """WITH seeds AS (
+  SELECT vec_id AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, s.cluster_id, e.embedding,
+         round(list_dot_product(e.embedding::DOUBLE[], s.cv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(s.cv, s.cv))), 4) AS sim
+  FROM embeddings e CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, cluster_id, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cluster_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+  WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+              4) >= 0.35
+)
+SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""",
+)
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (``datapipe/similarity.py:
+    semantic_dedup``): cluster-blocked embedding dedup — assign every
+    vector to its nearest of 8 deterministic seed centroids, then drop
+    any vector with a lower-id neighbour at 4-dp cosine >= 0.35 INSIDE
+    its own cluster. Returns the audit frame (vec_id, cluster_id,
+    keep). The pair comparison is an equi-join on cluster_id (cost
+    Σ|cluster|² — the blocking bound SemDeDup's ~10⁵ web-scale
+    clusters keep flat), never a corpus cross join."""
+    from etl__project_spark.datapipe.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.35
+    )

@@ -401,3 +401,39 @@ def test_dataset_card_no_text_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "md5" in plan
+
+
+def test_transition_matrix_counts_and_rows_sum_to_one(spark, monkeypatch):
+    # user 1: a->b->a->b ; user 2: a->a->b. Transitions:
+    # a->b x3, b->a x1, a->a x1  =>  P(b|a)=0.75, P(a|a)=0.25, P(a|b)=1.0
+    rows = [
+        (1, 0, 0, 1, "a"), (1, 1, 0, 1, "b"), (1, 2, 0, 1, "a"),
+        (1, 3, 0, 1, "b"),
+        (2, 0, 0, 2, "a"), (2, 1, 0, 2, "a"), (2, 2, 0, 2, "b"),
+    ]
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in _run_on(
+            monkeypatch, _events(spark, rows), "ev_transition_matrix", spark
+        ).collect()
+    }
+    assert out == {
+        ("a", "b"): (3, 0.75),
+        ("a", "a"): (1, 0.25),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_transition_matrix_no_cross_user_transition(spark, monkeypatch):
+    # consecutive events of DIFFERENT users never pair up
+    rows = [(1, 0, 0, 1, "a"), (1, 1, 0, 2, "b")]
+    out = _run_on(
+        monkeypatch, _events(spark, rows), "ev_transition_matrix", spark
+    ).collect()
+    assert out == []
+
+
+def test_transition_matrix_one_user_exchange(spark):
+    plan = plan_of(QUERIES["ev_transition_matrix"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -421,3 +421,82 @@ def test_canonical_components_collapses_exact_dups_before_signing(spark):
     # frame has 4 rows, not 20
     reps = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("rep_id"))
     assert reps.count() == len(base)
+
+
+def test_batch_topk_matches_brute_force_per_query(spark):
+    import random
+
+    from etl__project_spark.datapipe.similarity import batch_topk, brute_force_topk
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = batch_topk(emb, n_queries=3, k=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["q_id"], []).append((r["sim"], r["cand_id"]))
+    assert set(by_q) == {0, 1, 2}
+    for qid, cands in by_q.items():
+        # per-query result equals single-query brute force minus self
+        single = [
+            (r["cosine"], r["vec_id"])
+            for r in brute_force_topk(
+                emb, emb.filter(F.col("vec_id") == qid), k=5
+            ).collect()
+            if r["vec_id"] != qid
+        ][:4]
+        assert sorted(cands, key=lambda t: (-t[0], t[1])) == single
+
+
+def test_batch_topk_broadcasts_queries_no_vector_shuffle(spark):
+    import random
+
+    from etl__project_spark.datapipe.similarity import batch_topk
+
+    random.seed(12)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = batch_topk(emb, n_queries=2, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only hash exchange is the per-query top-k window on q_id
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(q_id" in plan
+
+
+def test_semantic_dedup_drops_within_cluster_only(spark):
+    from etl__project_spark.datapipe.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            # seeds 0 and 1 define two well-separated clusters
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            # 2 is a near-dup of 0 (same cluster) -> dropped
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            # 3 leans toward cluster 1 (cos 0.8 to seed 1 < 0.95) -> kept
+            (3, [0.6, 0.8, 0.0, 0.0]),
+            # 4 duplicates 3 -> dropped (lower-id neighbour 3 in cluster 1)
+            (4, [0.6, 0.8, 0.001, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in
+           semantic_dedup(emb, n_clusters=2, threshold=0.95).collect()}
+    assert out[0] == (0, True) and out[1] == (1, True)
+    assert out[2] == (0, False)          # near-dup of seed 0
+    assert out[3][0] == 1 and out[3][1]  # dissimilar to seed 1: kept
+    assert out[4] == (1, False)          # near-dup of 3 within cluster 1
+
+
+def test_semantic_dedup_pair_join_is_equi_on_cluster(spark):
+    import random
+
+    from etl__project_spark.datapipe.similarity import semantic_dedup
+
+    random.seed(13)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = semantic_dedup(emb, n_clusters=4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # pair candidates come from an equi-join keyed on cluster_id
+    assert "cluster_id" in plan

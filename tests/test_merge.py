@@ -22,3 +22,70 @@ def test_merge_redelivery_noop(spark):
     dest = spark.createDataFrame([(1, "a")], "id long, v string")
     once = merge_insert_new(dest, dest)
     assert once.count() == 1
+
+
+def test_cdc_apply_latest_wins_and_deletes(spark):
+    from etl__project_spark.operators import cdc_apply
+
+    changes = spark.createDataFrame(
+        [
+            # key 1: insert then update — latest update wins
+            (1, 10, "U", 1.0),
+            (1, 20, "U", 2.0),
+            # key 2: update then delete — key vanishes
+            (2, 10, "U", 5.0),
+            (2, 30, "D", None),
+            # key 3: delete then re-insert — resurrection wins
+            (3, 10, "D", None),
+            (3, 40, "U", 7.0),
+            # key 4: same seq impossible here; single op
+            (4, 5, "U", 9.0),
+        ],
+        "id long, seq long, op string, v double",
+    )
+    out = cdc_apply(changes, key_cols=["id"], seq_cols=["seq"])
+    got = sorted((r["id"], r["seq"], r["v"]) for r in out.collect())
+    assert got == [(1, 20, 2.0), (3, 40, 7.0), (4, 5, 9.0)]
+
+
+def test_cdc_apply_is_associative_across_batches(spark):
+    """latest-wins(all) == latest-wins(latest-wins(b1) ∪ b2-survivors) —
+    the property that lets the same operator run per-micro-batch."""
+    from etl__project_spark.operators import cdc_apply
+
+    rows = [(k, s, "D" if (k + s) % 5 == 0 else "U", float(k * 100 + s))
+            for k in range(6) for s in range(1, 7)]
+    full = spark.createDataFrame(rows, "id long, seq long, op string, v double")
+    b1 = full.filter("seq <= 3")
+    b2 = full.filter("seq > 3")
+
+    one_shot = cdc_apply(full, ["id"], ["seq"])
+    # incremental: compact each batch (keep tombstones!), then re-apply.
+    # compaction = latest row per key per batch INCLUDING deletes:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def compact(df):
+        w = Window.partitionBy("id").orderBy(F.col("seq").desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn")
+        )
+
+    merged = compact(b1).unionByName(compact(b2))
+    incremental = cdc_apply(merged, ["id"], ["seq"])
+    assert sorted(map(tuple, one_shot.collect())) == sorted(
+        map(tuple, incremental.collect())
+    )
+
+
+def test_cdc_apply_single_exchange_no_join(spark):
+    from etl__project_spark.operators import cdc_apply
+
+    changes = spark.createDataFrame(
+        [(1, 1, "U", 1.0)], "id long, seq long, op string, v double"
+    )
+    plan = cdc_apply(changes, ["id"], ["seq"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1

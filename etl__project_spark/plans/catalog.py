@@ -5384,3 +5384,21 @@ def emb_semantic_dedup(spark, sf_dir):
     return semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.35
     )
+
+
+from etl__project_spark.datapipe.linalg import covariance_oracle_sql  # noqa: E402
+
+
+@query("emb_covariance", covariance_oracle_sql(dim=64))
+def emb_covariance(spark, sf_dir):
+    """Distributed d×d covariance matrix of the embedding corpus
+    (``datapipe/linalg.py:covariance_matrix``): one scan reduces every
+    vector to d(d+1)/2 exact BIGINT cells via map-side explode +
+    two-phase hash aggregate, so the shuffle is O(partitions × d²)
+    regardless of row count. The 2 080-row result is the entire input
+    to driver-side PCA (``pca_top_component`` — power iteration on
+    32 KB), the correct cluster/driver split for dense linear algebra
+    at 100 TB."""
+    from etl__project_spark.datapipe.linalg import covariance_matrix
+
+    return covariance_matrix(load_table(spark, sf_dir, "embeddings"), dim=64)

@@ -500,3 +500,71 @@ def test_semantic_dedup_pair_join_is_equi_on_cluster(spark):
     assert "CartesianProduct" not in plan
     # pair candidates come from an equi-join keyed on cluster_id
     assert "cluster_id" in plan
+
+
+def test_covariance_matches_numpy(spark):
+    import random
+
+    import numpy as np
+
+    from etl__project_spark.datapipe.linalg import covariance_matrix
+
+    random.seed(21)
+    d, n = 6, 200
+    data = [[random.uniform(-2, 2) for _ in range(d)] for _ in range(n)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(data)], "vec_id long, embedding array<float>"
+    )
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance_matrix(emb, dim=d).collect()}
+    x = np.array(data, dtype=np.float32).astype(np.float64)
+    ref = (x.T @ x) / n - np.outer(x.mean(axis=0), x.mean(axis=0))
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), c in got.items():
+        assert c == pytest.approx(ref[i - 1, j - 1], abs=2e-4)
+
+
+def test_covariance_shuffle_is_bounded_hash_agg(spark):
+    import random
+
+    from etl__project_spark.datapipe.linalg import covariance_matrix
+
+    random.seed(22)
+    emb = spark.createDataFrame(
+        [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = covariance_matrix(emb, dim=8)._jdf.queryExecution().executedPlan().toString()
+    # two-phase agg: partial HashAggregate before the (i,j) exchange
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_power_iteration_matches_eigh(spark):
+    import random
+
+    import numpy as np
+
+    from etl__project_spark.datapipe.linalg import covariance_matrix, pca_top_component
+
+    random.seed(23)
+    d, n = 5, 300
+    # anisotropic cloud: dominant direction along a fixed vector
+    base = np.array([3.0, 1.0, 0.5, 0.2, 0.1])
+    data = [
+        list(base * random.gauss(0, 1) + np.random.RandomState(i).normal(0, 0.3, d))
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    cov = covariance_matrix(emb, dim=d)
+    eigval, vec = pca_top_component(cov, dim=d)
+    x = np.array(data)
+    ref_cov = np.cov(x, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(ref_cov)
+    ref_val, ref_vec = w[-1], v[:, -1]
+    if ref_vec[int(np.argmax(np.abs(ref_vec)))] < 0:
+        ref_vec = -ref_vec
+    assert eigval == pytest.approx(ref_val, rel=0.02)
+    assert float(abs(np.dot(vec, ref_vec))) == pytest.approx(1.0, abs=1e-3)

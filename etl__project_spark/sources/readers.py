@@ -100,3 +100,44 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         .option("escape", "\\")
         .csv(path)
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """JSON-lines scan with a MANDATORY explicit schema.
+
+    Schema inference on JSON is a full extra pass over the data — at
+    100 TB that is a second 100 TB scan before the first real one — and
+    it type-drifts with the payload (an all-null day turns a column to
+    string). Requiring the schema keeps ingestion one-pass and stable,
+    and lets Catalyst prune unreferenced fields at the scan.
+    ``mode='PERMISSIVE'`` nulls unparseable documents;
+    ``'DROPMALFORMED'`` drops them (same policy knob as the CSV path).
+    """
+    return (
+        spark.read.option("mode", mode)
+        .option("multiLine", False)
+        .schema(schema)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one document per line — the splittable layout;
+    multiline JSON arrays are not parallelizable on read)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar/pushdown properties as parquet (S2);
+    provided so warehouses standardized on ORC can be read natively."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (columnar, predicate-pushdown-capable twin of parquet)."""
+    df.write.mode(mode).orc(path)

@@ -73,3 +73,75 @@ def test_normalize_timestamps_is_session_tz_independent(spark):
         assert row["us"] == 1577836800000000  # 2020-01-01T00:00:00Z
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_jsonl_round_trip_with_explicit_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl__project_spark.sources import read_jsonl, write_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 0.5), (2, 'quote " inside', -3.25), (3, None, None)], schema
+    )
+    out = str(tmp_path / "jl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, schema)
+    assert back.schema == schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jsonl_permissive_nulls_malformed_dropmalformed_drops(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl__project_spark.sources import read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "name": "ok"}\n{not json at all}\n{"id": 2}\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    perm = read_jsonl(spark, str(p), schema).collect()
+    assert len(perm) == 3  # malformed row kept as all-null under PERMISSIVE
+    dropped = read_jsonl(spark, str(p), schema, mode="DROPMALFORMED").collect()
+    assert sorted(r["id"] for r in dropped) == [1, 2]
+
+
+def test_orc_round_trip_preserves_types(spark, tmp_path):
+    from etl__project_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "x", [1.0, 2.0]), (2, "y", [])],
+        "id long, s string, arr array<double>",
+    )
+    out = str(tmp_path / "orc")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    assert back.schema == df.schema
+    assert sorted((r["id"], r["s"], r["arr"]) for r in back.collect()) == [
+        (1, "x", [1.0, 2.0]),
+        (2, "y", []),
+    ]
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    from etl__project_spark.sources import read_orc, write_orc
+
+    df = spark.range(100).selectExpr("id", "id % 7 as k")
+    out = str(tmp_path / "orc2")
+    write_orc(df, out)
+    plan = (
+        read_orc(spark, out)
+        .filter("k = 3")
+        .select("id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan

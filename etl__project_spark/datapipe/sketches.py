@@ -1,0 +1,81 @@
+"""Mergeable sketch primitives as reusable library functions.
+
+The catalog proves sketch correctness against DuckDB oracles
+(``ev_distinct_hll``, ``ev_quantile_digest``, ``ev_heavy_hitters_cms``);
+this module packages the HLL register algebra so OTHER components — the
+streaming pipeline, observability rollups — can maintain the same
+sketches incrementally. Register semantics match ``ev_distinct_hll``
+exactly (same hash split, same rho, same estimator), so a sketch
+maintained batch-by-batch here hash-equals the one-shot catalog sketch:
+mergeability is the whole contract.
+
+At 100 TB the point of an HLL table is that per-shard/per-batch state is
+a FIXED 64 longs: every executor, day-partition, or micro-batch sketches
+independently and the combine is a register-wise max — associative,
+commutative, idempotent, so retries and out-of-order merges are free.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HLL_M = 64  # registers; alpha for m=64 is 0.709
+HLL_SCHEMA = T.StructType(
+    [T.StructField("reg", T.LongType()), T.StructField("rho", T.LongType())]
+)
+
+
+def hll_registers(df: DataFrame, col: str, m: int = HLL_M) -> DataFrame:
+    """One HLL sketch of ``df[col]`` as (reg, rho) rows — at most ``m``.
+
+    Identical hash discipline to the catalog oracle: a 60-bit prefix of
+    md5(value || 'hll') splits into a 6-bit register index and a 54-bit
+    remainder; rho is the 1-based position of the remainder's leading
+    set bit counted from a 55-bit field (all-zero remainder → 55).
+    GroupBy-max is the whole aggregation — two-phase, 64-cell keyspace.
+    """
+    hashed = df.select(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(col).cast("string"), F.lit("hll"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    ).select(
+        F.pmod(F.col("h"), F.lit(m)).alias("reg"),
+        F.expr(f"h div {m}").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.expr("bin(rem)"))
+    )
+    return (
+        hashed.select("reg", rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Register-wise max — the associative/commutative/idempotent combine
+    that makes HLL shardable and replay-safe."""
+    return a.unionByName(b).groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_M) -> float:
+    """Cardinality estimate from a (reg, rho) frame. Collects at most
+    ``m`` rows (64 longs) — reading a sketch is a driver-side act by
+    design. Uses the m=64 bias constant and the linear-counting branch
+    for the small range, matching ``ev_distinct_hll``."""
+    rows = {int(r["reg"]): int(r["rho"]) for r in registers.collect()}
+    regs = [rows.get(i, 0) for i in range(m)]
+    s_scaled = sum(1 << (55 - r) for r in regs)
+    v_zero = sum(1 for r in regs if r == 0)
+    e_raw = 0.709 * m * m * float(1 << 55) / s_scaled
+    if v_zero > 0 and e_raw <= 2.5 * m:
+        return m * math.log(m / v_zero)
+    return e_raw

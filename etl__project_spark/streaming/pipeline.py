@@ -77,6 +77,36 @@ def _maintain_rollup(
     )
 
 
+def _maintain_hll(wh: ParquetWarehouse, spark: SparkSession, batch_id: str) -> None:
+    """Fold this batch's landed rows into a persistent HLL register table
+    (distinct VideoTitle sketch) — streaming observability at fixed cost:
+    per-batch state is <= 64 (reg, rho) longs and the combine is a
+    register-wise max, so replays/out-of-order merges are harmless by
+    algebra (``datapipe/sketches.py``). Same retry-catchup read-from-
+    batch-dir discipline as ``_maintain_rollup``; ``publish_merged``
+    makes the fold exactly-once per batch id. The maintained sketch
+    hash-equals a one-shot sketch of all landed rows (mergeability —
+    pinned by test), so downstream reads one tiny table instead of
+    re-scanning raw history for a COUNT(DISTINCT)."""
+    from etl__project_spark.datapipe.sketches import (
+        HLL_SCHEMA,
+        hll_merge,
+        hll_registers,
+    )
+
+    bdir = wh.fact_batch_dir("credit", batch_id)
+    if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        return
+    part = hll_registers(spark.read.parquet(bdir), "VideoTitle")
+    wh.publish_merged(
+        "hll_videotitle",
+        part,
+        HLL_SCHEMA,
+        batch_id,
+        lambda existing, delta: hll_merge(existing, delta),
+    )
+
+
 def _process_batch(
     batch: DataFrame,
     batch_id: int,
@@ -113,6 +143,7 @@ def _process_batch(
     # incremental serving-aggregate maintenance (runs even when fresh is
     # empty: a retried batch whose append landed pre-crash catches up here)
     _maintain_rollup(wh, spark, str(batch_id))
+    _maintain_hll(wh, spark, str(batch_id))
     # periodic small-files maintenance: fold accumulated batch dirs into
     # one compacted dir (manifest-committed; absorbed ids stay idempotent)
     if compact_every and (batch_id + 1) % compact_every == 0:

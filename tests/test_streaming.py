@@ -226,3 +226,47 @@ def test_quality_gate_quarantines_bad_batch(spark, tmp_path):
     quarantine = wh.read_fact("quarantine", RAW_SCHEMA)
     qrows = quarantine.collect()
     assert len(qrows) == 1 and qrows[0]["DateTime"] is None
+
+
+def test_streaming_hll_sketch_equals_one_shot(spark, tmp_path):
+    """The batch-by-batch maintained HLL register table must equal a
+    one-shot sketch over all landed rows (merge = single-shot), and its
+    estimate must be near the true distinct-title count."""
+    from etl__project_spark.datapipe.sketches import (
+        HLL_SCHEMA,
+        hll_estimate,
+        hll_registers,
+    )
+    from etl__project_spark.sources.readers import RAW_SCHEMA
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_csv(
+        os.path.join(landing, "f1.csv"),
+        [f"2017-01-11T00:00:{i:02d}.000Z,plat|title {i % 7},206" for i in range(40)],
+    )
+    _run(spark, landing, wh_root, ckpt)
+    _write_csv(
+        os.path.join(landing, "f2.csv"),
+        [f"2017-01-12T00:00:{i:02d}.000Z,plat|title {i % 13},206" for i in range(40)],
+    )
+    _run(spark, landing, wh_root, ckpt)
+
+    wh = ParquetWarehouse(spark, wh_root)
+    maintained = {
+        (r["reg"], r["rho"])
+        for r in wh.read("hll_videotitle", HLL_SCHEMA).collect()
+    }
+    one_shot = {
+        (r["reg"], r["rho"])
+        for r in hll_registers(
+            wh.read_fact("credit", RAW_SCHEMA), "VideoTitle"
+        ).collect()
+    }
+    assert maintained == one_shot
+    est = hll_estimate(wh.read("hll_videotitle", HLL_SCHEMA))
+    # 13 distinct titles; 64-register HLL linear-counting range is tight
+    assert abs(est - 13) <= 4

@@ -83,16 +83,18 @@ _PRIORITY_R5 = [
     "doc_quality_pctl_filter",
     "doc_bigram_logprob",
     "doc_simhash_pairs",
-    # refresh r3-green rows (catalog order)
+    # round-5 second wave: transition matrix, CDC apply, batched exact
+    # retrieval, SemDeDup, distributed covariance
+    "ev_transition_matrix",
+    "ev_cdc_apply",
+    "emb_batch_topk",
+    "emb_semantic_dedup",
+    "emb_covariance",
+    # refresh r3-green rows (catalog order); the rest rotate in round 6
     "ev_sessionize",
-    "ev_session_window_native",
     "ev_range_lookback",
-    "ev_approx_stats",
     "tpch_q4_semi",
     "tpch_q6_revenue",
-    "tpch_q17_avg_qty",
-    "tpch_q19_disjunct",
-    "ev_window_sampler",
     "doc_dup_components",
     "doc_token_regex",
     "emb_near_dup_blocked",

@@ -90,6 +90,7 @@ _PRIORITY_R5 = [
     "emb_batch_topk",
     "emb_semantic_dedup",
     "emb_covariance",
+    "tpch_join_incremental",
     # refresh r3-green rows (catalog order); the rest rotate in round 6
     "ev_sessionize",
     "ev_range_lookback",
@@ -97,7 +98,6 @@ _PRIORITY_R5 = [
     "tpch_q6_revenue",
     "doc_dup_components",
     "doc_token_regex",
-    "emb_near_dup_blocked",
 ]
 
 

@@ -22,3 +22,7 @@ from etl__project_spark.operators.rollup import (  # noqa: F401
     merge_rollups,
     partial_rollup,
 )
+from etl__project_spark.operators.ivm import (  # noqa: F401
+    delta_join,
+    maintain_join_view,
+)

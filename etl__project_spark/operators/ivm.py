@@ -1,0 +1,77 @@
+"""Incremental view maintenance (IVM) for join views.
+
+``operators/rollup.py`` maintains AGGREGATE views incrementally (partial
+rollups merged per batch); this module completes the story for JOIN
+views with the classic delta-join decomposition:
+
+    Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+so a maintained join view advances per micro-batch at cost
+O(|Δ| × match fan-out) instead of re-joining the full history — the
+difference between joining today's 100 GB of deltas against a bucketed
+100 TB state and re-shuffling the whole 100 TB every refresh.
+
+At scale the three delta terms are all small-probe joins: ΔA ⋈ B_old
+and A_old ⋈ ΔB probe the big accumulated state with a broadcast (or
+bucket-pruned) delta, and ΔA ⋈ ΔB is tiny×tiny. The accumulated state
+is stored partitioned/bucketed on the join key, so the probes touch
+only matching buckets; nothing in the per-batch plan scales with the
+total history except the pruned state scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def delta_join(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """The delta of an inner-join view when batch (ΔA, ΔB) arrives.
+
+    Correctness contract (pinned by test and the catalog oracle):
+    appending the returned rows to the maintained view gives exactly
+    ``(A_old ∪ ΔA) ⋈ (B_old ∪ ΔB)`` — inner-join IVM is append-only, so
+    the maintained view needs no retraction machinery (outer joins and
+    deletions need delta-with-sign maintenance; out of scope here, the
+    CDC path handles deletes before the join state instead).
+    """
+    return (
+        delta_a.join(state_b, on)
+        .unionByName(state_a.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )
+
+
+def maintain_join_view(
+    batches_a: list[DataFrame],
+    batches_b: list[DataFrame],
+    on: list[str],
+) -> DataFrame:
+    """Fold a sequence of (ΔA, ΔB) batches into the final join view by
+    repeated :func:`delta_join` — the batch-loop driver used by tests
+    and the catalog entry. Returns the union of all per-batch deltas,
+    which must equal the one-shot join of the full inputs.
+
+    Each iteration unions the new delta into the running state
+    DataFrames — lazily, so Catalyst sees the whole lineage; a
+    production foreachBatch materializes state to a bucketed table per
+    batch instead (see module docstring), keeping every iteration's
+    plan O(1) exactly like the ``localCheckpoint`` loops in
+    ``kmeans_iterate`` / ``connected_components``.
+    """
+    assert len(batches_a) == len(batches_b)
+    spark = batches_a[0].sparkSession
+    state_a = spark.createDataFrame([], batches_a[0].schema)
+    state_b = spark.createDataFrame([], batches_b[0].schema)
+    view: DataFrame | None = None
+    for da, db in zip(batches_a, batches_b):
+        delta = delta_join(state_a, state_b, da, db, on)
+        view = delta if view is None else view.unionByName(delta)
+        state_a = state_a.unionByName(da)
+        state_b = state_b.unionByName(db)
+    return view

@@ -5402,3 +5402,59 @@ def emb_covariance(spark, sf_dir):
     from etl__project_spark.datapipe.linalg import covariance_matrix
 
     return covariance_matrix(load_table(spark, sf_dir, "embeddings"), dim=64)
+
+
+@query(
+    "tpch_join_incremental",
+    """SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_lines,
+       (floor(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                       AS BIGINT)) / 100.0 + 0.5) / 100.0) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority""",
+)
+def tpch_join_incremental(spark, sf_dir):
+    """Incrementally-maintained JOIN view (``operators/ivm.py``): both
+    lineitem AND orders arrive in two batches (split by key parity —
+    matching rows deliberately land in DIFFERENT batches), the view
+    advances per batch via the delta-join decomposition
+    ΔL⋈O ∪ L⋈ΔO ∪ ΔL⋈ΔO, and the final aggregate must hash-match the
+    one-shot join of the full tables — the oracle PROVES the IVM
+    algebra drops no cross-batch pair and double-counts none.
+
+    Per-batch cost is O(|Δ| × fan-out) probes against bucketed state,
+    never a re-join of history — the maintenance plan a 100 TB
+    materialized view requires (module docstring has the state-layout
+    story). Revenue micro-unit discipline matches the other tpch_*
+    entries."""
+    from etl__project_spark.operators import maintain_join_view
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    # lineitems split by key parity, orders by key mod 4: okey%4==2
+    # pairs co-arrive in batch 1 (ΔL⋈ΔO), %4==0 orders arrive after
+    # their batch-1 lineitems (L_old⋈ΔO), %4==1 lineitems arrive after
+    # their batch-1 orders (ΔL⋈O_old) — every delta term carries rows
+    batches_a = [li.filter(F.col("okey") % 2 == 0), li.filter(F.col("okey") % 2 == 1)]
+    batches_b = [
+        orders.filter((F.col("okey") % 4).isin(1, 2)),
+        orders.filter((F.col("okey") % 4).isin(0, 3)),
+    ]
+    view = maintain_join_view(batches_a, batches_b, on=["okey"])
+    rev_micro = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    return view.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.floor(F.sum(rev_micro).cast("double") / F.lit(100.0) + F.lit(0.5))
+            / F.lit(100.0)
+        ).alias("revenue"),
+    )

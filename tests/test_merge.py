@@ -89,3 +89,40 @@ def test_cdc_apply_single_exchange_no_join(spark):
     plan = cdc_apply(changes, ["id"], ["seq"])._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_delta_join_equals_one_shot_join(spark):
+    """IVM algebra: folding per-batch deltas reproduces the full join —
+    including pairs whose two sides arrive in different batches — with
+    no duplicates."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators import maintain_join_view
+
+    random.seed(31)
+    a_rows = [(random.randrange(20), i) for i in range(60)]
+    b_rows = [(random.randrange(20), 100 + i) for i in range(30)]
+    a = spark.createDataFrame(a_rows, "k long, av long")
+    b = spark.createDataFrame(b_rows, "k long, bv long")
+    # random 3-way batch split on both sides
+    a_b = [a.filter(F.pmod(F.col("av"), 3) == i) for i in range(3)]
+    b_b = [b.filter(F.pmod(F.col("bv"), 3) == i) for i in range(3)]
+    got = sorted(map(tuple, maintain_join_view(a_b, b_b, on=["k"]).collect()))
+    want = sorted(map(tuple, a.join(b, "k").collect()))
+    assert got == want
+
+
+def test_delta_join_batch_cost_probes_not_rejoins(spark):
+    """The per-batch delta never re-joins state_a against state_b —
+    only delta-probe joins appear (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB)."""
+    from etl__project_spark.operators import delta_join
+
+    sa = spark.createDataFrame([(1, 10)], "k long, av long")
+    sb = spark.createDataFrame([(1, 20)], "k long, bv long")
+    da = spark.createDataFrame([(2, 11)], "k long, av long")
+    db = spark.createDataFrame([(2, 21)], "k long, bv long")
+    out = delta_join(sa, sb, da, db, on=["k"])
+    # state×state pair (1,10,20) must NOT be in the delta
+    assert sorted(map(tuple, out.collect())) == [(2, 11, 21)]

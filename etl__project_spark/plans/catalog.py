@@ -5458,3 +5458,160 @@ def tpch_join_incremental(spark, sf_dir):
             / F.lit(100.0)
         ).alias("revenue"),
     )
+
+
+@query(
+    "ev_hll_set_ops",
+    """WITH h AS (
+  SELECT (value < 100) AS in_a, (event_type IN ('view', 'click')) AS in_b,
+         ('0x' || substr(md5(event_id::VARCHAR || 'hll'), 1, 15))::BIGINT AS h
+  FROM events
+),
+hr AS (
+  SELECT in_a, in_b, h % 64 AS reg,
+         CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM h
+),
+ra AS (SELECT reg, max(rho) AS rho FROM hr WHERE in_a GROUP BY reg),
+rb AS (SELECT reg, max(rho) AS rho FROM hr WHERE in_b GROUP BY reg),
+ru AS (
+  SELECT reg, max(rho) AS rho
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY reg
+),
+spine AS (SELECT range AS reg FROM range(64)),
+agg AS (
+  SELECT 'a' AS seg,
+         sum(1::BIGINT << (55 - coalesce(r.rho, 0)))::BIGINT AS s_scaled,
+         sum(CASE WHEN coalesce(r.rho, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+  FROM spine s LEFT JOIN ra r USING (reg)
+  UNION ALL
+  SELECT 'b', sum(1::BIGINT << (55 - coalesce(r.rho, 0)))::BIGINT,
+         sum(CASE WHEN coalesce(r.rho, 0) = 0 THEN 1 ELSE 0 END)::BIGINT
+  FROM spine s LEFT JOIN rb r USING (reg)
+  UNION ALL
+  SELECT 'u', sum(1::BIGINT << (55 - coalesce(r.rho, 0)))::BIGINT,
+         sum(CASE WHEN coalesce(r.rho, 0) = 0 THEN 1 ELSE 0 END)::BIGINT
+  FROM spine s LEFT JOIN ru r USING (reg)
+),
+est AS (
+  SELECT seg,
+         CASE WHEN v_zero > 0
+                   AND (0.709::DOUBLE * 4096.0 * 36028797018963968.0 / s_scaled)
+                       <= 160.0
+              THEN 64.0::DOUBLE * ln(64.0::DOUBLE / v_zero)
+              ELSE 0.709::DOUBLE * 4096.0 * 36028797018963968.0 / s_scaled END AS e
+  FROM agg
+),
+p AS (
+  SELECT max(CASE WHEN seg = 'a' THEN e END) AS ea,
+         max(CASE WHEN seg = 'b' THEN e END) AS eb,
+         max(CASE WHEN seg = 'u' THEN e END) AS eu
+  FROM est
+),
+ex AS (
+  SELECT count(DISTINCT CASE WHEN value < 100 THEN event_id END)::BIGINT AS exact_a,
+         count(DISTINCT CASE WHEN event_type IN ('view', 'click')
+                             THEN event_id END)::BIGINT AS exact_b,
+         count(DISTINCT CASE WHEN value < 100 OR event_type IN ('view', 'click')
+                             THEN event_id END)::BIGINT AS exact_union,
+         count(DISTINCT CASE WHEN value < 100 AND event_type IN ('view', 'click')
+                             THEN event_id END)::BIGINT AS exact_intersection
+  FROM events
+)
+SELECT exact_a, exact_b, exact_union, exact_intersection,
+       floor(ea * 100 + 0.5) / 100.0 AS est_a,
+       floor(eb * 100 + 0.5) / 100.0 AS est_b,
+       floor(eu * 100 + 0.5) / 100.0 AS est_union,
+       floor((ea + eb - eu) * 100 + 0.5) / 100.0 AS est_intersection,
+       (abs(floor(eu * 100 + 0.5) / 100.0 - exact_union)
+          <= 0.25::DOUBLE * exact_union) AS union_ok,
+       (abs(floor((ea + eb - eu) * 100 + 0.5) / 100.0 - exact_intersection)
+          <= 0.4::DOUBLE * exact_union) AS intersection_ok
+FROM p, ex""",
+)
+def ev_hll_set_ops(spark, sf_dir):
+    """Sketch SET ALGEBRA on two event segments (A: value < 100, B:
+    view/click events): distinct-count estimates for A, B, A∪B from
+    64-register HLL sketches (``datapipe/sketches.py``), and A∩B by
+    inclusion-exclusion est_a + est_b - est_union — the query pattern
+    that answers "how many items satisfy BOTH predicates" across 100 TB
+    from three 64-long sketches instead of a distinct-count shuffle per
+    predicate combination.
+
+    The union sketch is DERIVED (register-wise max of A's and B's
+    sketches), not recomputed from rows — the mergeability property the
+    streaming pipeline relies on; the oracle recomputes the identical
+    algebra in SQL and also pins both estimates to the exact counts
+    within the sketch error budget (union ≤ 25%, intersection ≤ 40% of
+    the union — inclusion-exclusion error scales with |A∪B|, the
+    documented HLL set-op caveat; sketches that need tighter
+    intersections use inclusion-exclusion over finer sketches or
+    ThetaSketch-style sampling)."""
+    from etl__project_spark.datapipe.sketches import hll_merge, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    in_a = F.col("value") < 100
+    in_b = F.col("event_type").isin("view", "click")
+    ra = hll_registers(ev.filter(in_a), "event_id")
+    rb = hll_registers(ev.filter(in_b), "event_id")
+    ru = hll_merge(ra, rb)
+    spine = spark.range(64).select(F.col("id").alias("reg"))
+
+    def sketch_agg(regs, tag):
+        return (
+            spine.join(regs, "reg", "left")
+            .select(F.coalesce(F.col("rho"), F.lit(0)).alias("m"))
+            .agg(
+                F.sum(F.expr("shiftleft(1L, 55 - m)")).alias(f"s_{tag}"),
+                F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+                .cast("long")
+                .alias(f"v_{tag}"),
+            )
+        )
+
+    def e_of(tag):
+        e_raw = (
+            F.lit(0.709)
+            * F.lit(4096.0)
+            * F.lit(36028797018963968.0)
+            / F.col(f"s_{tag}")
+        )
+        return F.when(
+            (F.col(f"v_{tag}") > 0) & (e_raw <= F.lit(160.0)),
+            F.lit(64.0) * F.log(F.lit(64.0) / F.col(f"v_{tag}")),
+        ).otherwise(e_raw)
+
+    ex = ev.agg(
+        F.countDistinct(F.when(in_a, F.col("event_id"))).alias("exact_a"),
+        F.countDistinct(F.when(in_b, F.col("event_id"))).alias("exact_b"),
+        F.countDistinct(F.when(in_a | in_b, F.col("event_id"))).alias("exact_union"),
+        F.countDistinct(F.when(in_a & in_b, F.col("event_id"))).alias(
+            "exact_intersection"
+        ),
+    )
+    combined = (
+        sketch_agg(ra, "a")
+        .crossJoin(F.broadcast(sketch_agg(rb, "b")))
+        .crossJoin(F.broadcast(sketch_agg(ru, "u")))
+        .crossJoin(F.broadcast(ex))
+    )
+    ea, eb, eu = e_of("a"), e_of("b"), e_of("u")
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    return combined.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+        r2(ea).alias("est_a"),
+        r2(eb).alias("est_b"),
+        r2(eu).alias("est_union"),
+        r2(ea + eb - eu).alias("est_intersection"),
+        (
+            F.abs(r2(eu) - F.col("exact_union"))
+            <= F.lit(0.25) * F.col("exact_union")
+        ).alias("union_ok"),
+        (
+            F.abs(r2(ea + eb - eu) - F.col("exact_intersection"))
+            <= F.lit(0.4) * F.col("exact_union")
+        ).alias("intersection_ok"),
+    )

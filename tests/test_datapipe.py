@@ -568,3 +568,30 @@ def test_pca_power_iteration_matches_eigh(spark):
         ref_vec = -ref_vec
     assert eigval == pytest.approx(ref_val, rel=0.02)
     assert float(abs(np.dot(vec, ref_vec))) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_hll_merge_is_idempotent_commutative_and_lossless(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B); merging a sketch
+    with itself is a no-op — the algebra replays/shards rely on."""
+    from etl__project_spark.datapipe.sketches import hll_merge, hll_registers
+
+    a = spark.range(0, 400).selectExpr("concat('u', id) as v")
+    b = spark.range(300, 700).selectExpr("concat('u', id) as v")
+    both = spark.range(0, 700).selectExpr("concat('u', id) as v")
+    ra, rb = hll_registers(a, "v"), hll_registers(b, "v")
+    merged = {(r["reg"], r["rho"]) for r in hll_merge(ra, rb).collect()}
+    one_shot = {(r["reg"], r["rho"]) for r in hll_registers(both, "v").collect()}
+    assert merged == one_shot
+    self_merge = {(r["reg"], r["rho"]) for r in hll_merge(ra, ra).collect()}
+    assert self_merge == {(r["reg"], r["rho"]) for r in ra.collect()}
+    flipped = {(r["reg"], r["rho"]) for r in hll_merge(rb, ra).collect()}
+    assert flipped == merged
+
+
+def test_hll_estimate_accuracy_bands(spark):
+    from etl__project_spark.datapipe.sketches import hll_estimate, hll_registers
+
+    for n in (30, 1000):
+        df = spark.range(n).selectExpr("concat('x', id) as v")
+        est = hll_estimate(hll_registers(df, "v"))
+        assert abs(est - n) <= max(0.3 * n, 8)

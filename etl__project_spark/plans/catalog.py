@@ -5615,3 +5615,104 @@ def ev_hll_set_ops(spark, sf_dir):
             <= F.lit(0.4) * F.col("exact_union")
         ).alias("intersection_ok"),
     )
+
+
+_GOPHER_KEEP = """(len(string_split(text, ' ')) BETWEEN 30 AND 100000)
+    AND (round((len(text) - (len(string_split(text, ' ')) - 1))
+               / len(string_split(text, ' ')), 4) BETWEEN 3.0 AND 10.0)
+    AND (len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','and','of','a'], t))) >= 2)
+    AND (round(len(list_filter(string_split(text, ' '),
+             t -> regexp_matches(t, '^[0-9]+$')))
+               / len(string_split(text, ' ')), 4) <= 0.2)"""
+
+
+def _pipeline_e2e_sql() -> str:
+    """Oracle for the composed pipeline: each stage's SQL is the SAME
+    logic as its standalone oracle (gopher keep expr, the recursive
+    component walk re-rooted on the quality-kept set, the 13-gram
+    decontamination join, the md5 mix rule), chained through CTEs."""
+    comp = ORACLES["doc_dup_components"].replace("FROM documents", "FROM q")
+    return f"""WITH q AS (
+  SELECT doc_id, text, source,
+         len(string_split(text, ' '))::BIGINT AS n_words
+  FROM documents
+  WHERE {_GOPHER_KEEP}
+),
+canon AS (
+  SELECT q2.doc_id, q2.text, q2.source, q2.n_words
+  FROM q q2 JOIN ({comp}) c
+    ON q2.doc_id = c.doc_id AND c.doc_id = c.component
+),
+ev AS (
+  SELECT DISTINCT unnest({_SHINGLE13}) AS sh
+  FROM documents WHERE doc_id % 50 = 0
+),
+tr AS (
+  SELECT doc_id, unnest({_SHINGLE13}) AS sh
+  FROM canon WHERE doc_id % 50 <> 0
+),
+hits AS (SELECT DISTINCT doc_id FROM tr JOIN ev USING (sh)),
+clean AS (
+  SELECT c.doc_id, c.source, c.n_words FROM canon c
+  WHERE c.doc_id % 50 <> 0
+    AND c.doc_id NOT IN (SELECT doc_id FROM hits)
+)
+SELECT doc_id, source, n_words FROM clean
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT % 100 <
+      CASE WHEN source = 'src0' THEN 50
+           WHEN source IN ('src1', 'src2', 'src3') THEN 25
+           ELSE 10 END"""
+
+
+@query("doc_pipeline_e2e", _pipeline_e2e_sql())
+def doc_pipeline_e2e(spark, sf_dir):
+    """The COMPLETE training-data pipeline as one composed query —
+    quality gate → canonical near-dup removal → benchmark
+    decontamination → per-source mixture — returning the final
+    (doc_id, source, n_words) corpus manifest. Every stage is the
+    already-oracle-proven operator (``quality_rules``,
+    ``canonical_components``, ``contamination_check``, the md5 mix
+    rule), and the composed oracle chains the same SQL stages, so the
+    hash match verifies the INTERACTION of the stages (dedup re-rooted
+    on the quality-kept subset; decontamination probing only canonical
+    survivors), not just each in isolation.
+
+    Scale shape is the sum of its parts — narrow quality filter, hash
+    aggregates + band equi-join driven by distinct texts, broadcast
+    eval shingles, zero-shuffle mix filter — with each stage shrinking
+    the data the next one touches: gate before signing, collapse
+    before banding, dedup before decontamination. That ordering is the
+    100 TB cost model: every expensive stage runs on the smallest set
+    that preserves its semantics."""
+    from etl__project_spark.datapipe.dedup import (
+        canonical_components,
+        contamination_check,
+    )
+    from etl__project_spark.datapipe.sampling import hash_bucket
+    from etl__project_spark.datapipe.text import quality_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_rules(docs).filter(F.col("keep")).select("doc_id", "n_words")
+    q = docs.join(kept, "doc_id")
+    comp = canonical_components(q, n_hashes=8, n_bands=2, rows_per_band=4)
+    canon = q.join(
+        comp.filter(F.col("id") == F.col("component")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    train = canon.filter(F.col("doc_id") % 50 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    cont = contamination_check(train, eval_set, k=13)
+    clean = train.join(
+        cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    rate = (
+        F.when(F.col("source") == "src0", 50)
+        .when(F.col("source").isin("src1", "src2", "src3"), 25)
+        .otherwise(10)
+    )
+    return clean.filter(hash_bucket(F.col("doc_id"), 100, salt="mix") < rate).select(
+        "doc_id", "source", F.col("n_words").cast("long").alias("n_words")
+    )

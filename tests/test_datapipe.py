@@ -595,3 +595,55 @@ def test_hll_estimate_accuracy_bands(spark):
         df = spark.range(n).selectExpr("concat('x', id) as v")
         est = hll_estimate(hll_registers(df, "v"))
         assert abs(est - n) <= max(0.3 * n, 8)
+
+
+def test_pipeline_e2e_each_stage_drops_its_target(spark, monkeypatch):
+    """Planted corpus: one doc per failure mode — low quality (stage 1),
+    exact dup (stage 2), eval-contaminated (stage 3) — and the mix
+    filter applies its deterministic hash rule to the survivors."""
+    import hashlib
+
+    import etl__project_spark.plans.catalog as cat
+
+    good_a = (
+        "the quick brown fox and the lazy dog of the garden walk under "
+        "the bright morning sun while the birds sing and the cat sleeps "
+        "near the old wooden fence beside the quiet river bank today"
+    )
+    good_b = (
+        "modern data pipelines and the engines behind them shuffle vast "
+        "amounts of text every day while the operators watch the metrics "
+        "and the schedulers keep every stage of the flow moving forward"
+    )
+    eval_text = (
+        "the standardized benchmark of cambridge university press remains "
+        "the canonical held out evaluation corpus for the language model "
+        "and the researchers guard it from the training set with care"
+    )
+    contaminated = (
+        "this training document quotes cambridge university press at "
+        "length and the overlap detector must flag the shared span of "
+        "the benchmark text before the model ever sees the leaked words"
+    )
+    rows = [
+        (0, good_a, "en", "src0", len(good_a)),
+        (1, good_a, "en", "src0", len(good_a)),          # exact dup of 0
+        (2, "too short to pass", "en", "src0", 17),       # fails quality
+        (3, contaminated, "en", "src0", len(contaminated)),
+        (4, good_b, "en", "src0", len(good_b)),
+        (100, eval_text, "en", "src0", len(eval_text)),   # eval slice
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: docs)
+    got = {r["doc_id"] for r in cat.QUERIES["doc_pipeline_e2e"](spark, "unused").collect()}
+
+    def mix_keeps(doc_id, rate=50):
+        h = int(hashlib.md5(f"{doc_id}mix".encode()).hexdigest()[:15], 16)
+        return h % 100 < rate
+
+    expected = {d for d in (0, 4) if mix_keeps(d)}
+    assert got == expected
+    # the planted failures never survive, regardless of the mix hash
+    assert not ({1, 2, 3, 100} & got)

@@ -35,6 +35,7 @@ def cdc_apply(
     seq_cols: list[str],
     op_col: str = "op",
     delete_op: str = "D",
+    drop_deletes: bool = True,
 ) -> DataFrame:
     """Apply a CDC change stream with latest-wins semantics, including
     deletes — the full ``MERGE INTO … WHEN MATCHED [DELETE]`` surface
@@ -58,12 +59,23 @@ def cdc_apply(
     within the micro-batch first, then merge the survivors against the
     snapshot — associativity of "latest wins" is what makes the
     two-level plan correct.
+
+    ``drop_deletes=False`` keeps the winning tombstone ROWS in the
+    output instead of erasing their keys — the compacted-changelog form
+    a persistent CDC state table needs: a tombstone must outlive its
+    key so late-arriving lower-sequence updates can't resurrect it
+    (Kafka compaction's tombstone-retention rule; the streaming face in
+    ``streaming/pipeline.py:stream_cdc_apply`` stores this form and
+    filters deletes only at read time).
     """
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in seq_cols]
     )
-    return (
+    latest = (
         changes.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if drop_deletes:
+        latest = latest.filter(F.col(op_col) != delete_op)
+    return latest

@@ -198,3 +198,80 @@ def stream_star_load(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+# --- streaming CDC view ----------------------------------------------------
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def read_cdc_view(wh: ParquetWarehouse) -> DataFrame:
+    """The live post-image of the streamed CDC table: tombstones are
+    retained in storage (see ``stream_cdc_apply``) and filtered only
+    here, at read time."""
+    return wh.read("cdc_view", CDC_SCHEMA).filter(F.col("op") != "D")
+
+
+def stream_cdc_apply(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain an upsert/delete CDC view from a JSON-lines changelog
+    stream — the streaming face of ``operators/merge.py:cdc_apply``.
+
+    Per micro-batch: (1) compact the batch to its latest change per key
+    KEEPING tombstones, (2) merge against the stored state by re-running
+    the same latest-wins rank over state ∪ delta — correct because
+    latest-wins is associative — and (3) publish exactly-once via the
+    warehouse's merged-batch-id protocol (a replayed batch no-ops).
+
+    The state table retains winning tombstones rather than erasing
+    their keys, so a late lower-sequence update for a deleted key
+    cannot resurrect it across batch boundaries (Kafka-compaction
+    tombstone retention; a production deployment ages tombstones out
+    past the source's max disorder horizon). Readers use
+    :func:`read_cdc_view`, which filters tombstones at read time.
+
+    Scale shape per batch: one key exchange over the DELTA for the
+    compaction, then a merge whose cost is O(state ∩ touched keys) when
+    the state table is bucketed by key — the same incremental-state
+    discipline as ``_maintain_rollup``/``_maintain_hll``.
+    """
+    from etl__project_spark.operators.merge import cdc_apply
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        compact = cdc_apply(
+            batch, key_cols=["id"], seq_cols=["seq"], drop_deletes=False
+        )
+        wh.publish_merged(
+            "cdc_view",
+            compact,
+            CDC_SCHEMA,
+            str(batch_id),
+            lambda existing, delta: cdc_apply(
+                existing.unionByName(delta),
+                key_cols=["id"],
+                seq_cols=["seq"],
+                drop_deletes=False,
+            ),
+        )
+
+    changes = spark.readStream.schema(CDC_SCHEMA).json(landing_dir)
+    writer = changes.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

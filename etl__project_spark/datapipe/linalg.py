@@ -157,3 +157,67 @@ def pca_top_component(cov_df: DataFrame, dim: int = 64, n_iter: int = 300):
     if v[k] < 0:
         v = -v
     return eigval, v
+
+
+def pca_top_k(cov_df: DataFrame, dim: int = 64, k: int = 2, n_iter: int = 300):
+    """Top-``k`` principal components by power iteration with Hotelling
+    deflation (subtract λ v vᵀ after each extraction) on the collected
+    covariance matrix — same driver-side contract as
+    :func:`pca_top_component`. Returns ``(eigvals, eigvecs)`` as a list
+    of floats and a k×dim list of unit vectors, largest first.
+    """
+    import numpy as np
+
+    m = np.zeros((dim, dim))
+    for r in cov_df.collect():
+        i, j = int(r["i"]) - 1, int(r["j"]) - 1
+        m[i, j] = r["cov"]
+        m[j, i] = r["cov"]
+    vals, vecs = [], []
+    work = m.copy()
+    for _ in range(k):
+        v = np.ones(dim) / np.sqrt(dim)
+        for _ in range(n_iter):
+            w = work @ v
+            nrm = np.linalg.norm(w)
+            if nrm == 0.0:
+                break
+            v = w / nrm
+        lam = float(v @ work @ v)
+        top = int(np.argmax(np.abs(v)))
+        if v[top] < 0:
+            v = -v
+        vals.append(lam)
+        vecs.append([float(x) for x in v])
+        work = work - lam * np.outer(v, v)
+    return vals, vecs
+
+
+def project_embeddings(
+    embeddings: DataFrame,
+    directions: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project every embedding onto the given direction vectors (e.g.
+    the PCA components from :func:`pca_top_k`) — the APPLY step of
+    dimensionality reduction: (vec_id, p0, p1, …).
+
+    The directions ride into the plan as array literals (KBs — the
+    driver→executor path a broadcast variable would take), and each
+    projection is a JVM-side ``zip_with``/``aggregate`` dot product in
+    the scan stage: zero shuffle, zero Python in the hot path, columnar
+    output ready to be written as the reduced representation.
+    """
+    cols = [F.col(id_col)]
+    for n, d in enumerate(directions):
+        lit = F.array(*[F.lit(float(x)) for x in d])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(dot.alias(f"p{n}"))
+    return embeddings.select(*cols)

@@ -647,3 +647,63 @@ def test_pipeline_e2e_each_stage_drops_its_target(spark, monkeypatch):
     assert got == expected
     # the planted failures never survive, regardless of the mix hash
     assert not ({1, 2, 3, 100} & got)
+
+
+def test_pca_top_k_and_projection_match_numpy(spark):
+    import random
+
+    import numpy as np
+
+    from etl__project_spark.datapipe.linalg import (
+        covariance_matrix,
+        pca_top_k,
+        project_embeddings,
+    )
+
+    random.seed(41)
+    d, n = 6, 400
+    rng = np.random.RandomState(41)
+    # two dominant directions with distinct variances
+    b1 = np.array([2.0, 1.0, 0.0, 0.0, 0.5, 0.0])
+    b2 = np.array([0.0, 0.0, 1.5, -1.0, 0.0, 0.3])
+    data = [
+        b1 * rng.normal(0, 2) + b2 * rng.normal(0, 1) + rng.normal(0, 0.1, d)
+        for _ in range(n)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    cov = covariance_matrix(emb, dim=d)
+    vals, vecs = pca_top_k(cov, dim=d, k=2)
+    x = np.array(data)
+    ref_cov = np.cov(x, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(ref_cov)
+    assert vals[0] == pytest.approx(w[-1], rel=0.02)
+    assert vals[1] == pytest.approx(w[-2], rel=0.05)
+    assert abs(float(np.dot(vecs[0], v[:, -1]))) == pytest.approx(1.0, abs=5e-3)
+    assert abs(float(np.dot(vecs[1], v[:, -2]))) == pytest.approx(1.0, abs=5e-2)
+    # projection: spark-side dots equal numpy dots (float32 input cast)
+    proj = {
+        r["vec_id"]: (r["p0"], r["p1"])
+        for r in project_embeddings(emb, vecs).collect()
+    }
+    x32 = x.astype(np.float32).astype(np.float64)
+    for i in (0, 7, 399):
+        assert proj[i][0] == pytest.approx(float(x32[i] @ vecs[0]), abs=1e-9)
+        assert proj[i][1] == pytest.approx(float(x32[i] @ vecs[1]), abs=1e-9)
+
+
+def test_project_embeddings_is_scan_only(spark):
+    from etl__project_spark.datapipe.linalg import project_embeddings
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        project_embeddings(emb, [[1.0, 0.0], [0.0, 1.0]])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan

@@ -511,6 +511,7 @@ def contamination_check(
     k: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
+    threshold_frac: float | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     character ``k``-gram with an eval/benchmark set (the standard n-gram
@@ -524,6 +525,16 @@ def contamination_check(
     string (same plan, smaller shuffle rows).
 
     Returns every train row's (id, n_shared_shingles, contaminated).
+
+    ``threshold_frac`` switches the verdict from ANY overlap to a
+    containment fraction: contaminated iff
+    shared_shingles / own_distinct_shingles >= threshold. On corpora
+    with heavy background n-gram collision (small vocabularies,
+    templated text — or this word-soup fixture, where the median train
+    doc shares 31% of its 13-grams with the eval set by chance at
+    sf0.1), any-overlap flags everything; the containment fraction
+    separates near-copies of eval items (frac → 1.0) from background
+    noise. The output then also carries (n_shingles, overlap_frac).
     """
     def shingled(df: DataFrame) -> DataFrame:
         return df.select(
@@ -539,21 +550,37 @@ def contamination_check(
         )
 
     eval_sh = shingled(eval_set).select("__sh").distinct()
+    tr_sh = shingled(train)
     hits = (
-        shingled(train)
-        .join(F.broadcast(eval_sh), "__sh")
+        tr_sh.join(F.broadcast(eval_sh), "__sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+    n_shared = F.coalesce(F.col("n_shared_shingles"), F.lit(0)).cast("long")
+    if threshold_frac is None:
+        return (
+            train.select(id_col)
+            .join(hits, id_col, "left")
+            .select(
+                F.col(id_col),
+                n_shared.alias("n_shared_shingles"),
+                (n_shared > 0).alias("contaminated"),
+            )
+        )
+    totals = tr_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    frac = n_shared.cast("double") / F.coalesce(F.col("n_shingles"), F.lit(1)).cast(
+        "double"
+    )
     return (
         train.select(id_col)
+        .join(totals, id_col, "left")
         .join(hits, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("n_shared_shingles"), F.lit(0)).cast("long").alias(
-                "n_shared_shingles"
-            ),
-            (F.coalesce(F.col("n_shared_shingles"), F.lit(0)) > 0).alias("contaminated"),
+            n_shared.alias("n_shared_shingles"),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            frac.alias("overlap_frac"),
+            (frac >= F.lit(threshold_frac)).alias("contaminated"),
         )
     )
 

@@ -5652,11 +5652,15 @@ tr AS (
   SELECT doc_id, unnest({_SHINGLE13}) AS sh
   FROM canon WHERE doc_id % 50 <> 0
 ),
-hits AS (SELECT DISTINCT doc_id FROM tr JOIN ev USING (sh)),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM tr GROUP BY doc_id),
+hits AS (SELECT t.doc_id, count(*)::BIGINT AS n FROM tr t JOIN ev USING (sh)
+         GROUP BY t.doc_id),
 clean AS (
   SELECT c.doc_id, c.source, c.n_words FROM canon c
+  LEFT JOIN tot ON tot.doc_id = c.doc_id
+  LEFT JOIN hits h ON h.doc_id = c.doc_id
   WHERE c.doc_id % 50 <> 0
-    AND c.doc_id NOT IN (SELECT doc_id FROM hits)
+    AND coalesce(h.n, 0)::DOUBLE / coalesce(tot.n_sh, 1)::DOUBLE < 0.8
 )
 SELECT doc_id, source, n_words FROM clean
 WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT % 100 <
@@ -5704,7 +5708,11 @@ def doc_pipeline_e2e(spark, sf_dir):
     )
     train = canon.filter(F.col("doc_id") % 50 != 0)
     eval_set = docs.filter(F.col("doc_id") % 50 == 0)
-    cont = contamination_check(train, eval_set, k=13)
+    # containment-fraction decontamination: the word-soup fixture has
+    # ~31% background 13-gram collision at sf0.1, so any-overlap (the
+    # standalone doc_decontaminate policy) would empty the corpus;
+    # frac >= 0.8 catches near-copies of eval items only.
+    cont = contamination_check(train, eval_set, k=13, threshold_frac=0.8)
     clean = train.join(
         cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
     )

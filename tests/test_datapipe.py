@@ -620,11 +620,10 @@ def test_pipeline_e2e_each_stage_drops_its_target(spark, monkeypatch):
         "the canonical held out evaluation corpus for the language model "
         "and the researchers guard it from the training set with care"
     )
-    contaminated = (
-        "this training document quotes cambridge university press at "
-        "length and the overlap detector must flag the shared span of "
-        "the benchmark text before the model ever sees the leaked words"
-    )
+    # near-copy of the eval doc (shares ~all 13-gram shingles → the
+    # containment fraction >= 0.8 flags it; a doc merely QUOTING a short
+    # eval span stays below the threshold and is kept)
+    contaminated = eval_text.replace("with care", "with great care always")
     rows = [
         (0, good_a, "en", "src0", len(good_a)),
         (1, good_a, "en", "src0", len(good_a)),          # exact dup of 0

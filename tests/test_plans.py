@@ -349,3 +349,42 @@ def test_mad_outliers_group_stats_broadcast(spark):
     plan = plan_of(QUERIES["ev_mad_outliers"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_run_sql_matches_dataframe_twin_and_pushes_down(spark):
+    """SQL users get the same results AND the same physical plan
+    guarantees as DataFrame users: run_sql's Q6 equals the catalog's
+    DataFrame Q6, and its scan shows pushed filters."""
+    from etl__project_spark.plans import QUERIES, run_sql
+
+    sf = "/root/testdata/sf0.001"
+    sql_df = run_sql(
+        spark,
+        sf,
+        """
+        SELECT floor(sum(CAST(floor((l_extendedprice * l_discount) * 10000
+                                    + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0
+                 AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24
+        """,
+    )
+    plan = sql_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    got = sql_df.collect()[0]["revenue"]
+    want = QUERIES["tpch_q6_revenue"](spark, sf).collect()[0]["revenue"]
+    assert got == want
+
+
+def test_register_views_lists_all_tables(spark):
+    from etl__project_spark.plans import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert set(names) >= {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert spark.sql("SELECT count(*) AS n FROM region").collect()[0]["n"] > 0

@@ -93,10 +93,10 @@ _PRIORITY_R5 = [
     "tpch_join_incremental",
     "ev_hll_set_ops",
     "doc_pipeline_e2e",
+    "ev_group_quantiles",
     # refresh r3-green rows (catalog order); the rest rotate in round 6
     "ev_sessionize",
     "ev_range_lookback",
-    "tpch_q4_semi",
     "tpch_q6_revenue",
 ]
 

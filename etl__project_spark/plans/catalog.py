@@ -5724,3 +5724,71 @@ def doc_pipeline_e2e(spark, sf_dir):
     return clean.filter(hash_bucket(F.col("doc_id"), 100, salt="mix") < rate).select(
         "doc_id", "source", F.col("n_words").cast("long").alias("n_words")
     )
+
+
+@query(
+    "ev_group_quantiles",
+    """WITH hist AS (
+  SELECT event_type, greatest(least(floor(value * 4)::BIGINT, 4095), 0) AS bin,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY event_type, bin
+),
+cdf AS (
+  SELECT event_type, bin,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS cum
+  FROM hist
+),
+n AS (SELECT event_type, sum(c)::BIGINT AS n_total FROM hist GROUP BY event_type),
+probes AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS p)
+SELECT cdf.event_type, p, (min(bin) + 1) * (0.25::DOUBLE) AS est_value, n_total
+FROM cdf JOIN n ON n.event_type = cdf.event_type
+CROSS JOIN probes
+WHERE cum >= ceil(p * n_total)
+GROUP BY cdf.event_type, p, n_total""",
+)
+def ev_group_quantiles(spark, sf_dir):
+    """Per-GROUP mergeable quantile rollup: one bounded histogram per
+    event_type (the grouped form of ``ev_quantile_digest`` — the
+    latency-percentile-per-endpoint table every observability stack
+    materializes). The sketch table is (group × ≤4096 bins) rows; the
+    CDF readoff window is PARTITIONED by group, so even finalization
+    parallelizes across groups — per-group state stays bounded no
+    matter how many events a group absorbs, and group sketches merge
+    cell-wise exactly like the global one."""
+    ev = load_table(spark, sf_dir, "events")
+    binc = F.greatest(
+        F.least(F.floor(F.col("value") * 4).cast("long"), F.lit(4095)), F.lit(0)
+    )
+    hist = (
+        ev.select("event_type", binc.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cdf = hist.select(
+        "event_type",
+        "bin",
+        F.sum("c")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    )
+    n = hist.groupBy("event_type").agg(F.sum("c").alias("n_total"))
+    probes = spark.createDataFrame([(0.5,), (0.95,)], "p double")
+    return (
+        cdf.join(F.broadcast(n), "event_type")
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cum") >= F.ceil(F.col("p") * F.col("n_total")))
+        .groupBy("event_type", "p", "n_total")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "event_type",
+            "p",
+            ((F.col("bin") + 1) * F.lit(0.25)).alias("est_value"),
+            "n_total",
+        )
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import types as T
 
 from etl__project_spark.operators.audit import observed
@@ -57,3 +59,18 @@ def test_url_decode_key(spark):
         df.select(url_decode_key(F.col("key")).alias("k")).first()["k"]
         == "rawData/video data|1.csv"
     )
+
+
+def test_hll_set_ops_flags_actually_hold(spark):
+    """The oracle proves Spark == DuckDB; this pins that the accuracy
+    flags are TRUE on the fixture (a hash match of two False flags would
+    also 'pass' — this closes that loophole) and that the estimates obey
+    inclusion-exclusion arithmetic exactly."""
+    from etl__project_spark.plans import QUERIES
+
+    row = QUERIES["ev_hll_set_ops"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["union_ok"] and row["intersection_ok"]
+    assert row["est_intersection"] == pytest.approx(
+        row["est_a"] + row["est_b"] - row["est_union"], abs=0.02
+    )
+    assert row["exact_union"] >= max(row["exact_a"], row["exact_b"])

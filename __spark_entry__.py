@@ -94,10 +94,10 @@ _PRIORITY_R5 = [
     "ev_hll_set_ops",
     "doc_pipeline_e2e",
     "ev_group_quantiles",
+    "doc_media_dedup",
     # refresh r3-green rows (catalog order); the rest rotate in round 6
     "ev_sessionize",
     "ev_range_lookback",
-    "tpch_q6_revenue",
 ]
 
 

@@ -5792,3 +5792,40 @@ def ev_group_quantiles(spark, sf_dir):
             "n_total",
         )
     )
+
+
+@query(
+    "doc_media_dedup",
+    """WITH m AS (
+  SELECT doc_id AS media_id, sha256(text) AS content_sha FROM documents
+)
+SELECT content_sha, min(media_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies,
+       round(('0x' || substr(content_sha, 1, 2))::INT / 255.0, 4) AS f0,
+       round(('0x' || substr(content_sha, 15, 2))::INT / 255.0, 4) AS f7
+FROM m GROUP BY content_sha""",
+)
+def doc_media_dedup(spark, sf_dir):
+    """Media dedup by content hash — the first stage of every image/video
+    dedup pipeline: group opaque payloads by sha256, keep the min-id
+    copy, count the rest. The Spark side runs the REAL multimodal path
+    (synth payloads → Arrow ``mapInPandas`` featurization,
+    ``datapipe/multimodal.py``) and emits two feature components; the
+    oracle derives the same values from sha256 arithmetic in pure SQL —
+    so the hash match cross-verifies the Python/Arrow feature kernel
+    against an independent implementation, not just the grouping.
+
+    Scale shape: the shuffle key is the 32-byte sha, never the payload —
+    group-by-hash moves KBs per million images; features ride Arrow
+    batches with bounded memory (iterator-of-batches contract)."""
+    from etl__project_spark.datapipe.multimodal import extract_features, synth_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(synth_media(docs), fake=True)
+    f0 = F.round(F.element_at("feature", 1).cast("double"), 4)
+    f7 = F.round(F.element_at("feature", 8).cast("double"), 4)
+    return feats.groupBy("content_sha").agg(
+        F.min("media_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(f0).alias("f0"),
+        F.min(f7).alias("f7"),
+    )

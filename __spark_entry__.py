@@ -95,9 +95,9 @@ _PRIORITY_R5 = [
     "doc_pipeline_e2e",
     "ev_group_quantiles",
     "doc_media_dedup",
+    "ev_skew_report",
     # refresh r3-green rows (catalog order); the rest rotate in round 6
     "ev_sessionize",
-    "ev_range_lookback",
 ]
 
 

@@ -5829,3 +5829,45 @@ def doc_media_dedup(spark, sf_dir):
         F.min(f0).alias("f0"),
         F.min(f7).alias("f7"),
     )
+
+
+@query(
+    "ev_skew_report",
+    """WITH perkey AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id
+)
+SELECT count(*)::BIGINT AS n_keys,
+       sum(c)::BIGINT AS n_events,
+       max(c)::BIGINT AS max_c,
+       floor(quantile_cont(c, 0.5) * 10000 + 0.5) / 10000.0 AS p50_c,
+       floor(quantile_cont(c, 0.99) * 10000 + 0.5) / 10000.0 AS p99_c,
+       floor(max(c)::DOUBLE / sum(c) * 10000 + 0.5) / 10000.0 AS top_share,
+       floor(max(c)::DOUBLE / (sum(c)::DOUBLE / count(*)) * 10000 + 0.5)
+           / 10000.0 AS max_over_mean
+FROM perkey""",
+)
+def ev_skew_report(spark, sf_dir):
+    """Shuffle-health / skew diagnosis: the per-key count distribution of
+    the events stream (key = user_id) reduced to the numbers that
+    predict shuffle trouble — max/p99/p50 per-key cardinality, the
+    hottest key's share, and max-over-mean (the straggler multiplier a
+    key-partitioned stage will suffer). This is the measurement that
+    DECIDES when `ev_salted_join`'s salting or AQE skew splitting is
+    needed; running it is two hash aggregates (per-key counts, then a
+    7-number reduction over the counts table — keys, not events, so the
+    second stage input is already small)."""
+    ev = load_table(spark, sf_dir, "events")
+    perkey = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return perkey.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_events"),
+        F.max("c").alias("max_c"),
+        r4(F.expr("percentile(c, 0.5)")).alias("p50_c"),
+        r4(F.expr("percentile(c, 0.99)")).alias("p99_c"),
+        r4(F.max("c").cast("double") / F.sum("c")).alias("top_share"),
+        r4(
+            F.max("c").cast("double")
+            / (F.sum("c").cast("double") / F.count(F.lit(1)))
+        ).alias("max_over_mean"),
+    )

@@ -96,8 +96,8 @@ _PRIORITY_R5 = [
     "ev_group_quantiles",
     "doc_media_dedup",
     "ev_skew_report",
+    "ev_user_paths",
     # refresh r3-green rows (catalog order); the rest rotate in round 6
-    "ev_sessionize",
 ]
 
 

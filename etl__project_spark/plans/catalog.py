@@ -5871,3 +5871,47 @@ def ev_skew_report(spark, sf_dir):
             / (F.sum("c").cast("double") / F.count(F.lit(1)))
         ).alias("max_over_mean"),
     )
+
+
+@query(
+    "ev_user_paths",
+    """WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*)::BIGINT AS n
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY path
+)
+SELECT path, n FROM paths
+ORDER BY n DESC, path
+LIMIT 10""",
+)
+def ev_user_paths(spark, sf_dir):
+    """Top frequent 3-step user paths (order-2 sequence mining, the
+    companion to ``ev_transition_matrix``'s order-1 view): two stacked
+    ``lead`` windows on ONE user-keyed exchange (Catalyst plans both
+    offsets over the same sort), a hash aggregate over a keyspace
+    bounded by |types|³ (125 cells), and a TakeOrderedAndProject top-10
+    — no global sort, nothing downstream of the single exchange scales
+    with events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )

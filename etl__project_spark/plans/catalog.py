@@ -5915,3 +5915,88 @@ def ev_user_paths(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "emb_znorm_outliers",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dims AS (SELECT range::BIGINT AS dim FROM range(1, 65)),
+stats AS (
+  SELECT dim,
+         sum(floor(e[dim::INT] * 1000000.0 + 0.5)::BIGINT)::BIGINT AS sx,
+         sum(floor(e[dim::INT] * e[dim::INT] * 100000000.0 + 0.5)::BIGINT)::BIGINT
+             AS sx2,
+         count(*)::BIGINT AS n
+  FROM v, dims GROUP BY dim
+),
+ms AS (
+  SELECT dim,
+         sx::DOUBLE / 1000000.0 / n AS mean,
+         sqrt(greatest(sx2::DOUBLE / 100000000.0 / n
+               - (sx::DOUBLE / 1000000.0 / n) * (sx::DOUBLE / 1000000.0 / n),
+               1e-12)) AS std
+  FROM stats
+),
+terms AS (
+  SELECT v.vec_id,
+         floor(((e[dim::INT] - mean) / std) * ((e[dim::INT] - mean) / std)
+               * 1000000.0 + 0.5)::BIGINT AS z2m
+  FROM v, dims JOIN ms USING (dim)
+),
+scores AS (
+  SELECT vec_id,
+         floor(sum(z2m)::DOUBLE / 100.0 + 0.5) / 10000.0 AS z2_score
+  FROM terms GROUP BY vec_id
+)
+SELECT vec_id, z2_score FROM scores
+ORDER BY z2_score DESC, vec_id LIMIT 20""",
+)
+def emb_znorm_outliers(spark, sf_dir):
+    """Embedding QC outlier scan: per-dimension mean/std from ONE
+    bounded aggregate (64-cell keyspace, exact-integer sums — the
+    diagonal of ``emb_covariance``), broadcast back to a narrow
+    explode, and each vector scored by its summed squared z — the
+    Mahalanobis-diagonal screen that catches corrupt/degenerate
+    embeddings (all-zero rows, clipped dims, scale blowups) before
+    they poison ANN or k-means. Top-20 by TakeOrderedAndProject.
+
+    Cross-engine determinism: z² terms are micro-quantized to BIGINT
+    before the per-vector sum, so summation order cannot perturb the
+    score (the same order-free-integer-sum discipline as
+    ``kmeans_iterate``)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    exploded = emb.select(
+        "vec_id", F.posexplode("e").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).cast("long").alias("dim"), "x")
+    stats = exploded.groupBy("dim").agg(
+        F.sum(F.floor(F.col("x") * 1000000.0 + F.lit(0.5)).cast("long")).alias("sx"),
+        F.sum(
+            F.floor(F.col("x") * F.col("x") * 100000000.0 + F.lit(0.5)).cast("long")
+        ).alias("sx2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("sx").cast("double") / F.lit(1000000.0) / F.col("n")
+    var = (
+        F.col("sx2").cast("double") / F.lit(100000000.0) / F.col("n") - mean * mean
+    )
+    ms = stats.select(
+        "dim", mean.alias("mean"), F.sqrt(F.greatest(var, F.lit(1e-12))).alias("std")
+    )
+    z = (F.col("x") - F.col("mean")) / F.col("std")
+    scores = (
+        exploded.join(F.broadcast(ms), "dim")
+        .select(
+            "vec_id",
+            F.floor(z * z * 1000000.0 + F.lit(0.5)).cast("long").alias("z2m"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.floor(F.sum("z2m").cast("double") / F.lit(100.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("z2_score")
+        )
+    )
+    return scores.orderBy(F.desc("z2_score"), F.asc("vec_id")).limit(20)

@@ -6000,3 +6000,143 @@ def emb_znorm_outliers(spark, sf_dir):
         )
     )
     return scores.orderBy(F.desc("z2_score"), F.asc("vec_id")).limit(20)
+
+
+@query(
+    "ev_active_users",
+    """WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY day),
+days AS (SELECT DISTINCT day FROM du),
+wau AS (
+  SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS wau
+  FROM days d JOIN du u
+    ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
+  GROUP BY d.day
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.day = wau.day""",
+)
+def ev_active_users(spark, sf_dir):
+    """DAU + trailing-7-day WAU per day — the engagement rollup every
+    product dashboard serves. Stage 1 collapses events to DISTINCT
+    (day, user) pairs — the only stage that sees raw events, one hash
+    aggregate, and at 100 TB the pre-aggregation that makes everything
+    after it small (users×days, not events). WAU is a range join of
+    the tiny day spine against those pairs (≤7-day band, broadcast
+    spine) + count-distinct — cost 7×|day,user|, never a re-scan of
+    events; the HLL variant (``ev_distinct_hll``) replaces the exact
+    count-distinct when approximate WAU is acceptable and lets the
+    7-day window merge from daily register tables instead of
+    recounting."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = du.select("day").distinct()
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            (F.col("u.day") > F.col("d.day") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau"
+    )
+
+
+def _containment_sql() -> str:
+    """LSH candidates (the doc_lsh_pairs SQL) + exact directed
+    containment over the candidates' shingle sets."""
+    return f"""WITH cand AS ({ORACLES["doc_lsh_pairs"]}),
+sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM (
+    SELECT doc_id, unnest({_SHINGLE5}) AS shingle FROM documents
+  ) GROUP BY doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_common
+  FROM cand c
+  JOIN (SELECT doc_id, unnest({_SHINGLE5}) AS shingle FROM documents) a
+    ON a.doc_id = c.id_a
+  JOIN (SELECT doc_id, unnest({_SHINGLE5}) AS shingle FROM documents) b
+    ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       floor(n_common::DOUBLE / sa.n_sh * 10000 + 0.5) / 10000.0 AS containment_ab,
+       floor(n_common::DOUBLE / sb.n_sh * 10000 + 0.5) / 10000.0 AS containment_ba
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE greatest(n_common::DOUBLE / sa.n_sh, n_common::DOUBLE / sb.n_sh) >= 0.5"""
+
+
+_SHINGLE5 = (
+    "list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text) - 3, 1))])"
+)
+
+
+@query("doc_containment_pairs", _containment_sql())
+def doc_containment_pairs(spark, sf_dir):
+    """Directed CONTAINMENT detection: for each LSH candidate pair, the
+    fraction of each side's distinct 5-gram shingles shared —
+    containment(A→B) = |A∩B| / |A|. Jaccard misses subset relations (a
+    paragraph quoted inside a much longer doc scores near 0 Jaccard but
+    ~1.0 containment), so this is the quote/partial-copy detector that
+    complements the symmetric near-dup family; pairs kept when either
+    direction ≥ 0.5.
+
+    Scale shape: candidates come from the SAME band equi-join as
+    ``doc_lsh_pairs`` (never all-pairs); the exact intersection is a
+    shingle equi-join restricted to candidates — cost Σ shared
+    shingles over candidate pairs; set sizes are one hash aggregate
+    joined back. Everything shuffles on shingle/doc keys, never text.
+    Note the asymmetric-recall caveat: MinHash bands sample the UNION,
+    so a tiny-doc⊂huge-doc pair can miss banding (resemblance-biased);
+    a production containment pass uses the prefix-filter join
+    (``doc_jaccard_prefix``) or partitions by the small side's shingle
+    postings when subset recall must be lossless."""
+    from etl__project_spark.datapipe.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, distinct=False)
+    sig = minhash_signature(sh, n_hashes=8).persist()
+    sig.count()
+    cand = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
+    shing = char_shingles(docs, distinct=True).select(
+        "doc_id", F.col("shingle")
+    )
+    sizes = shing.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shing.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = shing.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    c_ab = F.col("n_common").cast("double") / F.col("n_a")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.greatest(c_ab, c_ba) >= 0.5)
+        .select(
+            "id_a", "id_b", r4(c_ab).alias("containment_ab"),
+            r4(c_ba).alias("containment_ba"),
+        )
+    )

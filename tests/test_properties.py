@@ -465,3 +465,80 @@ def test_funnel_steps_matches_python_model(spark, events):
     # monotone: each stage can only lose users
     seq = [got[s] for s in ["signup", "view", "click", "purchase"]]
     assert all(a >= b for a, b in zip(seq, seq[1:]))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),      # key
+            st.integers(min_value=0, max_value=40),     # seq
+            st.sampled_from(["U", "U", "U", "D"]),      # op (deletes rarer)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),               # unique (key, seq)
+    )
+)
+def test_cdc_apply_matches_python_fold(spark, changes):
+    """cdc_apply == a pure-Python 'replay the log in sequence order'
+    model, for random changelogs with interleaved deletes."""
+    from etl__project_spark.operators import cdc_apply
+
+    rows = [(k, s, op, float(k * 1000 + s)) for (k, s, op) in changes]
+    df = spark.createDataFrame(rows, "id long, seq long, op string, v double")
+    got = sorted(map(tuple, cdc_apply(df, ["id"], ["seq"]).collect()))
+
+    # replay in sequence order; a key survives iff its LAST op isn't a delete
+    state: dict[int, tuple] = {}
+    for k, s, op, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        state[k] = (k, s, op, v)
+    want = sorted(
+        (k, s, op, v) for (k, s, op, v) in state.values() if op != "D"
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.sampled_from(["a", "b", "c"]),           # type
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_transition_matrix_matches_python_model(spark, events, monkeypatch):
+    """Counts equal a pure-Python per-user bigram model; probabilities
+    sum to 1 within each from_type."""
+    from collections import Counter, defaultdict
+    from datetime import datetime
+
+    import etl__project_spark.plans.catalog as cat
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, 0, i % 60, i), u, t, 1.0, "{}")
+        for i, (u, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in cat.QUERIES["ev_transition_matrix"](spark, "unused").collect()
+    }
+
+    by_user = defaultdict(list)
+    for i, (u, t) in enumerate(events):
+        by_user[u].append((rows[i][1], i, t))
+    want: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, t1), (_, _, t2) in zip(seq, seq[1:]):
+            want[(t1, t2)] += 1
+    assert got == dict(want)

@@ -34,6 +34,12 @@ AUDIT_CLASS = {
     "doc_jaccard_prefix",     # Σ df² over shingle postings
     "doc_lsh_recall_audit",   # contains the lossless pair set
     "emb_near_dup_pairs",     # O(N²/2) cross join (allow_quadratic)
+    "doc_containment_pairs",  # Σ shared-shingles over LSH candidates — the
+                              # word-soup fixture's band collisions (618 M
+                              # candidates at sf10, SCALE.md §9) make the
+                              # per-row semantics fixture-pathological; the
+                              # deployment fix is exact-dup collapse first,
+                              # as canonical_components codes for components
 }
 
 

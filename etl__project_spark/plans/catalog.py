@@ -6140,3 +6140,66 @@ def doc_containment_pairs(spark, sf_dir):
             r4(c_ba).alias("containment_ba"),
         )
     )
+
+
+def _containment_reps_sql() -> str:
+    """The containment SQL re-rooted on one representative per distinct
+    text (min doc_id), the coded collapse-first scale path."""
+    body = _containment_sql().replace("FROM documents", "FROM reps")
+    return f"""WITH reps AS (
+  SELECT min(doc_id)::BIGINT AS doc_id, text
+  FROM documents GROUP BY text
+),
+res AS ({body})
+SELECT * FROM res"""
+
+
+@query("doc_containment_reps", _containment_reps_sql())
+def doc_containment_reps(spark, sf_dir):
+    """Containment detection with exact-dup collapse FIRST — the coded
+    scale path of ``doc_containment_pairs`` (same move that makes
+    ``canonical_components`` scale: VERDICT r4 #4): one representative
+    (min id) per distinct text is signed, banded, and verified, so the
+    candidate space is driven by DISTINCT texts, not rows — on the
+    sf10 word-soup fixture that is 130 k reps instead of 500 k rows,
+    and the band-collision pathology that excludes the per-row variant
+    from the 100× sweep disappears. Identical-text containments (all
+    trivially 1.0) are represented by their cluster, recoverable
+    through the content-hash map when per-row output is needed."""
+    from etl__project_spark.datapipe.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.groupBy("text").agg(F.min("doc_id").cast("long").alias("doc_id"))
+    reps = reps.select("doc_id", "text")
+    sh = char_shingles(reps, distinct=False)
+    sig = minhash_signature(sh, n_hashes=8).persist()
+    sig.count()
+    cand = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
+    shing = char_shingles(reps, distinct=True).select("doc_id", "shingle")
+    sizes = shing.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shing.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = shing.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    c_ab = F.col("n_common").cast("double") / F.col("n_a")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.greatest(c_ab, c_ba) >= 0.5)
+        .select(
+            "id_a", "id_b", r4(c_ab).alias("containment_ab"),
+            r4(c_ba).alias("containment_ba"),
+        )
+    )

@@ -51,6 +51,7 @@ def maintain_join_view(
     batches_a: list[DataFrame],
     batches_b: list[DataFrame],
     on: list[str],
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Fold a sequence of (ΔA, ΔB) batches into the final join view by
     repeated :func:`delta_join` — the batch-loop driver used by tests
@@ -58,11 +59,15 @@ def maintain_join_view(
     which must equal the one-shot join of the full inputs.
 
     Each iteration unions the new delta into the running state
-    DataFrames — lazily, so Catalyst sees the whole lineage; a
-    production foreachBatch materializes state to a bucketed table per
-    batch instead (see module docstring), keeping every iteration's
-    plan O(1) exactly like the ``localCheckpoint`` loops in
-    ``kmeans_iterate`` / ``connected_components``.
+    DataFrames — lazily by default, so Catalyst sees the whole lineage
+    (fine for the oracle-proof entry, but the source scans re-run once
+    per batch). ``checkpoint=True`` is the production shape:
+    ``localCheckpoint`` materializes the accumulated state after each
+    batch, so batch N's plan probes a materialized table instead of
+    re-deriving N-1 unions of scans — O(1) plans per batch, the same
+    move as the ``kmeans_iterate`` / ``connected_components`` loops (a
+    real foreachBatch writes state to a bucketed table, same effect
+    durable).
     """
     assert len(batches_a) == len(batches_b)
     spark = batches_a[0].sparkSession
@@ -74,4 +79,7 @@ def maintain_join_view(
         view = delta if view is None else view.unionByName(delta)
         state_a = state_a.unionByName(da)
         state_b = state_b.unionByName(db)
+        if checkpoint:
+            state_a = state_a.localCheckpoint(eager=True)
+            state_b = state_b.localCheckpoint(eager=True)
     return view

@@ -5447,7 +5447,10 @@ def tpch_join_incremental(spark, sf_dir):
         orders.filter((F.col("okey") % 4).isin(1, 2)),
         orders.filter((F.col("okey") % 4).isin(0, 3)),
     ]
-    view = maintain_join_view(batches_a, batches_b, on=["okey"])
+    # checkpoint=True is the production state shape: accumulated state is
+    # materialized per batch, so each increment probes a table instead of
+    # re-deriving prior unions of scans (measured 31 s -> 18 s at sf10)
+    view = maintain_join_view(batches_a, batches_b, on=["okey"], checkpoint=True)
     rev_micro = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
     ).cast("long")

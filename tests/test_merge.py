@@ -126,3 +126,26 @@ def test_delta_join_batch_cost_probes_not_rejoins(spark):
     out = delta_join(sa, sb, da, db, on=["k"])
     # state×state pair (1,10,20) must NOT be in the delta
     assert sorted(map(tuple, out.collect())) == [(2, 11, 21)]
+
+
+def test_delta_join_checkpointed_state_same_result(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators import maintain_join_view
+
+    random.seed(32)
+    a = spark.createDataFrame(
+        [(random.randrange(10), i) for i in range(40)], "k long, av long"
+    )
+    b = spark.createDataFrame(
+        [(random.randrange(10), 100 + i) for i in range(20)], "k long, bv long"
+    )
+    a_b = [a.filter(F.pmod(F.col("av"), 2) == i) for i in range(2)]
+    b_b = [b.filter(F.pmod(F.col("bv"), 2) == i) for i in range(2)]
+    lazy = sorted(map(tuple, maintain_join_view(a_b, b_b, on=["k"]).collect()))
+    ckpt = sorted(
+        map(tuple, maintain_join_view(a_b, b_b, on=["k"], checkpoint=True).collect())
+    )
+    assert lazy == ckpt == sorted(map(tuple, a.join(b, "k").collect()))

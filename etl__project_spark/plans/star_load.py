@@ -408,3 +408,56 @@ def audit(wh: ParquetWarehouse) -> dict[str, int]:
         out[table] = wh.read(table, _dim_schema(nk, skey)).count()
     out["factvideostart"] = wh.read_fact("factvideostart", FACT_SCHEMA).count()
     return out
+
+
+def snapshot_diff(
+    wh: ParquetWarehouse,
+    table: str,
+    schema: T.StructType,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change feed between two retained versions of a versioned table —
+    the Delta CHANGE DATA FEED analog over ``ParquetWarehouse``'s
+    immutable snapshots: rows tagged ``insert`` (key only in ``v_to``),
+    ``delete`` (key only in ``v_from``), or ``update`` (key in both
+    with any non-key column changed). Unchanged rows are not emitted.
+
+    Built on :meth:`ParquetWarehouse.read`'s time travel, so the diff
+    needs no change log — any two retained publishes can be compared
+    after the fact (backfill auditing, "what did batch 7 actually
+    change", downstream incremental refresh from snapshot pairs).
+
+    Scale shape: ONE full-outer equi-join keyed on ``key_cols``
+    between the two snapshot scans, with the change classification as
+    narrow column expressions — at 100 TB both sides are bucketed by
+    key at rest, so the join co-locates without a shuffle, and
+    snapshot pruning means only the two compared versions are read.
+    """
+    non_key = [f.name for f in schema.fields if f.name not in key_cols]
+    old = wh.read(table, schema, version=v_from).alias("o")
+    new = wh.read(table, schema, version=v_to).alias("n")
+    cond = [old[k].eqNullSafe(new[k]) for k in key_cols]
+    joined = old.join(new, cond, "full_outer")
+    in_old = F.coalesce(*[old[k].isNotNull() for k in key_cols[:1]], F.lit(False))
+    in_new = F.coalesce(*[new[k].isNotNull() for k in key_cols[:1]], F.lit(False))
+    changed = (
+        F.lit(False)
+        if not non_key
+        else ~F.struct(*[old[c] for c in non_key]).eqNullSafe(
+            F.struct(*[new[c] for c in non_key])
+        )
+    )
+    change = (
+        F.when(in_old & ~in_new, F.lit("delete"))
+        .when(~in_old & in_new, F.lit("insert"))
+        .when(changed, F.lit("update"))
+    )
+    keys = [F.coalesce(new[k], old[k]).alias(k) for k in key_cols]
+    olds = [old[c].alias(f"old_{c}") for c in non_key]
+    news = [new[c].alias(f"new_{c}") for c in non_key]
+    return (
+        joined.select(change.alias("change"), *keys, *olds, *news)
+        .filter(F.col("change").isNotNull())
+    )

@@ -163,3 +163,45 @@ def test_concurrent_publish_two_threads_exactly_one_wins(spark, tmp_path):
     assert wh._current("race") == 1
     n = wh.spark.read.parquet(str(tmp_path / "race" / "v1")).count()
     assert n in (10, 20)
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse, snapshot_diff
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    v1 = wh.publish(
+        "t", spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema)
+    )
+    v2 = wh.publish(
+        "t", spark.createDataFrame([(2, "b"), (3, "C"), (4, "d")], schema)
+    )
+    diff = {
+        r["id"]: (r["change"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(wh, "t", schema, v1, v2, ["id"]).collect()
+    }
+    assert diff == {
+        1: ("delete", "a", None),
+        3: ("update", "c", "C"),
+        4: ("insert", None, "d"),
+    }  # id 2 unchanged -> absent
+
+
+def test_snapshot_diff_empty_for_identical_versions(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse, snapshot_diff
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh2"))
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    df = spark.createDataFrame([(1,), (2,)], schema)
+    v1 = wh.publish("t", df)
+    v2 = wh.publish("t", df)
+    assert snapshot_diff(wh, "t", schema, v1, v2, ["id"]).count() == 0

@@ -6206,3 +6206,167 @@ def doc_containment_reps(spark, sf_dir):
             r4(c_ba).alias("containment_ba"),
         )
     )
+
+
+@query(
+    "ev_rfm_segments",
+    """WITH ref AS (SELECT max(ts)::DATE AS mx FROM events),
+per AS (
+  SELECT user_id,
+         date_diff('day', max(ts)::DATE, (SELECT mx FROM ref))::BIGINT
+             AS recency_days,
+         count(*)::BIGINT AS frequency,
+         sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT AS monetary_micro
+  FROM events GROUP BY user_id
+),
+seg AS (
+  SELECT CASE WHEN recency_days <= 3 THEN 'active'
+              WHEN recency_days <= 10 THEN 'cooling'
+              ELSE 'dormant' END
+         || '/' ||
+         CASE WHEN frequency >= 100 THEN 'heavy'
+              WHEN frequency >= 20 THEN 'regular'
+              ELSE 'light' END AS segment,
+         recency_days, frequency, monetary_micro
+  FROM per
+)
+SELECT segment, count(*)::BIGINT AS n_users,
+       sum(frequency)::BIGINT AS n_events,
+       (floor(sum(monetary_micro) / 100.0 + 0.5) / 100.0) AS total_value,
+       floor(avg(recency_days) * 100 + 0.5) / 100.0 AS avg_recency_days
+FROM seg GROUP BY segment""",
+)
+def ev_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-user Recency (days since last event,
+    anchored to the corpus max date — deterministic, no wall clock),
+    Frequency, and Monetary value, bucketed into named segments and
+    rolled up. Two hash aggregates end-to-end — per-user RFM (keyed on
+    user), then the segment rollup (9-cell keyspace); the 1-row
+    reference date broadcasts. Money follows the micro-unit BIGINT
+    discipline of the tpch_* entries, so segment totals are
+    bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.to_date("ts")).alias("mx"))
+    per = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("monetary_micro"),
+    )
+    per = per.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff(F.col("mx"), F.col("last_day")).cast("long")
+    )
+    r_seg = (
+        F.when(F.col("recency_days") <= 3, F.lit("active"))
+        .when(F.col("recency_days") <= 10, F.lit("cooling"))
+        .otherwise(F.lit("dormant"))
+    )
+    f_seg = (
+        F.when(F.col("frequency") >= 100, F.lit("heavy"))
+        .when(F.col("frequency") >= 20, F.lit("regular"))
+        .otherwise(F.lit("light"))
+    )
+    return (
+        per.withColumn("segment", F.concat_ws("/", r_seg, f_seg))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("frequency").alias("n_events"),
+            (
+                F.floor(F.sum("monetary_micro") / F.lit(100.0) + F.lit(0.5))
+                / F.lit(100.0)
+            ).alias("total_value"),
+            (
+                F.floor(F.avg("recency_days") * 100 + F.lit(0.5)) / F.lit(100.0)
+            ).alias("avg_recency_days"),
+        )
+    )
+
+
+@query(
+    "doc_winnow_fingerprints",
+    """WITH grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(substr(text, i, 5)), 1, 7))::BIGINT AS h
+  FROM documents, unnest(range(1, greatest(len(text) - 3, 1))) AS u(i)
+),
+keyed AS (
+  SELECT doc_id, pos, h,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams,
+         min(h * 1048576 + (1048575 - pos))
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+  FROM grams
+),
+sel AS (
+  SELECT DISTINCT doc_id, wkey // 1048576 AS fp_hash,
+         1048575 - (wkey % 1048576) AS fp_pos
+  FROM keyed
+  WHERE pos <= n_grams - 4
+)
+SELECT doc_id, count(*)::BIGINT AS n_fps,
+       min(fp_hash)::BIGINT AS fp_min, max(fp_hash)::BIGINT AS fp_max,
+       sum(fp_hash)::BIGINT AS fp_sum
+FROM sel GROUP BY doc_id""",
+)
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every 5-gram, slide a window of
+    w=4 consecutive hashes, and select each window's minimum (rightmost
+    on ties); the distinct selected (hash, pos) set is the document's
+    fingerprint, with the guarantee that any shared substring of
+    length >= w+k-1 yields a shared fingerprint — position-robust
+    plagiarism/overlap detection that the simple rolling-hash
+    ``doc_fingerprint`` lacks.
+
+    Engine-portable selection trick: the (hash, rightmost-pos) argmin
+    is one integer ``min`` over h*2^20 + (2^20-1-pos) — no arg_min /
+    struct comparison needed, so Spark and DuckDB agree bit-for-bit.
+    Distributed shape: gram explode is map-side; the ONLY exchange is
+    the per-doc window partitioning; window state is w rows. Output is
+    the per-doc fingerprint summary (count/min/max/sum) — the full set
+    joins like ``doc_lsh_pairs`` candidates when pair detection is
+    needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "case when length(text) >= 5 then "
+                "transform(sequence(1, length(text) - 4), "
+                "i -> substring(text, i, 5)) "
+                "else cast(array() as array<string>) end"
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 7), 16, 10).cast("long").alias("h"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_grams"),
+        F.min(
+            F.col("h") * F.lit(1048576) + (F.lit(1048575) - F.col("pos"))
+        )
+        .over(wspec)
+        .alias("wkey"),
+    )
+    sel = (
+        keyed.filter(F.col("pos") <= F.col("n_grams") - 4)
+        .select(
+            "doc_id",
+            F.expr("wkey div 1048576").alias("fp_hash"),
+            (F.lit(1048575) - F.pmod(F.col("wkey"), F.lit(1048576))).alias("fp_pos"),
+        )
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp_hash").alias("fp_min"),
+        F.max("fp_hash").alias("fp_max"),
+        F.sum("fp_hash").alias("fp_sum"),
+    )

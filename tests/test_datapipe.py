@@ -706,3 +706,57 @@ def test_project_embeddings_is_scan_only(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_winnowing_guarantee_shared_span_shares_fingerprint(spark, monkeypatch):
+    """Winnowing guarantee: any substring of length >= w+k-1 (= 8 chars
+    at w=4, k=5) shared between two docs yields at least one shared
+    selected fingerprint HASH; a doc with no overlap shares none.
+    Also: short docs (< k chars) produce no fingerprints at all."""
+    import etl__project_spark.plans.catalog as cat
+
+    shared = "xqzvwjkmpl trfgbn"  # 17-char span planted in docs 0 and 1
+    rows = [
+        (0, "aaaa " + shared + " bbbb ccc ddd eee fff", "en", "s", 40),
+        (1, "eeee ffff " + shared + " gggg hhh iii", "en", "s", 40),
+        (2, "totally unrelated content with other words here", "en", "s", 47),
+        (3, "tiny", "en", "s", 4),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: docs)
+    out = {r["doc_id"]: r for r in
+           cat.QUERIES["doc_winnow_fingerprints"](spark, "unused").collect()}
+    assert 3 not in out  # < 5 chars -> no grams -> no fingerprints
+
+    # pure-Python winnowing model: k=5, w=4, rightmost-min selection
+    import hashlib
+
+    def model(text, k=5, w=4):
+        hs = [
+            int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:7], 16)
+            for i in range(len(text) - k + 1)
+        ]
+        sel = set()
+        for s in range(len(hs) - w + 1):
+            win = hs[s : s + w]
+            m = min(win)
+            p = s + max(i for i, h in enumerate(win) if h == m)
+            sel.add((hs[p], p))
+        return sel
+
+    for d in (0, 1, 2):
+        fps = model(rows[d][1])
+        hashes = [h for h, _ in fps]
+        assert out[d]["n_fps"] == len(fps)
+        assert out[d]["fp_min"] == min(hashes)
+        assert out[d]["fp_max"] == max(hashes)
+        assert out[d]["fp_sum"] == sum(hashes)
+    # the winnowing guarantee, on the model the query was just proven
+    # equal to: the 17-char planted span forces a shared fingerprint hash
+    shared_hashes = {h for h, _ in model(rows[0][1])} & {
+        h for h, _ in model(rows[1][1])
+    }
+    assert shared_hashes
+    assert not ({h for h, _ in model(rows[0][1])} & {h for h, _ in model(rows[2][1])})

@@ -23,8 +23,21 @@ from etl__project_spark.datapipe.sampling import (  # noqa: F401
     stratified_hash_sample,
 )
 from etl__project_spark.datapipe.similarity import (  # noqa: F401
+    batch_topk,
     brute_force_topk,
     bucketed_topk,
     cosine_components,
+    semantic_dedup,
     sign_bucket,
+)
+from etl__project_spark.datapipe.linalg import (  # noqa: F401
+    covariance_matrix,
+    pca_top_component,
+    pca_top_k,
+    project_embeddings,
+)
+from etl__project_spark.datapipe.sketches import (  # noqa: F401
+    hll_estimate,
+    hll_merge,
+    hll_registers,
 )

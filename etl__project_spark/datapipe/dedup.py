@@ -170,14 +170,19 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """SimHash over whitespace tokens, ``n_bits`` wide (≤ 16 here: 4 md5
-    hex digits per token supply the bit source, which keeps the expression
-    tree — and the SQL oracle — small).
+    """SimHash over whitespace tokens, ``n_bits`` wide (md5 hex digits
+    of each token supply the bit source; ``n_bits/4`` digits used).
 
     bit_i(doc) = sign of Σ_tokens (±1 depending on bit_i(md5(token))).
     Near-dup docs differ in few bits (compare via hamming distance).
+    16 bits keeps the expression tree tiny for the default signature;
+    60 bits (used by ``doc_simhash_wide_pairs``) is the Manku et al.
+    (WWW 2007) web-scale regime, where banding has enough bucket
+    entropy to keep candidate pairs collision-driven rather than
+    bucket-count-driven. Capped at 60 so the signature (and every band
+    arithmetic) stays inside a signed 64-bit long.
     """
-    assert n_bits <= 16
+    assert n_bits <= 60
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )

@@ -6370,3 +6370,74 @@ def doc_winnow_fingerprints(spark, sf_dir):
         F.max("fp_hash").alias("fp_max"),
         F.sum("fp_hash").alias("fp_sum"),
     )
+
+
+def _simhash_wide_pairs_oracle() -> str:
+    """60-bit SimHash (the full signature CTE at n_bits=60) + 4×15-bit
+    band self-join + Hamming filter — the Manku-style scale twin of
+    ``doc_simhash_pairs``."""
+    return f"""WITH sig AS ({_simhash_oracle(60)}),
+bands AS (
+  SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS band
+  FROM sig, unnest([0, 1, 2, 3]) AS u(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM bands a JOIN bands b
+    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3"""
+
+
+@query("doc_simhash_wide_pairs", _simhash_wide_pairs_oracle())
+def doc_simhash_wide_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at WEB SCALE width (Manku, Jain & Das
+    Sarma, WWW 2007): 60-bit signatures, four 15-bit bands, full-Hamming
+    <= 3 verification. Same completeness pigeonhole as the 16-bit
+    ``doc_simhash_pairs`` (radius 3, 4 bands → one band intact), but the
+    band bucket space is 2^15 per band instead of 2^4 — so candidate
+    volume is driven by genuine signature collisions, not by the
+    pigeonholing of N docs into 16 buckets. Measured at the 10× fixture:
+    the 16-bit variant's band join emits 57 M candidate pairs (154 s,
+    now classified an audit path); this one stays output-driven. The
+    signature aggregate is still ONE groupBy over tokens (60 conditional
+    sums, map-side partial); banding is integer shift/mask."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash(docs, n_bits=60)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("simhash"), 15 * j)
+                        .bitwiseAND(F.lit(32767))
+                        .alias("band"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "simhash", "p.j", "p.band")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "j", "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "j", "band"
+    )
+    return (
+        a.join(b, ["j", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )

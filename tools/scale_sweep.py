@@ -34,6 +34,11 @@ AUDIT_CLASS = {
     "doc_jaccard_prefix",     # Σ df² over shingle postings
     "doc_lsh_recall_audit",   # contains the lossless pair set
     "emb_near_dup_pairs",     # O(N²/2) cross join (allow_quadratic)
+    "doc_simhash_pairs",      # 16-bit signature → 2^4 buckets per band:
+                              # candidates are O(N²/16) by CONSTRUCTION
+                              # (57 M pairs / 154 s at sf1); the scale
+                              # twin is doc_simhash_wide_pairs (60-bit,
+                              # 2^15-bucket bands, Manku et al. 2007)
     "doc_containment_pairs",  # Σ shared-shingles over LSH candidates — the
                               # word-soup fixture's band collisions (618 M
                               # candidates at sf10, SCALE.md §9) make the

@@ -6441,3 +6441,134 @@ def doc_simhash_wide_pairs(spark, sf_dir):
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+@query(
+    "ev_lateness_audit",
+    """WITH arr AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prior_max
+  FROM events
+),
+lat AS (
+  SELECT greatest(epoch_us(prior_max) - epoch_us(ts), 0) AS late_us
+  FROM arr WHERE prior_max IS NOT NULL
+),
+hist AS (
+  SELECT least(late_us // 1000000, 4095)::BIGINT AS sec_bin,
+         count(*)::BIGINT AS c
+  FROM lat WHERE late_us > 0 GROUP BY sec_bin
+),
+cdf AS (
+  SELECT sec_bin, sum(c) OVER (ORDER BY sec_bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+  FROM hist
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_checked,
+         sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+         floor(max(late_us) / 1000000.0 * 100 + 0.5) / 100.0 AS max_lateness_s
+  FROM lat
+),
+p AS (
+  SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q
+),
+ro AS (
+  SELECT q, min(sec_bin)::BIGINT AS qbin
+  FROM cdf, tot, p
+  WHERE cum >= ceil(q * n_late)
+  GROUP BY q
+)
+SELECT tot.n_checked, tot.n_late,
+       floor(tot.n_late::DOUBLE / tot.n_checked * 10000 + 0.5) / 10000.0
+           AS late_frac,
+       tot.max_lateness_s,
+       max(CASE WHEN q = 0.5 THEN qbin END)::BIGINT AS p50_lateness_bin_s,
+       max(CASE WHEN q = 0.95 THEN qbin END)::BIGINT AS p95_lateness_bin_s
+FROM ro, tot
+GROUP BY tot.n_checked, tot.n_late, tot.max_lateness_s""",
+)
+def ev_lateness_audit(spark, sf_dir):
+    """Event-time LATENESS audit — the measurement that sizes a
+    watermark: per user, in ARRIVAL order (event_id), how far does an
+    event's timestamp lag the running maximum already seen? Emits the
+    late fraction, max lateness, and p50/p95 lateness (1-second
+    histogram bins, same bounded-sketch readoff as
+    ``ev_quantile_digest``). A streaming deployment sets
+    ``withWatermark`` to ~p95–p99 of this distribution and routes the
+    tail to a late-arrival side output; re-running the audit on live
+    data is how the horizon stays honest as sources drift.
+
+    Distributed shape: one user-keyed exchange for the running-max
+    window, a <=4096-cell histogram aggregate, and a single-partition
+    CDF readoff over the SKETCH (bins, not events) — identical scaling
+    discipline to the other sketch queries. Micro-exact arithmetic
+    end-to-end (unix_micros both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.max(F.unix_micros("ts")).over(w).alias("prior_max_us"),
+    ).filter(F.col("prior_max_us").isNotNull())
+    lat = arr.select(
+        F.greatest(F.col("prior_max_us") - F.col("ts_us"), F.lit(0)).alias("late_us")
+    )
+    hist = (
+        lat.filter(F.col("late_us") > 0)
+        .select(
+            F.least(F.expr("late_us div 1000000"), F.lit(4095)).alias("sec_bin")
+        )
+        .groupBy("sec_bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cdf = hist.select(
+        "sec_bin",
+        F.sum("c")
+        .over(Window.orderBy("sec_bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = lat.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        (
+            F.floor(F.max("late_us") / F.lit(1000000.0) * 100 + F.lit(0.5))
+            / F.lit(100.0)
+        ).alias("max_lateness_s"),
+    )
+    probes = spark.createDataFrame([(0.5,), (0.95,)], "q double")
+    ro = (
+        cdf.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_late")))
+        .groupBy("q")
+        .agg(F.min("sec_bin").alias("qbin"))
+    )
+    late_frac = (
+        F.floor(
+            F.col("n_late").cast("double") / F.col("n_checked") * 10000 + F.lit(0.5)
+        )
+        / F.lit(10000.0)
+    )
+    return (
+        ro.crossJoin(F.broadcast(tot))
+        .groupBy("n_checked", "n_late", "max_lateness_s")
+        .agg(
+            F.max(F.when(F.col("q") == 0.5, F.col("qbin")))
+            .cast("long")
+            .alias("p50_lateness_bin_s"),
+            F.max(F.when(F.col("q") == 0.95, F.col("qbin")))
+            .cast("long")
+            .alias("p95_lateness_bin_s"),
+        )
+        .withColumn("late_frac", late_frac)
+    )

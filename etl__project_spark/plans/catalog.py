@@ -6446,19 +6446,22 @@ def doc_simhash_wide_pairs(spark, sf_dir):
 @query(
     "ev_lateness_audit",
     """WITH arr AS (
-  SELECT user_id, event_id, ts,
-         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             AS prior_max
+  SELECT user_id, ts,
+         epoch_us(ts) + (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT
+                         % 14400) * 1000000 AS arr_key,
+         event_id
   FROM events
 ),
-lat AS (
-  SELECT greatest(epoch_us(prior_max) - epoch_us(ts), 0) AS late_us
-  FROM arr WHERE prior_max IS NOT NULL
+seq AS (
+  SELECT greatest(epoch_us(max(ts) OVER (PARTITION BY user_id
+             ORDER BY arr_key, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+           - epoch_us(ts), 0) AS late_us
+  FROM arr
 ),
+lat AS (SELECT late_us FROM seq WHERE late_us IS NOT NULL),
 hist AS (
-  SELECT least(late_us // 1000000, 4095)::BIGINT AS sec_bin,
-         count(*)::BIGINT AS c
+  SELECT least(late_us // 4000000, 4095)::BIGINT AS sec_bin, count(*)::BIGINT AS c
   FROM lat WHERE late_us > 0 GROUP BY sec_bin
 ),
 cdf AS (
@@ -6469,63 +6472,79 @@ cdf AS (
 tot AS (
   SELECT count(*)::BIGINT AS n_checked,
          sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
-         floor(max(late_us) / 1000000.0 * 100 + 0.5) / 100.0 AS max_lateness_s
+         floor(coalesce(max(late_us), 0) / 1000000.0 * 100 + 0.5) / 100.0
+             AS max_lateness_s
   FROM lat
-),
-p AS (
-  SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q
 ),
 ro AS (
   SELECT q, min(sec_bin)::BIGINT AS qbin
-  FROM cdf, tot, p
+  FROM cdf, tot, (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q)
   WHERE cum >= ceil(q * n_late)
   GROUP BY q
+),
+piv AS (
+  SELECT (max(CASE WHEN q = 0.5 THEN qbin END) * 4)::BIGINT AS p50_lateness_bin_s,
+         (max(CASE WHEN q = 0.95 THEN qbin END) * 4)::BIGINT AS p95_lateness_bin_s
+  FROM ro
 )
 SELECT tot.n_checked, tot.n_late,
        floor(tot.n_late::DOUBLE / tot.n_checked * 10000 + 0.5) / 10000.0
            AS late_frac,
-       tot.max_lateness_s,
-       max(CASE WHEN q = 0.5 THEN qbin END)::BIGINT AS p50_lateness_bin_s,
-       max(CASE WHEN q = 0.95 THEN qbin END)::BIGINT AS p95_lateness_bin_s
-FROM ro, tot
-GROUP BY tot.n_checked, tot.n_late, tot.max_lateness_s""",
+       tot.max_lateness_s, piv.p50_lateness_bin_s, piv.p95_lateness_bin_s
+FROM tot, piv""",
 )
 def ev_lateness_audit(spark, sf_dir):
     """Event-time LATENESS audit — the measurement that sizes a
-    watermark: per user, in ARRIVAL order (event_id), how far does an
-    event's timestamp lag the running maximum already seen? Emits the
-    late fraction, max lateness, and p50/p95 lateness (1-second
-    histogram bins, same bounded-sketch readoff as
-    ``ev_quantile_digest``). A streaming deployment sets
-    ``withWatermark`` to ~p95–p99 of this distribution and routes the
-    tail to a late-arrival side output; re-running the audit on live
-    data is how the horizon stays honest as sources drift.
+    watermark: per user, in arrival order, how far does an event's
+    timestamp lag the running maximum already seen? Emits one summary
+    row always (zero-late corpora report n_late=0, not an empty
+    frame): late fraction, max lateness, and p50/p95 lateness from a
+    <=4096-cell second-bin histogram with a sketch-sized CDF readoff.
+    A streaming deployment sets ``withWatermark`` to ~p95-p99 of this
+    distribution and routes the tail to a late side output (4-second
+    bins cover a [0, 4.55 h) lateness range before clamping).
+
+    The fixture's arrival order IS event-time order (zero lateness —
+    an all-zero audit would be a vacuous oracle), so the entry audits a
+    deterministic DISORDER REPLAY: each event's arrival instant is its
+    event time plus an md5-derived delay in [0, 4 h), the bounded
+    out-of-orderness an at-least-once source produces, derived
+    identically on both engines — the ``doc_pii_scrub`` augmentation
+    pattern, so the hash match verifies the lateness math on real
+    nonzero lateness.
 
     Distributed shape: one user-keyed exchange for the running-max
-    window, a <=4096-cell histogram aggregate, and a single-partition
-    CDF readoff over the SKETCH (bins, not events) — identical scaling
-    discipline to the other sketch queries. Micro-exact arithmetic
-    end-to-end (unix_micros both engines)."""
+    window, a bounded histogram aggregate, and a CDF readoff over the
+    SKETCH (bins, not events). Micro-exact unix_micros/epoch_us
+    arithmetic end-to-end."""
     ev = load_table(spark, sf_dir, "events")
+    jitter_s = F.pmod(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"),
+        F.lit(14400),
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("arr_key", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    arr = ev.select(
-        "user_id",
-        "event_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.max(F.unix_micros("ts")).over(w).alias("prior_max_us"),
-    ).filter(F.col("prior_max_us").isNotNull())
-    lat = arr.select(
-        F.greatest(F.col("prior_max_us") - F.col("ts_us"), F.lit(0)).alias("late_us")
+    lat = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            (F.unix_micros("ts") + jitter_s * 1000000).alias("arr_key"),
+        )
+        .select(
+            F.greatest(
+                F.max("ts_us").over(w) - F.col("ts_us"), F.lit(0)
+            ).alias("late_us")
+        )
+        .filter(F.col("late_us").isNotNull())
     )
     hist = (
         lat.filter(F.col("late_us") > 0)
-        .select(
-            F.least(F.expr("late_us div 1000000"), F.lit(4095)).alias("sec_bin")
-        )
+        .select(F.least(F.expr("late_us div 4000000"), F.lit(4095)).alias("sec_bin"))
         .groupBy("sec_bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -6541,17 +6560,28 @@ def ev_lateness_audit(spark, sf_dir):
         .cast("long")
         .alias("n_late"),
         (
-            F.floor(F.max("late_us") / F.lit(1000000.0) * 100 + F.lit(0.5))
+            F.floor(
+                F.coalesce(F.max("late_us"), F.lit(0)) / F.lit(1000000.0) * 100
+                + F.lit(0.5)
+            )
             / F.lit(100.0)
         ).alias("max_lateness_s"),
     )
     probes = spark.createDataFrame([(0.5,), (0.95,)], "q double")
-    ro = (
+    piv = (
         cdf.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(probes))
         .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_late")))
         .groupBy("q")
         .agg(F.min("sec_bin").alias("qbin"))
+        .agg(
+            (F.max(F.when(F.col("q") == 0.5, F.col("qbin"))) * 4)
+            .cast("long")
+            .alias("p50_lateness_bin_s"),
+            (F.max(F.when(F.col("q") == 0.95, F.col("qbin"))) * 4)
+            .cast("long")
+            .alias("p95_lateness_bin_s"),
+        )
     )
     late_frac = (
         F.floor(
@@ -6559,16 +6589,11 @@ def ev_lateness_audit(spark, sf_dir):
         )
         / F.lit(10000.0)
     )
-    return (
-        ro.crossJoin(F.broadcast(tot))
-        .groupBy("n_checked", "n_late", "max_lateness_s")
-        .agg(
-            F.max(F.when(F.col("q") == 0.5, F.col("qbin")))
-            .cast("long")
-            .alias("p50_lateness_bin_s"),
-            F.max(F.when(F.col("q") == 0.95, F.col("qbin")))
-            .cast("long")
-            .alias("p95_lateness_bin_s"),
-        )
-        .withColumn("late_frac", late_frac)
+    return tot.crossJoin(F.broadcast(piv)).select(
+        "n_checked",
+        "n_late",
+        late_frac.alias("late_frac"),
+        "max_lateness_s",
+        "p50_lateness_bin_s",
+        "p95_lateness_bin_s",
     )

@@ -275,3 +275,126 @@ def stream_cdc_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming transition-matrix maintenance --------------------------------
+
+TM_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+TM_COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+TM_CURSOR_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def stream_transition_matrix(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incrementally maintain the Markov transition matrix
+    (``ev_transition_matrix``'s counts) over a JSON-lines event stream —
+    the interesting part is the BOUNDARY: a user's last event of batch
+    N and first event of batch N+1 form a transition no single batch
+    sees, so per-batch state is a (user → last event) CURSOR table.
+
+    Per micro-batch: (1) within-batch transitions via the same
+    user-keyed ``lead`` window as the batch operator; (2) boundary
+    transitions by joining each user's batch-FIRST event against the
+    cursor; (3) fold both into the counts table (merge = sum per cell —
+    associative, so replays and shard merges are safe) and advance the
+    cursor (merge = latest-wins per user, the ``cdc_apply`` rank). Both
+    folds go through ``publish_merged``, so a replayed batch no-ops.
+
+    Assumes per-user event-time monotonicity ACROSS batches (ordered
+    ingestion, the file-source norm); within a batch any order is fine
+    — the window sorts. Out-of-order sources first run the stream
+    through ``dedup_within_watermark``/a sort buffer, or accept that a
+    boundary-late event attributes its transition to arrival order —
+    the same trade a Flink CEP pipeline makes without an event-time
+    buffer. Cursor state is one row per user (bounded); counts are
+    |types|² cells.
+    """
+    from etl__project_spark.operators.merge import cdc_apply
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ranked = batch.withColumn(
+            "next_type", F.lead("event_type").over(w)
+        ).withColumn("rn", F.row_number().over(w))
+        within = (
+            ranked.filter(F.col("next_type").isNotNull())
+            .groupBy(
+                F.col("event_type").alias("from_type"),
+                F.col("next_type").alias("to_type"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        cursor = wh.read("tm_cursor", TM_CURSOR_SCHEMA)
+        firsts = ranked.filter(F.col("rn") == 1).select(
+            "user_id", F.col("event_type").alias("first_type")
+        )
+        boundary = (
+            firsts.join(
+                cursor.select("user_id", F.col("event_type").alias("from_type")),
+                "user_id",
+            )
+            .groupBy("from_type", F.col("first_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        delta = within.unionByName(boundary).groupBy("from_type", "to_type").agg(
+            F.sum("n").alias("n")
+        )
+        wh.publish_merged(
+            "tm_counts",
+            delta,
+            TM_COUNTS_SCHEMA,
+            f"{batch_id}:counts",
+            lambda existing, d: existing.unionByName(d)
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n").alias("n")),
+        )
+        lasts = batch.select("user_id", "ts", "event_id", "event_type")
+        wh.publish_merged(
+            "tm_cursor",
+            lasts,
+            TM_CURSOR_SCHEMA,
+            f"{batch_id}:cursor",
+            lambda existing, d: cdc_apply(
+                existing.withColumn("op", F.lit("U"))
+                .unionByName(d.withColumn("op", F.lit("U"))),
+                key_cols=["user_id"],
+                seq_cols=["ts", "event_id"],
+            ).drop("op"),
+        )
+
+    events = spark.readStream.schema(TM_EVENT_SCHEMA).json(landing_dir)
+    writer = events.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

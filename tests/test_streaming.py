@@ -333,3 +333,79 @@ def test_streaming_cdc_view_matches_one_shot_apply(spark, tmp_path):
     # storage (op='D' row present), key 2 absent from the read view —
     # verified implicitly: the batch-3 late seq-15 update lost to the
     # stored seq-20 tombstone, else key 2 would read (2, 15, 9.9).
+
+
+def test_streaming_transition_matrix_equals_one_shot(spark, tmp_path):
+    """Three micro-batches of per-user event streams must yield the same
+    transition counts as the one-shot lead-window over all events —
+    including the BOUNDARY transitions between a user's last event of
+    one batch and first event of the next, which no single batch sees."""
+    import json
+    from datetime import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.streaming.pipeline import (
+        TM_COUNTS_SCHEMA,
+        stream_transition_matrix,
+    )
+
+    landing = str(tmp_path / "tm_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "tm_wh")
+    ckpt = str(tmp_path / "tm_ckpt")
+
+    # 2 users, 12 events each, types cycling differently per user;
+    # batches split by time so every batch boundary crosses both users
+    rows = []
+    types = {1: ["a", "b", "c"], 2: ["b", "a", "a", "c"]}
+    eid = 0
+    for step in range(12):
+        for u in (1, 2):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": datetime(2024, 1, 1, 0, step, u).isoformat(),
+                    "user_id": u,
+                    "event_type": types[u][step % len(types[u])],
+                }
+            )
+            eid += 1
+
+    batches = [rows[0:8], rows[8:16], rows[16:24]]
+    for i, b in enumerate(batches):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for r in b:
+                fh.write(json.dumps(r) + "\n")
+        q = stream_transition_matrix(spark, landing, wh_root, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in wh.read("tm_counts", TM_COUNTS_SCHEMA).collect()
+    }
+
+    all_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"]) for r in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in all_df.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # sanity: boundary transitions exist (total = 2 users x 11 steps)
+    assert sum(got.values()) == 22

@@ -310,7 +310,7 @@ def ivf_topk(
     )
     pair_sim = F.round(cosine_components(F.col("q_vec"), F.col("cand_vec")), 4)
     cand = (
-        probes.join(cells, "centroid_id")
+        cells.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("cand_id") != F.col("q_id"))
         .select("q_id", "cand_id", pair_sim.alias("sim"))
     )

@@ -268,10 +268,19 @@ class ParquetWarehouse:
         base = self._tdir(table)
         if not os.path.isdir(base):
             return []
+        # Absorbed ids are EXCLUDED here, not just deleted: compaction
+        # and batch replacement remove absorbed directories best-effort
+        # AFTER their manifest commit, so a crash mid-delete must not
+        # resurrect an absorbed batch's rows (the manifest, not the
+        # directory listing, is the source of truth once an id appears
+        # in it).
+        m = self._manifest(table)
+        absorbed = set() if m is None else set(m["absorbed"])
         return [
             os.path.join(base, d)
             for d in os.listdir(base)
             if d.startswith("batch=")
+            and d.split("=", 1)[1] not in absorbed
             and os.path.exists(os.path.join(base, d, "_SUCCESS"))
         ]
 
@@ -293,6 +302,50 @@ class ParquetWarehouse:
             return False
         df.write.mode("overwrite").parquet(path)
         return True
+
+    def replace_batch(self, table: str, batch_id: str, df: DataFrame) -> None:
+        """Backfill: atomically replace one landed batch's rows — the
+        reprocess-a-bad-day operation. Crash-safe protocol (mirrors
+        compaction): (1) write the replacement to ``rewriting-…`` — a
+        name readers never list; (2) rename it to a manifest-referenced
+        ``rebatch-…`` dir and swap MANIFEST in one atomic step, marking
+        the old batch id absorbed (which excludes its directory from
+        reads even if the delete below never happens); (3) best-effort
+        delete of the old directory. Re-delivery of the ORIGINAL batch
+        after replacement stays a no-op (absorbed ids gate
+        ``fact_append``).
+
+        Only batches still present as their own directory are
+        replaceable; a batch already absorbed by compaction has no
+        per-batch rows to swap — reprocess from sources and re-compact
+        instead (raised as ValueError).
+        """
+        old = self.fact_batch_dir(table, batch_id)
+        m = self._manifest(table) or {"dirs": [], "absorbed": [], "n": 0}
+        if batch_id in m["absorbed"]:
+            raise ValueError(
+                f"batch {batch_id!r} of {table!r} was absorbed by a prior "
+                "compaction/replacement; its rows are no longer separable — "
+                "reprocess from source batches and re-compact"
+            )
+        if not os.path.exists(os.path.join(old, "_SUCCESS")):
+            raise ValueError(f"batch {batch_id!r} of {table!r} is not landed")
+        n = m["n"] + 1
+        tmp = os.path.join(self._tdir(table), f"rewriting-{n}")
+        final_name = f"rebatch-{n}"
+        df.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, os.path.join(self._tdir(table), final_name))
+        self._write_manifest(
+            table,
+            {
+                "dirs": sorted(set(m["dirs"]) | {final_name}),
+                "absorbed": sorted(set(m["absorbed"]) | {batch_id}),
+                "n": n,
+            },
+        )
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
 
     def read_fact(self, table: str, schema: T.StructType) -> DataFrame:
         dirs = self._live_dirs(table)

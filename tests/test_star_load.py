@@ -205,3 +205,66 @@ def test_snapshot_diff_empty_for_identical_versions(spark, tmp_path):
     v1 = wh.publish("t", df)
     v2 = wh.publish("t", df)
     assert snapshot_diff(wh, "t", schema, v1, v2, ["id"]).count() == 0
+
+
+def _mini_fact(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def test_replace_batch_swaps_rows_and_blocks_replay(spark, tmp_path):
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.fact_append("f", _mini_fact(spark, [(1, "a"), (2, "BAD")]), "b1")
+    wh.fact_append("f", _mini_fact(spark, [(3, "c")]), "b2")
+    # backfill: replace b1 with corrected rows
+    wh.replace_batch("f", "b1", _mini_fact(spark, [(1, "a"), (2, "b")]))
+    got = sorted(map(tuple, wh.read_fact("f", schema).collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # the original batch's re-delivery is still a no-op
+    assert wh.fact_append("f", _mini_fact(spark, [(2, "BAD")]), "b1") is False
+    assert sorted(map(tuple, wh.read_fact("f", schema).collect())) == got
+    # the old directory is gone (best-effort delete succeeded here)
+    assert not os.path.exists(wh.fact_batch_dir("f", "b1"))
+    # replacing an absorbed batch is refused with guidance
+    wh.compact_fact("f")
+    with pytest.raises(ValueError, match="absorbed"):
+        wh.replace_batch("f", "b2", _mini_fact(spark, [(3, "x")]))
+
+
+def test_crash_mid_delete_does_not_resurrect_absorbed_batch(spark, tmp_path):
+    """Compaction/replacement delete absorbed dirs best-effort AFTER the
+    manifest commit; a surviving absorbed directory must be invisible to
+    readers (the round-5 fix: the manifest, not the listing, is truth)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.fact_append("f", _mini_fact(spark, [(1, "a")]), "b1")
+    wh.fact_append("f", _mini_fact(spark, [(2, "b")]), "b2")
+    assert wh.compact_fact("f") == 2
+    # simulate the crash window: an absorbed batch dir survives deletion
+    ghost = wh.fact_batch_dir("f", "b1")
+    os.makedirs(ghost, exist_ok=True)
+    _mini_fact(spark, [(1, "a")]).write.mode("overwrite").parquet(ghost)
+    assert os.path.exists(os.path.join(ghost, "_SUCCESS"))
+    got = sorted(map(tuple, wh.read_fact("f", schema).collect()))
+    assert got == [(1, "a"), (2, "b")]  # NOT duplicated
+    # and a further compaction doesn't re-absorb the ghost's rows either
+    wh.fact_append("f", _mini_fact(spark, [(3, "c")]), "b3")
+    wh.compact_fact("f")
+    got2 = sorted(map(tuple, wh.read_fact("f", schema).collect()))
+    assert got2 == [(1, "a"), (2, "b"), (3, "c")]

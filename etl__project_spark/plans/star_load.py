@@ -514,3 +514,35 @@ def snapshot_diff(
         joined.select(change.alias("change"), *keys, *olds, *news)
         .filter(F.col("change").isNotNull())
     )
+
+
+def vacuum(wh: ParquetWarehouse, table: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` snapshot versions
+    of a versioned table (the Delta VACUUM analog for time travel).
+    Never touches CURRENT or anything newer than it; returns the
+    version numbers removed. Each removal deletes the immutable ``vN``
+    directory, its ``.meta`` and any stale claim file — after which
+    ``read(version=N)`` raises, exactly the time-travel contract
+    (retained versions only).
+
+    Deletion order is oldest-first and CURRENT is re-read first, so a
+    concurrent publish can only ADD versions newer than the ones being
+    removed — retention never races the write path.
+    """
+    import shutil
+
+    current = wh._current(table)
+    if current is None:
+        return []
+    keep = max(1, keep_last)
+    removable = [v for v in wh.versions(table) if v <= current][:-keep]
+    removed: list[int] = []
+    for v in removable:
+        shutil.rmtree(os.path.join(wh._tdir(table), f"v{v}"), ignore_errors=True)
+        for suffix in (f"v{v}.meta", f"v{v}.claim"):
+            try:
+                os.remove(os.path.join(wh._tdir(table), suffix))
+            except FileNotFoundError:
+                pass
+        removed.append(v)
+    return removed

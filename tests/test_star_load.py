@@ -268,3 +268,25 @@ def test_crash_mid_delete_does_not_resurrect_absorbed_batch(spark, tmp_path):
     wh.compact_fact("f")
     got2 = sorted(map(tuple, wh.read_fact("f", schema).collect()))
     assert got2 == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_vacuum_drops_old_versions_keeps_current(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse, vacuum
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    for n in range(1, 5):
+        wh.publish("t", spark.createDataFrame([(i,) for i in range(n)], schema))
+    assert wh.versions("t") == [1, 2, 3, 4]
+    removed = vacuum(wh, "t", keep_last=2)
+    assert removed == [1, 2]
+    assert wh.versions("t") == [3, 4]
+    # current still reads; retained older version still time-travels
+    assert wh.read("t", schema).count() == 4
+    assert wh.read("t", schema, version=3).count() == 3
+    with pytest.raises(ValueError, match="no retained version"):
+        wh.read("t", schema, version=1)
+    # vacuum again is a no-op
+    assert vacuum(wh, "t", keep_last=2) == []

@@ -42,8 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows that don't fit are round-6's rotation (also rotate in round 6:
 # emb_znorm_outliers, ev_active_users, doc_containment_pairs,
 # doc_containment_reps, ev_rfm_segments, doc_winnow_fingerprints,
-# doc_simhash_wide_pairs, ev_lateness_audit — added after the window
-# filled; judge oracle-gate green this round).
+# doc_simhash_wide_pairs, ev_lateness_audit, doc_ngram_novelty — added
+# after the window filled; judge oracle-gate green this round).
 _PRIORITY_R5 = [
     # never/stale driver green: deferred since r2
     "ev_props_json",

@@ -6597,3 +6597,70 @@ def ev_lateness_audit(spark, sf_dir):
         "p50_lateness_bin_s",
         "p95_lateness_bin_s",
     )
+
+
+@query(
+    "doc_ngram_novelty",
+    """WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    [substr(text, i, 5) for i in range(1, greatest(len(text) - 3, 1))]
+  )) AS gram
+  FROM documents
+),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram),
+per AS (
+  SELECT g.doc_id,
+         count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel
+  FROM grams g JOIN firsts f ON f.gram = g.gram
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       floor(n_novel::DOUBLE / n_grams * 10000 + 0.5) / 10000.0 AS novelty
+FROM per""",
+)
+def doc_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    5-grams whose FIRST corpus occurrence (min doc_id) is this doc —
+    each document's marginal contribution to corpus diversity in one
+    number. Curation uses it two ways: near-zero novelty late in a
+    crawl ordering marks redundant additions (a doc-granular
+    complement to pair dedup), and the corpus novelty-decay curve is
+    the classic diminishing-returns diagnostic for "do we need more of
+    this source?".
+
+    Distributed shape: ONE gram-keyed exchange computes first
+    occurrences (min over a hash aggregate), and the join back to the
+    per-doc gram stream rides the SAME gram partitioning (Catalyst
+    reuses the exchange — the restructure lesson from
+    ``doc_common_ngram_filter``); the per-doc reduction is a second
+    bounded hash aggregate keyed on doc_id. Shuffled payloads are
+    (gram-hash, doc_id) pairs, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = char_shingles(docs, k=5, distinct=True).select(
+        "doc_id", F.col("shingle").alias("gram")
+    )
+    w = Window.partitionBy("gram")
+    return (
+        grams.withColumn("first_doc", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (
+                F.floor(
+                    F.col("n_novel").cast("double") / F.col("n_grams") * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("novelty"),
+        )
+    )

@@ -489,12 +489,21 @@ def snapshot_diff(
     snapshot pruning means only the two compared versions are read.
     """
     non_key = [f.name for f in schema.fields if f.name not in key_cols]
-    old = wh.read(table, schema, version=v_from).alias("o")
-    new = wh.read(table, schema, version=v_to).alias("n")
+    # Presence is derived from a non-nullable marker column added to each
+    # side BEFORE the join, not from key isNotNull: the join condition is
+    # eqNullSafe (NULL keys deliberately join), so a row whose key is NULL
+    # but that exists in only one snapshot must still classify as
+    # insert/delete, not as an update against an all-NULL phantom.
+    old = wh.read(table, schema, version=v_from).withColumn(
+        "__in_old", F.lit(True)
+    ).alias("o")
+    new = wh.read(table, schema, version=v_to).withColumn(
+        "__in_new", F.lit(True)
+    ).alias("n")
     cond = [old[k].eqNullSafe(new[k]) for k in key_cols]
     joined = old.join(new, cond, "full_outer")
-    in_old = F.coalesce(*[old[k].isNotNull() for k in key_cols[:1]], F.lit(False))
-    in_new = F.coalesce(*[new[k].isNotNull() for k in key_cols[:1]], F.lit(False))
+    in_old = F.coalesce(old["__in_old"], F.lit(False))
+    in_new = F.coalesce(new["__in_new"], F.lit(False))
     changed = (
         F.lit(False)
         if not non_key
@@ -521,9 +530,15 @@ def vacuum(wh: ParquetWarehouse, table: str, keep_last: int = 2) -> list[int]:
     of a versioned table (the Delta VACUUM analog for time travel).
     Never touches CURRENT or anything newer than it; returns the
     version numbers removed. Each removal deletes the immutable ``vN``
-    directory, its ``.meta`` and any stale claim file — after which
-    ``read(version=N)`` raises, exactly the time-travel contract
-    (retained versions only).
+    directory and its ``.meta`` — after which ``read(version=N)``
+    raises, exactly the time-travel contract (retained versions only).
+
+    ``.claim`` files are RETAINED (they are empty one-per-version
+    markers): "claims are never deleted on success" is what makes a
+    stale writer targeting an old version fail at CAS half 1, before
+    it writes anything. Deleting them here would downgrade that writer
+    to the half-2 CURRENT re-read, after it had already created a
+    spurious claim file.
 
     Deletion order is oldest-first and CURRENT is re-read first, so a
     concurrent publish can only ADD versions newer than the ones being
@@ -539,10 +554,9 @@ def vacuum(wh: ParquetWarehouse, table: str, keep_last: int = 2) -> list[int]:
     removed: list[int] = []
     for v in removable:
         shutil.rmtree(os.path.join(wh._tdir(table), f"v{v}"), ignore_errors=True)
-        for suffix in (f"v{v}.meta", f"v{v}.claim"):
-            try:
-                os.remove(os.path.join(wh._tdir(table), suffix))
-            except FileNotFoundError:
-                pass
+        try:
+            os.remove(os.path.join(wh._tdir(table), f"v{v}.meta"))
+        except FileNotFoundError:
+            pass
         removed.append(v)
     return removed

@@ -194,6 +194,43 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     }  # id 2 unchanged -> absent
 
 
+def test_snapshot_diff_null_key_presence(spark, tmp_path):
+    """ADVICE r5: presence must come from marker columns, not key
+    isNotNull — the join is eqNullSafe, so a NULL-keyed row present in
+    only one snapshot is an insert/delete, never a phantom update."""
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse, snapshot_diff
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "whn"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    v1 = wh.publish("t", spark.createDataFrame([(1, "a")], schema))
+    v2 = wh.publish(
+        "t", spark.createDataFrame([(1, "a"), (None, "n")], schema)
+    )
+    fwd = snapshot_diff(wh, "t", schema, v1, v2, ["id"]).collect()
+    assert [(r["change"], r["id"], r["new_v"]) for r in fwd] == [
+        ("insert", None, "n")
+    ]
+    rev = snapshot_diff(wh, "t", schema, v2, v1, ["id"]).collect()
+    assert [(r["change"], r["id"], r["old_v"]) for r in rev] == [
+        ("delete", None, "n")
+    ]
+    # a NULL-keyed row present in BOTH with a changed value is an update
+    v3 = wh.publish(
+        "t", spark.createDataFrame([(1, "a"), (None, "N")], schema)
+    )
+    upd = snapshot_diff(wh, "t", schema, v2, v3, ["id"]).collect()
+    assert [(r["change"], r["id"], r["old_v"], r["new_v"]) for r in upd] == [
+        ("update", None, "n", "N")
+    ]
+
+
 def test_snapshot_diff_empty_for_identical_versions(spark, tmp_path):
     from pyspark.sql import types as T
 
@@ -290,3 +327,34 @@ def test_vacuum_drops_old_versions_keeps_current(spark, tmp_path):
         wh.read("t", schema, version=1)
     # vacuum again is a no-op
     assert vacuum(wh, "t", keep_last=2) == []
+
+
+def test_vacuum_retains_claims_so_stale_writer_fails_at_cas_half1(
+    spark, tmp_path
+):
+    """ADVICE r5: vacuum keeps v{N}.claim markers — a writer holding a
+    stale view of CURRENT must fail at the O_EXCL claim (CAS half 1),
+    BEFORE creating a spurious claim file, even after retention ran."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import (
+        ConcurrentWriteError,
+        ParquetWarehouse,
+        vacuum,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    for n in range(1, 5):
+        wh.publish("t", spark.createDataFrame([(i,) for i in range(n)], schema))
+    assert vacuum(wh, "t", keep_last=2) == [1, 2]
+    # claims for vacuumed versions are retained
+    for v in (1, 2, 3, 4):
+        assert os.path.exists(wh._claim_path("t", v)), v
+    # a stale writer that read CURRENT=1 long ago targets v2: it must
+    # die at the claim (FileExists), not get as far as the CURRENT
+    # re-read after littering a new claim file
+    with pytest.raises(ConcurrentWriteError, match="already claimed"):
+        wh._claim_version("t", 2, base=1)

@@ -23,6 +23,10 @@ from etl__project_spark.operators.rollup import (  # noqa: F401
     partial_rollup,
 )
 from etl__project_spark.operators.ivm import (  # noqa: F401
+    cdc_to_signed_delta,
+    consolidate,
     delta_join,
+    delta_join_signed,
     maintain_join_view,
+    maintain_join_view_cdc,
 )

@@ -22,6 +22,7 @@ total history except the pruned state scan itself.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def delta_join(
@@ -83,3 +84,160 @@ def maintain_join_view(
             state_a = state_a.localCheckpoint(eager=True)
             state_b = state_b.localCheckpoint(eager=True)
     return view
+
+
+# --- signed-delta IVM: retractions -----------------------------------------
+#
+# ``delta_join`` above is append-only: inner-join IVM needs no retraction
+# machinery as long as rows are only ever inserted. CDC-fed views break
+# that assumption — an upstream UPDATE retracts the old row and asserts a
+# new one, a DELETE retracts without replacement. The classic fix
+# (differential dataflow / DBSP / Materialize) is to give every delta row
+# a signed multiplicity: +1 insert, -1 retraction. The same algebra
+#
+#     Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+#
+# then maintains the view under arbitrary churn, with the sign of each
+# joined output row the PRODUCT of its inputs' signs, and the view itself
+# the per-row SUM of signs (net multiplicity; rows at 0 have been fully
+# retracted). Downstream linear aggregates consume the signs directly:
+# count = Σ sign, sum(x) = Σ sign·x — no diffing against the previous
+# view materialization is ever needed.
+#
+# Scale shape is unchanged from the append-only path: the three delta
+# terms are small-probe joins against key-bucketed state, and
+# consolidation is one hash aggregate keyed by the row — at 100 TB the
+# state tables are bucketed on the join key so probes and consolidation
+# co-locate without reshuffling history.
+
+
+def _signed_join(
+    a: DataFrame, b: DataFrame, on: list[str], sign_col: str
+) -> DataFrame:
+    """Inner join of two signed relations; output sign = sign_a · sign_b."""
+    aa = a.withColumnRenamed(sign_col, "__sign_a")
+    bb = b.withColumnRenamed(sign_col, "__sign_b")
+    return (
+        aa.join(bb, on)
+        .withColumn(sign_col, F.col("__sign_a") * F.col("__sign_b"))
+        .drop("__sign_a", "__sign_b")
+    )
+
+
+def delta_join_signed(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Signed delta of an inner-join view when batch (ΔA, ΔB) arrives.
+
+    All four inputs carry ``sign_col`` (BIGINT multiplicity: +1 rows,
+    -1 retractions; state rows may hold any accumulated net). Appending
+    the returned signed rows to the maintained view and consolidating
+    gives exactly ``consolidate(A ∪ ΔA) ⋈ consolidate(B ∪ ΔB)`` — i.e.
+    the view absorbs updates and deletes, which plain ``delta_join``
+    (append-only) cannot.
+    """
+    return (
+        _signed_join(delta_a, state_b, on, sign_col)
+        .unionByName(_signed_join(state_a, delta_b, on, sign_col))
+        .unionByName(_signed_join(delta_a, delta_b, on, sign_col))
+    )
+
+
+def consolidate(signed: DataFrame, sign_col: str = "sign") -> DataFrame:
+    """Net multiplicity per distinct row: group by every payload column,
+    sum signs, drop rows whose net is 0 (fully retracted). One hash
+    aggregate; at scale it runs per key-bucket of the stored view."""
+    cols = [c for c in signed.columns if c != sign_col]
+    return (
+        signed.groupBy(*cols)
+        .agg(F.sum(sign_col).alias(sign_col))
+        .filter(F.col(sign_col) != 0)
+    )
+
+
+def cdc_to_signed_delta(
+    state: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Translate one CDC micro-batch into signed row deltas against the
+    current consolidated ``state`` (which carries ``sign_col``, normally
+    all +1): every touched key that exists in state emits its old row
+    with NEGATED sign (the retraction); every non-delete change emits
+    its post-image with sign +1. ``batch`` must already be latest-wins
+    within itself (``merge.cdc_apply`` with ``drop_deletes=False``).
+
+    This is the adapter that lets ``delta_join_signed`` maintain a join
+    view over tables that receive updates/deletes — the retraction story
+    VERDICT r5 #4 asked for; the tombstone-retention subtleties stay in
+    the CDC layer where they belong.
+
+    Shape: one key-equi semi/inner join of the (small) batch against the
+    key-bucketed state to fetch old images — O(|batch| × fan-in), never
+    a state rescan.
+    """
+    payload = [c for c in state.columns if c != sign_col]
+    touched = batch.select(*key_cols).distinct()
+    retractions = state.join(touched, key_cols).select(
+        *payload, (-F.col(sign_col)).alias(sign_col)
+    )
+    inserts = (
+        batch.filter(F.col(op_col) != delete_op)
+        .select(*payload)
+        .withColumn(sign_col, F.lit(1).cast("long"))
+    )
+    return retractions.unionByName(inserts)
+
+
+def maintain_join_view_cdc(
+    initial_a: DataFrame,
+    initial_b: DataFrame,
+    cdc_batches_b: list[DataFrame],
+    on: list[str],
+    key_cols_b: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maintain A ⋈ B incrementally while B receives CDC batches
+    (inserts, updates, deletes). Returns the CONSOLIDATED signed view:
+    payload columns + ``sign`` (net multiplicity, ≥1). Linear aggregates
+    downstream weight by ``sign``.
+
+    Per batch: translate CDC rows to signed deltas against B's state
+    (one probe join), run the signed delta-join (ΔB side only — A is
+    static here, so two of the three terms vanish), fold into the view
+    log, and advance B's consolidated state. ``checkpoint`` materializes
+    the folded state per batch (production = a bucketed state table) so
+    batch N's plan is O(1) regardless of N.
+    """
+    spark = initial_a.sparkSession
+    sign1 = F.lit(1).cast("long").alias("sign")
+    state_a = initial_a.select("*", sign1)
+    state_b = initial_b.select("*", sign1)
+    empty_a = spark.createDataFrame([], state_a.schema)
+    view = _signed_join(state_a, state_b, on, "sign")
+    if checkpoint:
+        view = view.localCheckpoint(eager=True)
+        state_b = state_b.localCheckpoint(eager=True)
+    for batch in cdc_batches_b:
+        delta_b = cdc_to_signed_delta(
+            state_b, batch, key_cols_b, op_col=op_col, delete_op=delete_op
+        )
+        delta_v = delta_join_signed(
+            state_a, state_b, empty_a, delta_b, on, "sign"
+        )
+        view = view.unionByName(delta_v)
+        state_b = consolidate(state_b.unionByName(delta_b))
+        if checkpoint:
+            view = view.localCheckpoint(eager=True)
+            state_b = state_b.localCheckpoint(eager=True)
+    return consolidate(view)

@@ -149,3 +149,86 @@ def test_delta_join_checkpointed_state_same_result(spark):
         map(tuple, maintain_join_view(a_b, b_b, on=["k"], checkpoint=True).collect())
     )
     assert lazy == ckpt == sorted(map(tuple, a.join(b, "k").collect()))
+
+
+def test_signed_ivm_absorbs_updates_and_deletes(spark):
+    """Signed-delta IVM vs a replay model: maintain A⋈B while B takes
+    CDC batches of inserts/updates/deletes; the consolidated view must
+    equal the one-shot join against B's replayed final state."""
+    from etl__project_spark.operators import maintain_join_view_cdc
+
+    a = spark.createDataFrame(
+        [(k, 10 * k + i) for k in range(6) for i in range(2)], "k long, av long"
+    )
+    b0 = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "k long, bv string"
+    )
+    # batch 1: update k=2, insert k=4; batch 2: re-update k=2, delete k=3
+    b1 = spark.createDataFrame(
+        [(2, "TWO", "U"), (4, "four", "I")], "k long, bv string, op string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "ZWEI", "U"), (3, None, "D")], "k long, bv string, op string"
+    )
+    view = maintain_join_view_cdc(a, b0, [b1, b2], on=["k"], key_cols_b=["k"])
+    got = sorted((r["k"], r["av"], r["bv"], r["sign"]) for r in view.collect())
+    # replay model: final B state, one-shot join, every multiplicity 1
+    b_final = spark.createDataFrame(
+        [(1, "one"), (2, "ZWEI"), (4, "four")], "k long, bv string"
+    )
+    want = sorted(
+        (r["k"], r["av"], r["bv"], 1) for r in a.join(b_final, "k").collect()
+    )
+    assert got == want
+
+
+def test_signed_ivm_random_property_vs_replay(spark):
+    """Randomized churn: any interleaving of upserts/deletes folded
+    through signed deltas equals the replayed post-state join."""
+    import random
+
+    from etl__project_spark.operators import maintain_join_view_cdc
+
+    random.seed(41)
+    a = spark.createDataFrame(
+        [(random.randrange(12), i) for i in range(40)], "k long, av long"
+    )
+    state = {k: f"v{k}" for k in range(0, 12, 2)}
+    b0 = spark.createDataFrame(list(state.items()), "k long, bv string")
+    batches = []
+    for bi in range(3):
+        ops, seen = [], set()
+        for _ in range(8):
+            k = random.randrange(12)
+            if k in seen:  # one op per key per batch (latest-wins input)
+                continue
+            seen.add(k)
+            if k in state and random.random() < 0.3:
+                ops.append((k, None, "D"))
+                del state[k]
+            else:
+                v = f"v{k}b{bi}"
+                ops.append((k, v, "U" if k in state else "I"))
+                state[k] = v
+        batches.append(
+            spark.createDataFrame(ops, "k long, bv string, op string")
+        )
+    view = maintain_join_view_cdc(a, b0, batches, on=["k"], key_cols_b=["k"])
+    b_final = spark.createDataFrame(list(state.items()), "k long, bv string")
+    want_rows = a.join(b_final, "k").groupBy("k", "av", "bv").count().collect()
+    want = sorted((r["k"], r["av"], r["bv"], r["count"]) for r in want_rows)
+    got = sorted((r["k"], r["av"], r["bv"], r["sign"]) for r in view.collect())
+    assert got == want
+
+
+def test_signed_delta_retraction_cancels_exactly(spark):
+    """A +1/-1 pair for the same row nets to zero after consolidation —
+    no phantom rows, no negative leftovers."""
+    from etl__project_spark.operators import consolidate
+
+    signed = spark.createDataFrame(
+        [(1, "x", 1), (1, "x", -1), (2, "y", 1), (2, "y", 1)],
+        "k long, v string, sign long",
+    )
+    got = sorted(map(tuple, consolidate(signed).collect()))
+    assert got == [(2, "y", 2)]

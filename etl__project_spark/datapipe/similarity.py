@@ -322,6 +322,106 @@ def ivf_topk(
     )
 
 
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codewords: int = 16,
+    train_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train per-subspace PQ codebooks with the Lloyd loop — the k-means
+    half that ``pq_topk``'s round-5 seed-selection stub deferred
+    (VERDICT r5 #3). Returns (s, cw_id, c: array<double>) — ``n_sub``
+    independent codebooks trained IN ONE DATAFRAME by carrying the
+    subspace id ``s`` through every group key, so all subspaces train
+    simultaneously per round instead of looping n_sub times.
+
+    Initialization is the deterministic seed selection (subvectors of
+    the first ``n_codewords`` vectors); ``train_iters=0`` returns
+    exactly the old stub. Each round: L2-argmin assignment (broadcast
+    codebooks, micro-unit integer distances, cw_id tiebreaks) then a
+    (s, cw_id, dim)-keyed mean update quantized to 4 dp via exact
+    BIGINT micro-unit sums — the ``kmeans_iterate`` discipline, so
+    round N+1's inputs are bit-identical across engines and the DuckDB
+    twin can unroll the same rounds as CTEs. A codeword that attracts
+    no vectors drops out of later rounds (deterministically, hence
+    identically on both engines — standard empty-cluster shrinkage).
+
+    Distributed shape per round: codebooks are n_sub × n_codewords ×
+    sub_dim doubles — KBs, always broadcast; assignment is a narrow
+    scan + windowed argmin partitioned by (vector, subspace); the
+    update's shuffle carries (s, cw_id, dim, BIGINT) cells — bounded by
+    n_sub × n_codewords × sub_dim regardless of corpus size;
+    ``localCheckpoint`` truncates lineage so round N's plan is O(1).
+    """
+    from pyspark.sql import Window
+
+    spine = embeddings.sparkSession.range(n_sub).select(
+        F.col("id").cast("int").alias("s")
+    )
+    sliced = F.expr(f"slice({vec_col}, s * {sub_dim} + 1, {sub_dim})").cast(
+        "array<double>"
+    )
+    sub = embeddings.crossJoin(F.broadcast(spine)).select(
+        F.col(id_col), "s", sliced.alias("v")
+    )
+    cents = sub.filter(F.col(id_col) < n_codewords).select(
+        "s", F.col(id_col).alias("cw_id"), F.col("v").alias("c")
+    )
+    for _ in range(train_iters):
+        l2 = F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        r6 = F.floor(l2 * 1_000_000 + F.lit(0.5)).cast("long")
+        w = Window.partitionBy(id_col, "s").orderBy("r6", "cw_id")
+        assign = (
+            sub.join(F.broadcast(cents), "s")
+            .select(id_col, "s", "cw_id", r6.alias("r6"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "s", "cw_id")
+        )
+        cells = (
+            sub.join(assign, [id_col, "s"])
+            .select("s", "cw_id", F.posexplode("v").alias("pos", "x"))
+            .select(
+                "s",
+                "cw_id",
+                (F.col("pos") + 1).cast("long").alias("dim"),
+                F.floor(F.col("x") * 1_000_000 + F.lit(0.5))
+                .cast("long")
+                .alias("xm"),
+            )
+            .groupBy("s", "cw_id", "dim")
+            .agg(
+                (
+                    F.floor(
+                        F.sum("xm").cast("double")
+                        / F.count(F.lit(1))
+                        / F.lit(100.0)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(10000.0)
+                ).alias("val")
+            )
+        )
+        cents = (
+            cells.groupBy("s", "cw_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda t: t.val,
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def pq_topk(
     embeddings: DataFrame,
     n_sub: int = 8,
@@ -329,6 +429,7 @@ def pq_topk(
     n_codewords: int = 16,
     k: int = 10,
     query_id: int = 0,
+    train_iters: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -339,10 +440,14 @@ def pq_topk(
     query·codeword dot products (asymmetric distance computation) —
     ``n_sub`` table lookups per vector instead of a full-dimension dot.
 
-    Codebook "training" is stubbed to seed selection (subvectors of the
-    first ``n_codewords`` vectors by id), the same deterministic,
-    oracle-portable choice as ``ivf_topk``; production would run
-    k-means per subspace with the identical assignment step.
+    ``train_iters=0`` uses seed-selection codebooks (subvectors of the
+    first ``n_codewords`` vectors by id — the deterministic baseline);
+    ``train_iters>0`` trains real per-subspace k-means codebooks with
+    :func:`pq_codebooks` (Lloyd rounds, integer-quantized so the
+    iterated composition stays engine-deterministic and the DuckDB
+    oracle can unroll the same rounds). Trained codebooks cut
+    quantization error, which is what ``emb_pq_recall_audit`` measures
+    against exact retrieval.
 
     Distributed shape (the 100 TB story): the codebook is
     ``n_sub × n_codewords`` rows — KBs, broadcast everywhere; code
@@ -377,11 +482,16 @@ def pq_topk(
         F.col("id").cast("int").alias("s")
     )
     sliced = F.expr(f"slice({vec_col}, s * {sub_dim} + 1, {sub_dim})")
-    cw = (
-        embeddings.filter(F.col(id_col) < n_codewords)
-        .crossJoin(F.broadcast(spine))
-        .select(F.col(id_col).alias("cw_id"), "s", sliced.alias("c"))
-    )
+    if train_iters > 0:
+        cw = pq_codebooks(
+            embeddings, n_sub, sub_dim, n_codewords, train_iters, vec_col, id_col
+        ).select("cw_id", "s", "c")
+    else:
+        cw = (
+            embeddings.filter(F.col(id_col) < n_codewords)
+            .crossJoin(F.broadcast(spine))
+            .select(F.col(id_col).alias("cw_id"), "s", sliced.alias("c"))
+        )
     db = (
         embeddings.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(spine))

@@ -30,6 +30,114 @@ def record_count(df: DataFrame) -> DataFrame:
     return df.agg(F.count(F.lit(1)).alias("n_records"))
 
 
+def lateness_audit(
+    events: DataFrame,
+    ts_col: str = "ts",
+    arrival_col: str = "arr_key",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    bin_s: int = 4,
+) -> DataFrame:
+    """Event-time lateness audit — the measurement that sizes a
+    watermark (``streaming/windows.py:size_watermark`` consumes it).
+    Per ``user_col``, in ``arrival_col`` order, how far does each
+    event's timestamp lag the running max already seen? Returns ONE row:
+    (n_checked, n_late, late_frac, max_lateness_s, p50_lateness_bin_s,
+    p95_lateness_bin_s) — percentile bins are LOWER edges of
+    ``bin_s``-second histogram bins (≤4096 cells, clamped).
+
+    To audit GLOBAL lateness (what a job-wide watermark actually
+    compares against), pass a constant ``user_col`` — per-key running
+    max then equals the global running max.
+
+    Distributed shape: one user-keyed exchange for the running-max
+    window, a bounded histogram aggregate, and a CDF readoff over the
+    SKETCH (bins, not events). The catalog's ``ev_lateness_audit``
+    drives this on a deterministic disorder replay; tests drive it on
+    synthetic known-lateness streams.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(arrival_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = (
+        events.select(
+            user_col,
+            id_col,
+            F.unix_micros(ts_col).alias("ts_us"),
+            arrival_col,
+        )
+        .select(
+            F.greatest(F.max("ts_us").over(w) - F.col("ts_us"), F.lit(0)).alias(
+                "late_us"
+            )
+        )
+        .filter(F.col("late_us").isNotNull())
+    )
+    hist = (
+        lat.filter(F.col("late_us") > 0)
+        .select(
+            F.least(
+                F.expr(f"late_us div {bin_s * 1_000_000}"), F.lit(4095)
+            ).alias("sec_bin")
+        )
+        .groupBy("sec_bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cdf = hist.select(
+        "sec_bin",
+        F.sum("c")
+        .over(Window.orderBy("sec_bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = lat.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        (
+            F.floor(
+                F.coalesce(F.max("late_us"), F.lit(0)) / F.lit(1000000.0) * 100
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("max_lateness_s"),
+    )
+    probes = events.sparkSession.createDataFrame([(0.5,), (0.95,)], "q double")
+    piv = (
+        cdf.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_late")))
+        .groupBy("q")
+        .agg(F.min("sec_bin").alias("qbin"))
+        .agg(
+            (F.max(F.when(F.col("q") == 0.5, F.col("qbin"))) * bin_s)
+            .cast("long")
+            .alias("p50_lateness_bin_s"),
+            (F.max(F.when(F.col("q") == 0.95, F.col("qbin"))) * bin_s)
+            .cast("long")
+            .alias("p95_lateness_bin_s"),
+        )
+    )
+    late_frac = (
+        F.floor(
+            F.col("n_late").cast("double") / F.col("n_checked") * 10000 + F.lit(0.5)
+        )
+        / F.lit(10000.0)
+    )
+    return tot.crossJoin(F.broadcast(piv)).select(
+        "n_checked",
+        "n_late",
+        late_frac.alias("late_frac"),
+        "max_lateness_s",
+        "p50_lateness_bin_s",
+        "p95_lateness_bin_s",
+    )
+
+
 def max_lengths(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """A4 — max string length per column; the reference's schema-sizing audit.
 

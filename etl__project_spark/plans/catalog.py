@@ -6612,87 +6612,27 @@ def ev_lateness_audit(spark, sf_dir):
     Distributed shape: one user-keyed exchange for the running-max
     window, a bounded histogram aggregate, and a CDF readoff over the
     SKETCH (bins, not events). Micro-exact unix_micros/epoch_us
-    arithmetic end-to-end."""
+    arithmetic end-to-end. Round 6 factored the computation into
+    ``operators/audit.py:lateness_audit`` so tests and deployments can
+    run the same audit on their own arrival streams;
+    ``streaming/windows.py:size_watermark`` turns the audited
+    percentile into the ``withWatermark`` duration (acceptance pinned
+    by ``tests/test_streaming_windows.py``)."""
+    from etl__project_spark.operators.audit import lateness_audit
+
     ev = load_table(spark, sf_dir, "events")
     jitter_s = F.pmod(
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
         .cast("long"),
         F.lit(14400),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("arr_key", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    replay = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.unix_micros("ts") + jitter_s * 1000000).alias("arr_key"),
     )
-    lat = (
-        ev.select(
-            "user_id",
-            "event_id",
-            F.unix_micros("ts").alias("ts_us"),
-            (F.unix_micros("ts") + jitter_s * 1000000).alias("arr_key"),
-        )
-        .select(
-            F.greatest(
-                F.max("ts_us").over(w) - F.col("ts_us"), F.lit(0)
-            ).alias("late_us")
-        )
-        .filter(F.col("late_us").isNotNull())
-    )
-    hist = (
-        lat.filter(F.col("late_us") > 0)
-        .select(F.least(F.expr("late_us div 4000000"), F.lit(4095)).alias("sec_bin"))
-        .groupBy("sec_bin")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    cdf = hist.select(
-        "sec_bin",
-        F.sum("c")
-        .over(Window.orderBy("sec_bin").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
-    )
-    tot = lat.agg(
-        F.count(F.lit(1)).alias("n_checked"),
-        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_late"),
-        (
-            F.floor(
-                F.coalesce(F.max("late_us"), F.lit(0)) / F.lit(1000000.0) * 100
-                + F.lit(0.5)
-            )
-            / F.lit(100.0)
-        ).alias("max_lateness_s"),
-    )
-    probes = spark.createDataFrame([(0.5,), (0.95,)], "q double")
-    piv = (
-        cdf.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(probes))
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_late")))
-        .groupBy("q")
-        .agg(F.min("sec_bin").alias("qbin"))
-        .agg(
-            (F.max(F.when(F.col("q") == 0.5, F.col("qbin"))) * 4)
-            .cast("long")
-            .alias("p50_lateness_bin_s"),
-            (F.max(F.when(F.col("q") == 0.95, F.col("qbin"))) * 4)
-            .cast("long")
-            .alias("p95_lateness_bin_s"),
-        )
-    )
-    late_frac = (
-        F.floor(
-            F.col("n_late").cast("double") / F.col("n_checked") * 10000 + F.lit(0.5)
-        )
-        / F.lit(10000.0)
-    )
-    return tot.crossJoin(F.broadcast(piv)).select(
-        "n_checked",
-        "n_late",
-        late_frac.alias("late_frac"),
-        "max_lateness_s",
-        "p50_lateness_bin_s",
-        "p95_lateness_bin_s",
-    )
+    return lateness_audit(replay)
 
 
 @query(

@@ -33,6 +33,39 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def size_watermark(
+    audit,
+    pctl_col: str = "p95_lateness_bin_s",
+    bin_width_s: int = 4,
+    safety_factor: float = 1.0,
+) -> str:
+    """Derive the ``withWatermark`` duration from a MEASURED lateness
+    distribution instead of a guessed constant (VERDICT r5 #6): takes
+    the one-row output of ``operators/audit.py:lateness_audit`` (a
+    DataFrame, Row, or dict) and returns the chosen percentile bin's
+    UPPER edge — bin lower edge + ``bin_width_s`` — as an interval
+    string, optionally scaled by ``safety_factor`` for headroom.
+
+    Choosing the p95 bin's upper edge means: of the late rows the audit
+    observed, at least 95% had lateness within the returned horizon, so
+    a watermark of this size accepts at least that fraction under the
+    same arrival process (the acceptance test pins exactly this). Rows
+    later than the horizon are the documented side-output tail — a
+    watermark sized at max-lateness would keep state for hours to save
+    <5% of late rows, the classic completeness/state trade-off.
+
+    A corpus with NO late rows (percentile bin NULL) sizes to one bin
+    width — the minimum horizon that still tolerates boundary jitter.
+    """
+    import math
+
+    if isinstance(audit, DataFrame):
+        audit = audit.first()
+    pctl_bin = audit[pctl_col]
+    secs = (0 if pctl_bin is None else int(pctl_bin)) + bin_width_s
+    return f"{max(1, math.ceil(secs * safety_factor))} seconds"
+
+
 def windowed_event_counts(
     events: DataFrame,
     width: str = "5 minutes",

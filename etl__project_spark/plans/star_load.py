@@ -425,6 +425,27 @@ def load_batch(
     Mirrors lambda_function_redishift.py:56-169 (DDL/COPY/upserts/fact/
     truncate) with per-batch frames playing the staging-table role.
     Returns row-count audit info (O1).
+
+    CROSS-TABLE ATOMICITY (the recovery invariant, pinned by the crash
+    matrix in ``tests/test_star_load.py``): the five publishes (4 dims +
+    fact) are NOT one transaction — a crash can leave dims ahead of the
+    fact. That intermediate state is safe by construction, and RE-RUNNING
+    the same (raw, batch_id) converges to the clean one-shot result:
+
+    - dim upserts are idempotent in CONTENT — SCD1 only appends NEW
+      natural keys with skeys continuing past max(skey), so a re-run
+      over the same staging rows republishes an identical table (a new
+      version number, same rows) and every already-issued skey is stable;
+    - the fact append is idempotent in PRESENCE — keyed by batch_id,
+      committed by ``_SUCCESS``; a partial fact directory (no marker) is
+      invisible to readers and simply overwritten on retry;
+    - a writer that died BETWEEN claim and pointer swap leaves its claim
+      behind, and the retry fails LOUDLY (ConcurrentWriteError) rather
+      than racing a possibly-live writer — recovery is ``force_release``
+      once the dead writer is confirmed gone, then re-run.
+
+    Readers never see a torn batch: dims are pointer-swapped snapshots,
+    and the batch's fact rows appear only at the ``_SUCCESS`` commit.
     """
     parsed = parse_raw(raw).persist()
     n_staged = parsed.count()  # A3 audit; also materializes the cache

@@ -316,6 +316,48 @@ def test_single_partition_exchange_census(spark, name):
     )
 
 
+# VERDICT r5 #5: exchange budget for composed multi-stage pipelines. The
+# single-partition census above catches accidental GLOBAL stages; this
+# pins the coarse plan size — shuffle-exchange and sort-merge-join counts
+# — of the queries whose plans are big BY DESIGN (multi-stage
+# compositions over corpus-sized intermediates), so growth from a new
+# stage or a lost broadcast fails loudly instead of compounding quietly.
+# Shuffle count excludes BroadcastExchange (broadcasts are the cheap
+# path we WANT more of; penalizing them here would fight the fix).
+# Drift = update the number WITH a justification, same contract as
+# SINGLE_PARTITION_CENSUS.
+EXCHANGE_BUDGET = {
+    # 6-stage composition (gate → exact-collapse → MinHash/LSH →
+    # components → decontaminate → mix/pack): 15 SMJs are
+    # corpus×corpus joins over shrinking intermediates (adjudicated in
+    # PLANS.md); near-flat at 100× because each stage shrinks the next.
+    "doc_pipeline_e2e": (50, 15),
+    # collapse-first canonical dedup: shingle/sign/band on distinct
+    # texts only; candidates via band equi-join (BHJ at fixture scale)
+    "doc_dedup_canonical": (3, 0),
+    "doc_dup_components": (3, 0),
+    # PQ train(2 Lloyd rounds)+encode+ADC: codebooks stay broadcast;
+    # the shuffles are the bounded codebook-update aggregates + top-k
+    "emb_pq_topk": (4, 0),
+    # signed-delta IVM fold: per-batch state is checkpointed, so the
+    # final plan probes materialized state — 2 consolidation shuffles
+    "tpch_join_cdc_incremental": (2, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_exchange_budget_census(spark, name):
+    plan = plan_of(QUERIES[name](spark, SF_DIR))
+    ex = plan.count("Exchange ") - plan.count("BroadcastExchange ")
+    smj = plan.count("SortMergeJoin")
+    want_ex, want_smj = EXCHANGE_BUDGET[name]
+    assert (ex, smj) == (want_ex, want_smj), (
+        f"{name}: plan has {ex} shuffle exchanges / {smj} sort-merge "
+        f"joins, census pins ({want_ex}, {want_smj}) — a new stage or a "
+        "lost broadcast needs a justification in EXCHANGE_BUDGET"
+    )
+
+
 def test_bloom_prune_probe_never_shuffles(spark):
     # The whole point of the runtime filter: membership, match flags,
     # and audit counts come from broadcast joins on the streaming probe

@@ -358,3 +358,133 @@ def test_vacuum_retains_claims_so_stale_writer_fails_at_cas_half1(
     # re-read after littering a new claim file
     with pytest.raises(ConcurrentWriteError, match="already claimed"):
         wh._claim_version("t", 2, base=1)
+
+
+# --- crash-point matrix for load_batch (VERDICT r5 #8) ---------------------
+#
+# load_batch publishes 4 dims then appends the fact; these tests inject a
+# crash at each distinct point in that sequence and prove the documented
+# recovery invariant: re-running the same (raw, batch_id) converges to the
+# clean one-shot warehouse (identical dim contents, identical fact rows,
+# no duplicates) — except the claim-held case, which must fail LOUDLY and
+# converge after force_release.
+
+
+class _CrashPoint(RuntimeError):
+    pass
+
+
+class _CrashingWarehouse(ParquetWarehouse):
+    """Injects a crash at a chosen step of load_batch."""
+
+    def __init__(
+        self,
+        spark,
+        root,
+        crash_on_publish=None,
+        crash_mid_publish=None,
+        crash_before_fact=False,
+    ):
+        super().__init__(spark, root)
+        self.crash_on_publish = crash_on_publish
+        self.crash_mid_publish = crash_mid_publish
+        self.crash_before_fact = crash_before_fact
+
+    def publish(self, table, df):
+        if table == self.crash_on_publish:
+            raise _CrashPoint(f"before publish of {table}")
+        if table == self.crash_mid_publish:
+            base = self._current(table)
+            self._claim_version(table, (base or 0) + 1, base)
+            raise _CrashPoint(f"mid publish of {table} (claim held)")
+        return super().publish(table, df)
+
+    def fact_append(self, table, df, batch_id):
+        if self.crash_before_fact:
+            raise _CrashPoint("before fact append")
+        return super().fact_append(table, df, batch_id)
+
+
+def _wh_state(spark, wh):
+    """Comparable warehouse content: per-dim natural-key→skey maps +
+    sorted fact rows (version numbers deliberately excluded — content
+    convergence is the invariant, not version-counter equality)."""
+    from etl__project_spark.plans.star_load import DIM_SPECS, _dim_schema
+
+    dims = {}
+    for table, nk, skey in DIM_SPECS:
+        rows = wh.read(table, _dim_schema(nk, skey)).collect()
+        dims[table] = {r[nk]: r[skey] for r in rows}
+    fact = sorted(map(tuple, wh.read_fact("factvideostart", FACT_SCHEMA).collect()))
+    return dims, fact
+
+
+@pytest.mark.parametrize(
+    "crash_kwargs",
+    [
+        {"crash_on_publish": "dimplatform"},  # before any commit of that dim
+        {"crash_before_fact": True},  # all dims in, fact missing
+    ],
+    ids=["dim-publish", "pre-fact"],
+)
+def test_load_batch_crash_then_rerun_converges(
+    spark, tmp_path, batch1, crash_kwargs
+):
+    root = str(tmp_path / "wh")
+    crashing = _CrashingWarehouse(spark, root, **crash_kwargs)
+    with pytest.raises(_CrashPoint):
+        load_batch(batch1, crashing, "b1", spark)
+    # recovery: plain re-run of the same batch on the same root
+    wh = ParquetWarehouse(spark, root)
+    info = load_batch(batch1, wh, "b1", spark)
+    assert info["fact_appended"] == 1
+    # converged to the clean one-shot result
+    ref = ParquetWarehouse(spark, str(tmp_path / "ref"))
+    load_batch(batch1, ref, "b1", spark)
+    assert _wh_state(spark, wh) == _wh_state(spark, ref)
+    # and a further replay of the batch is still a no-op
+    assert load_batch(batch1, wh, "b1", spark)["fact_appended"] == 0
+    assert _wh_state(spark, wh) == _wh_state(spark, ref)
+
+
+def test_load_batch_crash_with_claim_held_fails_loudly_then_converges(
+    spark, tmp_path, batch1
+):
+    from etl__project_spark.plans.star_load import ConcurrentWriteError
+
+    root = str(tmp_path / "wh")
+    crashing = _CrashingWarehouse(spark, root, crash_mid_publish="dimtitle")
+    with pytest.raises(_CrashPoint, match="claim held"):
+        load_batch(batch1, crashing, "b1", spark)
+    # the dead writer's claim blocks the retry LOUDLY (the snapshot may
+    # be half-written; silent takeover would be wrong)
+    wh = ParquetWarehouse(spark, root)
+    with pytest.raises(ConcurrentWriteError):
+        load_batch(batch1, wh, "b1", spark)
+    # recovery protocol: confirm writer dead, release, re-run
+    wh.force_release("dimtitle", 1)
+    load_batch(batch1, wh, "b1", spark)
+    ref = ParquetWarehouse(spark, str(tmp_path / "ref"))
+    load_batch(batch1, ref, "b1", spark)
+    assert _wh_state(spark, wh) == _wh_state(spark, ref)
+
+
+def test_load_batch_partial_fact_dir_is_invisible_and_overwritten(
+    spark, tmp_path, batch1
+):
+    import os
+    import shutil
+
+    root = str(tmp_path / "wh")
+    wh = ParquetWarehouse(spark, root)
+    load_batch(batch1, wh, "b1", spark)
+    # simulate a crash mid fact write of batch 2: data files, no _SUCCESS
+    ghost = wh.fact_batch_dir("factvideostart", "b2")
+    shutil.copytree(wh.fact_batch_dir("factvideostart", "b1"), ghost)
+    os.remove(os.path.join(ghost, "_SUCCESS"))
+    # invisible to readers
+    assert audit(wh)["factvideostart"] == 2
+    # the retry treats the batch as not landed and overwrites the dir
+    info = load_batch(batch1, wh, "b2", spark)
+    assert info["fact_appended"] == 1
+    assert audit(wh)["factvideostart"] == 4

@@ -30,83 +30,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 queries in registration order per
-# round. Round-5 rotation (VERDICT r4 #1): lead with the 13 queries that
-# have never had, or have a stale, driver-side green — nine deferred since
-# round 2 plus the four round-4 additions registered after slot 50 — then
-# the standing canaries (vs_fact / vs_warehouse_load, re-checked every
-# round), then every query added or changed in round 5 (TPC-H Q11/Q20/Q21,
-# the BPE merge loop, the mergeable sketches, doc_dedup_canonical whose
-# pipeline now collapses exact dups before signing, and the analytics
-# family: funnel, cohort retention, PMI collocations, unigram-LM scoring).
-# Remaining slots refresh round-3 greens in catalog order; the r3-green
-# rows that don't fit are round-6's rotation (also rotate in round 6:
-# emb_znorm_outliers, ev_active_users, doc_containment_pairs,
-# doc_containment_reps, ev_rfm_segments, doc_winnow_fingerprints,
-# doc_simhash_wide_pairs, ev_lateness_audit, doc_ngram_novelty — added
-# after the window filled; judge oracle-gate green this round).
-_PRIORITY_R5 = [
-    # never/stale driver green: deferred since r2
-    "ev_props_json",
-    "ev_value_banding",
-    "doc_entropy",
-    "doc_upsample_epochs",
-    "doc_shingle_count",
-    "doc_media_features",
-    "emb_norms",
-    "emb_bucket_stats",
-    "tpch_q1_sql",
-    # never driver-checked: added in r4 after slot 50
-    "doc_bpe_pair_counts",
-    "doc_stratified_sample",
-    "ev_hopping_rollup",
-    "doc_common_ngram_filter",
+# round. Round-6 rotation (VERDICT r5 #1): lead with the nine round-5
+# third-wave queries that have never had a driver-side green (registered
+# after the r5 window filled; judge oracle-gate green in r5), then the
+# queries added or changed in round 6 (signed-delta CDC IVM, trained-PQ
+# top-k + its recall audit — emb_pq_topk's codebooks changed from seed
+# selection to 2 Lloyd rounds, so it re-checks as changed), then the
+# standing canaries (vs_fact / vs_warehouse_load, re-checked every
+# round). Remaining slots refresh the STALEST greens — last checked in
+# round 3 — oldest first; the r3/r4 greens that don't fit are round-7's
+# rotation. Every query outside the window stays pinned in-repo by
+# `pytest -m oracle` and the committed CORRECTNESS_FULL.json artifact.
+_PRIORITY_R6 = [
+    # never driver-checked: r5 third wave
+    "emb_znorm_outliers",
+    "ev_active_users",
+    "doc_containment_pairs",
+    "doc_containment_reps",
+    "ev_rfm_segments",
+    "doc_winnow_fingerprints",
+    "doc_simhash_wide_pairs",
+    "ev_lateness_audit",
+    "doc_ngram_novelty",
+    # new or changed in round 6
+    "tpch_join_cdc_incremental",
+    "emb_pq_topk",
+    "emb_pq_recall_audit",
+    "ev_rollup_cdc_incremental",
+    "vs_fact_late_dims",
+    "ev_markov_stationary",
+    "doc_fuzzy_word_pairs",
+    "doc_weighted_sample",
     # standing canaries
     "vs_fact",
     "vs_warehouse_load",
-    # new or changed in round 5
-    "tpch_q11_important_stock",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "doc_bpe_merge_rounds",
-    "ev_distinct_hll",
-    "ev_quantile_digest",
-    "doc_dedup_canonical",
-    "ev_funnel_steps",
-    "doc_pmi_bigrams",
-    "doc_unigram_logprob",
-    "emb_pq_topk",
-    "ev_zorder_stats",
-    "doc_bpe_encode",
-    "dq_suite",
-    "emb_kmeans_iterate",
-    "ev_salted_join",
-    "doc_dataset_card",
-    "tpch_bloom_prune_join",
-    "ev_mad_outliers",
-    "doc_passage_scrub",
-    "doc_quality_pctl_filter",
-    "doc_bigram_logprob",
-    "doc_simhash_pairs",
-    # round-5 second wave: transition matrix, CDC apply, batched exact
-    # retrieval, SemDeDup, distributed covariance
-    "ev_transition_matrix",
-    "ev_cdc_apply",
-    "emb_batch_topk",
-    "emb_semantic_dedup",
-    "emb_covariance",
-    "tpch_join_incremental",
-    "ev_hll_set_ops",
-    "doc_pipeline_e2e",
-    "ev_group_quantiles",
-    "doc_media_dedup",
-    "ev_skew_report",
-    "ev_user_paths",
-    # refresh r3-green rows (catalog order); the rest rotate in round 6
+    # stalest greens (r3), oldest-first refresh
+    "ev_sessionize",
+    "ev_session_window_native",
+    "ev_range_lookback",
+    "ev_approx_stats",
+    "tpch_q4_semi",
+    "tpch_q6_revenue",
+    "tpch_q17_avg_qty",
+    "tpch_q19_disjunct",
+    "ev_window_sampler",
+    "doc_dup_components",
+    "doc_token_regex",
+    "emb_near_dup_blocked",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q10_returned",
+    "tpch_q12_late_lines",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_big_orders",
+    "tpch_q22_idle_balance",
+    "emb_ivf_topk",
+    "ev_pivot_type_counts",
+    "ev_unpivot_type_counts",
+    "ev_user_profile",
+    "tpch_grouping_sets",
+    "doc_passage_dup",
+    "tpch_q2_min_cost_supplier",
+    "ev_calendar_features",
+    "doc_source_normalize",
 ]
 
 
 def _reordered(mapping: dict) -> dict:
-    head = {k: mapping[k] for k in _PRIORITY_R5 if k in mapping}
+    head = {k: mapping[k] for k in _PRIORITY_R6 if k in mapping}
     head.update({k: v for k, v in mapping.items() if k not in head})
     return head
 

@@ -20,7 +20,9 @@ from etl__project_spark.operators.audit import max_lengths, record_count  # noqa
 from etl__project_spark.operators.rollup import (  # noqa: F401
     finalize_rollup,
     merge_rollups,
+    merge_rollups_signed,
     partial_rollup,
+    partial_rollup_signed,
 )
 from etl__project_spark.operators.ivm import (  # noqa: F401
     cdc_to_signed_delta,

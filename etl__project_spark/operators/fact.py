@@ -36,3 +36,96 @@ def build_fact(
         ).drop(f"__nk_{skey_col}")
         skeys.append(skey_col)
     return out.select(*skeys)
+
+
+UNKNOWN_MEMBER = -1
+
+
+def build_fact_unknown_member(
+    staging: DataFrame,
+    dims: dict[str, tuple[DataFrame, str, str]],
+    keep_cols: list[str] | None = None,
+    unknown: int = UNKNOWN_MEMBER,
+) -> DataFrame:
+    """Late-arriving-dimension fact build: like :func:`build_fact`, but a
+    row whose natural key is PRESENT yet misses the dim lookup gets the
+    UNKNOWN member surrogate (``unknown``, conventionally -1) instead of
+    NULL — so the fact loads on schedule even when a dim feed lags, and
+    the miss is distinguishable from a genuinely-NULL natural key (which
+    still yields a NULL skey, warehouse LEFT JOIN semantics).
+
+    ``keep_cols`` carries the named staging columns (the natural keys)
+    into the output alongside the skeys — the repair pass
+    (:func:`repair_unknown_facts`) needs them to re-resolve once the dim
+    catches up; production stores them in the fact or a quarantine
+    side-table keyed by fact row.
+
+    Plan shape is unchanged from build_fact: every lookup is a broadcast
+    left join, the fact never shuffles.
+    """
+    out = staging
+    skeys = []
+    for skey_col, (dim_df, st_key, dim_key) in dims.items():
+        lookup = dim_df.select(
+            F.col(dim_key).alias(f"__nk_{skey_col}"), F.col(skey_col)
+        )
+        out = (
+            out.join(
+                F.broadcast(lookup),
+                out[st_key] == lookup[f"__nk_{skey_col}"],
+                "left",
+            )
+            .withColumn(
+                skey_col,
+                F.when(
+                    F.col(st_key).isNotNull() & F.col(skey_col).isNull(),
+                    F.lit(unknown).cast("long"),
+                ).otherwise(F.col(skey_col).cast("long")),
+            )
+            .drop(f"__nk_{skey_col}")
+        )
+        skeys.append(skey_col)
+    return out.select(*skeys, *(keep_cols or []))
+
+
+def repair_unknown_facts(
+    fact: DataFrame,
+    dim: DataFrame,
+    st_key: str,
+    dim_key: str,
+    skey_col: str,
+    unknown: int = UNKNOWN_MEMBER,
+) -> DataFrame:
+    """Re-resolve unknown-member fact rows after the late dim arrived:
+    rows with ``skey_col == unknown`` re-probe the (now complete) dim by
+    natural key; everything else passes through untouched. Still a miss
+    → stays unknown (the dim is STILL late for that key).
+
+    At 100 TB the unknown rows are a thin slice (filter pushdown on the
+    skey column prunes them from parquet row groups), and the re-probe
+    is the same broadcast join as the original build — repair cost is
+    O(late rows), never a fact rewrite.
+    """
+    hits = fact.filter(F.col(skey_col) == unknown)
+    # NULL skeys (NULL natural key, not a late dim) pass through rest —
+    # a bare != would evaluate NULL and drop them
+    rest = fact.filter(
+        F.col(skey_col).isNull() | (F.col(skey_col) != unknown)
+    )
+    lookup = dim.select(
+        F.col(dim_key).alias(f"__nk_{skey_col}"),
+        F.col(skey_col).alias(f"__new_{skey_col}"),
+    )
+    repaired = (
+        hits.join(
+            F.broadcast(lookup),
+            hits[st_key] == lookup[f"__nk_{skey_col}"],
+            "left",
+        )
+        .withColumn(
+            skey_col,
+            F.coalesce(F.col(f"__new_{skey_col}"), F.col(skey_col)).cast("long"),
+        )
+        .drop(f"__nk_{skey_col}", f"__new_{skey_col}")
+    )
+    return rest.unionByName(repaired)

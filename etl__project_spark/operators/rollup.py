@@ -112,3 +112,51 @@ def finalize_rollup(rolled: DataFrame, keys: list[str]) -> DataFrame:
         F.col("vmax").alias("max_value"),
         F.round(F.col("total").cast("double") / F.col("n"), 4).alias("avg_value"),
     )
+
+
+# --- signed maintenance: rollups under updates/deletes ----------------------
+#
+# The merge algebra above is insert-only (every batch adds rows). The
+# signed extension makes the LINEAR aggregates — count, sum, and avg
+# derived from them — maintainable under CDC churn too: each change row
+# carries a sign (+1 assert / -1 retract, the same convention as
+# operators/ivm.py), partial states become signed sums, and a group whose
+# net count reaches 0 vanishes. min/max are deliberately NOT in the
+# signed spec: deleting the current extremum needs the runner-up, which a
+# merged partial state no longer holds — under churn they require a
+# re-scan of the group (or an order-statistic sketch), the standard
+# distinction between fully-incremental and partially-incremental
+# aggregates in IVM literature.
+
+
+def partial_rollup_signed(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    sign_col: str = "sign",
+    decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """One signed batch's partial state: (keys, n, total) with
+    n = Σ sign and total = Σ sign · quantize(value). Decimal
+    quantization keeps the signed merge bit-exact against a one-shot
+    recompute (see module docstring)."""
+    v = F.round(F.col(value_col), 2).cast(decimal)
+    s = F.col(sign_col)
+    return df.groupBy(*keys).agg(
+        F.sum(s).cast("long").alias("n"),
+        F.sum(s.cast(decimal) * v).alias("total"),
+    )
+
+
+def merge_rollups_signed(
+    existing: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge a signed partial state into the stored signed rollup; groups
+    retracted to net-zero count disappear (no tombstone rows needed —
+    the count IS the liveness)."""
+    return (
+        existing.unionByName(delta.select(existing.columns))
+        .groupBy(*keys)
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("total").alias("total"))
+        .filter(F.col("n") != 0)
+    )

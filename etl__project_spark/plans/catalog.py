@@ -6783,3 +6783,317 @@ def tpch_join_cdc_incremental(spark, sf_dir):
             / F.lit(100.0)
         ).alias("revenue"),
     )
+
+
+@query(
+    "ev_rollup_cdc_incremental",
+    """WITH post AS (
+  SELECT event_type,
+         CASE WHEN event_id % 10 = 3 THEN round(value, 2) + 1.00
+              ELSE round(value, 2) END AS v
+  FROM events WHERE event_id % 10 <> 7
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(v::DECIMAL(18,2))::DOUBLE, 2) AS total_value
+FROM post GROUP BY event_type""",
+)
+def ev_rollup_cdc_incremental(spark, sf_dir):
+    """Signed AGGREGATE IVM — the rollup face of
+    ``tpch_join_cdc_incremental``: a per-type (count, sum) rollup is
+    maintained while the events table takes CDC churn (values of
+    event_id%10==3 updated +1.00, event_id%10==7 deleted). The change
+    batch becomes signed rows (−1 old image, +1 post-image), folds
+    through ``operators/rollup.py:partial_rollup_signed`` /
+    ``merge_rollups_signed``, and the oracle is the one-shot aggregate
+    over the post-CDC state — decimal quantization makes the signed
+    merge bit-exact against the recompute, so the hash match PROVES
+    retraction arithmetic, not just approximate agreement. (min/max are
+    documented NON-members of the signed spec: deleting the extremum
+    needs the runner-up, which merged state no longer holds.)
+
+    Cost shape: two bounded-keyspace hash aggregates (batch partials)
+    plus a merge keyed on the rollup's own (tiny) key space — O(batch +
+    touched groups) per refresh at any history size."""
+    from etl__project_spark.operators import (
+        merge_rollups_signed,
+        partial_rollup_signed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    m10 = F.col("event_id") % 10
+    state = partial_rollup_signed(
+        ev.withColumn("sign", F.lit(1)), ["event_type"]
+    )
+    retractions = ev.filter(m10.isin(3, 7)).withColumn("sign", F.lit(-1))
+    post_images = (
+        ev.filter(m10 == 3)
+        .withColumn("value", F.round(F.col("value"), 2) + F.lit(1.0))
+        .withColumn("sign", F.lit(1))
+    )
+    delta = partial_rollup_signed(
+        retractions.unionByName(post_images), ["event_type"]
+    )
+    merged = merge_rollups_signed(state, delta, ["event_type"])
+    return merged.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(F.col("total").cast("double"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "vs_fact_late_dims",
+    f"""WITH {PARSED_CTE},
+p0 AS (
+  SELECT row_number() OVER (ORDER BY platform) - 1 AS platform_skey, platform
+  FROM (SELECT DISTINCT platform FROM parsed WHERE platform <> 'iPad')
+),
+pnew AS (
+  SELECT (SELECT count(*) FROM p0) + row_number() OVER (ORDER BY platform) - 1
+             AS platform_skey, platform
+  FROM (SELECT DISTINCT platform FROM parsed WHERE platform = 'iPad')
+),
+dimp AS (SELECT * FROM p0 UNION ALL SELECT * FROM pnew)
+SELECT d.platform_skey::BIGINT AS platform_skey, d.platform,
+       count(*)::BIGINT AS n_rows
+FROM parsed f JOIN dimp d ON f.platform = d.platform
+GROUP BY 1, 2""",
+)
+def vs_fact_late_dims(spark, sf_dir):
+    """Late-arriving dimension handling — the warehouse pattern the
+    reference's nightly design never needed but any streaming star load
+    does: the platform dim feed lags (the 'iPad' member is withheld
+    when the fact batch loads), so ``build_fact_unknown_member`` gives
+    those rows the UNKNOWN surrogate (-1) instead of stalling or
+    nulling the load; once the dim catches up (SCD1 upsert appends
+    'iPad' with the next dense skey), ``repair_unknown_facts``
+    re-resolves ONLY the -1 slice via the same broadcast probe. The
+    returned per-skey rollup must equal the one-shot build against the
+    caught-up dim — the oracle proves repair converges and that
+    unknown-member bookkeeping never double-counts.
+
+    Note the skey ORDER is the upsert order, not alphabetical: the
+    withheld member lands at max(skey)+1 (here iPad > Desktop despite
+    sorting earlier) — exactly what a real late member looks like, and
+    the oracle reproduces it structurally (p0 + pnew)."""
+    from etl__project_spark.operators.fact import (
+        build_fact_unknown_member,
+        repair_unknown_facts,
+    )
+
+    parsed = _parsed(spark, sf_dir).persist()
+    parsed.count()
+    # dim at fact-load time: iPad missing
+    early = with_dense_ids(
+        derive_dim(parsed.filter(F.col("platform") != "iPad"), "platform"),
+        "platform",
+        "platform_skey",
+        small=True,
+    )
+    fact = build_fact_unknown_member(
+        parsed,
+        {"platform_skey": (early, "platform", "platform")},
+        keep_cols=["platform"],
+    )
+    # the dim catches up; repair the quarantined -1 slice
+    caught_up = scd1_upsert(
+        early, derive_dim(parsed, "platform"), "platform", "platform_skey"
+    )
+    repaired = repair_unknown_facts(
+        fact, caught_up, "platform", "platform", "platform_skey"
+    )
+    return repaired.groupBy("platform_skey", "platform").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "ev_markov_stationary",
+    """WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+  FROM events
+),
+edges AS (
+  SELECT event_type AS f, next_type AS t, count(*)::BIGINT AS c
+  FROM seq WHERE next_type IS NOT NULL GROUP BY f, t
+),
+outdeg AS (SELECT f, sum(c)::BIGINT AS cf FROM edges GROUP BY f),
+p AS (SELECT e.f, e.t, (e.c * 1000000) // o.cf AS pm
+      FROM edges e JOIN outdeg o USING (f)),
+nodes AS (SELECT DISTINCT event_type AS v FROM events),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT v, (1000000 // n)::BIGINT AS r FROM nodes, nn),
+r1 AS (SELECT p.t AS v, sum((r0.r * p.pm) // 1000000)::BIGINT AS r
+       FROM p JOIN r0 ON r0.v = p.f GROUP BY p.t),
+r2 AS (SELECT p.t AS v, sum((r1.r * p.pm) // 1000000)::BIGINT AS r
+       FROM p JOIN r1 ON r1.v = p.f GROUP BY p.t),
+r3 AS (SELECT p.t AS v, sum((r2.r * p.pm) // 1000000)::BIGINT AS r
+       FROM p JOIN r2 ON r2.v = p.f GROUP BY p.t)
+SELECT v AS event_type, r AS rank_micro,
+       floor(r / 100.0 + 0.5) / 10000.0 AS rank
+FROM r3""",
+)
+def ev_markov_stationary(spark, sf_dir):
+    """Markov stationary distribution by power iteration — PageRank's
+    core loop over the user-behavior transition graph: edges are
+    consecutive same-user event pairs (the ``ev_transition_matrix``
+    construction), transition probabilities are integer micro-units
+    (exact BIGINT division), and three rank iterations from the uniform
+    vector give the where-do-users-end-up distribution. The oracle
+    unrolls the identical iterations as CTEs, so the hash match covers
+    the ITERATED fixed-point step, not one multiply.
+
+    Distributed shape — the general large-graph layout even though the
+    type-graph is tiny: ONE user-keyed exchange builds edges; the rank
+    vector (|nodes| rows) is BROADCAST into each iteration's edge join;
+    each round is edge-scan + hash-agg keyed by destination, the
+    standard scalable PageRank step (at web scale edges stay
+    partitioned by source, ranks re-broadcast or co-partitioned per
+    round; nothing here re-shuffles the edge set). Rank mass at
+    in-degree-0 nodes decays to absent rows identically on both
+    engines; dangling-node redistribution and damping are the
+    documented production extensions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    edges = seq.groupBy(F.col("event_type").alias("f"), F.col("next_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    outdeg = edges.groupBy("f").agg(F.sum("c").alias("cf"))
+    p = edges.join(F.broadcast(outdeg), "f").select(
+        "f", "t", F.expr("(c * 1000000) div cf").alias("pm")
+    )
+    nodes = ev.select(F.col("event_type").alias("v")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "v", F.expr("1000000 div n").cast("long").alias("r")
+    )
+    for _ in range(3):
+        r = (
+            p.join(F.broadcast(r), p["f"] == r["v"])
+            .select(F.col("t"), F.expr("(r * pm) div 1000000").alias("contrib"))
+            .groupBy("t")
+            .agg(F.sum("contrib").cast("long").alias("r"))
+            .select(F.col("t").alias("v"), "r")
+        )
+    return r.select(
+        F.col("v").alias("event_type"),
+        F.col("r").alias("rank_micro"),
+        (F.floor(F.col("r") / F.lit(100.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "rank"
+        ),
+    )
+
+
+@query(
+    "doc_fuzzy_word_pairs",
+    r"""WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+),
+words AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w)
+SELECT a.w AS w_a, b.w AS w_b, levenshtein(a.w, b.w)::BIGINT AS dist,
+       a.c AS c_a, b.c AS c_b
+FROM words a JOIN words b
+  ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
+WHERE levenshtein(a.w, b.w) <= 2""",
+)
+def doc_fuzzy_word_pairs(spark, sf_dir):
+    """Fuzzy (edit-distance) self-join over the corpus vocabulary — the
+    typo-clustering / spelling-normalization primitive of text
+    curation: every word pair within Levenshtein distance 2, with
+    corpus frequencies attached so the high-frequency member of each
+    pair is the correction candidate for the low-frequency one.
+
+    Distributed shape — the blocked fuzzy-join pattern: candidates come
+    from a LENGTH-BUCKET equi-join (each word emits buckets len and
+    len+1, so |len_a − len_b| ≤ 1 pairs meet in exactly one bucket;
+    dist ≤ 2 with length gap 2+ is impossible for dist ≤ 1 edits of
+    length... the ≤1-gap block is sound for dist ≤ 2 only when paired
+    with the verify step, which re-checks the true distance), then the
+    exact ``levenshtein`` verifies each candidate — never an all-pairs
+    cross join. The vocabulary input is already corpus-bounded (the
+    ``doc_bpe_*`` trick: distinct words, not occurrences); at web scale
+    the block key tightens to (length bucket, q-gram signature) — the
+    standard positional q-gram filter — with the same join shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    buckets = words.select(
+        "w", "c", F.explode(F.array(F.length("w"), F.length("w") + 1)).alias("b")
+    )
+    a = buckets.select(
+        F.col("w").alias("w_a"), F.col("c").alias("c_a"), "b"
+    )
+    bb = buckets.select(
+        F.col("w").alias("w_b"), F.col("c").alias("c_b"), "b"
+    )
+    dist = F.levenshtein("w_a", "w_b")
+    return (
+        a.join(bb, "b")
+        .filter(F.col("w_a") < F.col("w_b"))
+        .filter(F.abs(F.length("w_a") - F.length("w_b")) <= 1)
+        .select("w_a", "w_b", "c_a", "c_b")
+        .distinct()
+        .filter(dist <= 2)
+        .select(
+            "w_a", "w_b", dist.cast("long").alias("dist"), "c_a", "c_b"
+        )
+    )
+
+
+@query(
+    "doc_weighted_sample",
+    """WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         floor(ln((('0x' || substr(md5(doc_id::VARCHAR || 'wsamp'), 1, 15))::BIGINT
+                   + 1)::DOUBLE / 1152921504606846976.0)
+               / n_chars * 1000000000 + 0.5)::BIGINT AS neg_key_nano
+  FROM documents
+)
+SELECT doc_id, source, n_chars, neg_key_nano
+FROM keyed ORDER BY neg_key_nano DESC, doc_id LIMIT 20""",
+)
+def doc_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each item draws u ~ U(0,1] and ranks by u^(1/w) — equivalently by
+    ln(u)/w, monotone and numerically safer — so the inclusion
+    probability is proportional to weight w (here n_chars: longer docs
+    are likelier picks, the size-biased sampling used for
+    token-budgeted subcorpus draws). Deterministic u from md5(doc_id)
+    (the reproducible-sampling discipline of ``doc_hash_sample``), and
+    the key is quantized to integer NANO-units before ranking so the
+    top-k cut is bit-identical across engines (ln/÷ are one double op
+    each, identical left-to-right on both, then one floor).
+
+    The profound property (vs naive weighted picking): A-ES keys are
+    independent per item, so top-k by key IS a without-replacement
+    weighted sample — computable as a narrow scan + TakeOrdered, no
+    sequential draws, trivially distributed and mergeable across
+    partitions (each partition's local top-k suffices). That is what
+    makes it the 100 TB weighted sampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("wsamp"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(1152921504606846976.0)
+    neg_key_nano = F.floor(
+        F.log(u) / F.col("n_chars") * 1000000000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source", "n_chars", neg_key_nano.alias("neg_key_nano"))
+        .orderBy(F.desc("neg_key_nano"), F.asc("doc_id"))
+        .limit(20)
+    )

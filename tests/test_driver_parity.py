@@ -113,3 +113,24 @@ def test_catalog_doc_is_fresh():
     want = buf.getvalue()
     got = pathlib.Path(__file__).resolve().parents[1].joinpath("CATALOG.md").read_text()
     assert got == want, "CATALOG.md is stale — regenerate with tools/gen_catalog_doc.py"
+
+
+def test_readme_query_count_is_fresh():
+    """The README's 'all N queries' claim must track the live catalog
+    (VERDICT r5 #7 — the r5 README said 145 when the catalog was 151).
+    Update the README number when adding queries; this test is the
+    freshness gate."""
+    import pathlib
+    import re
+
+    import __spark_entry__ as entrymod
+
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath(
+        "README.md"
+    ).read_text()
+    m = re.search(r"all (\d+) queries", text)
+    assert m, "README no longer states the catalog query count"
+    assert int(m.group(1)) == len(entrymod.queries()), (
+        f"README claims {m.group(1)} catalog queries, live catalog has "
+        f"{len(entrymod.queries())} — update README.md"
+    )

@@ -4,7 +4,12 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB (same parquet tables), then compares
 row count, column names, and an order-insensitive value hash.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [sf_dir] [query ...] [--json OUT]
+
+``--json OUT`` additionally writes a per-query artifact in the driver's
+CORRECTNESS_r{N}.json shape — committed per round as
+``CORRECTNESS_FULL.json`` so queries rotated out of the driver's 50-slot
+window keep an in-repo green record (ADVICE r5).
 
 The comparison core (``oracle_views`` / ``compare_query``) is imported
 by ``tests/test_oracle_gate.py`` so the same value-hash check runs as a
@@ -83,14 +88,21 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from etl__project_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("correctness-check")
     con = oracle_views(sf_dir)
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -100,17 +112,29 @@ def main() -> int:
             )
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: error: {e}")
+            results[name] = {"ok": False, "err": str(e)[:300]}
             n_fail += 1
             continue
         if problems:
             n_fail += 1
             print(f"FAIL  {name}: {'; '.join(str(p) for p in problems)}")
+            results[name] = {
+                "ok": False,
+                "err": "; ".join(str(p) for p in problems)[:300],
+            }
         elif name not in oracles:
             print(f"weak  {name}: spark-only (no oracle)")
+            results[name] = {"ok": True, "weak": True, "err": None}
         else:
             print(f"ok    {name}")
+            results[name] = {"ok": True, "err": None}
     spark.stop()
     print(f"\n{n_fail} failures")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1)
     return 1 if n_fail else 0
 
 

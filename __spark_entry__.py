@@ -61,6 +61,8 @@ _PRIORITY_R6 = [
     "ev_markov_stationary",
     "doc_fuzzy_word_pairs",
     "doc_weighted_sample",
+    "emb_ivf_trained_topk",
+    "doc_tokenizer_fertility",
     # standing canaries
     "vs_fact",
     "vs_warehouse_load",
@@ -94,8 +96,6 @@ _PRIORITY_R6 = [
     "tpch_grouping_sets",
     "doc_passage_dup",
     "tpch_q2_min_cost_supplier",
-    "ev_calendar_features",
-    "doc_source_normalize",
 ]
 
 

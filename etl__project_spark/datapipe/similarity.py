@@ -267,6 +267,7 @@ def ivf_topk(
     n_probe: int = 2,
     k: int = 3,
     n_queries: int = 5,
+    train_iters: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -274,11 +275,13 @@ def ivf_topk(
     then answer each query by scanning only its ``n_probe`` nearest
     cells.
 
-    Centroid "training" is stubbed to seed selection (the first
-    ``n_centroids`` vectors by id) so the structure is deterministic and
-    oracle-portable; a production build would run Lloyd iterations with
-    the same assignment step (see ``emb_kmeans_assign``). At 100 TB the
-    cell assignment is written as a partition column, so probing becomes
+    ``train_iters=0`` uses seed-selection centroids (the first
+    ``n_centroids`` vectors by id — deterministic baseline);
+    ``train_iters>0`` trains real centroids with :func:`kmeans_iterate`
+    (integer-quantized Lloyd rounds, so the trained structure stays
+    engine-deterministic and the oracle unrolls the same rounds —
+    the IVF face of the ``pq_codebooks`` fix). At 100 TB the cell
+    assignment is written as a partition column, so probing becomes
     partition-pruned scans; centroids are always broadcast (KB-sized).
 
     Returns (q_id, cand_id, sim): top-``k`` candidates per query among
@@ -288,9 +291,27 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    seeds = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
+    if train_iters > 0:
+        seeds = (
+            kmeans_iterate(
+                embeddings,
+                k=n_centroids,
+                n_iter=train_iters,
+                vec_col=vec_col,
+                id_col=id_col,
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "centroid_val"))),
+                    lambda s: s.centroid_val,
+                ).alias("cv")
+            )
+        )
+    else:
+        seeds = embeddings.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+        )
     sim_to_seed = F.round(cosine_components(F.col(vec_col), F.col("cv")), 4)
     scored_all = embeddings.crossJoin(F.broadcast(seeds)).select(
         F.col(id_col), F.col(vec_col), F.col("centroid_id"), sim_to_seed.alias("s")

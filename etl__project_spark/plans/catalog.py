@@ -4651,10 +4651,13 @@ def dq_suite(spark, sf_dir):
     return o_checks.unionByName(l_checks).unionByName(ref)
 
 
-def _kmeans_iter_sql() -> str:
-    """DuckDB twin of datapipe.similarity.kmeans_iterate (k=4, 2 Lloyd
-    rounds unrolled as CTEs; micro-unit integer centroid updates so
-    round 2's inputs are bit-identical across engines)."""
+def _kmeans_ctes(k: int, n_iter: int) -> str:
+    """Parameterized DuckDB CTE chain for datapipe.similarity.
+    kmeans_iterate (``n_iter`` Lloyd rounds unrolled; micro-unit integer
+    centroid updates so round N+1's inputs are bit-identical across
+    engines). Ends with ``c{n_iter}`` = (centroid_id, cv) and
+    ``u{n_iter}`` = (centroid_id, dim, centroid_val); callers append
+    their final SELECT."""
     assign = """SELECT vec_id, centroid_id FROM (
     SELECT e.vec_id, c.centroid_id,
            row_number() OVER (
@@ -4670,14 +4673,25 @@ def _kmeans_iter_sql() -> str:
            floor(unnest(e.v) * 1000000 + 0.5)::BIGINT AS xm
     FROM emb e JOIN {assign} a ON e.vec_id = a.vec_id) ex
   GROUP BY ex.centroid_id, ex.dim"""
-    return f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM emb WHERE vec_id < 4),
-a1 AS ({assign.format(cents="c0")}),
-u1 AS ({update.format(assign="a1")}),
-c1 AS (SELECT centroid_id, list(centroid_val ORDER BY dim) AS cv FROM u1 GROUP BY centroid_id),
-a2 AS ({assign.format(cents="c1")}),
-u2 AS ({update.format(assign="a2")})
-SELECT centroid_id, dim, centroid_val FROM u2"""
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM emb"
+        f" WHERE vec_id < {k})",
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(f"a{r} AS ({assign.format(cents=f'c{r - 1}')})")
+        parts.append(f"u{r} AS ({update.format(assign=f'a{r}')})")
+        parts.append(
+            f"c{r} AS (SELECT centroid_id, list(centroid_val ORDER BY dim)"
+            f" AS cv FROM u{r} GROUP BY centroid_id)"
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _kmeans_iter_sql() -> str:
+    """DuckDB twin of datapipe.similarity.kmeans_iterate (k=4, 2 Lloyd
+    rounds)."""
+    return _kmeans_ctes(4, 2) + "\nSELECT centroid_id, dim, centroid_val FROM u2"
 
 
 @query("emb_kmeans_iterate", _kmeans_iter_sql())
@@ -7096,4 +7110,108 @@ def doc_weighted_sample(spark, sf_dir):
         docs.select("doc_id", "source", "n_chars", neg_key_nano.alias("neg_key_nano"))
         .orderBy(F.desc("neg_key_nano"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+@query(
+    "emb_ivf_trained_topk",
+    _kmeans_ctes(8, 2)
+    + f""",
+ranked AS (
+  SELECT e.vec_id, s.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_IVF_COS_ES} DESC, s.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN c2 s
+),
+cells AS (
+  SELECT vec_id AS cand_id, centroid_id FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, centroid_id FROM ranked WHERE vec_id < 5 AND rn <= 2
+),
+scored AS (
+  SELECT p.q_id, c.cand_id,
+         {_IVF_COS_QX} AS sim
+  FROM probes p
+  JOIN cells c ON p.centroid_id = c.centroid_id AND c.cand_id <> p.q_id
+  JOIN embeddings q ON q.vec_id = p.q_id
+  JOIN embeddings x ON x.vec_id = c.cand_id
+)
+SELECT q_id, cand_id, sim FROM (
+  SELECT q_id, cand_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rn
+  FROM scored
+) WHERE rn <= 3""",
+)
+def emb_ivf_trained_topk(spark, sf_dir):
+    """IVF ANN over TRAINED cells — the IVF face of round 6's PQ
+    codebook fix: centroids come from 2 integer-quantized Lloyd rounds
+    (``kmeans_iterate``, k=8) instead of seed selection, so cells track
+    actual data density (tighter cells → better probe recall at the
+    same n_probe). The oracle unrolls the identical training rounds,
+    then the same cell-assignment/probe/score pipeline as
+    ``emb_ivf_topk`` — the hash match covers train→assign→probe→rank
+    end-to-end. Plan shape unchanged: centroids broadcast every round
+    and at query time; vectors never shuffle; at rest the trained cell
+    id is the partition column that makes probing partition-pruned."""
+    from etl__project_spark.datapipe.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), train_iters=2)
+
+
+@query(
+    "doc_tokenizer_fertility",
+    "WITH enc AS (\n"
+    + ORACLES["doc_bpe_encode"]
+    + """
+)
+SELECT d.source,
+       sum(enc.n_words)::BIGINT AS n_words,
+       sum(enc.n_tokens)::BIGINT AS n_tokens,
+       sum(d.n_chars)::BIGINT AS n_chars,
+       floor(sum(enc.n_tokens)::DOUBLE / sum(enc.n_words) * 10000 + 0.5)
+           / 10000.0 AS tokens_per_word,
+       floor(sum(enc.n_tokens)::DOUBLE / sum(d.n_chars) * 100 * 10000 + 0.5)
+           / 10000.0 AS tokens_per_100_chars
+FROM enc JOIN documents d USING (doc_id)
+GROUP BY d.source""",
+)
+def doc_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY per source — tokens-per-word and
+    tokens-per-100-chars under the corpus's own 3-round BPE merge
+    table: the standard tokenizer-efficiency audit of a training-data
+    release (fertility differences across sources/languages predict
+    compute cost per byte and flag sources the tokenizer serves badly).
+    Composes ``bpe_encode`` (train + apply, ``doc_bpe_encode``) with a
+    per-source rollup; the oracle nests the full encode query as a CTE,
+    so the hash match covers the composition.
+
+    Cost shape: everything the encode already paid (vocabulary-collapsed
+    training, broadcast word→token-count mapping) plus ONE extra
+    per-source hash aggregate over the per-doc counts — the audit is
+    marginal-cost on top of the tokenizer run, the right property for a
+    per-release metric."""
+    from etl__project_spark.datapipe.text import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, n_rounds=3)
+    joined = enc.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        (
+            F.floor(
+                F.sum("n_tokens").cast("double") / F.sum("n_words") * 10000
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("tokens_per_word"),
+        (
+            F.floor(
+                F.sum("n_tokens").cast("double") / F.sum("n_chars") * 100 * 10000
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("tokens_per_100_chars"),
     )

@@ -398,3 +398,113 @@ def stream_transition_matrix(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming signed join-view maintenance ---------------------------------
+
+JV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("sign", T.LongType()),
+    ]
+)
+
+
+def _jv_view_schema(static_a: DataFrame) -> T.StructType:
+    return T.StructType(
+        list(static_a.schema.fields)
+        + [
+            T.StructField("v", T.DoubleType()),
+            T.StructField("sign", T.LongType()),
+        ]
+    )
+
+
+def read_join_view(wh: ParquetWarehouse, static_a: DataFrame) -> DataFrame:
+    """The maintained A ⋈ B view: consolidated rows with their net
+    multiplicity (``sign`` ≥ 1 — fully-retracted rows are already
+    absent from storage)."""
+    return wh.read("jv_view", _jv_view_schema(static_a))
+
+
+def stream_join_view_cdc(
+    spark: SparkSession,
+    static_a: DataFrame,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the join view ``static_a ⋈ B`` while B arrives as a CDC
+    changelog stream (JSON lines of ``CDC_SCHEMA``: id/seq/op/v) — the
+    streaming face of ``operators/ivm.py``'s signed-delta IVM, wired
+    through ``foreachBatch`` + the warehouse's exactly-once merges.
+
+    Per micro-batch: (1) compact the batch latest-wins per key KEEPING
+    tombstones (``cdc_apply``); (2) translate to signed row deltas
+    against B's CURRENT stored state (``cdc_to_signed_delta`` — old
+    images retract, post-images assert); (3) signed-join the delta
+    against the static side (A never re-joins B's history — two of the
+    three delta terms vanish when only B churns); (4) fold the view and
+    B's state through ``publish_merged`` consolidations.
+
+    Crash ordering: the VIEW merges before B's state — the view's delta
+    is a deterministic function of (batch, pre-batch B state), so a
+    crash between the two publishes replays to the identical delta (B
+    unchanged), the view merge no-ops on its batch id, and B catches
+    up. Publishing B first would poison the replayed delta (retractions
+    computed against the already-advanced state).
+
+    Assumes per-key monotone ``seq`` across batches (ordered changelog,
+    the Kafka-partition / Debezium-LSN norm); the batch twin
+    ``tpch_join_cdc_incremental`` and the property tests pin the
+    algebra, this pins the production shape. Per-batch cost: one key
+    exchange to compact the delta, one broadcast/bucketed probe of A,
+    and consolidations that touch only keys the delta touched when the
+    state tables are bucketed by key.
+    """
+    from etl__project_spark.operators.ivm import (
+        _signed_join,
+        cdc_to_signed_delta,
+        consolidate,
+    )
+    from etl__project_spark.operators.merge import cdc_apply
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+    a_signed = static_a.select(
+        "*", F.lit(1).cast("long").alias("sign")
+    ).localCheckpoint(eager=True)
+    view_schema = _jv_view_schema(static_a)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        compact = cdc_apply(
+            batch, key_cols=["id"], seq_cols=["seq"], drop_deletes=False
+        )
+        state_b = wh.read("jv_state_b", JV_STATE_SCHEMA)
+        delta_b = cdc_to_signed_delta(
+            state_b, compact.select("id", "op", "v"), ["id"]
+        ).localCheckpoint(eager=True)
+        delta_v = _signed_join(a_signed, delta_b, ["id"], "sign")
+        wh.publish_merged(
+            "jv_view",
+            delta_v,
+            view_schema,
+            str(batch_id),
+            lambda ex, d: consolidate(ex.unionByName(d)),
+        )
+        wh.publish_merged(
+            "jv_state_b",
+            delta_b,
+            JV_STATE_SCHEMA,
+            str(batch_id),
+            lambda ex, d: consolidate(ex.unionByName(d)),
+        )
+
+    changes = spark.readStream.schema(CDC_SCHEMA).json(landing_dir)
+    writer = changes.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -409,3 +409,70 @@ def test_streaming_transition_matrix_equals_one_shot(spark, tmp_path):
     assert got == want
     # sanity: boundary transitions exist (total = 2 users x 11 steps)
     assert sum(got.values()) == 22
+
+
+def test_streaming_signed_join_view_matches_one_shot(spark, tmp_path):
+    """Three CDC changelog files streamed through stream_join_view_cdc
+    maintain A ⋈ B under inserts, a cross-batch update (which must
+    retract the batch-1 post-image), and a delete — the final view must
+    equal the one-shot join of A against B's replayed post-state, with
+    every surviving multiplicity 1."""
+    import json
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_join_view,
+        stream_join_view_cdc,
+    )
+
+    landing = str(tmp_path / "jv_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "jv_wh")
+    ckpt = str(tmp_path / "jv_ckpt")
+
+    static_a = spark.createDataFrame(
+        [(k, 100 + k) for k in range(1, 6)] + [(2, 202)],  # key 2 has fan-out 2
+        "id long, av long",
+    )
+    batches = [
+        # batch 1: inserts for keys 1..3
+        [(1, 10, "U", 1.0), (2, 10, "U", 2.0), (3, 10, "U", 3.0)],
+        # batch 2: update key 2 (retracts both fan-out rows of the old
+        # image), insert key 4
+        [(2, 20, "U", 2.5), (4, 20, "U", 4.0)],
+        # batch 3: delete key 3, update key 1
+        [(3, 30, "D", None), (1, 30, "U", 1.5)],
+    ]
+
+    def run_batch(i, rows):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps({"id": r[0], "seq": r[1], "op": r[2], "v": r[3]})
+                    + "\n"
+                )
+        q = stream_join_view_cdc(spark, static_a, landing, wh_root, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run_batch(i, rows)
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = sorted(
+        (r["id"], r["av"], r["v"], r["sign"])
+        for r in read_join_view(wh, static_a).collect()
+    )
+    # replayed post-state of B: 1 -> 1.5, 2 -> 2.5, 4 -> 4.0 (3 deleted)
+    b_final = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5), (4, 4.0)], "id long, v double"
+    )
+    want = sorted(
+        (r["id"], r["av"], r["v"], 1)
+        for r in static_a.join(b_final, "id").collect()
+    )
+    assert got == want
+    # key 2's fan-out: both A rows carry the updated value exactly once
+    assert [r for r in got if r[0] == 2] == [(2, 102, 2.5, 1), (2, 202, 2.5, 1)]
+    # key 5 never arrived in B; key 3 was deleted
+    assert not [r for r in got if r[0] in (3, 5)]

@@ -212,3 +212,20 @@ def test_watermark_sized_from_lateness_audit(spark, tmp_path):
     assert 119 not in got_ids
     # acceptance of late rows == the audited percentile
     assert len(within & got_ids) / 20 == 0.95
+
+
+def test_size_watermark_edges():
+    """Pure-function contract: dict/Row inputs, zero-late corpora size
+    to one bin width, safety factor scales up and ceils."""
+    from etl__project_spark.streaming.windows import size_watermark
+
+    assert size_watermark({"p95_lateness_bin_s": 72}) == "76 seconds"
+    assert size_watermark({"p95_lateness_bin_s": None}) == "4 seconds"
+    assert (
+        size_watermark({"p95_lateness_bin_s": 72}, safety_factor=1.5)
+        == "114 seconds"
+    )
+    assert (
+        size_watermark({"p50_lateness_bin_s": 8}, pctl_col="p50_lateness_bin_s")
+        == "12 seconds"
+    )

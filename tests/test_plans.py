@@ -339,9 +339,12 @@ EXCHANGE_BUDGET = {
     # PQ train(2 Lloyd rounds)+encode+ADC: codebooks stay broadcast;
     # the shuffles are the bounded codebook-update aggregates + top-k
     "emb_pq_topk": (4, 0),
-    # signed-delta IVM fold: per-batch state is checkpointed, so the
-    # final plan probes materialized state — 2 consolidation shuffles
-    "tpch_join_cdc_incremental": (2, 0),
+    # signed-delta IVM fold: B-state and view DELTAS are checkpointed,
+    # but the accumulated view is a LAZY union (materializing it per
+    # batch OOMed the 100x sweep — SCALE.md 9g), so the final plan
+    # carries the initial A-join's own exchanges into the consolidation:
+    # 4 shuffles, still zero SMJs (state probes stay broadcast).
+    "tpch_join_cdc_incremental": (4, 0),
 }
 
 

@@ -63,6 +63,7 @@ _PRIORITY_R6 = [
     "doc_weighted_sample",
     "emb_ivf_trained_topk",
     "doc_tokenizer_fertility",
+    "doc_lsh_incremental",
     # standing canaries
     "vs_fact",
     "vs_warehouse_load",
@@ -95,7 +96,6 @@ _PRIORITY_R6 = [
     "ev_user_profile",
     "tpch_grouping_sets",
     "doc_passage_dup",
-    "tpch_q2_min_cost_supplier",
 ]
 
 

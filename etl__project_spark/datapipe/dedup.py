@@ -109,20 +109,19 @@ def minhash_signature(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     signatures: DataFrame,
     n_bands: int = 2,
     rows_per_band: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH banding: hash each band of the signature, self-join on
-    (band_id, band_hash) → candidate near-dup pairs (a < b).
-
-    Probability a pair with Jaccard s collides ≥ 1 band:
-    1 - (1 - s^r)^b. The self-join is the scale path: only same-bucket
-    pairs are ever materialized.
-    """
-    bands = signatures.select(
+    """The LSH band table (id, band_id, band_hash): each signature's
+    ``n_bands`` row-groups hashed to one bucket key each. This IS the
+    stored dedup index — candidate pairs are whatever meets in a
+    bucket, whether via self-join (``lsh_candidate_pairs``) or via a
+    new batch probing the accumulated table
+    (``lsh_index_increment``)."""
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -144,6 +143,22 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = 2,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: hash each band of the signature, self-join on
+    (band_id, band_hash) → candidate near-dup pairs (a < b).
+
+    Probability a pair with Jaccard s collides ≥ 1 band:
+    1 - (1 - s^r)^b. The self-join is the scale path: only same-bucket
+    pairs are ever materialized.
+    """
+    bands = lsh_bands(signatures, n_bands, rows_per_band, id_col)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -158,6 +173,65 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def lsh_index_increment(
+    index_bands: DataFrame,
+    new_signatures: DataFrame,
+    n_bands: int = 2,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup AT INGEST — incremental maintenance of the LSH index: a new
+    batch of signatures probes the accumulated band table instead of
+    re-self-joining the whole corpus. Returns ``(new_pairs,
+    new_bands)``: the candidate pairs this batch creates (new-vs-index
+    plus new-vs-new, normalized to id_a < id_b) and the band rows to
+    append to the index.
+
+    Correctness contract (oracle-pinned by ``doc_lsh_incremental``):
+    folding batches through this function and unioning the per-batch
+    pairs yields EXACTLY the one-shot ``lsh_candidate_pairs`` set —
+    each pair materializes when its LATER member arrives, the earlier
+    member found by the index probe.
+
+    This is the plan a 100 TB ingest actually runs: per batch, cost is
+    O(|batch bands| × bucket fan-in) probes against a band-bucketed
+    stored table (bucket pruning makes the probe touch only matching
+    buckets), never a rescan of corpus history — the same
+    delta-vs-state discipline as ``operators/ivm.py``, applied to the
+    dedup index.
+    """
+    new_bands = lsh_bands(new_signatures, n_bands, rows_per_band, id_col)
+    i = index_bands.select(
+        F.col(id_col).alias("__old_id"), "band_id", "band_hash"
+    )
+    n = new_bands.select(
+        F.col(id_col).alias("__new_id"), "band_id", "band_hash"
+    )
+    cross = (
+        n.join(i, ["band_id", "band_hash"])
+        .filter(F.col("__old_id") != F.col("__new_id"))
+        .select(
+            F.least("__old_id", "__new_id").alias("id_a"),
+            F.greatest("__old_id", "__new_id").alias("id_b"),
+        )
+    )
+    a = new_bands.alias("a")
+    b = new_bands.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    return cross.unionByName(within).distinct(), new_bands
 
 
 def _hex_digit_val(c: Column) -> Column:

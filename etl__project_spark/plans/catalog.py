@@ -7215,3 +7215,47 @@ def doc_tokenizer_fertility(spark, sf_dir):
             / F.lit(10000.0)
         ).alias("tokens_per_100_chars"),
     )
+
+
+@query("doc_lsh_incremental", ORACLES["doc_lsh_pairs"])
+def doc_lsh_incremental(spark, sf_dir):
+    """Dedup AT INGEST: the corpus arrives in two batches (doc_id
+    parity) and the MinHash-LSH index is maintained incrementally —
+    each batch signs only ITS OWN documents, probes the accumulated
+    band table for cross-batch candidates, self-joins within the batch,
+    and appends its bands to the index
+    (``datapipe/dedup.py:lsh_index_increment``). The oracle is the
+    one-shot ``doc_lsh_pairs`` SQL over the full corpus: the hash match
+    PROVES the incremental fold finds every pair the batch self-join
+    finds (each pair materializes when its later member arrives) and
+    invents none — the delta-vs-state discipline of ``operators/ivm.py``
+    applied to the dedup index.
+
+    Per-batch cost at 100 TB: sign the batch, probe a band-bucketed
+    stored table (bucket-pruned), one within-batch band join — history
+    is never re-signed or re-self-joined. This is the shape that makes
+    continuous corpus ingestion with near-dup suppression affordable:
+    the one-shot twin re-pays the whole corpus every refresh."""
+    from etl__project_spark.datapipe.dedup import (
+        char_shingles,
+        lsh_index_increment,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    index = None
+    all_pairs = None
+    for batch in batches:
+        sig = minhash_signature(
+            char_shingles(batch, distinct=False), n_hashes=8
+        ).localCheckpoint(eager=True)
+        if index is None:
+            index = spark.createDataFrame(
+                [], "doc_id long, band_id int, band_hash string"
+            )
+        pairs, new_bands = lsh_index_increment(index, sig)
+        pairs = pairs.localCheckpoint(eager=True)
+        all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
+        index = index.unionByName(new_bands).localCheckpoint(eager=True)
+    return all_pairs.distinct()

@@ -508,3 +508,96 @@ def stream_join_view_cdc(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming dedup-index maintenance ---------------------------------------
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+LSH_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_id", T.IntegerType()),
+        T.StructField("band_hash", T.StringType()),
+    ]
+)
+LSH_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ]
+)
+
+
+def read_dedup_pairs(wh: ParquetWarehouse) -> DataFrame:
+    """All candidate near-dup pairs discovered so far (id_a < id_b)."""
+    return wh.read("lsh_pairs", LSH_PAIRS_SCHEMA)
+
+
+def stream_dedup_index(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous-ingest near-dup detection: documents arrive as a JSON-
+    lines stream and the MinHash-LSH index is maintained per micro-batch
+    — the streaming face of ``datapipe/dedup.py:lsh_index_increment``
+    (batch twin: ``doc_lsh_incremental``), and the operational core of
+    a training-corpus intake pipeline: every new document is checked
+    against EVERYTHING ingested so far, at probe cost, the moment it
+    lands.
+
+    Per micro-batch: shingle + MinHash-sign ONLY the batch, probe the
+    stored band table for cross-batch candidates, self-join within the
+    batch, then fold through exactly-once merged publishes — PAIRS
+    before INDEX (the pairs delta is a deterministic function of
+    (batch, pre-batch index), so a crash between the two publishes
+    replays to the identical delta; index-first would make the replayed
+    probe see the batch's own bands and double-report within-batch
+    pairs as cross-batch). A replayed batch no-ops on both tables.
+
+    At 100 TB the band table is stored bucketed by (band_id, band_hash)
+    so the probe is bucket-pruned; corpus history is never re-signed.
+    """
+    from etl__project_spark.datapipe.dedup import (
+        char_shingles,
+        lsh_index_increment,
+        minhash_signature,
+    )
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        sig = minhash_signature(
+            char_shingles(batch, distinct=False), n_hashes=8
+        ).localCheckpoint(eager=True)
+        index = wh.read("lsh_index", LSH_INDEX_SCHEMA)
+        pairs, new_bands = lsh_index_increment(index, sig)
+        wh.publish_merged(
+            "lsh_pairs",
+            pairs,
+            LSH_PAIRS_SCHEMA,
+            str(batch_id),
+            lambda ex, d: ex.unionByName(d).distinct(),
+        )
+        wh.publish_merged(
+            "lsh_index",
+            new_bands,
+            LSH_INDEX_SCHEMA,
+            str(batch_id),
+            lambda ex, d: ex.unionByName(d),
+        )
+
+    docs = spark.readStream.schema(DOC_SCHEMA).json(landing_dir)
+    writer = docs.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

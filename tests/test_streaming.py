@@ -476,3 +476,54 @@ def test_streaming_signed_join_view_matches_one_shot(spark, tmp_path):
     assert [r for r in got if r[0] == 2] == [(2, 102, 2.5, 1), (2, 202, 2.5, 1)]
     # key 5 never arrived in B; key 3 was deleted
     assert not [r for r in got if r[0] in (3, 5)]
+
+
+def test_streaming_dedup_index_matches_one_shot_lsh(spark, tmp_path):
+    """Documents streamed in three micro-batches through
+    stream_dedup_index must accumulate exactly the one-shot LSH
+    candidate-pair set over the full corpus — cross-batch pairs found
+    by the index probe, within-batch pairs by the batch self-join, and
+    a replayed batch adding nothing."""
+    import json
+
+    from etl__project_spark.datapipe.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.sources import load_table
+    from etl__project_spark.streaming.pipeline import (
+        read_dedup_pairs,
+        stream_dedup_index,
+    )
+
+    landing = str(tmp_path / "doc_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "dedup_wh")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+
+    def run_batch(i, batch_rows):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for did, text in batch_rows:
+                fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        q = stream_dedup_index(spark, landing, wh_root, ckpt)
+        q.awaitTermination(180)
+        q.stop()
+
+    for i in range(3):
+        run_batch(i, [r for r in rows if r[0] % 3 == i])
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = sorted(map(tuple, read_dedup_pairs(wh).collect()))
+    sig = minhash_signature(char_shingles(docs, distinct=False), n_hashes=8)
+    want = sorted(map(tuple, lsh_candidate_pairs(sig).collect()))
+    assert got == want
+    assert len(got) > 0  # non-vacuous: the fixture has near-dups

@@ -79,3 +79,57 @@ def referential_orphans(
         F.col("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def column_stats(
+    df: DataFrame,
+    table_name: str,
+    cols: list[str],
+) -> DataFrame:
+    """ANALYZE TABLE-style per-column statistics — the inputs a
+    cost-based optimizer (and a data engineer sizing a query) actually
+    uses: row count, null count, distinct count, min/max — one row per
+    column, every column's stats fused into a SINGLE aggregate pass
+    over one column-pruned scan (never a pass per column).
+
+    Distinct counts here are EXACT (oracle-comparable); at 100 TB the
+    drop-in is ``approx_count_distinct`` or the repo's mergeable HLL
+    registers (``datapipe/sketches.py``) — same plan shape, bounded
+    state, and the stats table is maintainable per partition + merge.
+    min/max are emitted as strings so heterogeneous column types share
+    one output schema (the same choice Spark's own DESCRIBE makes).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nulls_{c}"),
+            F.countDistinct(c).alias(f"__ndv_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    picks = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__ndv_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return (
+        one.select(F.explode(F.array(*picks)).alias("s"))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            "s.column_name",
+            "s.n_rows",
+            "s.n_nulls",
+            "s.n_distinct",
+            "s.min_value",
+            "s.max_value",
+        )
+    )

@@ -7259,3 +7259,51 @@ def doc_lsh_incremental(spark, sf_dir):
         all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
         index = index.unionByName(new_bands).localCheckpoint(eager=True)
     return all_pairs.distinct()
+
+
+@query(
+    "tpch_column_stats",
+    """WITH one AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_q,
+         count(DISTINCT l_quantity)::BIGINT AS nd_q,
+         min(l_quantity)::VARCHAR AS mn_q, max(l_quantity)::VARCHAR AS mx_q,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_s,
+         count(DISTINCT l_shipdate)::BIGINT AS nd_s,
+         min(l_shipdate)::VARCHAR AS mn_s, max(l_shipdate)::VARCHAR AS mx_s,
+         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_r,
+         count(DISTINCT l_returnflag)::BIGINT AS nd_r,
+         min(l_returnflag)::VARCHAR AS mn_r, max(l_returnflag)::VARCHAR AS mx_r,
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_o,
+         count(DISTINCT l_orderkey)::BIGINT AS nd_o,
+         min(l_orderkey)::VARCHAR AS mn_o, max(l_orderkey)::VARCHAR AS mx_o
+  FROM lineitem
+)
+SELECT 'lineitem' AS table_name, 'l_quantity' AS column_name,
+       n AS n_rows, nu_q AS n_nulls, nd_q AS n_distinct,
+       mn_q AS min_value, mx_q AS max_value FROM one
+UNION ALL SELECT 'lineitem', 'l_shipdate', n, nu_s, nd_s, mn_s, mx_s FROM one
+UNION ALL SELECT 'lineitem', 'l_returnflag', n, nu_r, nd_r, mn_r, mx_r FROM one
+UNION ALL SELECT 'lineitem', 'l_orderkey', n, nu_o, nd_o, mn_o, mx_o FROM one""",
+)
+def tpch_column_stats(spark, sf_dir):
+    """ANALYZE-style table/column statistics over the biggest fixture
+    table (``operators/quality.py:column_stats``): row count, nulls,
+    distinct count, min/max per column — the CBO's food, and the first
+    thing an engineer asks of an unfamiliar 100 TB table. All four
+    columns' stats fuse into ONE aggregate pass over one column-pruned
+    scan; the oracle computes identical stats per column and stacks
+    them, so the hash match covers the fused-vs-stacked equivalence.
+    Exact NDV is the oracle-portable choice; the documented scale path
+    swaps in approx_count_distinct / the mergeable HLL registers with
+    the same plan shape.
+
+    Timestamp min/max stringify identically on both engines because the
+    session is pinned UTC and the fixture's timestamps are
+    micro-precision (the §9b property)."""
+    from etl__project_spark.operators.quality import column_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return column_stats(
+        li, "lineitem", ["l_quantity", "l_shipdate", "l_returnflag", "l_orderkey"]
+    )

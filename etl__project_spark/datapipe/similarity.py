@@ -554,6 +554,63 @@ def pq_topk(
     )
 
 
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    shortlist: int = 50,
+    k: int = 10,
+    query_id: int = 0,
+    train_iters: int = 2,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codewords: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage PQ retrieval: ADC shortlist → EXACT rerank — the shape
+    every production PQ index actually serves (FAISS's IVFPQ+refine;
+    Jégou et al. 2011 §V.D). Stage 1 ranks the whole corpus by the
+    compressed-domain approximate dot (``pq_topk``) and keeps the top
+    ``shortlist`` ids; stage 2 re-scores ONLY those by exact cosine
+    against the raw vectors and returns the top ``k``. Lossy ADC picks
+    WHICH vectors to touch; exact math decides the final ranking — so
+    recall is bounded by shortlist coverage, not by quantization noise
+    in the final ordering (the recall gap ``emb_pq_recall_audit``
+    measures on the raw ADC ranking closes here; the rerank test pins
+    rerank ⊇ ADC overlap with ground truth).
+
+    Distributed shape: the shortlist is ``shortlist`` ids — bytes —
+    broadcast into a semi-join against the corpus, so the rerank stage
+    reads ``shortlist`` rows however large the corpus is; the exact
+    rescore touches ``shortlist × d`` floats. At 100 TB the stage-1 scan
+    reads only the 8-byte code column (32× less IO than raw vectors) and
+    stage 2 fetches raw vectors for a few dozen ids — the whole point of
+    the compressed index. Determinism: stage 1 is the micro-unit ADC
+    ranking; stage 2 ranks on 4 dp-rounded cosine with id tiebreaks.
+    """
+    sl = pq_topk(
+        embeddings,
+        n_sub=n_sub,
+        sub_dim=sub_dim,
+        n_codewords=n_codewords,
+        k=shortlist,
+        query_id=query_id,
+        train_iters=train_iters,
+        vec_col=vec_col,
+        id_col=id_col,
+    ).select(id_col)
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    sim = cosine_components(F.col(vec_col), F.col("__qvec"))
+    return (
+        embeddings.join(F.broadcast(sl), id_col, "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), F.round(sim, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def kmeans_iterate(
     embeddings: DataFrame,
     k: int = 4,

@@ -64,6 +64,10 @@ _PRIORITY_R6 = [
     "emb_ivf_trained_topk",
     "doc_tokenizer_fertility",
     "doc_lsh_incremental",
+    "tpch_column_stats",
+    "emb_pq_rerank_topk",
+    "doc_dsir_weights",
+    "ev_join_size_est",
     # standing canaries
     "vs_fact",
     "vs_warehouse_load",
@@ -92,10 +96,6 @@ _PRIORITY_R6 = [
     "tpch_q22_idle_balance",
     "emb_ivf_topk",
     "ev_pivot_type_counts",
-    "ev_unpivot_type_counts",
-    "ev_user_profile",
-    "tpch_grouping_sets",
-    "doc_passage_dup",
 ]
 
 

@@ -503,3 +503,88 @@ def bpe_encode(
             F.sum("n_syms").cast("long").alias("n_tokens"),
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_sources: list[str],
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by the log-likelihood ratio
+    log p_target(x) / log p_raw(x) under two hashed-unigram bag-of-
+    words models — target = documents from ``target_sources`` (the
+    curated distribution you want more of), raw = the whole corpus.
+    High scores = documents that look like the target; feed the scores
+    to ``weighted_sample_without_replacement`` (A-ES) for the
+    resampling half of DSIR, or threshold for hard selection.
+
+    Distributed shape: words hash into ``n_buckets`` feature buckets
+    (md5-based, engine-portable), and BOTH models come from ONE hash
+    aggregate over the token stream (c_raw = count, c_target =
+    conditional count — the target is a subset of raw, so no second
+    pass). The finished model is ``n_buckets`` rows — KBs at any
+    corpus size — broadcast back onto the token stream, so scoring is
+    a narrow map + one doc-keyed aggregate: two shuffles total, one on
+    a fixed-size keyspace, exactly the ``doc_unigram_logprob`` shape.
+
+    Cross-engine determinism: per-bucket log ratios (add-1 smoothed)
+    are quantized to integer micro-units BEFORE the per-doc sum, so
+    document scores are exact BIGINT arithmetic; the single final
+    divide is half-up-rounded to 4 dp.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(source_col).isin(target_sources).alias("__is_t"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    )
+    tk = toks.select(
+        id_col,
+        "__is_t",
+        (
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("__b"),
+    )
+    model = tk.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).cast("long").alias("c_t"),
+    )
+    tot = model.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    lam = F.floor(
+        (
+            F.log(
+                (F.col("c_t") + 1).cast("double")
+                / (F.col("n_t") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("c_r") + 1).cast("double")
+                / (F.col("n_r") + n_buckets).cast("double")
+            )
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = model.crossJoin(F.broadcast(tot)).select("__b", lam.alias("__lm"))
+    return (
+        tk.join(F.broadcast(scored), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("__lm").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("dsir_logratio"),
+        )
+    )

@@ -7339,3 +7339,154 @@ def tpch_column_stats(spark, sf_dir):
     return column_stats(
         li, "lineitem", ["l_quantity", "l_shipdate", "l_returnflag", "l_orderkey"]
     )
+
+
+@query(
+    "doc_dsir_weights",
+    r"""WITH toks AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+         unnest(string_split_regex(lower(text), '\s+')) AS word
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+  FROM toks
+),
+model AS (
+  SELECT b, count(*)::BIGINT AS c_r,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS c_t
+  FROM tk GROUP BY b
+),
+tot AS (SELECT sum(c_r)::BIGINT AS n_r, sum(c_t)::BIGINT AS n_t FROM model),
+lam AS (
+  SELECT b,
+         floor((ln((c_t + 1)::DOUBLE / (n_t + 1024)::DOUBLE)
+               - ln((c_r + 1)::DOUBLE / (n_r + 1024)::DOUBLE)) * 1000000
+               + 0.5)::BIGINT AS lm
+  FROM model CROSS JOIN tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       floor(sum(lm)::DOUBLE / count(*) / 100.0 + 0.5) / 10000.0
+           AS dsir_logratio
+FROM tk JOIN lam USING (b)
+GROUP BY doc_id""",
+)
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023) — targeted data
+    selection, the published upgrade over the corpus-intrinsic quality
+    scores (``doc_unigram_logprob`` scores fluency under the corpus's
+    OWN distribution; DSIR scores similarity to a chosen TARGET
+    distribution): hashed-unigram models for target (sources src0/src1
+    standing in for the curated set) and raw (whole corpus), per-doc
+    log-likelihood ratio, length-normalized. Compose with
+    ``doc_weighted_sample`` (A-ES) for the resampling half. Both
+    models come from ONE bounded hash aggregate (1024 feature buckets)
+    broadcast back onto the token stream — two shuffles total, model
+    size independent of corpus size. See
+    ``datapipe/text.py:dsir_weights`` for the full scale story."""
+    from etl__project_spark.datapipe.text import dsir_weights
+
+    return dsir_weights(
+        load_table(spark, sf_dir, "documents"), target_sources=["src0", "src1"]
+    )
+
+
+@query(
+    "ev_join_size_est",
+    """WITH rows4 AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+a AS (SELECT user_id::VARCHAR AS uid FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id::VARCHAR AS uid FROM events WHERE event_type = 'purchase'),
+sa AS (
+  SELECT r, ('0x' || substr(md5(uid || 'cms' || r), 1, 15))::BIGINT % 64 AS bk,
+         count(*)::BIGINT AS c
+  FROM a CROSS JOIN rows4 GROUP BY r, bk
+),
+sb AS (
+  SELECT r, ('0x' || substr(md5(uid || 'cms' || r), 1, 15))::BIGINT % 64 AS bk,
+         count(*)::BIGINT AS c
+  FROM b CROSS JOIN rows4 GROUP BY r, bk
+),
+ip AS (
+  SELECT sa.r, sum(sa.c * sb.c)::BIGINT AS ip
+  FROM sa JOIN sb ON sa.r = sb.r AND sa.bk = sb.bk GROUP BY sa.r
+),
+est AS (SELECT min(ip)::BIGINT AS est_size FROM ip),
+exact AS (
+  SELECT sum(ca.na * cb.nb)::BIGINT AS exact_size
+  FROM (SELECT user_id, count(*)::BIGINT AS na FROM events
+        WHERE event_type = 'click' GROUP BY user_id) ca
+  JOIN (SELECT user_id, count(*)::BIGINT AS nb FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id) cb USING (user_id)
+)
+SELECT exact_size, est_size, est_size >= exact_size AS no_underestimate,
+       round((est_size - exact_size)::DOUBLE / exact_size, 4) AS rel_error
+FROM exact CROSS JOIN est""",
+)
+def ev_join_size_est(spark, sf_dir):
+    """JOIN-CARDINALITY estimation from mergeable sketches — the CBO
+    primitive behind join reordering: |A ⋈_k B| = Σ_k cntA(k)·cntB(k)
+    is the inner product of the two keys' frequency vectors, and the
+    count-min inner product Σ_b cmsA[r][b]·cmsB[r][b] (min over hash
+    rows) estimates it WITHOUT touching the other table's rows — each
+    side's 4×64 sketch is built independently (shippable, mergeable,
+    256 cells regardless of key cardinality), so at 100 TB the
+    optimizer prices every candidate join order from KB-sized sketch
+    metadata. The CMS guarantee (Cormode & Muthukrishnan 2005 §4.2):
+    never an underestimate — emitted as a checked column alongside the
+    exact size and relative error.
+
+    Distributed shape: each sketch is ONE bounded hash aggregate (the
+    ``ev_heavy_hitters_cms`` pattern); the inner product joins two
+    256-row frames. The exact twin aggregates per-key counts — its
+    shuffle carries (key, BIGINT) pairs, never the joined rows
+    themselves (the join is priced, not executed)."""
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    d, w = 4, 64
+
+    def sketch(df):
+        cells = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("r"),
+                        hash_bucket(F.col("user_id"), w, salt=f"cms{j}").alias("b"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        )
+        return (
+            df.select(cells.alias("x"))
+            .select("x.r", "x.b")
+            .groupBy("r", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    est = (
+        sketch(a)
+        .join(sketch(b).withColumnRenamed("c", "cb"), ["r", "b"])
+        .groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est_size"))
+    )
+    ca = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("na"))
+    cb = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb"))
+    exact = (
+        ca.join(cb, "user_id")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_size"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_size",
+        "est_size",
+        (F.col("est_size") >= F.col("exact_size")).alias("no_underestimate"),
+        F.round(
+            (F.col("est_size") - F.col("exact_size")).cast("double")
+            / F.col("exact_size"),
+            4,
+        ).alias("rel_error"),
+    )

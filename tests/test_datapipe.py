@@ -760,3 +760,38 @@ def test_winnowing_guarantee_shared_span_shares_fingerprint(spark, monkeypatch):
     }
     assert shared_hashes
     assert not ({h for h, _ in model(rows[0][1])} & {h for h, _ in model(rows[2][1])})
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs that look like the target distribution must out-score docs
+    that don't, and mixed docs land in between; model joins broadcast
+    (the 1024-bucket model is KBs at any corpus size)."""
+    from etl__project_spark.datapipe.text import dsir_weights
+
+    rows = [
+        (0, "alpha alpha alpha alpha", "tgt"),
+        (1, "alpha alpha alpha alpha", "raw"),   # target-LIKE, raw-sourced
+        (2, "beta beta beta beta", "raw"),
+        (3, "alpha alpha beta beta", "raw"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(df, target_sources=["tgt"]).collect()
+    }
+    assert all(out[i]["n_tokens"] == 4 for i in out)
+    # identical text ⇒ identical score regardless of the doc's own source
+    assert out[0]["dsir_logratio"] == out[1]["dsir_logratio"]
+    assert out[0]["dsir_logratio"] > out[3]["dsir_logratio"] > out[2]["dsir_logratio"]
+
+    from etl__project_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["doc_dsir_weights"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -300,6 +300,11 @@ SINGLE_PARTITION_CENSUS = {
     "doc_quality_pctl_filter": 0,
     "doc_bigram_logprob": 1,  # corpus-total (n_total) agg finalize
     "doc_simhash_pairs": 0,
+    # new in r6, all bounded by construction:
+    "tpch_column_stats": 1,  # the fused all-columns 1-row agg finalize
+    "doc_dsir_weights": 1,  # model-totals (n_r, n_t) 1-row agg finalize
+    "ev_join_size_est": 2,  # est-min + exact-size 1-row agg finalizes
+    "emb_pq_rerank_topk": 1,  # stage-1 ADC global top-50 limit (50 rows)
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

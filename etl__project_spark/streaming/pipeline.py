@@ -601,3 +601,98 @@ def stream_dedup_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming SCD Type-2 dimension maintenance -----------------------------
+
+SCD2_DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("attr", T.StringType()),
+        T.StructField("load_date", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+SCD2_DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("skey", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("attr", T.StringType()),
+        T.StructField("current_flag", T.StringType()),
+        T.StructField("start_date", T.DateType()),
+        T.StructField("end_date", T.DateType()),
+    ]
+)
+
+
+def read_scd2_dim(wh: ParquetWarehouse) -> DataFrame:
+    """The maintained SCD2 dimension (all versions; filter
+    ``current_flag = 'Y'`` for the serving view)."""
+    return wh.read("scd2_dim", SCD2_DIM_SCHEMA)
+
+
+def stream_scd2_dim(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain an SCD Type-2 dimension from a streaming feed of
+    attribute-change records — the streaming face of
+    ``operators/dims.py:scd2_upsert`` (batch twin: ``vs_scd2_upsert``),
+    and the missing operational half of the reference's warehouse
+    design (summary.pdf p.8 documents SCD2; the reference never coded
+    even the batch version). Each change record carries
+    (natural key, attrs, load_date, seq); per micro-batch the current
+    dim versions are expired and new versions inserted via the exact
+    batch algorithm, folded through one exactly-once merged publish —
+    a replayed batch no-ops, so redelivery can't double-expire a row
+    or burn surrogate keys (the ``publish_merged`` batch-id ledger is
+    the idempotence, not the algorithm).
+
+    Batches are expected key-disjoint-per-day (the daily-dim-delta
+    shape); a batch spanning several load dates applies under its
+    LATEST date — one bounded 1-row driver read per batch, documented
+    the same way the d²-cell covariance read is. Within-batch conflict
+    collapse (several versions of one key in one batch) is
+    ``scd2_upsert``'s last-writer-wins on ``seq``.
+
+    At 100 TB the dim is orders of magnitude smaller than the facts
+    (publish_merged's documented small-state contract); the upsert's
+    joins stay broadcast on the delta side, and surrogate-key density
+    survives restarts because keys come from the PUBLISHED dim's max,
+    never from in-memory state.
+    """
+    from etl__project_spark.operators.dims import scd2_upsert
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        b = batch.localCheckpoint(eager=True)
+        first = b.agg(F.max("load_date").alias("ld")).first()
+        if first["ld"] is None:
+            return
+        load_date = first["ld"]
+
+        def merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
+            return scd2_upsert(
+                existing,
+                delta.select("name", "attr", "seq"),
+                natural_key="name",
+                attr_cols=["attr"],
+                skey_col="skey",
+                load_date=load_date,
+                order_col="seq",
+            ).select([f.name for f in SCD2_DIM_SCHEMA.fields])
+
+        wh.publish_merged("scd2_dim", b, SCD2_DIM_SCHEMA, str(batch_id), merge)
+
+    deltas = spark.readStream.schema(SCD2_DELTA_SCHEMA).json(landing_dir)
+    writer = deltas.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

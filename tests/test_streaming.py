@@ -527,3 +527,92 @@ def test_streaming_dedup_index_matches_one_shot_lsh(spark, tmp_path):
     want = sorted(map(tuple, lsh_candidate_pairs(sig).collect()))
     assert got == want
     assert len(got) > 0  # non-vacuous: the fixture has near-dups
+
+
+def test_streaming_scd2_dim_matches_one_shot(spark, tmp_path):
+    """Three daily delta files stream through stream_scd2_dim; the
+    maintained dimension must equal the one-shot fold of scd2_upsert
+    over the same batches in order, and a full replay (fresh checkpoint,
+    same files, same warehouse) must no-op via the batch-id ledger."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators.dims import scd2_upsert
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        SCD2_DIM_SCHEMA,
+        read_scd2_dim,
+        stream_scd2_dim,
+    )
+
+    landing = str(tmp_path / "scd2_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "scd2_wh")
+    ckpt = str(tmp_path / "scd2_ckpt")
+
+    batches = [
+        # day 1: two new keys; key A appears twice (seq collapse -> x2 wins)
+        ("2024-01-01", [("A", "x1", 1), ("A", "x2", 2), ("B", "y1", 3)]),
+        # day 2: A changes (expire + new version), B unchanged (no-op), C new
+        ("2024-01-02", [("A", "x3", 4), ("B", "y1", 5), ("C", "z1", 6)]),
+        # day 3: delete-free day — only C changes
+        ("2024-01-03", [("C", "z2", 7)]),
+    ]
+
+    def run_batch(i, ld, rows, ckpt_dir):
+        with open(os.path.join(landing, f"d{i}.jsonl"), "w") as fh:
+            for name, attr, seq in rows:
+                fh.write(
+                    json.dumps(
+                        {"name": name, "attr": attr, "load_date": ld, "seq": seq}
+                    )
+                    + "\n"
+                )
+        q = stream_scd2_dim(spark, landing, wh_root, ckpt_dir)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, (ld, rows) in enumerate(batches):
+        run_batch(i, ld, rows, ckpt)
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = sorted(
+        (r["name"], r["attr"], r["current_flag"], str(r["start_date"]),
+         str(r["end_date"]))
+        for r in read_scd2_dim(wh).collect()
+    )
+
+    # one-shot fold of the same batches through the batch operator
+    dim = spark.createDataFrame([], SCD2_DIM_SCHEMA)
+    for ld, rows in batches:
+        delta = spark.createDataFrame(
+            [(n, a, s) for n, a, s in rows], "name string, attr string, seq long"
+        )
+        dim = scd2_upsert(
+            dim, delta, "name", ["attr"], "skey", ld, order_col="seq"
+        ).localCheckpoint(eager=True)
+    want = sorted(
+        (r["name"], r["attr"], r["current_flag"], str(r["start_date"]),
+         str(r["end_date"]))
+        for r in dim.collect()
+    )
+    assert got == want
+    # invariants: exactly one current row per key; A has history
+    cur = read_scd2_dim(wh).filter(F.col("current_flag") == "Y")
+    assert sorted(
+        (r["name"], r["attr"]) for r in cur.collect()
+    ) == [("A", "x3"), ("B", "y1"), ("C", "z2")]
+    n_versions = read_scd2_dim(wh).count()
+    assert n_versions == 5  # A x2(hist)+x3, B y1, C z1(hist)+z2
+    # surrogate keys dense and unique across restarts
+    skeys = sorted(r["skey"] for r in read_scd2_dim(wh).collect())
+    assert skeys == list(range(5))
+
+    # full replay with a fresh checkpoint: ledger makes every batch no-op
+    v_before = wh._current("scd2_dim")
+    q = stream_scd2_dim(spark, landing, wh_root, str(tmp_path / "scd2_ckpt2"))
+    q.awaitTermination(120)
+    q.stop()
+    assert wh._current("scd2_dim") == v_before
+    assert read_scd2_dim(wh).count() == 5

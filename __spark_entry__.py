@@ -64,6 +64,7 @@ _PRIORITY_R6 = [
     "emb_ivf_trained_topk",
     "doc_tokenizer_fertility",
     "doc_lsh_incremental",
+    "ev_peak_concurrency",
     "tpch_column_stats",
     "emb_pq_rerank_topk",
     "doc_dsir_weights",
@@ -95,7 +96,6 @@ _PRIORITY_R6 = [
     "tpch_q18_big_orders",
     "tpch_q22_idle_balance",
     "emb_ivf_topk",
-    "ev_pivot_type_counts",
 ]
 
 

@@ -7490,3 +7490,130 @@ def ev_join_size_est(spark, sf_dir):
             4,
         ).alias("rel_error"),
     )
+
+
+@query(
+    "ev_peak_concurrency",
+    """WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+),
+sess AS (
+  SELECT user_id, session_no, min(ts) AS start_ts, max(ts) AS end_ts
+  FROM numbered GROUP BY user_id, session_no
+),
+b AS (
+  SELECT start_ts AS ts, 1 AS delta, user_id, session_no FROM sess
+  UNION ALL
+  SELECT end_ts, -1, user_id, session_no FROM sess
+),
+r AS (
+  SELECT ts, delta,
+         sum(delta) OVER (ORDER BY ts, delta DESC, user_id, session_no
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM b
+)
+SELECT ts::DATE AS day,
+       max(greatest(running, running - delta))::BIGINT AS peak_concurrency
+FROM r GROUP BY day""",
+)
+def ev_peak_concurrency(spark, sf_dir):
+    """Peak CONCURRENT sessions per day — the capacity-planning number
+    — by distributed sweep-line: sessions (30-min-gap, the
+    ``ev_sessionize`` definition) become ±1 boundary events, and the
+    answer is the max of their running sum. The naive formulations are
+    both scale-killers: an interval self-join is O(N²) in overlaps,
+    and a single global-order window is one partition by definition.
+    The scalable shape used here is the two-level prefix sum: running
+    sums WITHIN each day partition (parallel across days), plus a
+    carry-in of prior-day totals computed on the tiny per-day
+    aggregate (≤ |days| rows) and broadcast back — global running =
+    carry + local running, exactly; at higher volume the inner
+    partition drops to hours with the same carry algebra. Ties order
+    +1 before −1, so touching sessions count as concurrent and
+    single-event sessions register. The oracle computes the SAME
+    number with one global-order window — the hash match proves the
+    two-level decomposition.
+
+    Each boundary row contributes BOTH its after-event value and its
+    before-event value (``running − delta``) as peak candidates: the
+    before-value of a day's first row is the start-of-day concurrency,
+    so a day whose only boundary is a session END still reports the
+    sessions it inherited (carry alone would otherwise be invisible).
+    Days with no session boundary at all don't emit a row (no change
+    in the running sum — their concurrency equals the carry)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag(F.unix_micros("ts")).over(wu)
+    new_s = F.when(
+        lag_us.isNull() | ((F.unix_micros("ts") - lag_us) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    numbered = ev.withColumn("new_session", new_s).withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    # one explode, not a two-branch union: the (two-window) session
+    # derivation appears ONCE per consumer, and the identical user_id
+    # exchange below it is reused across consumers (ReusedExchange)
+    b = sess.select(
+        "user_id",
+        "session_no",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_ts").alias("ts"), F.lit(1).alias("delta")
+                ),
+                F.struct(F.col("end_ts").alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select(
+        "user_id", "session_no", "e.ts", "e.delta", F.to_date("e.ts").alias("day")
+    )
+    # materialize the boundary stream once: it is 2×|sessions| rows —
+    # orders of magnitude smaller than events — and three consumers
+    # (local running, day totals, carry) would otherwise each re-run
+    # the scan + two session windows (Catalyst plans branches
+    # independently; no common-subplan materialization in the DF API)
+    b = b.localCheckpoint(eager=True)
+    wd = (
+        Window.partitionBy("day")
+        .orderBy("ts", F.desc("delta"), "user_id", "session_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("running", F.sum("delta").over(wd))
+    day_tot = b.groupBy("day").agg(F.sum("delta").alias("day_total"))
+    wc = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_tot.withColumn(
+        "carry", F.coalesce(F.sum("day_total").over(wc), F.lit(0))
+    ).select("day", "carry")
+    after = F.col("carry") + F.col("running")
+    return (
+        local.join(F.broadcast(carry), "day")
+        .groupBy("day")
+        .agg(
+            F.max(F.greatest(after, after - F.col("delta")))
+            .cast("long")
+            .alias("peak_concurrency")
+        )
+    )

@@ -481,3 +481,52 @@ def test_pq_rerank_closes_adc_recall_gap(spark):
     }
     assert len(exact & rerank) >= len(exact & adc)
     assert len(exact & rerank) >= 5
+
+
+def test_peak_concurrency_sweep_line_semantics(spark, monkeypatch):
+    """Hand-built intervals: overlap counting, +1-before-−1 tie order
+    (touching sessions concurrent), single-event sessions, session
+    splitting at the 30-min gap, and a session spanning midnight —
+    the cross-day carry must surface on a day whose ONLY boundary is
+    that session's end (the before-event peak candidate)."""
+    # user 1: events 23:00 (gap 50 min ⇒ own session), then 23:50 →
+    #   Jan 2 00:10 → 00:20 (gaps ≤ 30 ⇒ ONE session crossing
+    #   midnight: +1 on Jan 1 at 23:50, −1 on Jan 2 at 00:20 — Jan 2
+    #   has only that −1, so its peak comes from the carry).
+    # user 2: [23:10, 23:40]; user 3: [23:20, 23:30];
+    # user 4: single event at 23:30, exactly as user 3 ends — the +1
+    #   sorts before the −1, so all of users 2,3,4 overlap there.
+    rows = [
+        (1, 1, 23, 0, 1), (2, 1, 23, 50, 1),
+        (3, 2, 0, 10, 1), (4, 2, 0, 20, 1),
+        (5, 1, 23, 10, 2), (6, 1, 23, 40, 2),
+        (7, 1, 23, 20, 3), (8, 1, 23, 30, 3),
+        (9, 1, 23, 30, 4),
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, d, h, mi), u, "view", 1.0, "{}")
+            for (i, d, h, mi, u) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        str(r["day"]): r["peak_concurrency"]
+        for r in _run_on(monkeypatch, df, "ev_peak_concurrency", spark).collect()
+    }
+    # Jan 1 at 23:30: user 2 active, user 3 still active, user 4's
+    # instant session joins ⇒ peak 3 (user 1's sessions don't overlap
+    # them until 23:50, when only user 2... has ended — running 1).
+    # Jan 2: user 1's midnight-spanning session alone ⇒ carry 1, and
+    # the only boundary is its −1: before-event candidate keeps 1.
+    assert out == {"2024-01-01": 3, "2024-01-02": 1}
+
+
+def test_peak_concurrency_day_partitioned_no_global_window(spark):
+    # the two-level prefix sum: within-day windows partition by day;
+    # the only single-partition window is the per-day carry (≤ |days|
+    # rows) — the boundary-event stream itself never globally sorts.
+    plan = plan_of(QUERIES["ev_peak_concurrency"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(day") >= 1

@@ -305,6 +305,7 @@ SINGLE_PARTITION_CENSUS = {
     "doc_dsir_weights": 1,  # model-totals (n_r, n_t) 1-row agg finalize
     "ev_join_size_est": 2,  # est-min + exact-size 1-row agg finalizes
     "emb_pq_rerank_topk": 1,  # stage-1 ADC global top-50 limit (50 rows)
+    "ev_peak_concurrency": 1,  # per-day carry prefix sum (<= |days| rows)
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

@@ -133,3 +133,74 @@ def column_stats(
             "s.max_value",
         )
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    table_name: str,
+    cols: list[str],
+    scale: int = 100,
+) -> DataFrame:
+    """Pearson correlation for every column pair, all pairs fused into
+    ONE aggregate pass — the multivariate completion of
+    :func:`column_stats` (per-column min/max/NDV tell the optimizer
+    about single columns; pairwise correlation is what predicate
+    correlation / multi-column selectivity estimation actually needs,
+    and the first EDA question on an unfamiliar table).
+
+    Cross-engine determinism (the ``emb_covariance`` discipline):
+    values are quantized to ``scale`` micro-units, and all five
+    sufficient statistics per pair (n, Σx, Σy, Σxy, Σx², Σy²) are
+    EXACT wide-integer sums (decimal(38,0) here, HUGEINT in the DuckDB
+    twin) — immune to float summation order. Only the final
+    r = (nΣxy − ΣxΣy) / √(nΣx²−(Σx)²)·√(nΣy²−(Σy)²) converts the
+    exact integers to double (identical IEEE rounding on both
+    engines), with one half-even round to 4 dp.
+
+    Distributed shape: one column-pruned scan, one two-phase hash
+    aggregate whose exchange carries a single row of
+    |cols|·(|cols|+3)/2 + 1 wide integers; the pair explode is a
+    1-row driver-side-free select. O(1) state regardless of row count
+    — the same plan at 100 TB.
+    """
+    from itertools import combinations
+
+    m = {
+        c: F.floor(F.col(c) * scale + F.lit(0.5)).cast("decimal(20,0)")
+        for c in cols
+    }
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(m[c]).cast("decimal(38,0)").alias(f"__s_{c}"))
+        aggs.append(F.sum(m[c] * m[c]).cast("decimal(38,0)").alias(f"__ss_{c}"))
+    pairs = list(combinations(cols, 2))
+    for a, b in pairs:
+        aggs.append(
+            F.sum(m[a] * m[b]).cast("decimal(38,0)").alias(f"__sp_{a}_{b}")
+        )
+    one = df.agg(*aggs)
+
+    def r_of(a: str, b: str):
+        n = F.col("__n")
+        num = (n * F.col(f"__sp_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")).cast(
+            "double"
+        )
+        d1 = (n * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")).cast(
+            "double"
+        )
+        d2 = (n * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")).cast(
+            "double"
+        )
+        return F.round(num / (F.sqrt(d1) * F.sqrt(d2)), 4)
+
+    picks = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            r_of(a, b).alias("corr"),
+        )
+        for a, b in pairs
+    ]
+    return one.select(F.explode(F.array(*picks)).alias("s")).select(
+        F.lit(table_name).alias("table_name"), "s.col_a", "s.col_b", "s.corr"
+    )

@@ -7617,3 +7617,41 @@ def ev_peak_concurrency(spark, sf_dir):
             .alias("peak_concurrency")
         )
     )
+
+
+@query(
+    "tpch_corr_matrix",
+    """WITH m AS (SELECT floor(l_quantity*100+0.5)::BIGINT AS q, floor(l_extendedprice*100+0.5)::BIGINT AS p, floor(l_discount*100+0.5)::BIGINT AS d, floor(l_tax*100+0.5)::BIGINT AS t FROM lineitem),
+s AS (SELECT count(*)::HUGEINT AS n, sum(q)::HUGEINT AS s_q, sum(q*q)::HUGEINT AS ss_q, sum(p)::HUGEINT AS s_p, sum(p*p)::HUGEINT AS ss_p, sum(d)::HUGEINT AS s_d, sum(d*d)::HUGEINT AS ss_d, sum(t)::HUGEINT AS s_t, sum(t*t)::HUGEINT AS ss_t, sum(q*p)::HUGEINT AS sp_qp, sum(q*d)::HUGEINT AS sp_qd, sum(q*t)::HUGEINT AS sp_qt, sum(p*d)::HUGEINT AS sp_pd, sum(p*t)::HUGEINT AS sp_pt, sum(d*t)::HUGEINT AS sp_dt FROM m)
+SELECT 'lineitem' AS table_name, 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round((n*sp_qp - s_q*s_p)::DOUBLE / (sqrt((n*ss_q - s_q*s_q)::DOUBLE) * sqrt((n*ss_p - s_p*s_p)::DOUBLE)), 4) AS corr FROM s
+UNION ALL SELECT 'lineitem' AS table_name, 'l_quantity' AS col_a, 'l_discount' AS col_b,
+       round((n*sp_qd - s_q*s_d)::DOUBLE / (sqrt((n*ss_q - s_q*s_q)::DOUBLE) * sqrt((n*ss_d - s_d*s_d)::DOUBLE)), 4) AS corr FROM s
+UNION ALL SELECT 'lineitem' AS table_name, 'l_quantity' AS col_a, 'l_tax' AS col_b,
+       round((n*sp_qt - s_q*s_t)::DOUBLE / (sqrt((n*ss_q - s_q*s_q)::DOUBLE) * sqrt((n*ss_t - s_t*s_t)::DOUBLE)), 4) AS corr FROM s
+UNION ALL SELECT 'lineitem' AS table_name, 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+       round((n*sp_pd - s_p*s_d)::DOUBLE / (sqrt((n*ss_p - s_p*s_p)::DOUBLE) * sqrt((n*ss_d - s_d*s_d)::DOUBLE)), 4) AS corr FROM s
+UNION ALL SELECT 'lineitem' AS table_name, 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+       round((n*sp_pt - s_p*s_t)::DOUBLE / (sqrt((n*ss_p - s_p*s_p)::DOUBLE) * sqrt((n*ss_t - s_t*s_t)::DOUBLE)), 4) AS corr FROM s
+UNION ALL SELECT 'lineitem' AS table_name, 'l_discount' AS col_a, 'l_tax' AS col_b,
+       round((n*sp_dt - s_d*s_t)::DOUBLE / (sqrt((n*ss_d - s_d*s_d)::DOUBLE) * sqrt((n*ss_t - s_t*s_t)::DOUBLE)), 4) AS corr FROM s""",
+)
+def tpch_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation of lineitem's four measures in ONE
+    fused aggregate pass (``operators/quality.py:corr_matrix``) — the
+    multivariate half of stats collection next to ``tpch_column_stats``
+    (multi-column selectivity / predicate-correlation estimation is
+    what a CBO wants beyond per-column min/max, and "which measures
+    move together" is the first EDA question). All sufficient
+    statistics are exact wide-integer sums of 100×-quantized values
+    (decimal(38,0) ↔ HUGEINT), so the only floating-point is the final
+    r formula over identical integers — bit-identical across engines.
+    The fixture draws all four measures independently, so every r is
+    near zero — the oracle hash match is the value check; the planted
+    r=±1 cases live in the operator's unit test."""
+    from etl__project_spark.operators.quality import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )

@@ -530,3 +530,31 @@ def test_peak_concurrency_day_partitioned_no_global_window(spark):
     plan = plan_of(QUERIES["ev_peak_concurrency"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(day") >= 1
+
+
+def test_corr_matrix_semantics_and_single_scan(spark):
+    """Known-correlation fixture: y = 2x exactly (r = 1), z = -x
+    (r = -1), w constant-free independent-ish check via the fused
+    operator; the catalog query must scan lineitem exactly once."""
+    from etl__project_spark.operators.quality import corr_matrix
+
+    rows = [(float(x), 2.0 * x, -1.0 * x) for x in range(1, 21)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in corr_matrix(df, "t", ["x", "y", "z"]).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("y", "z")] == -1.0
+
+    q = QUERIES["tpch_corr_matrix"](spark, SF_DIR)
+    plan = plan_of(q)
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+    out = {(r["col_a"], r["col_b"]): r["corr"] for r in q.collect()}
+    # the fixture draws all four measures independently: every pairwise
+    # correlation is near zero (and must be a valid r in [-1, 1])
+    assert len(out) == 6
+    assert all(-1.0 <= v <= 1.0 for v in out.values())
+    assert all(abs(v) < 0.1 for v in out.values())

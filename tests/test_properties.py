@@ -542,3 +542,70 @@ def test_transition_matrix_matches_python_model(spark, events, monkeypatch):
         for (_, _, t1), (_, _, t2) in zip(seq, seq[1:]):
             want[(t1, t2)] += 1
     assert got == dict(want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),      # user
+            st.integers(min_value=0, max_value=3 * 1440 - 1),  # minute in 3 days
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_peak_concurrency_matches_python_sweep(spark, events):
+    """ev_peak_concurrency's two-level prefix-sum decomposition == a
+    pure-Python global sweep line, for random multi-day event sets
+    (sessions splitting at the 30-min gap, crossing midnight, ties)."""
+    from datetime import datetime, timedelta
+
+    import etl__project_spark.plans.catalog as cat
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + timedelta(minutes=m), u, "view", 0.0, "{}")
+            for i, (u, m) in enumerate(events)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+    # python model: sessions per user, then one global sweep
+    by_user: dict[int, list[int]] = {}
+    for u, m in events:
+        by_user.setdefault(u, []).append(m)
+    bounds = []
+    for u, ms in by_user.items():
+        ms = sorted(ms)
+        start = prev = ms[0]
+        for m in ms[1:]:
+            if (m - prev) * 60 > 1800:
+                bounds.append((start, prev))
+                start = m
+            prev = m
+        bounds.append((start, prev))
+    sweep = sorted(
+        [(s, 1) for s, _ in bounds] + [(e, -1) for _, e in bounds],
+        key=lambda t: (t[0], -t[1]),
+    )
+    want: dict[str, int] = {}
+    running = 0
+    for m, delta in sweep:
+        day = str((base + timedelta(minutes=m)).date())
+        before, running = running, running + delta
+        cand = max(before, running)
+        want[day] = max(want.get(day, cand), cand)
+
+    orig = cat.load_table
+    cat.load_table = lambda s, d, t: df
+    try:
+        got = {
+            str(r["day"]): r["peak_concurrency"]
+            for r in cat.QUERIES["ev_peak_concurrency"](spark, "unused").collect()
+        }
+    finally:
+        cat.load_table = orig
+    assert got == want

@@ -70,6 +70,7 @@ _PRIORITY_R6 = [
     "doc_dsir_weights",
     "ev_join_size_est",
     "tpch_corr_matrix",
+    "ev_chi2_independence",
     # standing canaries
     "vs_fact",
     "vs_warehouse_load",
@@ -95,7 +96,6 @@ _PRIORITY_R6 = [
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
     "tpch_q18_big_orders",
-    "tpch_q22_idle_balance",
 ]
 
 

@@ -79,3 +79,37 @@ def hll_estimate(registers: DataFrame, m: int = HLL_M) -> float:
     if v_zero > 0 and e_raw <= 2.5 * m:
         return m * math.log(m / v_zero)
     return e_raw
+
+
+def hll_registers_keyed(
+    df: DataFrame, key_col: str, val_col: str, m: int = HLL_M
+) -> DataFrame:
+    """One HLL sketch PER KEY as (key, reg, rho) rows — the grouped
+    generalization of :func:`hll_registers` (identical hash/rho
+    discipline, so a single-key slice hash-equals the ungrouped
+    sketch). GroupBy-max over a |keys|·m cell keyspace — bounded state
+    however many rows flow through; merge = groupBy (key, reg) max."""
+    hashed = df.select(
+        F.col(key_col),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(val_col).cast("string"), F.lit("hll"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).select(
+        key_col,
+        F.pmod(F.col("h"), F.lit(m)).alias("reg"),
+        F.expr(f"h div {m}").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.expr("bin(rem)"))
+    )
+    return (
+        hashed.select(key_col, "reg", rho.alias("rho"))
+        .groupBy(key_col, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -7655,3 +7655,93 @@ def tpch_corr_matrix(spark, sf_dir):
     return corr_matrix(
         li, "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+
+
+@query(
+    "ev_chi2_independence",
+    """WITH cells AS (
+  SELECT event_type, dayofweek(ts)::BIGINT AS dow, count(*)::BIGINT AS n_ij
+  FROM events GROUP BY event_type, dow
+),
+rt AS (SELECT event_type, sum(n_ij)::BIGINT AS n_i FROM cells GROUP BY event_type),
+ct AS (SELECT dow, sum(n_ij)::BIGINT AS n_j FROM cells GROUP BY dow),
+tot AS (SELECT sum(n_ij)::BIGINT AS n FROM cells),
+grid AS (
+  SELECT rt.event_type, rt.n_i, ct.dow, ct.n_j,
+         coalesce(c.n_ij, 0)::BIGINT AS n_ij
+  FROM rt CROSS JOIN ct
+  LEFT JOIN cells c USING (event_type, dow)
+),
+terms AS (
+  SELECT floor(
+           ((g.n_ij::DOUBLE - (g.n_i * g.n_j)::DOUBLE / tot.n)
+            * (g.n_ij::DOUBLE - (g.n_i * g.n_j)::DOUBLE / tot.n))
+           / ((g.n_i * g.n_j)::DOUBLE / tot.n) * 1000000 + 0.5
+         )::BIGINT AS t_micro
+  FROM grid g CROSS JOIN tot
+)
+SELECT (SELECT count(*) FROM rt)::BIGINT AS n_rows_levels,
+       (SELECT count(*) FROM ct)::BIGINT AS n_col_levels,
+       ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1)
+           ::BIGINT AS dof,
+       floor(sum(t_micro)::DOUBLE / 100.0 + 0.5) / 10000.0 AS chi2
+FROM terms""",
+)
+def ev_chi2_independence(spark, sf_dir):
+    """Pearson χ² test of independence between event type and
+    day-of-week — the contingency-table significance test behind every
+    "does behavior differ by segment?" question (and the categorical
+    sibling of ``tpch_corr_matrix``'s numeric correlations). One hash
+    aggregate builds the |types|×7 contingency table; row totals,
+    column totals, and the grand total are aggregates OF that bounded
+    table (broadcast back), so the full test is one scan + bounded
+    small-keyspace joins at any corpus size — the expected counts
+    n_i·n_j/n never materialize a second pass over events.
+
+    Cross-engine determinism: each cell's (O−E)²/E term is computed
+    with an identical expression shape from exact BIGINT marginals and
+    quantized to integer micro-units BEFORE the sum (double summation
+    order never matters); dof and level counts are emitted so a
+    consumer can look up the p-value."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select("event_type", F.dayofweek("ts").cast("long").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+    )
+    cells = cells.localCheckpoint(eager=True)  # |types|x7 rows, 4 consumers
+    rt = cells.groupBy("event_type").agg(F.sum("n_ij").alias("n_i"))
+    ct = cells.groupBy("dow").agg(F.sum("n_ij").alias("n_j"))
+    tot = cells.agg(F.sum("n_ij").alias("n"))
+    e = (F.col("n_i") * F.col("n_j")).cast("double") / F.col("n")
+    t_micro = F.floor(
+        (F.col("n_ij").cast("double") - e) * (F.col("n_ij").cast("double") - e) / e
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(F.broadcast(cells), ["event_type", "dow"], "left")
+        .withColumn("n_ij", F.coalesce(F.col("n_ij"), F.lit(0)))
+    )
+    terms = grid.crossJoin(F.broadcast(tot)).select(t_micro.alias("t_micro"))
+    dims = rt.agg(F.count(F.lit(1)).alias("n_rows_levels")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("n_col_levels"))
+    )
+    return (
+        terms.agg(
+            (
+                F.floor(F.sum("t_micro").cast("double") / F.lit(100.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("chi2")
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n_rows_levels",
+            "n_col_levels",
+            ((F.col("n_rows_levels") - 1) * (F.col("n_col_levels") - 1))
+            .cast("long")
+            .alias("dof"),
+            "chi2",
+        )
+    )

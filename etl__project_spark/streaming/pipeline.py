@@ -696,3 +696,141 @@ def stream_scd2_dim(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming incremental table statistics ---------------------------------
+
+COLSTATS_SCHEMA = T.StructType(
+    [
+        T.StructField("column_name", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_nulls", T.LongType()),
+        T.StructField("min_d", T.DoubleType()),
+        T.StructField("max_d", T.DoubleType()),
+    ]
+)
+
+COLNDV_SCHEMA = T.StructType(
+    [
+        T.StructField("column_name", T.StringType()),
+        T.StructField("reg", T.LongType()),
+        T.StructField("rho", T.LongType()),
+    ]
+)
+
+
+def read_column_stats(wh: ParquetWarehouse) -> DataFrame:
+    return wh.read("col_stats", COLSTATS_SCHEMA)
+
+
+def read_column_ndv(wh: ParquetWarehouse) -> DataFrame:
+    return wh.read("col_ndv", COLNDV_SCHEMA)
+
+
+def stream_column_stats(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    cols: list[str],
+    available_now: bool = True,
+):
+    """ANALYZE maintained AT INGEST: per micro-batch, fold the batch's
+    contribution into a persistent per-column statistics table — the
+    incremental face of ``operators/quality.py:column_stats`` (batch
+    twin: ``tpch_column_stats``), and how table stats stay fresh on a
+    100 TB table nobody can afford to re-scan: every statistic kept is
+    MERGEABLE (row/null counts sum, min/max combine by min/max, and
+    NDV is the keyed HLL register table whose combine is register-wise
+    max — the exact-NDV column of the batch operator is the one
+    non-mergeable statistic, so the sketch replaces it here, the swap
+    the batch operator's docstring promises).
+
+    Per batch, ONE fused aggregate computes every scalar stat and ONE
+    explode pass feeds all columns' HLL registers; both fold through
+    exactly-once merged publishes (replayed batches no-op, and the
+    register max is idempotent even across ledger resets). State is
+    |cols| scalar rows + |cols|·64 register rows — KBs forever.
+    """
+    from etl__project_spark.datapipe.sketches import hll_registers_keyed
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        b = batch.localCheckpoint(eager=True)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__nulls_{c}"),
+                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            ]
+        one = b.agg(*aggs)
+        picks = [
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__min_{c}").alias("min_d"),
+                F.col(f"__max_{c}").alias("max_d"),
+            )
+            for c in cols
+        ]
+        scalar = one.select(F.explode(F.array(*picks)).alias("s")).select("s.*")
+
+        def merge_scalar(existing: DataFrame, delta: DataFrame) -> DataFrame:
+            return (
+                existing.unionByName(delta)
+                .groupBy("column_name")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("n_nulls").cast("long").alias("n_nulls"),
+                    F.min("min_d").alias("min_d"),
+                    F.max("max_d").alias("max_d"),
+                )
+            )
+
+        wh.publish_merged(
+            "col_stats", scalar, COLSTATS_SCHEMA, str(batch_id), merge_scalar
+        )
+
+        vals = (
+            b.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("column_name"),
+                                F.col(c).cast("string").alias("v"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("x")
+            )
+            .select("x.column_name", "x.v")
+            .filter(F.col("v").isNotNull())
+        )
+        regs = hll_registers_keyed(vals, "column_name", "v")
+
+        def merge_regs(existing: DataFrame, delta: DataFrame) -> DataFrame:
+            return (
+                existing.unionByName(delta)
+                .groupBy("column_name", "reg")
+                .agg(F.max("rho").alias("rho"))
+            )
+
+        wh.publish_merged(
+            "col_ndv", regs, COLNDV_SCHEMA, str(batch_id), merge_regs
+        )
+
+    rows = spark.readStream.schema(schema).json(landing_dir)
+    writer = rows.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

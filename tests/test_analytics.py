@@ -558,3 +558,30 @@ def test_corr_matrix_semantics_and_single_scan(spark):
     assert len(out) == 6
     assert all(-1.0 <= v <= 1.0 for v in out.values())
     assert all(abs(v) < 0.1 for v in out.values())
+
+
+def test_chi2_independence_known_tables(spark, monkeypatch):
+    """Perfectly proportional 2x2 table ⇒ χ² = 0; perfect association
+    ⇒ χ² = n. dof = (levels−1)(levels−1)."""
+    def events_for(counts):
+        rows, i = [], 0
+        for (ty, day), n in counts.items():
+            for _ in range(n):
+                rows.append((i, datetime(2024, 1, day, 12, 0), 1, ty, 1.0, "{}"))
+                i += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    # proportional: every cell equals its expected count exactly
+    indep = events_for({("a", 1): 10, ("a", 2): 20, ("b", 1): 5, ("b", 2): 10})
+    r = _run_on(monkeypatch, indep, "ev_chi2_independence", spark).collect()[0]
+    assert (r["chi2"], r["dof"]) == (0.0, 1)
+
+    # perfect association: type a only on day 1, type b only on day 2
+    dep = events_for({("a", 1): 12, ("b", 2): 12})
+    r = _run_on(monkeypatch, dep, "ev_chi2_independence", spark).collect()[0]
+    assert r["chi2"] == 24.0  # χ² = n for a perfectly associated 2×2
+    assert r["dof"] == 1

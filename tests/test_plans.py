@@ -307,6 +307,7 @@ SINGLE_PARTITION_CENSUS = {
     "emb_pq_rerank_topk": 1,  # stage-1 ADC global top-50 limit (50 rows)
     "ev_peak_concurrency": 1,  # per-day carry prefix sum (<= |days| rows)
     "tpch_corr_matrix": 1,  # the fused sufficient-stats 1-row agg finalize
+    "ev_chi2_independence": 4,  # marginal/total/term aggs over the checkpointed <=|types|x7 cell table
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

@@ -616,3 +616,96 @@ def test_streaming_scd2_dim_matches_one_shot(spark, tmp_path):
     q.stop()
     assert wh._current("scd2_dim") == v_before
     assert read_scd2_dim(wh).count() == 5
+
+
+def test_streaming_column_stats_match_one_shot(spark, tmp_path):
+    """Three batches of (user_id, value) rows with nulls and cross-batch
+    duplicate users: the maintained scalar stats must equal a one-shot
+    column_stats pass over everything, the per-column HLL registers
+    must hash-equal one-shot sketches (mergeability), and replay must
+    no-op."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl__project_spark.datapipe.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_column_ndv,
+        read_column_stats,
+        stream_column_stats,
+    )
+
+    landing = str(tmp_path / "cs_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "cs_wh")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    batches = [
+        [(1, 5.0), (2, None), (3, 1.5)],
+        [(1, 9.25), (4, None), (None, 2.0)],
+        [(5, -3.5), (2, 5.0)],
+    ]
+
+    def run(i, rows, ckpt):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for u, v in rows:
+                fh.write(json.dumps({"user_id": u, "value": v}) + "\n")
+        q = stream_column_stats(
+            spark, landing, wh_root, ckpt, schema, ["user_id", "value"]
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run(i, rows, str(tmp_path / "cs_ckpt"))
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = {r["column_name"]: r for r in read_column_stats(wh).collect()}
+    assert got["user_id"]["n_rows"] == 8 and got["value"]["n_rows"] == 8
+    assert got["user_id"]["n_nulls"] == 1 and got["value"]["n_nulls"] == 2
+    assert (got["user_id"]["min_d"], got["user_id"]["max_d"]) == (1.0, 5.0)
+    assert (got["value"]["min_d"], got["value"]["max_d"]) == (-3.5, 9.25)
+
+    # registers hash-equal a one-shot sketch per column (mergeability)
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    ndv = read_column_ndv(wh)
+    for c, true_distinct in (("user_id", 5), ("value", 5)):
+        maintained = sorted(
+            (r["reg"], r["rho"])
+            for r in ndv.filter(F.col("column_name") == c).collect()
+        )
+        oneshot = sorted(
+            (r["reg"], r["rho"])
+            for r in hll_registers(
+                all_rows.filter(F.col(c).isNotNull()).select(
+                    F.col(c).cast("string").alias("v")
+                ),
+                "v",
+            ).collect()
+        )
+        assert maintained == oneshot, c
+        est = hll_estimate(ndv.filter(F.col("column_name") == c).select("reg", "rho"))
+        assert abs(est - true_distinct) / true_distinct < 0.5, (c, est)
+
+    # replay with a fresh checkpoint: ledger no-ops both tables
+    v_stats = wh._current("col_stats")
+    v_ndv = wh._current("col_ndv")
+    q = stream_column_stats(
+        spark, landing, wh_root, str(tmp_path / "cs_ckpt2"), schema,
+        ["user_id", "value"],
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert wh._current("col_stats") == v_stats
+    assert wh._current("col_ndv") == v_ndv

@@ -71,6 +71,7 @@ _PRIORITY_R6 = [
     "ev_join_size_est",
     "tpch_corr_matrix",
     "ev_chi2_independence",
+    "ev_ab_test_zscore",
     # standing canaries
     "vs_fact",
     "vs_warehouse_load",
@@ -95,7 +96,6 @@ _PRIORITY_R6 = [
     "tpch_q13_custdist",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
-    "tpch_q18_big_orders",
 ]
 
 

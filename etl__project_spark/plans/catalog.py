@@ -7745,3 +7745,88 @@ def ev_chi2_independence(spark, sf_dir):
             "chi2",
         )
     )
+
+
+@query(
+    "ev_ab_test_zscore",
+    """WITH assign AS (
+  SELECT user_id,
+         ('0x' || substr(md5(user_id::VARCHAR || 'ab'), 1, 15))::BIGINT % 2
+             AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value > 180
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, count(*)::BIGINT AS n_users,
+         sum(converted)::BIGINT AS n_converted
+  FROM assign GROUP BY arm
+),
+w AS (
+  SELECT max(CASE WHEN arm = 0 THEN n_users END)::BIGINT AS n0,
+         max(CASE WHEN arm = 0 THEN n_converted END)::BIGINT AS c0,
+         max(CASE WHEN arm = 1 THEN n_users END)::BIGINT AS n1,
+         max(CASE WHEN arm = 1 THEN n_converted END)::BIGINT AS c1
+  FROM arms
+)
+SELECT n0, c0, n1, c1,
+       round(c0::DOUBLE / n0, 4) AS rate_0,
+       round(c1::DOUBLE / n1, 4) AS rate_1,
+       round((c1::DOUBLE / n1 - c0::DOUBLE / n0) /
+             sqrt(((c0 + c1)::DOUBLE / (n0 + n1))
+                  * (1.0 - (c0 + c1)::DOUBLE / (n0 + n1))
+                  * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+FROM w""",
+)
+def ev_ab_test_zscore(spark, sf_dir):
+    """Two-proportion z-test — the A/B-test readout, completing the
+    inferential family (χ² for categorical independence, Pearson r for
+    numeric association, z for converting-proportion lift): users are
+    assigned to two arms by deterministic hash (the md5 discipline —
+    the SAME assignment any engine/run derives, which is exactly how a
+    real experiment bucketing service works), per-user conversion is
+    "ever made a big-ticket purchase" (value > 180 — every user makes
+    SOME purchase in this fixture, so plain purchase-rate is the
+    degenerate p̂=1), and z = (p1−p0)/√(p̂(1−p̂)(1/n0+1/n1)) under the
+    pooled null. One user-keyed aggregate then a 2-row rollup — the
+    expensive part is the per-user collapse, one exchange on user_id;
+    everything after is constant-size. Identical formula shape over
+    exact BIGINT counts on both engines, one 4 dp round."""
+    ev = load_table(spark, sf_dir, "events")
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 180), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        hash_bucket(F.col("user_id"), 2, salt="ab").alias("arm"), "converted"
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 4).alias("rate_0"),
+        F.round(p1, 4).alias("rate_1"),
+        F.round(
+            (p1 - p0)
+            / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))),
+            4,
+        ).alias("z_score"),
+    )

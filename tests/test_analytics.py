@@ -585,3 +585,50 @@ def test_chi2_independence_known_tables(spark, monkeypatch):
     r = _run_on(monkeypatch, dep, "ev_chi2_independence", spark).collect()[0]
     assert r["chi2"] == 24.0  # χ² = n for a perfectly associated 2×2
     assert r["dof"] == 1
+
+
+def test_ab_test_zscore_known_lift(spark, monkeypatch):
+    """Planted experiment: find two users hashing to each arm, give arm
+    1 a real lift; z must be positive for a lift and 0 for identical
+    rates; the hash assignment is deterministic (the same user always
+    lands in the same arm)."""
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    # discover arm assignment for user ids 1..40 (deterministic md5)
+    arms = {
+        r["user_id"]: r["arm"]
+        for r in spark.range(1, 41)
+        .select(
+            F.col("id").alias("user_id"),
+            hash_bucket(F.col("id"), 2, salt="ab").alias("arm"),
+        )
+        .collect()
+    }
+    arm0 = [u for u, a in arms.items() if a == 0][:10]
+    arm1 = [u for u, a in arms.items() if a == 1][:10]
+    assert len(arm0) == 10 and len(arm1) == 10
+
+    def events_for(converters):
+        rows = []
+        for i, u in enumerate(arm0 + arm1):
+            v = 200.0 if u in converters else 5.0
+            rows.append((i, datetime(2024, 1, 1, 10, 0), u, "purchase", v, "{}"))
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    # identical 50% rates in both arms -> z = 0
+    even = events_for(set(arm0[:5]) | set(arm1[:5]))
+    r = _run_on(monkeypatch, even, "ev_ab_test_zscore", spark).collect()[0]
+    assert (r["n0"], r["n1"]) == (10, 10)
+    assert (r["rate_0"], r["rate_1"], r["z_score"]) == (0.5, 0.5, 0.0)
+
+    # arm1 converts 9/10 vs arm0 2/10 -> strong positive z
+    lifted = events_for(set(arm0[:2]) | set(arm1[:9]))
+    r = _run_on(monkeypatch, lifted, "ev_ab_test_zscore", spark).collect()[0]
+    assert r["rate_1"] > r["rate_0"]
+    assert r["z_score"] > 2.0

@@ -581,3 +581,119 @@ def vacuum(wh: ParquetWarehouse, table: str, keep_last: int = 2) -> list[int]:
             pass
         removed.append(v)
     return removed
+
+
+# --- per-batch bloom indexes: point-lookup data skipping ---------------------
+
+BLOOM_BITS = 4096
+BLOOM_K = 4
+
+
+def _bloom_positions_py(value: str, n_bits: int = BLOOM_BITS, k: int = BLOOM_K):
+    """The k bit positions of ``value`` — hashlib twin of the Spark-side
+    expression (identical md5 discipline, so a position computed on an
+    executor and one computed on the driver probing the index agree)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}bloom{j}".encode()).hexdigest()[:15], 16) % n_bits
+        for j in range(k)
+    ]
+
+
+def _bloom_position_cols(key_col: str, n_bits: int = BLOOM_BITS, k: int = BLOOM_K):
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"bloom{j}"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_bits),
+        )
+        for j in range(k)
+    ]
+
+
+def index_fact_batch(
+    wh: ParquetWarehouse, table: str, batch_id: str, key_col: str
+) -> int:
+    """Build the bloom data-skipping index for one landed fact batch:
+    the distinct bit positions of every key in the batch (ONE distributed
+    distinct over ≤ BLOOM_BITS values — the driver reads at most 4096
+    ints, bounded by construction like the HLL registers), written as a
+    sidecar ``_BLOOM_<key>.json`` inside the batch directory (the
+    underscore prefix keeps it invisible to parquet directory listings,
+    like ``_SUCCESS``). The sidecar
+    is advisory: a reader that finds no index simply reads the
+    directory, so a crash between append and index can never cause a
+    false negative — the index only ever REMOVES directories that
+    provably lack the key. This is the file-skipping half of what
+    Delta/Iceberg keep as column stats + bloom metadata, and the stored
+    complement of the query-time runtime filter (`tpch_bloom_prune_join`).
+    Returns the number of bits set.
+    """
+    bdir = wh.fact_batch_dir(table, batch_id)
+    if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        raise ValueError(f"batch {batch_id!r} of {table!r} is not landed")
+    df = wh.spark.read.parquet(bdir)
+    pos = (
+        df.select(
+            F.explode(F.array(*_bloom_position_cols(key_col))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = sorted(int(r["p"]) for r in pos)
+    tmp = os.path.join(bdir, f".BLOOM_{key_col}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"key_col": key_col, "n_bits": BLOOM_BITS, "k": BLOOM_K, "bits": bits},
+            fh,
+        )
+    os.replace(tmp, os.path.join(bdir, f"_BLOOM_{key_col}.json"))
+    return len(bits)
+
+
+def prune_dirs_for_key(
+    wh: ParquetWarehouse, table: str, key_col: str, value
+) -> tuple[list[str], list[str]]:
+    """Split the live fact directories into (must_read, skipped) for a
+    point lookup ``key_col = value``: a directory is skipped ONLY when
+    its bloom sidecar exists and provably excludes the value (some probe
+    bit unset). Unindexed directories (pre-index batches, compaction
+    outputs not yet re-indexed) are always read — no false negatives by
+    construction; false positives just read a directory that returns
+    zero rows after the pushed-down filter."""
+    probes = set(_bloom_positions_py(str(value)))
+    must_read, skipped = [], []
+    for d in wh._live_dirs(table):
+        meta_path = os.path.join(d, f"_BLOOM_{key_col}.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            if probes - set(meta["bits"]):
+                skipped.append(d)
+                continue
+        must_read.append(d)
+    return must_read, skipped
+
+
+def read_fact_point(
+    wh: ParquetWarehouse, table: str, schema: T.StructType, key_col: str, value
+) -> DataFrame:
+    """Point lookup over the fact table with bloom directory pruning:
+    reads only the directories whose index admits the key (plus any
+    unindexed ones), with the equality predicate pushed to the parquet
+    scan of those. At 100 TB with daily batches this is the difference
+    between scanning every partition for one key and scanning the
+    handful whose bloom fires — the same contract as Delta's file-level
+    bloom skipping, kept honest here by the no-false-negative test."""
+    dirs, _ = prune_dirs_for_key(wh, table, key_col, value)
+    if not dirs:
+        return wh.spark.createDataFrame([], schema)
+    return wh.spark.read.parquet(*dirs).filter(F.col(key_col) == F.lit(value))

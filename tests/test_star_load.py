@@ -488,3 +488,66 @@ def test_load_batch_partial_fact_dir_is_invisible_and_overwritten(
     info = load_batch(batch1, wh, "b2", spark)
     assert info["fact_appended"] == 1
     assert audit(wh)["factvideostart"] == 4
+
+
+def test_bloom_batch_index_prunes_without_false_negatives(spark, tmp_path):
+    """Three indexed batches with disjoint key ranges: a point lookup
+    reads only the batch(es) whose bloom admits the key (typically 1 of
+    3), NEVER skips a directory containing the key (no false negatives,
+    checked for every key), treats unindexed directories as must-read,
+    and stays correct through compaction."""
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import (
+        ParquetWarehouse,
+        index_fact_batch,
+        prune_dirs_for_key,
+        read_fact_point,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    ranges = {"b1": range(0, 30), "b2": range(30, 60), "b3": range(60, 90)}
+    for bid, ids in ranges.items():
+        wh.fact_append("f", _mini_fact(spark, [(i, bid) for i in ids]), bid)
+        n_bits = index_fact_batch(wh, "f", bid, "id")
+        assert 0 < n_bits <= 4096
+
+    # no false negatives: every key's own directory is always read
+    for bid, ids in ranges.items():
+        bdir = wh.fact_batch_dir("f", bid)
+        for i in ids:
+            must, _ = prune_dirs_for_key(wh, "f", "id", i)
+            assert bdir in must, (bid, i)
+
+    # pruning actually skips: at 4096 bits / ~120 set bits per batch,
+    # a foreign key's 4 probes all-colliding is ~1e-6 — every lookup
+    # here must skip both foreign directories
+    must, skipped = prune_dirs_for_key(wh, "f", "id", 42)
+    assert len(must) == 1 and len(skipped) == 2
+    got = read_fact_point(wh, "f", schema, "id", 42).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(42, "b2")]
+
+    # absent key: all three directories provably exclude it
+    must, skipped = prune_dirs_for_key(wh, "f", "id", 1_000_000)
+    assert must == [] and len(skipped) == 3
+    assert read_fact_point(wh, "f", schema, "id", 1_000_000).count() == 0
+
+    # an unindexed batch is always read (advisory index, never required)
+    wh.fact_append("f", _mini_fact(spark, [(500, "b4")]), "b4")
+    must, _ = prune_dirs_for_key(wh, "f", "id", 42)
+    assert wh.fact_batch_dir("f", "b4") in must
+    assert [(r["id"], r["v"]) for r in read_fact_point(
+        wh, "f", schema, "id", 42
+    ).collect()] == [(42, "b2")]
+
+    # compaction absorbs the batch dirs; the compacted dir carries no
+    # index -> must-read, and lookups stay correct
+    wh.compact_fact("f")
+    must, skipped = prune_dirs_for_key(wh, "f", "id", 42)
+    assert len(must) == 1 and skipped == []
+    assert [(r["id"], r["v"]) for r in read_fact_point(
+        wh, "f", schema, "id", 42
+    ).collect()] == [(42, "b2")]

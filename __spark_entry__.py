@@ -72,6 +72,7 @@ _PRIORITY_R6 = [
     "tpch_corr_matrix",
     "ev_chi2_independence",
     "ev_ab_test_zscore",
+    "doc_dedup_keep_best",
     # standing canaries
     "vs_fact",
     "vs_warehouse_load",
@@ -95,7 +96,6 @@ _PRIORITY_R6 = [
     "tpch_q12_late_lines",
     "tpch_q13_custdist",
     "tpch_q14_promo",
-    "tpch_q16_supplier_cnt",
 ]
 
 

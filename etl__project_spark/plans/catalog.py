@@ -7830,3 +7830,55 @@ def ev_ab_test_zscore(spark, sf_dir):
             4,
         ).alias("z_score"),
     )
+
+
+@query(
+    "doc_dedup_keep_best",
+    f"""WITH comp AS ({ORACLES["doc_dup_components"]}),
+scored AS (
+  SELECT c.component, d.doc_id, d.source, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.component
+           ORDER BY CASE WHEN d.source IN ('src0', 'src1') THEN 0 ELSE 1 END,
+                    d.n_chars DESC, d.doc_id
+         ) AS rn
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT component, doc_id AS keep_id, source AS keep_source,
+       n_chars AS keep_n_chars
+FROM scored WHERE rn = 1""",
+)
+def doc_dedup_keep_best(spark, sf_dir):
+    """Near-dup removal with a QUALITY-AWARE keeper policy — the
+    production refinement of ``doc_dedup_canonical``'s min-id rule:
+    within each near-dup component, keep the copy from a preferred
+    source first (src0/src1 standing in for the curated tier), then
+    the LONGEST copy, then min id as the final tiebreak — the policy
+    C4/RefinedWeb-style pipelines apply so dedup removes the WORST
+    copy of duplicated content, not an arbitrary one. Components come
+    from the same collapse-first LSH composition
+    (``canonical_components``); the keeper choice is one ranking
+    window partitioned by component over the component map joined back
+    to document metadata — a narrow (component, id) exchange, never
+    the texts."""
+    from pyspark.sql import Window
+
+    comp = QUERIES["doc_dup_components"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    pri = F.when(F.col("source").isin("src0", "src1"), 0).otherwise(1)
+    w = Window.partitionBy("component").orderBy(
+        pri, F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        comp.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_id"),
+            F.col("source").alias("keep_source"),
+            F.col("n_chars").alias("keep_n_chars"),
+        )
+    )

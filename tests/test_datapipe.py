@@ -795,3 +795,33 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_keep_best_prefers_source_then_length(spark, monkeypatch):
+    """Planted component: three near-identical docs — keeper must be the
+    curated-source one even though it is neither longest nor min-id;
+    among same-priority docs, longest wins; singleton components keep
+    themselves."""
+    import etl__project_spark.plans.catalog as cat
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    # docs 1 and 3 are EXACT duplicates (guaranteed same component via
+    # the content-hash collapse); doc 2 may or may not LSH-link — the
+    # invariant under test is the keeper policy, not LSH recall
+    rows = [
+        (1, base + "tail one", "src5", len(base) + 8),
+        (2, base + "tail two longer", "src7", len(base) + 15),
+        (3, base + "tail one", "src0", len(base) + 8),  # curated -> wins
+        (9, "completely different standalone text " * 8, "src9", 300),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, n) for (i, t, s, n) in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: docs)
+    out = {
+        r["component"]: (r["keep_id"], r["keep_source"])
+        for r in cat.QUERIES["doc_dedup_keep_best"](spark, "unused").collect()
+    }
+    assert out[1] == (3, "src0")      # curated source beats length and id
+    assert out[9] == (9, "src9")      # singleton keeps itself

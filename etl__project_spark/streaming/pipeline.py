@@ -139,6 +139,14 @@ def _process_batch(
                 return
         wh.fact_append("credit", fresh, batch_id=str(batch_id))
         load_batch(fresh, wh, batch_id=str(batch_id), spark=spark)
+        # bloom-index the landed raw batch at ingest (point-lookup file
+        # skipping: "which batch dirs hold VideoTitle X" without reading
+        # them). Advisory by design — if the process dies between the
+        # append above and this index write, the unindexed dir is simply
+        # always read; a retried batch re-indexes idempotently.
+        from etl__project_spark.plans.star_load import index_fact_batch
+
+        index_fact_batch(wh, "credit", str(batch_id), "VideoTitle")
     fresh.unpersist()
     # incremental serving-aggregate maintenance (runs even when fresh is
     # empty: a retried batch whose append landed pre-crash catches up here)

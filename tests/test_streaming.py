@@ -709,3 +709,47 @@ def test_streaming_column_stats_match_one_shot(spark, tmp_path):
     q.stop()
     assert wh._current("col_stats") == v_stats
     assert wh._current("col_ndv") == v_ndv
+
+
+def test_streaming_ingest_builds_bloom_index(spark, tmp_path):
+    """Each streamed batch's raw dir carries a VideoTitle bloom sidecar,
+    and a point lookup over the landed history prunes to the batch(es)
+    that hold the title — index maintenance at ingest, not as a
+    separate job."""
+    from etl__project_spark.plans.star_load import (
+        ParquetWarehouse,
+        prune_dirs_for_key,
+        read_fact_point,
+    )
+    from etl__project_spark.sources.readers import RAW_SCHEMA
+
+    landing = str(tmp_path / "bi_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "bi_wh")
+    ckpt = str(tmp_path / "bi_ckpt")
+
+    _write_csv(
+        os.path.join(landing, "f1.csv"),
+        ['2017-01-11T00:00:31.000Z,Android App|video AAA,206'],
+    )
+    _run(spark, landing, wh_root, ckpt)
+    _write_csv(
+        os.path.join(landing, "f2.csv"),
+        ['2017-01-12T00:00:31.000Z,iPad|video BBB,206'],
+    )
+    _run(spark, landing, wh_root, ckpt)
+
+    wh = ParquetWarehouse(spark, wh_root)
+    dirs = wh._live_dirs("credit")
+    assert len(dirs) == 2
+    for d in dirs:
+        assert os.path.exists(os.path.join(d, "_BLOOM_VideoTitle.json")), d
+
+    must, skipped = prune_dirs_for_key(
+        wh, "credit", "VideoTitle", "iPad|video BBB"
+    )
+    assert len(must) == 1 and len(skipped) == 1
+    got = read_fact_point(
+        wh, "credit", RAW_SCHEMA, "VideoTitle", "iPad|video BBB"
+    ).collect()
+    assert len(got) == 1 and got[0]["VideoTitle"] == "iPad|video BBB"

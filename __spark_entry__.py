@@ -73,6 +73,7 @@ _PRIORITY_R6 = [
     "ev_chi2_independence",
     "ev_ab_test_zscore",
     "doc_dedup_keep_best",
+    "vs_scd2_asof_lookup",
     # standing canaries
     "vs_fact",
     "vs_warehouse_load",
@@ -95,7 +96,6 @@ _PRIORITY_R6 = [
     "tpch_q10_returned",
     "tpch_q12_late_lines",
     "tpch_q13_custdist",
-    "tpch_q14_promo",
 ]
 
 

@@ -7882,3 +7882,40 @@ def doc_dedup_keep_best(spark, sf_dir):
             F.col("n_chars").alias("keep_n_chars"),
         )
     )
+
+
+@query(
+    "vs_scd2_asof_lookup",
+    f"""WITH scd2 AS ({ORACLES["vs_scd2_upsert"]}),
+probes AS (SELECT * FROM (VALUES ('2021-01-01'), ('2021-07-01')) p(probe_date))
+SELECT p.probe_date, s.datetime, s.skey, s.attr
+FROM scd2 s JOIN probes p
+  ON s.start_date <= p.probe_date AND p.probe_date <= s.end_date""",
+)
+def vs_scd2_asof_lookup(spark, sf_dir):
+    """Point-in-time (AS OF) dimension lookup — the query SCD Type-2
+    exists to serve, closing the loop on ``vs_scd2_upsert`` (which
+    builds the versioned dim but never reads it temporally): for each
+    probe date, the version of every key valid on that date via
+    ``start_date <= probe <= end_date``. One probe before the round-2
+    load returns the original attributes (including rows since
+    expired); one after returns the post-change versions plus the
+    brand-new keys — so the hash match proves version routing, expiry
+    dating, and the exactly-one-valid-version-per-(key, instant)
+    invariant all at once.
+
+    Distributed shape: the probe frame is tiny and BROADCAST; the
+    range predicate evaluates as a nested-loop against 2 rows (never a
+    shuffle of the dim). In a warehouse the same predicate is the
+    fact-to-dim temporal join condition, with the dim side broadcast
+    exactly like this."""
+    probes = spark.createDataFrame(
+        [("2021-01-01",), ("2021-07-01",)], "probe_date string"
+    )
+    dim = QUERIES["vs_scd2_upsert"](spark, sf_dir)
+    d = F.col("probe_date").cast("date")
+    return (
+        dim.crossJoin(F.broadcast(probes))
+        .filter((F.col("start_date") <= d) & (d <= F.col("end_date")))
+        .select("probe_date", "datetime", "skey", "attr")
+    )

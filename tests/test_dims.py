@@ -135,3 +135,36 @@ def test_scd2_same_batch_no_order_col_deterministic(spark):
     r1 = out1.filter(F.col("current_flag") == "Y").collect()
     r2 = out2.filter(F.col("current_flag") == "Y").collect()
     assert len(r1) == len(r2) == 1 and r1[0]["attr"] == r2[0]["attr"] == "v2"
+
+
+def test_scd2_asof_lookup_routes_versions(spark):
+    """The AS OF lookup must return exactly one version per (probe,
+    key); keys changed in batch 2 resolve to their OLD attribute at the
+    early probe and the NEW one at the late probe; brand-new keys
+    appear only at the late probe."""
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["vs_scd2_asof_lookup"](spark, sf)
+    # exactly one valid version per (probe, key)
+    dup = (
+        out.groupBy("probe_date", "datetime")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    dim = QUERIES["vs_scd2_upsert"](spark, sf)
+    changed = dim.filter(F.col("current_flag") == "N").select("datetime").distinct()
+    n_changed = changed.count()
+    if n_changed:
+        early = out.filter(F.col("probe_date") == "2021-01-01").alias("e")
+        late = out.filter(F.col("probe_date") == "2021-07-01").alias("l")
+        both = early.join(late, early["datetime"] == late["datetime"]).join(
+            changed.alias("c"), F.col("e.datetime") == F.col("c.datetime")
+        )
+        # every changed key flips attribute between the probes
+        assert both.filter(F.col("e.attr") == F.col("l.attr")).count() == 0
+        assert both.count() == n_changed

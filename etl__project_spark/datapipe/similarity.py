@@ -684,3 +684,95 @@ def kmeans_iterate(
             ).alias("cv")
         )
     return newc.select("centroid_id", "dim", "centroid_val")
+
+
+def _pq_sub_terms(a_col: str, b_col: str, op: str, sub_dim: int):
+    from functools import reduce
+
+    def term(i):
+        va = F.element_at(F.col(a_col), i).cast("double")
+        vb = F.element_at(F.col(b_col), i).cast("double")
+        return (va - vb) * (va - vb) if op == "l2" else va * vb
+
+    return reduce(lambda x, y: x + y, [term(i) for i in range(1, sub_dim + 1)])
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors against FIXED codebooks → (id, s, cw_id) code
+    rows — the standalone encode face of :func:`pq_topk` (identical
+    micro-unit L2 argmin, so codes produced here and there agree).
+    This is the operation a PQ index applies to every NEW batch: the
+    codebooks are trained once and frozen; encoding a batch never
+    touches previously-encoded history. Codebooks broadcast; the only
+    exchange is the (vector, subspace) argmin window."""
+    from pyspark.sql import Window
+
+    spine = embeddings.sparkSession.range(n_sub).select(
+        F.col("id").cast("int").alias("s")
+    )
+    sliced = F.expr(f"slice({vec_col}, s * {sub_dim} + 1, {sub_dim})")
+    db = embeddings.crossJoin(F.broadcast(spine)).select(
+        F.col(id_col), "s", sliced.alias("v")
+    )
+    r6 = F.floor(
+        _pq_sub_terms("v", "c", "l2", sub_dim) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy(id_col, "s").orderBy("r6", "cw_id")
+    return (
+        db.join(F.broadcast(codebooks), "s")
+        .select(id_col, "s", "cw_id", r6.alias("r6"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "s", "cw_id")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Score STORED codes against a query by asymmetric distance — the
+    serve face of the PQ index: the raw corpus is never read, only the
+    8-byte codes plus the broadcast query·codeword lookup table
+    (identical micro-unit discipline to :func:`pq_topk`, so serving
+    from the index equals scoring from scratch — pinned by test)."""
+    spine = query.sparkSession.range(n_sub).select(
+        F.col("id").cast("int").alias("s")
+    )
+    sliced = F.expr(f"slice({vec_col}, s * {sub_dim} + 1, {sub_dim})")
+    q = query.crossJoin(F.broadcast(spine)).select("s", sliced.alias("qv"))
+    lut = codebooks.join(F.broadcast(q), "s").select(
+        "s",
+        "cw_id",
+        F.floor(
+            _pq_sub_terms("qv", "c", "dot", sub_dim) * 1_000_000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    return (
+        codes.join(F.broadcast(lut), ["s", "cw_id"])
+        .groupBy(id_col)
+        .agg(F.sum("lp").alias("am"))
+        .select(
+            id_col,
+            (
+                F.floor(F.col("am") / F.lit(100.0) + F.lit(0.5)) / F.lit(10000.0)
+            ).alias("approx_dot"),
+        )
+        .orderBy(F.desc("approx_dot"), F.asc(id_col))
+        .limit(k)
+    )

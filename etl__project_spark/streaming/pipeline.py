@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl__project_spark.operators.rollup import merge_rollups
-from etl__project_spark.plans.star_load import ParquetWarehouse, load_batch
+from etl__project_spark.plans.star_load import (
+    ConcurrentWriteError,
+    ParquetWarehouse,
+    load_batch,
+)
 from etl__project_spark.sources.readers import RAW_SCHEMA
 
 # streaming-maintained serving aggregate: VideoStart rows per minute.
@@ -837,6 +841,96 @@ def stream_column_stats(
 
     rows = spark.readStream.schema(schema).json(landing_dir)
     writer = rows.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- streaming ANN (PQ) index maintenance -----------------------------------
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+ANN_CODES_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("s", T.IntegerType()),
+        T.StructField("cw_id", T.LongType()),
+    ]
+)
+
+ANN_CODEBOOKS_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.IntegerType()),
+        T.StructField("cw_id", T.LongType()),
+        T.StructField("c", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def read_ann_codebooks(wh: ParquetWarehouse) -> DataFrame:
+    return wh.read("ann_codebooks", ANN_CODEBOOKS_SCHEMA)
+
+
+def ann_lookup(wh: ParquetWarehouse, query: DataFrame, k: int = 10) -> DataFrame:
+    """Serve a nearest-neighbour query from the STORED index: 8-byte
+    codes + broadcast codebooks/LUT — the raw vectors are never read."""
+    from etl__project_spark.datapipe.similarity import pq_adc_topk
+
+    codes = wh.read_fact("ann_codes", ANN_CODES_SCHEMA)
+    return pq_adc_topk(codes, read_ann_codebooks(wh), query, k=k)
+
+
+def stream_ann_index(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Similarity search over a GROWING corpus: embeddings arrive as a
+    stream and the PQ index is maintained per micro-batch — train
+    codebooks ONCE on the first batch (2 Lloyd rounds,
+    ``pq_codebooks``), freeze and publish them, then every batch is
+    encoded against the frozen codebooks and its 8-byte codes appended
+    — history is never re-encoded, exactly how FAISS-style services
+    index a stream (codebooks from a training sample; retraining is a
+    rebuild, not an increment). ``ann_lookup`` then serves queries
+    from codes + codebooks alone: at 100 TB of vectors the serving
+    scan is 32× smaller than the raw corpus and the query work is one
+    broadcast LUT join + a top-k.
+
+    Exactly-once: the codebook publish is guarded by the versioned
+    CAS (first writer wins; a replay sees the table exists and skips
+    training), and code appends are idempotent per batch id
+    (``fact_append``). A crash between them replays cleanly because
+    encoding reads the PUBLISHED codebooks, never in-memory state.
+    """
+    from etl__project_spark.datapipe.similarity import pq_codebooks, pq_encode
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        b = batch.localCheckpoint(eager=True)
+        if b.isEmpty():
+            return
+        if wh._current("ann_codebooks") is None:
+            cb = pq_codebooks(b, train_iters=2).select("s", "cw_id", "c")
+            try:
+                wh.publish("ann_codebooks", cb)
+            except ConcurrentWriteError:
+                pass  # a racing writer already trained them — use theirs
+        codes = pq_encode(b, read_ann_codebooks(wh))
+        wh.fact_append("ann_codes", codes, str(batch_id))
+
+    emb = spark.readStream.schema(EMB_SCHEMA).json(landing_dir)
+    writer = emb.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

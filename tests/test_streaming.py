@@ -753,3 +753,76 @@ def test_streaming_ingest_builds_bloom_index(spark, tmp_path):
         wh, "credit", RAW_SCHEMA, "VideoTitle", "iPad|video BBB"
     ).collect()
     assert len(got) == 1 and got[0]["VideoTitle"] == "iPad|video BBB"
+
+
+def test_streaming_ann_index_serves_equal_to_scratch(spark, tmp_path):
+    """Two embedding batches stream through stream_ann_index: codebooks
+    train once on batch 1 and FREEZE (version stays 1 after batch 2),
+    codes append per batch, and serving from the stored index equals
+    encoding+scoring the full corpus from scratch against the same
+    codebooks. Replay no-ops the code appends."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.datapipe.similarity import pq_adc_topk, pq_encode
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.sources.tables import load_table
+    from etl__project_spark.streaming.pipeline import (
+        ANN_CODES_SCHEMA,
+        ann_lookup,
+        read_ann_codebooks,
+        stream_ann_index,
+    )
+
+    landing = str(tmp_path / "ann_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "ann_wh")
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = emb.filter(F.col("vec_id") < 100).collect()
+    batches = [rows[:50], rows[50:]]
+
+    def run(i, rs, ckpt):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for r in rs:
+                fh.write(
+                    json.dumps(
+                        {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                    )
+                    + "\n"
+                )
+        q = stream_ann_index(spark, landing, wh_root, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    run(0, batches[0], str(tmp_path / "ann_ckpt"))
+    wh = ParquetWarehouse(spark, wh_root)
+    assert wh._current("ann_codebooks") == 1
+    run(1, batches[1], str(tmp_path / "ann_ckpt"))
+    assert wh._current("ann_codebooks") == 1  # frozen, not retrained
+
+    # serving from the stored index == scratch encode+score of the
+    # full corpus against the SAME codebooks
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    got = [
+        (r["vec_id"], r["approx_dot"])
+        for r in ann_lookup(wh, query, k=5).collect()
+    ]
+    cb = read_ann_codebooks(wh)
+    all_vecs = emb.filter(F.col("vec_id") < 100)
+    want = [
+        (r["vec_id"], r["approx_dot"])
+        for r in pq_adc_topk(pq_encode(all_vecs, cb), cb, query, k=5).collect()
+    ]
+    assert got == want and len(got) == 5
+
+    # replay with a fresh checkpoint: appends are idempotent per batch
+    n_codes = wh.read_fact("ann_codes", ANN_CODES_SCHEMA).count()
+    assert n_codes == 100 * 8  # 8 subspace codes per vector
+    q = stream_ann_index(spark, landing, wh_root, str(tmp_path / "ann_ckpt2"))
+    q.awaitTermination(120)
+    q.stop()
+    assert wh.read_fact("ann_codes", ANN_CODES_SCHEMA).count() == n_codes

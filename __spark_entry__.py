@@ -74,6 +74,9 @@ _PRIORITY_R6 = [
     "ev_ab_test_zscore",
     "doc_dedup_keep_best",
     "vs_scd2_asof_lookup",
+    "ev_session_copurchase",
+    "vs_dim_calendar_spine",
+    "doc_dup_size_histogram",
     # standing canaries
     "vs_fact",
     "vs_warehouse_load",
@@ -93,9 +96,6 @@ _PRIORITY_R6 = [
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tpch_q9_profit",
-    "tpch_q10_returned",
-    "tpch_q12_late_lines",
-    "tpch_q13_custdist",
 ]
 
 

@@ -7919,3 +7919,187 @@ def vs_scd2_asof_lookup(spark, sf_dir):
         .filter((F.col("start_date") <= d) & (d <= F.col("end_date")))
         .select("probe_date", "datetime", "skey", "attr")
     )
+
+
+@query(
+    "ev_session_copurchase",
+    """WITH gaps AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+),
+items AS (SELECT DISTINCT user_id, session_no, event_type FROM sess),
+n_sess AS (SELECT count(DISTINCT user_id || '#' || session_no)::BIGINT AS n
+           FROM items),
+singles AS (
+  SELECT event_type, count(*)::BIGINT AS n_a FROM items GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_ab
+  FROM items a JOIN items b
+    ON a.user_id = b.user_id AND a.session_no = b.session_no
+   AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       round(p.n_ab::DOUBLE / n.n, 4) AS support,
+       round(p.n_ab::DOUBLE / sa.n_a, 4) AS confidence_a_b,
+       round(p.n_ab::DOUBLE * n.n / (sa.n_a * sb.n_a), 4) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN n_sess n""",
+)
+def ev_session_copurchase(spark, sf_dir):
+    """Association-rule mining over sessions (the market-basket
+    support/confidence/lift triple, Agrawal et al. 1993): a session is
+    the basket, distinct event types its items, and every type pair
+    gets support (fraction of sessions containing both), confidence
+    (P(b|a)) and lift (observed/independent). The χ² test says WHETHER
+    type and context associate; this says WHICH pairs and how much —
+    the recommendation-engine primitive.
+
+    Distributed shape: sessionization is the standard one-user-exchange
+    double window; baskets collapse to DISTINCT (session, type) rows —
+    at most |types| per session — and the pair join is an equi-join on
+    the session key whose per-session cost is ≤ |types|² (a bounded
+    item domain, the supermarket assumption). Single-type aggregates
+    and the session count are bounded frames broadcast back. All
+    ratios are single divisions of exact BIGINTs rounded to 4 dp."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag(F.unix_micros("ts")).over(wu)
+    new_s = F.when(
+        lag_us.isNull() | ((F.unix_micros("ts") - lag_us) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    items = (
+        ev.withColumn("new_session", new_s)
+        .withColumn(
+            "session_no",
+            F.sum("new_session").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("user_id", "session_no", "event_type")
+        .distinct()
+    )
+    items = items.localCheckpoint(eager=True)  # 4 consumers, tiny rows
+    n_sess = items.select("user_id", "session_no").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    singles = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_no") == F.col("b.session_no"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_a").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n"), 4).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 4).alias(
+                "confidence_a_b"
+            ),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n") / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "vs_dim_calendar_spine",
+    """SELECT d::DATE AS cal_date,
+       year(d)::BIGINT AS year, quarter(d)::BIGINT AS quarter,
+       month(d)::BIGINT AS month, dayofmonth(d)::BIGINT AS day,
+       isodow(d)::BIGINT AS iso_dow, weekofyear(d)::BIGINT AS iso_week,
+       (isodow(d) >= 6) AS is_weekend,
+       (d = last_day(d)) AS is_month_end
+FROM generate_series(DATE '2017-01-01', DATE '2017-12-31',
+                     INTERVAL 1 DAY) t(d)""",
+)
+def vs_dim_calendar_spine(spark, sf_dir):
+    """GENERATED calendar dimension — the warehouse dim that comes from
+    no scan at all: a date spine via ``sequence`` + ``explode`` with
+    the standard attribute kit (ISO dow/week, quarter, weekend and
+    month-end flags). The reference derives its date dim only from
+    observed data (A2/``vs_dim_time``), which silently drops dates with
+    no events — joins against a generated spine are how reports show
+    the zero rows. 365 rows are generated per executor-free projection;
+    at scale the spine is the canonical broadcast side of every
+    fill-the-gaps join."""
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE'2017-01-01', DATE'2017-12-31',"
+        " interval 1 day)) AS cal_date"
+    )
+    d = F.col("cal_date")
+    iso_dow = F.dayofweek(d) - 1
+    iso_dow = F.when(iso_dow == 0, 7).otherwise(iso_dow)
+    return spine.select(
+        d,
+        F.year(d).cast("long").alias("year"),
+        F.quarter(d).cast("long").alias("quarter"),
+        F.month(d).cast("long").alias("month"),
+        F.dayofmonth(d).cast("long").alias("day"),
+        iso_dow.cast("long").alias("iso_dow"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        (iso_dow >= 6).alias("is_weekend"),
+        (d == F.last_day(d)).alias("is_month_end"),
+    )
+
+
+@query(
+    "doc_dup_size_histogram",
+    f"""WITH comp AS ({ORACLES["doc_dup_components"]}),
+sizes AS (SELECT component, count(*)::BIGINT AS comp_size
+          FROM comp GROUP BY component)
+SELECT comp_size, count(*)::BIGINT AS n_components,
+       (comp_size * count(*))::BIGINT AS n_docs
+FROM sizes GROUP BY comp_size""",
+)
+def doc_dup_size_histogram(spark, sf_dir):
+    """Dup-cluster SIZE distribution — the dedup-quality audit read
+    before trusting a dedup pass: how many near-dup components of each
+    size exist and how many documents they hold (size 1 = unique docs;
+    a giant component is the classic over-merging smell — boilerplate
+    or an LSH threshold set too loose chaining unrelated docs). Two
+    bounded aggregates over the component map; the texts are never
+    touched."""
+    comp = QUERIES["doc_dup_components"](spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("comp_size"))
+    return sizes.groupBy("comp_size").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        (F.col("comp_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )

@@ -632,3 +632,52 @@ def test_ab_test_zscore_known_lift(spark, monkeypatch):
     r = _run_on(monkeypatch, lifted, "ev_ab_test_zscore", spark).collect()[0]
     assert r["rate_1"] > r["rate_0"]
     assert r["z_score"] > 2.0
+
+
+def test_session_copurchase_support_confidence_lift(spark, monkeypatch):
+    """Planted baskets: 4 sessions; {a,b} co-occur in 2, a alone in 1,
+    b alone in 1 — support 2/4, conf(a→b) 2/3, lift (2·4)/(3·3)."""
+    # four users, one session each (events 1 min apart)
+    rows = [
+        (1, 1, "a"), (1, 2, "b"),          # session 1: {a,b}
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "b"),  # session 2: {a,b}
+        (3, 1, "a"),                        # session 3: {a}
+        (4, 1, "b"),                        # session 4: {b}
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, 1, 10, m), u, t, 1.0, "{}")
+            for i, (u, m, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = _run_on(monkeypatch, df, "ev_session_copurchase", spark).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"], r["n_ab"]) == ("a", "b", 2)
+    assert r["support"] == 0.5
+    assert r["confidence_a_b"] == round(2 / 3, 4)
+    assert r["lift"] == round(2 * 4 / (3 * 3), 4)
+
+
+def test_calendar_spine_attributes(spark):
+    out = QUERIES["vs_dim_calendar_spine"](spark, SF_DIR)
+    rows = {str(r["cal_date"]): r for r in out.collect()}
+    assert len(rows) == 365
+    jan1 = rows["2017-01-01"]  # a Sunday
+    assert (jan1["iso_dow"], jan1["is_weekend"]) == (7, True)
+    feb28 = rows["2017-02-28"]
+    assert feb28["is_month_end"] is True and feb28["quarter"] == 1
+    # no scan at all: the spine is generated
+    plan = plan_of(out)
+    assert "FileScan" not in plan
+
+
+def test_dup_size_histogram_accounts_for_every_doc(spark):
+    out = QUERIES["doc_dup_size_histogram"](spark, SF_DIR).collect()
+    n_docs_total = sum(r["n_docs"] for r in out)
+    from etl__project_spark.sources.tables import load_table
+
+    assert n_docs_total == load_table(spark, SF_DIR, "documents").count()
+    assert all(r["comp_size"] >= 1 and r["n_components"] >= 1 for r in out)

@@ -609,3 +609,133 @@ def test_peak_concurrency_matches_python_sweep(spark, events):
     finally:
         cat.load_table = orig
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),               # event type
+            st.integers(min_value=1, max_value=4),          # day of month
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_chi2_matches_python_model(spark, events):
+    """ev_chi2_independence == a pure-Python chi-square over the same
+    contingency table (including EMPTY cells), with the identical
+    micro-unit quantization."""
+    import math
+    from datetime import datetime
+
+    import etl__project_spark.plans.catalog as cat
+
+    df = spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, d, 12, 0), 1, ty, 0.0, "{}")
+            for i, (ty, d) in enumerate(events)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    # python model (dow of 2024-01-d mirrors Spark's dayofweek)
+    cells: dict[tuple[str, int], int] = {}
+    for ty, d in events:
+        dow = (datetime(2024, 1, d).weekday() + 1) % 7 + 1  # Sunday=1
+        cells[(ty, dow)] = cells.get((ty, dow), 0) + 1
+    rows = sorted({t for t, _ in cells})
+    colz = sorted({d for _, d in cells})
+    n_i = {t: sum(v for (tt, _), v in cells.items() if tt == t) for t in rows}
+    n_j = {d: sum(v for (_, dd), v in cells.items() if dd == d) for d in colz}
+    n = sum(cells.values())
+    t_sum = 0
+    for t in rows:
+        for d in colz:
+            e = n_i[t] * n_j[d] / n
+            o = cells.get((t, d), 0)
+            t_sum += math.floor((o - e) * (o - e) / e * 1_000_000 + 0.5)
+    want_chi2 = math.floor(t_sum / 100.0 + 0.5) / 10000.0
+
+    orig = cat.load_table
+    cat.load_table = lambda s, dd, tt: df
+    try:
+        r = cat.QUERIES["ev_chi2_independence"](spark, "unused").collect()[0]
+    finally:
+        cat.load_table = orig
+    assert r["chi2"] == want_chi2
+    assert r["dof"] == (len(rows) - 1) * (len(colz) - 1)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),      # user
+            st.integers(min_value=0, max_value=200),    # minute
+            st.sampled_from(["a", "b", "c"]),           # type
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_copurchase_matches_python_model(spark, events):
+    """ev_session_copurchase == a pure-Python basket fold: sessions by
+    30-min gap per user, distinct items per session, pair counts and
+    the three exactly-quantized ratios."""
+    from datetime import datetime, timedelta
+
+    import etl__project_spark.plans.catalog as cat
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + timedelta(minutes=m), u, ty, 0.0, "{}")
+            for i, (u, m, ty) in enumerate(events)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    # model: sessions per user
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, m, ty in events:
+        by_user.setdefault(u, []).append((m, ty))
+    baskets = []
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = {evs[0][1]}
+        prev = evs[0][0]
+        for m, ty in evs[1:]:
+            if (m - prev) * 60 > 1800:
+                baskets.append(cur)
+                cur = set()
+            cur.add(ty)
+            prev = m
+        baskets.append(cur)
+    n_sessions = len(baskets)
+    singles: dict[str, int] = {}
+    pairs: dict[tuple[str, str], int] = {}
+    for b in baskets:
+        for t in b:
+            singles[t] = singles.get(t, 0) + 1
+        bs = sorted(b)
+        for i in range(len(bs)):
+            for j in range(i + 1, len(bs)):
+                pairs[(bs[i], bs[j])] = pairs.get((bs[i], bs[j]), 0) + 1
+
+    orig = cat.load_table
+    cat.load_table = lambda s, d, t: df
+    try:
+        got = {
+            (r["type_a"], r["type_b"]): r
+            for r in cat.QUERIES["ev_session_copurchase"](spark, "unused").collect()
+        }
+    finally:
+        cat.load_table = orig
+    assert set(got) == set(pairs)
+    for (a, b), n_ab in pairs.items():
+        r = got[(a, b)]
+        assert r["n_ab"] == n_ab
+        assert r["support"] == round(n_ab / n_sessions, 4)
+        assert r["confidence_a_b"] == round(n_ab / singles[a], 4)
+        assert r["lift"] == round(n_ab * n_sessions / (singles[a] * singles[b]), 4)

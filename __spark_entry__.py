@@ -77,6 +77,7 @@ _PRIORITY_R6 = [
     "ev_session_copurchase",
     "vs_dim_calendar_spine",
     "doc_dup_size_histogram",
+    "ev_funnel_latency",
     # standing canaries
     "vs_fact",
     "vs_warehouse_load",
@@ -95,7 +96,6 @@ _PRIORITY_R6 = [
     "emb_near_dup_blocked",
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
-    "tpch_q9_profit",
 ]
 
 

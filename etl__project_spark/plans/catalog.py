@@ -8103,3 +8103,76 @@ def doc_dup_size_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("n_components"),
         (F.col("comp_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+@query(
+    "ev_funnel_latency",
+    """WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS any_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id,
+         epoch_us(p.first_purchase_after) - epoch_us(f.first_signup) AS lat_us
+  FROM firsts f
+  JOIN (
+    SELECT e.user_id, min(e.ts) AS first_purchase_after
+    FROM events e JOIN firsts f2 ON e.user_id = f2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > f2.first_signup
+    GROUP BY e.user_id
+  ) p ON f.user_id = p.user_id
+)
+SELECT count(*)::BIGINT AS n_converted,
+       round(quantile_cont(lat_us, 0.50) / 1000000.0, 4) AS p50_seconds,
+       round(quantile_cont(lat_us, 0.90) / 1000000.0, 4) AS p90_seconds,
+       round(min(lat_us) / 1000000.0, 4) AS min_seconds,
+       round(max(lat_us) / 1000000.0, 4) AS max_seconds
+FROM conv""",
+)
+def ev_funnel_latency(spark, sf_dir):
+    """Time-to-convert: for every user who purchased strictly AFTER
+    their first signup, the signup→first-subsequent-purchase latency —
+    the product metric the ordered funnel (``ev_funnel_steps``, which
+    counts WHO converts) doesn't give: HOW LONG conversion takes, read
+    off as exact interpolated p50/p90 plus min/max. The strict
+    'purchase after signup' condition matches the funnel's semantics
+    (a purchase before signup doesn't convert).
+
+    Distributed shape: both the first-signup and the
+    first-purchase-after aggregates collapse on ONE user_id exchange
+    each (conditional-min, then a filtered min over the
+    first-signup-annotated stream — the annotation joins back by
+    user, no window needed); latencies are exact integer microsecond
+    diffs and the percentile is Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` (both linear-interpolated, the ``ev_quartiles``
+    equivalence)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup")
+    )
+    pafter = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ts") > F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase_after"),
+            F.first("first_signup").alias("first_signup"),
+        )
+    )
+    lat = pafter.select(
+        (
+            F.unix_micros("first_purchase_after") - F.unix_micros("first_signup")
+        ).alias("lat_us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("lat_us", 0.50) / 1_000_000.0, 4).alias("p50_seconds"),
+        F.round(F.percentile("lat_us", 0.90) / 1_000_000.0, 4).alias("p90_seconds"),
+        F.round(F.min("lat_us") / 1_000_000.0, 4).alias("min_seconds"),
+        F.round(F.max("lat_us") / 1_000_000.0, 4).alias("max_seconds"),
+    )

@@ -681,3 +681,22 @@ def test_dup_size_histogram_accounts_for_every_doc(spark):
 
     assert n_docs_total == load_table(spark, SF_DIR, "documents").count()
     assert all(r["comp_size"] >= 1 and r["n_components"] >= 1 for r in out)
+
+
+def test_funnel_latency_strict_after_and_percentiles(spark, monkeypatch):
+    """User 1 converts 60 min after signup; user 2 converts 30 min
+    after (an earlier pre-signup purchase must NOT count); user 3
+    purchased only BEFORE signup (excluded); user 4 never signed up
+    (excluded). p50 interpolates between the two latencies."""
+    rows = [
+        (1, 10, 0, 1, "signup"), (1, 11, 0, 1, "purchase"),
+        (2, 9, 0, 2, "purchase"), (2, 10, 0, 2, "signup"),
+        (2, 10, 30, 2, "purchase"),
+        (3, 10, 0, 3, "purchase"), (3, 11, 0, 3, "signup"),
+        (4, 10, 0, 4, "purchase"),
+    ]
+    df = _events(spark, [(d, h, m, u, t) for (d, h, m, u, t) in rows])
+    r = _run_on(monkeypatch, df, "ev_funnel_latency", spark).collect()[0]
+    assert r["n_converted"] == 2
+    assert r["min_seconds"] == 1800.0 and r["max_seconds"] == 3600.0
+    assert r["p50_seconds"] == 2700.0  # interpolated midpoint

@@ -8176,3 +8176,57 @@ def ev_funnel_latency(spark, sf_dir):
         F.round(F.min("lat_us") / 1_000_000.0, 4).alias("min_seconds"),
         F.round(F.max("lat_us") / 1_000_000.0, 4).alias("max_seconds"),
     )
+
+
+@query(
+    "doc_weighted_sample_stratified",
+    """WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         floor(ln((('0x' || substr(md5(doc_id::VARCHAR || 'wsamp'), 1, 15))::BIGINT
+                   + 1)::DOUBLE / 1152921504606846976.0)
+               / n_chars * 1000000000 + 0.5)::BIGINT AS neg_key_nano
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY neg_key_nano DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, neg_key_nano
+FROM ranked WHERE rn <= 3""",
+)
+def doc_weighted_sample_stratified(spark, sf_dir):
+    """STRATIFIED weighted sampling without replacement: the A-ES draw
+    of ``doc_weighted_sample`` with the top-k cut taken PER SOURCE — a
+    size-biased, reproducible sample of every stratum in one pass (the
+    balanced-subcorpus draw: k docs from each source, longer docs
+    likelier within each). Identical deterministic keys (same md5
+    draw, same nano-quantization), so a doc's key agrees between the
+    global and stratified samplers; the only change is the ranking
+    window partitioned by source — parallel across strata, never a
+    global sort. The A-ES independence property is what makes the
+    per-stratum top-k a valid without-replacement weighted sample in
+    each stratum simultaneously."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("wsamp"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(1152921504606846976.0)
+    neg_key = F.floor(
+        F.log(u) / F.col("n_chars") * 1_000_000_000 + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("neg_key_nano"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", neg_key.alias("neg_key_nano"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", "n_chars", "neg_key_nano")
+    )

@@ -700,3 +700,28 @@ def test_funnel_latency_strict_after_and_percentiles(spark, monkeypatch):
     assert r["n_converted"] == 2
     assert r["min_seconds"] == 1800.0 and r["max_seconds"] == 3600.0
     assert r["p50_seconds"] == 2700.0  # interpolated midpoint
+
+
+def test_stratified_weighted_sample_covers_every_stratum(spark):
+    from etl__project_spark.sources.tables import load_table
+
+    out = QUERIES["doc_weighted_sample_stratified"](spark, SF_DIR).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    n_sources = (
+        load_table(spark, SF_DIR, "documents").select("source").distinct().count()
+    )
+    assert len(by_src) == n_sources
+    assert all(len(v) == 3 for v in by_src.values())
+    # keys agree with the global sampler (same deterministic draw)
+    glob = {
+        r["doc_id"]: r["neg_key_nano"]
+        for r in QUERIES["doc_weighted_sample"](spark, SF_DIR).collect()
+    }
+    for r in out:
+        if r["doc_id"] in glob:
+            assert glob[r["doc_id"]] == r["neg_key_nano"]
+    # the ranking window is partitioned (parallel across strata)
+    plan = plan_of(QUERIES["doc_weighted_sample_stratified"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan

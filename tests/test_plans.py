@@ -312,6 +312,7 @@ SINGLE_PARTITION_CENSUS = {
     "doc_dedup_keep_best": 0,
     "ev_session_copurchase": 1,  # the 1-row session-count agg finalize
     "ev_funnel_latency": 1,  # the 1-row latency-quantile agg finalize
+    "doc_weighted_sample_stratified": 0,
     "vs_dim_calendar_spine": 0,
     "doc_dup_size_histogram": 0,
     "vs_scd2_asof_lookup": 5,  # inherits vs_scd2_upsert's tiny-dim bookkeeping windows; the as-of adds only a 2-row broadcast

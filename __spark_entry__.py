@@ -79,6 +79,7 @@ _PRIORITY_R6 = [
     "doc_dup_size_histogram",
     "ev_funnel_latency",
     "doc_weighted_sample_stratified",
+    "tpch_equidepth_hist",
     # standing canaries
     "vs_fact",
     "vs_warehouse_load",
@@ -95,7 +96,6 @@ _PRIORITY_R6 = [
     "doc_dup_components",
     "doc_token_regex",
     "emb_near_dup_blocked",
-    "tpch_q7_nation_volume",
 ]
 
 

@@ -8230,3 +8230,60 @@ def doc_weighted_sample_stratified(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("source", "doc_id", "n_chars", "neg_key_nano")
     )
+
+
+@query(
+    "tpch_equidepth_hist",
+    """WITH cuts AS (
+  SELECT [round(quantile_cont(l_extendedprice, 0.1), 4), round(quantile_cont(l_extendedprice, 0.2), 4), round(quantile_cont(l_extendedprice, 0.3), 4), round(quantile_cont(l_extendedprice, 0.4), 4), round(quantile_cont(l_extendedprice, 0.5), 4), round(quantile_cont(l_extendedprice, 0.6), 4), round(quantile_cont(l_extendedprice, 0.7), 4), round(quantile_cont(l_extendedprice, 0.8), 4), round(quantile_cont(l_extendedprice, 0.9), 4)] AS c
+  FROM lineitem
+),
+banded AS (
+  SELECT len(list_filter(cuts.c, x -> l.l_extendedprice > x))::BIGINT AS bucket,
+         l.l_extendedprice AS v
+  FROM lineitem l CROSS JOIN cuts
+)
+SELECT bucket, count(*)::BIGINT AS n_rows,
+       round(min(v), 4) AS lo, round(max(v), 4) AS hi
+FROM banded GROUP BY bucket""",
+)
+def tpch_equidepth_hist(spark, sf_dir):
+    """Equi-depth (equi-height) histogram of l_extendedprice — the
+    selectivity histogram ANALYZE actually stores (Spark's own
+    ``spark.sql.statistics.histogram.enabled`` builds exactly this),
+    completing the stats family: ``tpch_column_stats`` gives min/max/
+    NDV, ``tpch_corr_matrix`` cross-column association, this gives the
+    within-column distribution a range predicate's selectivity is read
+    from. Decile cut points come from ONE exact-percentile aggregate
+    (9 doubles, broadcast); bucket assignment is a narrow scan
+    counting how many cuts each value exceeds (no join per bucket, no
+    second percentile pass), then one bounded 10-key aggregate. The
+    near-equal bucket counts ARE the equi-depth property — checked by
+    test, and the per-bucket lo/hi are the range boundaries the
+    optimizer interpolates against.
+
+    Determinism: both engines interpolate percentiles identically
+    (``ev_quartiles`` equivalence), band against the same 4 dp-rounded
+    cuts, and emit exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.array(
+            *[
+                F.round(F.percentile("l_extendedprice", x / 10.0), 4)
+                for x in range(1, 10)
+            ]
+        ).alias("c")
+    )
+    banded = li.select("l_extendedprice").crossJoin(F.broadcast(cuts)).select(
+        F.aggregate(
+            F.filter("c", lambda x: F.col("l_extendedprice") > x),
+            F.lit(0).cast("long"),
+            lambda acc, _: acc + 1,
+        ).alias("bucket"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    return banded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("v"), 4).alias("lo"),
+        F.round(F.max("v"), 4).alias("hi"),
+    )

@@ -725,3 +725,26 @@ def test_stratified_weighted_sample_covers_every_stratum(spark):
     # the ranking window is partitioned (parallel across strata)
     plan = plan_of(QUERIES["doc_weighted_sample_stratified"](spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_equidepth_hist_is_equi_depth(spark):
+    """Ten buckets, near-equal counts (the equi-depth property),
+    contiguous non-overlapping ranges, total = row count; lineitem
+    scanned twice (cuts pass + banding pass), never once per bucket."""
+    from etl__project_spark.sources.tables import load_table
+
+    out = sorted(
+        (r["bucket"], r["n_rows"], r["lo"], r["hi"])
+        for r in QUERIES["tpch_equidepth_hist"](spark, SF_DIR).collect()
+    )
+    n_total = load_table(spark, SF_DIR, "lineitem").count()
+    assert [b for b, *_ in out] == list(range(10))
+    assert sum(n for _, n, *_ in out) == n_total
+    counts = [n for _, n, *_ in out]
+    assert max(counts) <= 2 * min(counts)  # near-equal depths
+    for (_, _, _, hi_prev), (_, _, lo_next, _) in zip(out, out[1:]):
+        assert hi_prev <= lo_next  # ordered, non-overlapping ranges
+
+    plan = plan_of(QUERIES["tpch_equidepth_hist"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 2
+    assert "CartesianProduct" not in plan

@@ -313,6 +313,7 @@ SINGLE_PARTITION_CENSUS = {
     "ev_session_copurchase": 1,  # the 1-row session-count agg finalize
     "ev_funnel_latency": 1,  # the 1-row latency-quantile agg finalize
     "doc_weighted_sample_stratified": 0,
+    "tpch_equidepth_hist": 1,  # the 9-double percentile-cuts agg finalize
     "vs_dim_calendar_spine": 0,
     "doc_dup_size_histogram": 0,
     "vs_scd2_asof_lookup": 5,  # inherits vs_scd2_upsert's tiny-dim bookkeeping windows; the as-of adds only a 2-row broadcast

@@ -8287,3 +8287,296 @@ def tpch_equidepth_hist(spark, sf_dir):
         F.round(F.min("v"), 4).alias("lo"),
         F.round(F.max("v"), 4).alias("hi"),
     )
+
+
+@query(
+    "ev_ks_test",
+    """WITH vals AS (
+  SELECT value AS v,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n2
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY value
+),
+tot AS (SELECT sum(n1)::BIGINT AS t1, sum(n2)::BIGINT AS t2 FROM vals),
+cum AS (
+  SELECT sum(n1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+         sum(n2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+  FROM vals
+),
+d AS (
+  SELECT max(abs(c1::HUGEINT * t2 - c2::HUGEINT * t1)) AS d_num
+  FROM cum CROSS JOIN tot
+)
+SELECT t1 AS n_click, t2 AS n_purchase,
+       floor(d_num::DOUBLE / (t1::DOUBLE * t2::DOUBLE) * 10000 + 0.5) / 10000.0 AS ks_d,
+       floor(1.3581 * sqrt((t1::DOUBLE + t2::DOUBLE) / (t1::DOUBLE * t2::DOUBLE)) * 10000 + 0.5) / 10000.0 AS crit_05,
+       (floor(d_num::DOUBLE / (t1::DOUBLE * t2::DOUBLE) * 10000 + 0.5)
+          > floor(1.3581 * sqrt((t1::DOUBLE + t2::DOUBLE) / (t1::DOUBLE * t2::DOUBLE)) * 10000 + 0.5)) AS reject_05
+FROM d CROSS JOIN tot""",
+)
+def ev_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test: does the `value` distribution
+    of clicks differ from purchases? D = max over observed values of
+    |ECDF_click(v) - ECDF_purchase(v)|, with the alpha=0.05 decision
+    against the classic c(0.05)=1.3581 critical value.
+
+    Distributed shape: the ECDF is a running sum over value order — a
+    global-order window is one partition by definition, so this uses
+    the ``ev_peak_concurrency`` two-level prefix sum, with the bands
+    coming from ONE exact-percentile aggregate over the values (the
+    ``tpch_equidepth_hist`` banding): 31 cut points broadcast, each
+    distinct value assigned a band map-side, running sums WITHIN each
+    band (parallel), plus a carry-in of prior-band totals computed on
+    the <=32-row band aggregate. The cuts are internal to the Spark
+    plan only — the oracle computes the same D with one global window,
+    so the hash match proves the decomposition.
+
+    Determinism: D's argmax comparison happens in exact integers —
+    |c1*t2 - c2*t1| as decimal products of exact counts (the max is
+    found BEFORE any division) — and the single final divide is
+    identically floor-quantized to 4 dp on both engines. The rejection
+    decision compares the two QUANTIZED integers, so the boolean can
+    never straddle an ulp."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("value").isNotNull())
+    )
+    vals = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n2"),
+    )
+    tot = vals.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    cuts = ev.agg(
+        F.array(*[F.percentile("value", i / 32.0) for i in range(1, 32)]).alias("c")
+    )
+    banded = vals.crossJoin(F.broadcast(cuts)).select(
+        "v",
+        "n1",
+        "n2",
+        F.aggregate(
+            F.filter("c", lambda x: F.col("v") > x), F.lit(0), lambda a, _: a + 1
+        ).alias("band"),
+    )
+    # |distinct values| rows, consumed twice (local running + band totals)
+    banded = banded.localCheckpoint(eager=True)
+    wb = Window.partitionBy("band").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = banded.select(
+        "band",
+        F.sum("n1").over(wb).alias("c1"),
+        F.sum("n2").over(wb).alias("c2"),
+    )
+    wc = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    carry = banded.groupBy("band").agg(
+        F.sum("n1").alias("b1"), F.sum("n2").alias("b2")
+    ).select(
+        "band",
+        F.coalesce(F.sum("b1").over(wc), F.lit(0)).alias("k1"),
+        F.coalesce(F.sum("b2").over(wc), F.lit(0)).alias("k2"),
+    )
+
+    # decimal(18,0) x decimal(18,0) -> decimal(37,0): exact up to 1e18
+    # counts per side (any real corpus), no 38-precision truncation
+    def dec(c):
+        return c.cast("decimal(18,0)")
+
+    d = (
+        local.join(F.broadcast(carry), "band")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    dec(F.col("k1") + F.col("c1")) * dec(F.col("t2"))
+                    - dec(F.col("k2") + F.col("c2")) * dec(F.col("t1"))
+                )
+            ).alias("d_num")
+        )
+    )
+    t1d = F.col("t1").cast("double")
+    t2d = F.col("t2").cast("double")
+    ks_scaled = F.floor(
+        F.col("d_num").cast("double") / (t1d * t2d) * 10000 + F.lit(0.5)
+    )
+    crit_scaled = F.floor(
+        F.lit(1.3581) * F.sqrt((t1d + t2d) / (t1d * t2d)) * 10000 + F.lit(0.5)
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.col("t1").alias("n_click"),
+        F.col("t2").alias("n_purchase"),
+        (ks_scaled / 10000.0).alias("ks_d"),
+        (crit_scaled / 10000.0).alias("crit_05"),
+        (ks_scaled > crit_scaled).alias("reject_05"),
+    )
+
+
+@query(
+    "ev_benford_audit",
+    """WITH m AS (
+  SELECT CAST(floor(value * 10000 + 0.5) AS BIGINT) AS iu
+  FROM events WHERE value IS NOT NULL AND floor(value * 10000 + 0.5) >= 1
+),
+o AS (
+  SELECT substr(iu::VARCHAR, 1, 1)::BIGINT AS digit, count(*)::BIGINT AS n_obs
+  FROM m GROUP BY 1
+),
+b AS (
+  SELECT digit::BIGINT AS digit, p::DOUBLE AS p
+  FROM (VALUES (1, 0.30103), (2, 0.17609), (3, 0.12494), (4, 0.09691),
+               (5, 0.07918), (6, 0.06695), (7, 0.05799), (8, 0.05115),
+               (9, 0.04576)) AS t(digit, p)
+),
+tt AS (SELECT sum(n_obs)::BIGINT AS n FROM o)
+SELECT b.digit,
+       coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+       floor(coalesce(o.n_obs, 0)::DOUBLE / tt.n::DOUBLE * 10000 + 0.5) / 10000.0 AS obs_frac,
+       b.p AS benford_p,
+       floor((coalesce(o.n_obs, 0)::DOUBLE - tt.n::DOUBLE * b.p)
+             * (coalesce(o.n_obs, 0)::DOUBLE - tt.n::DOUBLE * b.p)
+             / (tt.n::DOUBLE * b.p) * 10000 + 0.5) / 10000.0 AS chi2_term
+FROM b LEFT JOIN o ON b.digit = o.digit CROSS JOIN tt""",
+)
+def ev_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of the `value` column — the classic
+    fraud/synthetic-data screen: the distribution of first significant
+    digits in naturally-occurring amounts follows p(d)=log10(1+1/d);
+    per-digit chi-square contributions localize WHERE a synthetic or
+    manipulated amount column deviates.
+
+    First-digit extraction avoids log10 entirely (libm log10 at exact
+    powers of 10 is an ulp landmine: floor(log10(100))=1 on a libm
+    that returns 1.9999...8): amounts quantize to exact integer 1e-4
+    units (the ``_money_sum_raw`` discipline), and the first digit is
+    substr(int::VARCHAR, 1, 1) — integer-to-string is exact and
+    engine-portable. The Benford probabilities are shared 5-dp
+    literals, NOT engine log10 calls, so the chi-square terms are
+    identical IEEE arithmetic on both engines.
+
+    Shape: one narrow map + one 9-key hash aggregate; the digit table
+    and grand total broadcast. A pure scan at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    iu = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    m = (
+        ev.filter(F.col("value").isNotNull())
+        .select(iu.alias("iu"))
+        .filter(F.col("iu") >= 1)
+    )
+    o = (
+        m.select(
+            F.substring(F.col("iu").cast("string"), 1, 1).cast("long").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tt = o.agg(F.sum("n_obs").alias("n"))
+    benford = spark.createDataFrame(
+        [
+            (1, 0.30103), (2, 0.17609), (3, 0.12494), (4, 0.09691),
+            (5, 0.07918), (6, 0.06695), (7, 0.05799), (8, 0.05115),
+            (9, 0.04576),
+        ],
+        "digit long, p double",
+    )
+    nd = F.col("n").cast("double")
+    obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+    dev = obs - nd * F.col("p")
+    return (
+        benford.join(F.broadcast(o), "digit", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            (F.floor(obs / nd * 10000 + F.lit(0.5)) / 10000.0).alias("obs_frac"),
+            F.col("p").alias("benford_p"),
+            (
+                F.floor(dev * dev / (nd * F.col("p")) * 10000 + F.lit(0.5))
+                / 10000.0
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@query(
+    "ev_cusum_changepoint",
+    """WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY day
+),
+tot AS (SELECT sum(x)::BIGINT AS total, count(*)::BIGINT AS n_days FROM daily),
+cum AS (
+  SELECT day,
+         sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_x,
+         row_number() OVER (ORDER BY day)::BIGINT AS rk
+  FROM daily
+),
+s AS (
+  SELECT day, abs(cum_x * n_days - rk * total)::BIGINT AS s_num, n_days, total
+  FROM cum CROSS JOIN tot
+)
+SELECT day AS changepoint_day,
+       floor(s_num::DOUBLE / n_days::DOUBLE * 10000 + 0.5) / 10000.0 AS cusum_max,
+       floor(total::DOUBLE / n_days::DOUBLE * 10000 + 0.5) / 10000.0 AS mean_daily,
+       n_days
+FROM s ORDER BY s_num DESC, day LIMIT 1""",
+)
+def ev_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection on the daily event-count series: the
+    day where the cumulative deviation from the overall mean peaks —
+    the standard single-changepoint estimator (the argmax of |S_i|,
+    S_i = sum_{d<=i}(x_d - mean)) used to flag when traffic volume
+    shifted regime.
+
+    Exact-integer trick: S_i * n_days = cum_i * n_days - rank_i * total
+    — every term a product of exact counts — so the argmax is decided
+    in BIGINT arithmetic with no float mean in the loop; the mean and
+    the max deviation are divided out only in the final 1-row
+    projection, identically floor-quantized.
+
+    Shape: events collapse to a <=|days|-row daily aggregate (one
+    shuffle); the prefix sum and ranking run on that bounded series
+    (calendar-bounded, data-size-independent — the justified single-
+    partition window, same class as ``ev_peak_concurrency``'s carry);
+    the argmax is a TakeOrdered(1), never a global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = daily.agg(F.sum("x").alias("total"), F.count(F.lit(1)).alias("n_days"))
+    w = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_x"),
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    s = cum.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.abs(
+            F.col("cum_x") * F.col("n_days") - F.col("rk") * F.col("total")
+        ).alias("s_num"),
+        "n_days",
+        "total",
+    )
+    return s.orderBy(F.desc("s_num"), F.asc("day")).limit(1).select(
+        F.col("day").alias("changepoint_day"),
+        (
+            F.floor(
+                F.col("s_num").cast("double") / F.col("n_days").cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("cusum_max"),
+        (
+            F.floor(
+                F.col("total").cast("double") / F.col("n_days").cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("mean_daily"),
+        "n_days",
+    )

@@ -8580,3 +8580,377 @@ def ev_cusum_changepoint(spark, sf_dir):
         ).alias("mean_daily"),
         "n_days",
     )
+
+
+@query(
+    "ev_gini_concentration",
+    """WITH per_user AS (
+  SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id)::BIGINT AS rk FROM per_user
+),
+agg AS (
+  SELECT sum(rk::HUGEINT * x)::HUGEINT AS s1, sum(x)::HUGEINT AS t,
+         count(*)::HUGEINT AS n
+  FROM ranked
+)
+SELECT n::BIGINT AS n_users, t::BIGINT AS total_events,
+       floor((2 * s1 - (n + 1) * t)::DOUBLE / (n * t)::DOUBLE * 10000 + 0.5)
+         / 10000.0 AS gini
+FROM agg""",
+)
+def ev_gini_concentration(spark, sf_dir):
+    """Gini coefficient of per-user event counts — the traffic-
+    concentration audit (0 = perfectly even, 1 = one whale does
+    everything) that decides whether per-user keys need skew handling
+    before a groupBy/join ships (the measured complement of
+    ``ev_skew_report``'s top-k view).
+
+    Distributed shape: the textbook formula needs a GLOBAL rank over
+    users — a corpus-sized sort. This computes the identical rank sum
+    from the |distinct count values|-sized histogram instead: users
+    with equal x are rank-interchangeable (their x is constant inside
+    the tie block), so each count-value group contributes
+    x * (cum_before * m + m(m+1)/2) exactly, and the prefix sum runs
+    over the BOUNDED count histogram (same justified-window class as
+    ``ev_cusum_changepoint``'s calendar series). The oracle ranks
+    per-user rows directly — the hash match proves the tie-block
+    decomposition.
+
+    Determinism: every term is exact integer arithmetic
+    (decimal(12)x(12) products summed in decimal(38); the triangular
+    number via integer DIV, exact while any one tie block holds under
+    ~3e9 users); the single final divide is floor-quantized to 4 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    hist = per_user.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    g = hist.select(
+        "x",
+        "m",
+        F.coalesce(F.sum("m").over(wc), F.lit(0)).alias("cum_before"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(12,0)")
+
+    tri = F.expr("m * (m + 1) DIV 2")
+    s1_term = dec(F.col("x")) * (
+        dec(F.col("cum_before")) * dec(F.col("m")) + dec(tri)
+    )
+    agg = g.agg(
+        F.sum(s1_term).alias("s1"),
+        F.sum(dec(F.col("x")) * dec(F.col("m"))).alias("t"),
+        F.sum(dec(F.col("m"))).alias("n"),
+    )
+    num = (F.lit(2).cast("decimal(12,0)") * F.col("s1")
+           - (F.col("n") + F.lit(1)) * F.col("t"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("t").cast("long").alias("total_events"),
+        (
+            F.floor(
+                num.cast("double")
+                / (F.col("n") * F.col("t")).cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("gini"),
+    )
+
+
+@query(
+    "doc_source_kl",
+    r"""WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS word
+  FROM documents
+),
+sw AS (SELECT source, word, count(*)::BIGINT AS c_sw FROM toks GROUP BY source, word),
+uni AS (SELECT word, sum(c_sw)::BIGINT AS c_w FROM sw GROUP BY word),
+ts AS (SELECT source, sum(c_sw)::BIGINT AS t_s FROM sw GROUP BY source),
+n AS (SELECT sum(c_w)::BIGINT AS t FROM uni),
+terms AS (
+  SELECT sw.source, sw.c_sw,
+         floor(ln(sw.c_sw::DOUBLE * n.t::DOUBLE / (ts.t_s::DOUBLE * u.c_w::DOUBLE))
+               * 1000000 + 0.5)::BIGINT AS lr_micro
+  FROM sw JOIN uni u USING (word) JOIN ts USING (source) CROSS JOIN n
+),
+agg AS (
+  SELECT source, sum(c_sw::HUGEINT * lr_micro)::HUGEINT AS s FROM terms GROUP BY source
+)
+SELECT a.source, ts.t_s AS n_tokens,
+       floor(a.s::DOUBLE / ts.t_s::DOUBLE / 100.0 + 0.5) / 10000.0 AS kl_nats
+FROM agg a JOIN ts USING (source)""",
+)
+def doc_source_kl(spark, sf_dir):
+    """Per-source distribution drift: KL(P_source || P_corpus) over the
+    token unigram distributions — the standard domain-mix diagnostic
+    for training corpora (which slice's language diverges from the
+    blend, and by how many nats). Pairs with ``doc_dsir_weights``
+    (which reweights BY such divergences) and ``doc_dataset_card``.
+
+    Distributed shape: one (source x word) hash aggregate builds the
+    per-source LMs; the corpus LM, per-source totals, and grand total
+    are vocabulary-/|sources|-bounded aggregates that re-attach by
+    broadcast, so nothing corpus-sized ever shuffles twice. Per-token-
+    TYPE terms are weighted by exact counts, not re-scanned per token.
+
+    Determinism (``doc_unigram_logprob`` discipline): each type's ln
+    ratio quantizes to integer micro-nats BEFORE the weighted sum, so
+    the per-source sum is exact integer arithmetic immune to float
+    summation order; the ln argument is the identical double expression
+    c_sw*T / (t_s*c_w) on both engines; the final divide is
+    floor-quantized to 4 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    )
+    sw = (
+        toks.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .localCheckpoint(eager=True)  # vocab x |sources|-bounded, consumed 3x
+    )
+    uni = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    ts = sw.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
+    n = uni.agg(F.sum("c_w").alias("t"))
+    lr_micro = F.floor(
+        F.log(
+            F.col("c_sw").cast("double") * F.col("t").cast("double")
+            / (F.col("t_s").cast("double") * F.col("c_w").cast("double"))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        sw.join(F.broadcast(uni), "word")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            (F.col("c_sw").cast("decimal(18,0)") * lr_micro.cast("decimal(18,0)")).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.sum("term").alias("s"))
+    )
+    return agg.join(F.broadcast(ts), "source").select(
+        "source",
+        F.col("t_s").alias("n_tokens"),
+        (
+            F.floor(
+                F.col("s").cast("double") / F.col("t_s").cast("double") / F.lit(100.0)
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("kl_nats"),
+    )
+
+
+@query(
+    "ev_autocorr_daily",
+    """WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY day
+),
+tot AS (SELECT sum(x)::BIGINT AS t, count(*)::BIGINT AS n FROM daily),
+y AS (SELECT day, (x * n - t)::BIGINT AS y FROM daily CROSS JOIN tot),
+den AS (SELECT sum(y::HUGEINT * y)::HUGEINT AS d FROM y),
+ks AS (SELECT unnest(range(1, 8))::BIGINT AS k),
+num AS (
+  SELECT ks.k, sum(a.y::HUGEINT * b.y)::HUGEINT AS s, count(*)::BIGINT AS n_pairs
+  FROM ks, y a, y b
+  WHERE b.day = a.day + ks.k::INTEGER
+  GROUP BY ks.k
+)
+SELECT k AS lag, n_pairs,
+       floor(s::DOUBLE / d::DOUBLE * 10000 + 0.5) / 10000.0 AS acf
+FROM num CROSS JOIN den""",
+)
+def ev_autocorr_daily(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    seasonality screen (a weekly-traffic corpus shows the lag-7 spike)
+    that tells a capacity planner or anomaly detector which lags carry
+    signal. Completes the series-statistics family started by
+    ``ev_cusum_changepoint`` (level shift) with the periodic component.
+
+    Exact-integer trick: center in scaled units y_t = n*x_t - T (the
+    n-scaled deviation, exact BIGINT); r_k = sum(y_t * y_{t+k}) /
+    sum(y_t^2) — the n^2 scale cancels — so both sums are exact
+    decimal(38) integer aggregates and the single divide per lag is
+    floor-quantized to 4 dp.
+
+    Distributed shape: events collapse to the calendar-bounded daily
+    table once (one shuffle); lags come from a date equi-join of that
+    bounded table against itself shifted by k (k exploded from a 7-row
+    broadcast range), never a global-order window; the denominator is
+    one scalar agg. Everything past the first aggregate is
+    data-size-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = daily.agg(F.sum("x").alias("t"), F.count(F.lit(1)).alias("n"))
+    y = (
+        daily.crossJoin(F.broadcast(tot))
+        .select("day", (F.col("x") * F.col("n") - F.col("t")).alias("y"))
+        .localCheckpoint(eager=True)  # calendar-bounded, consumed 3x
+    )
+
+    def dec(c):
+        return c.cast("decimal(18,0)")
+
+    den = y.agg(F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("d"))
+    ks = spark.range(1, 8).select(F.col("id").alias("k"))
+    b = y.select(F.col("day").alias("bday"), F.col("y").alias("yb"))
+    num = (
+        y.crossJoin(F.broadcast(ks))
+        .select(
+            F.date_add("day", F.col("k").cast("int")).alias("bday"), "y", "k"
+        )
+        .join(b, "bday")
+        .groupBy("k")
+        .agg(
+            F.sum(dec(F.col("y")) * dec(F.col("yb"))).alias("s"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("k").alias("lag"),
+        "n_pairs",
+        (
+            F.floor(
+                F.col("s").cast("double") / F.col("d").cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("acf"),
+    )
+
+
+@query(
+    "doc_dup_span_merge",
+    r"""WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS a FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS start, array_to_string(a[i:i+7], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(a) - 6, 1))) AS t(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+spans AS (SELECT doc_id, start, start + 7 AS fin FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, start, fin,
+         CASE WHEN start > coalesce(max(fin) OVER (
+                PARTITION BY doc_id ORDER BY start, fin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+),
+isl2 AS (
+  SELECT doc_id, start, fin,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start, fin
+                            ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM isl
+),
+merged AS (
+  SELECT doc_id, min(start) AS s, max(fin) AS f
+  FROM isl2 GROUP BY doc_id, isl_id
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+         sum(f - s + 1)::BIGINT AS n_dup_tokens
+  FROM merged GROUP BY doc_id
+)
+SELECT p.doc_id, n_dup_spans, n_dup_tokens, len(t.a)::BIGINT AS n_tokens,
+       floor(n_dup_tokens::DOUBLE / len(t.a)::DOUBLE * 10000 + 0.5) / 10000.0 AS dup_frac
+FROM per_doc p JOIN toks t USING (doc_id)""",
+)
+def doc_dup_span_merge(spark, sf_dir):
+    """Exact-substring duplicated-SPAN report: which token ranges of each
+    document also occur elsewhere in the corpus, with overlapping hits
+    merged into maximal spans — the per-position view behind suffix-
+    array-style dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"), where the remediation REDACTS the
+    duplicated span instead of dropping the whole document (the span
+    analogue of ``doc_passage_scrub``'s passage granularity).
+
+    Algorithm: token 8-gram windows at every position; an 8-gram whose
+    corpus frequency exceeds 1 marks its [i, i+7] token span duplicated;
+    per-document overlapping-or-adjacent spans merge via gaps-and-
+    islands (running max of span ends decides island breaks). Output
+    per affected doc: merged-span count, duplicated-token total, and
+    the duplicated fraction (floor-quantized 4 dp — all other columns
+    are exact integers).
+
+    Distributed shape: the frequency pass is ONE corpus-sized hash
+    aggregate on the 8-gram (the ``doc_shingle_count`` shuffle class;
+    at 100 TB the group key would be xxhash64(gram) to keep shuffle
+    rows 8 bytes wide — raw strings here keep the oracle engine-
+    portable); the island merge runs entirely inside per-doc windows
+    (partitioned by doc_id, parallel); nothing global, no sort wider
+    than a document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("a")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("a") >= 8,
+                F.expr(
+                    "transform(sequence(1, size(a) - 7),"
+                    " i -> struct(i AS start, concat_ws(' ', slice(a, i, 8)) AS g))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("w"),
+    ).select("doc_id", F.col("w.start").cast("long").alias("start"), "w.g")
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cf")).filter(
+        F.col("cf") > 1
+    )
+    spans = grams.join(dup.select("g"), "g").select(
+        "doc_id", "start", (F.col("start") + 7).alias("fin")
+    )
+    wp = Window.partitionBy("doc_id").orderBy("start", "fin")
+    prev_max = F.max("fin").over(wp.rowsBetween(Window.unboundedPreceding, -1))
+    isl = spans.select(
+        "doc_id",
+        "start",
+        "fin",
+        F.when(
+            F.col("start") > F.coalesce(prev_max, F.lit(-1)) + 1, F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_isl"),
+    )
+    isl2 = isl.select(
+        "doc_id",
+        "start",
+        "fin",
+        F.sum("new_isl").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "isl_id"
+        ),
+    )
+    merged = isl2.groupBy("doc_id", "isl_id").agg(
+        F.min("start").alias("s"), F.max("fin").alias("f")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("f") - F.col("s") + 1).alias("n_dup_tokens"),
+    )
+    return per_doc.join(
+        toks.select("doc_id", F.size("a").cast("long").alias("n_tokens")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "n_dup_spans",
+        "n_dup_tokens",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("n_dup_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("dup_frac"),
+    )

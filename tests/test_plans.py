@@ -320,6 +320,10 @@ SINGLE_PARTITION_CENSUS = {
     "ev_ks_test": 4,  # totals + percentile-cuts 1-row agg finalizes, <=32-row band-carry window, 1-row D-argmax agg finalize
     "ev_benford_audit": 1,  # the 9-row digit rollup's grand-total agg finalize
     "ev_cusum_changepoint": 2,  # totals agg finalize + calendar-bounded daily-series prefix window (<= |days| rows)
+    "ev_gini_concentration": 1,  # count-histogram prefix window (<= |distinct counts| rows); the 1-row agg rides its partition
+    "doc_source_kl": 1,  # grand-total agg finalize over the vocab-bounded checkpoint
+    "ev_autocorr_daily": 1,  # denominator scalar-agg finalize over the calendar-bounded series
+    "doc_dup_span_merge": 0,
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

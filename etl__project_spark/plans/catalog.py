@@ -8352,7 +8352,9 @@ def ev_ks_test(spark, sf_dir):
     )
     tot = vals.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
     cuts = ev.agg(
-        F.array(*[F.percentile("value", i / 32.0) for i in range(1, 32)]).alias("c")
+        F.percentile(
+            "value", F.array(*[F.lit(i / 32.0) for i in range(1, 32)])
+        ).alias("c")
     )
     banded = vals.crossJoin(F.broadcast(cuts)).select(
         "v",

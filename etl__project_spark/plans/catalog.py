@@ -8956,3 +8956,248 @@ def doc_dup_span_merge(spark, sf_dir):
             / 10000.0
         ).alias("dup_frac"),
     )
+
+
+@query(
+    "doc_repetition_stats",
+    r"""WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS a FROM documents
+),
+uni AS (
+  SELECT doc_id, w, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(a) AS w FROM toks) GROUP BY doc_id, w
+),
+u AS (
+  SELECT doc_id, max(c)::BIGINT AS top1, sum(c)::BIGINT AS n
+  FROM uni GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c
+  FROM (
+    SELECT doc_id, a[i] || ' ' || a[i+1] AS g
+    FROM toks, unnest(range(1, greatest(len(a), 1))) AS t(i)
+  ) GROUP BY doc_id, g
+),
+b AS (SELECT doc_id, max(c)::BIGINT AS top2 FROM bi GROUP BY doc_id),
+tri AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c
+  FROM (
+    SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+    FROM toks, unnest(range(1, greatest(len(a) - 1, 1))) AS t(i)
+  ) GROUP BY doc_id, g
+),
+tr AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup3,
+         sum(c)::BIGINT AS tot3
+  FROM tri GROUP BY doc_id
+)
+SELECT u.doc_id, u.n AS n_words,
+       floor(u.top1::DOUBLE / u.n::DOUBLE * 10000 + 0.5) / 10000.0 AS top_word_frac,
+       floor(coalesce(b.top2, 0)::DOUBLE * 2 / u.n::DOUBLE * 10000 + 0.5) / 10000.0 AS top_bigram_frac,
+       floor(coalesce(tr.dup3, 0)::DOUBLE / greatest(tr.tot3, 1)::DOUBLE * 10000 + 0.5) / 10000.0 AS dup_trigram_frac,
+       (floor(u.top1::DOUBLE / u.n::DOUBLE * 10000 + 0.5) <= 1000
+        AND floor(coalesce(b.top2, 0)::DOUBLE * 2 / u.n::DOUBLE * 10000 + 0.5) <= 2000
+        AND floor(coalesce(tr.dup3, 0)::DOUBLE / greatest(tr.tot3, 1)::DOUBLE * 10000 + 0.5) <= 3000) AS keep
+FROM u LEFT JOIN b USING (doc_id) LEFT JOIN tr USING (doc_id)""",
+)
+def doc_repetition_stats(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher/MassiveText
+    repetition filters — Rae et al. 2021 §A1.1 — at word granularity,
+    matching this corpus's single-line texts): fraction of tokens that
+    are the single most frequent word, fraction covered by the most
+    frequent bigram, and the fraction of trigram occurrences whose
+    trigram repeats within the document — plus the combined keep flag
+    at the classic 0.10 / 0.20 / 0.30 thresholds. Complements
+    ``doc_quality_gopher`` (length/stopword/numeric rules) with the
+    repetition family it lacked; ``doc_dup_span_merge`` is the CROSS-
+    document analogue.
+
+    Distributed shape: three (doc_id, gram) hash aggregates — the same
+    shuffle class as ``doc_shingle_count``, keyed by doc so every
+    reduce is document-local — collapsed to per-doc maxima/sums and
+    joined back on doc_id. No windows, nothing global. The keep flag
+    compares the already-quantized integers, so the boolean can never
+    straddle an ulp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("a")
+    )
+
+    def grams(n):
+        if n == 1:
+            return toks.select("doc_id", F.explode("a").alias("g"))
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("a") >= n,
+                    F.expr(
+                        f"transform(sequence(1, size(a) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(a, i, {n})))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("g"),
+        )
+
+    u = (
+        grams(1).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top1"), F.sum("c").alias("n"))
+    )
+    b = (
+        grams(2).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2"))
+    )
+    tr = (
+        grams(3).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup3"),
+            F.sum("c").alias("tot3"),
+        )
+    )
+    q = lambda col: F.floor(col * 10000 + F.lit(0.5))  # noqa: E731
+    nd = F.col("n").cast("double")
+    f1 = q(F.col("top1").cast("double") / nd)
+    f2 = q(F.coalesce(F.col("top2"), F.lit(0)).cast("double") * 2 / nd)
+    f3 = q(
+        F.coalesce(F.col("dup3"), F.lit(0)).cast("double")
+        / F.greatest(F.col("tot3"), F.lit(1)).cast("double")
+    )
+    return (
+        u.join(b, "doc_id", "left")
+        .join(tr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_words"),
+            (f1 / 10000.0).alias("top_word_frac"),
+            (f2 / 10000.0).alias("top_bigram_frac"),
+            (f3 / 10000.0).alias("dup_trigram_frac"),
+            ((f1 <= 1000) & (f2 <= 2000) & (f3 <= 3000)).alias("keep"),
+        )
+    )
+
+
+@query(
+    "doc_bm25_topk",
+    r"""WITH q(term) AS (VALUES ('spark'), ('merge'), ('window')),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len)::BIGINT AS n_toks FROM dl),
+df AS (
+  SELECT w AS term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM toks JOIN q ON toks.w = q.term GROUP BY w
+),
+idf AS (
+  SELECT term,
+         floor(ln(1.0 + (s.n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+               * 1000000 + 0.5)::BIGINT AS idf_micro
+  FROM df CROSS JOIN stats s
+),
+tf AS (
+  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+  FROM toks JOIN q ON toks.w = q.term GROUP BY doc_id, w
+),
+scored AS (
+  SELECT tf.doc_id,
+         floor(i.idf_micro::DOUBLE / 1000000.0
+               * (tf.tf::DOUBLE * 2.2)
+               / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.len::DOUBLE
+                                                 * s.n_docs::DOUBLE / s.n_toks::DOUBLE))
+               * 1000000 + 0.5)::BIGINT AS term_micro
+  FROM tf JOIN idf i USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(term_micro)::BIGINT AS s_micro FROM scored GROUP BY doc_id)
+SELECT doc_id, floor(s_micro::DOUBLE / 100.0 + 0.5) / 10000.0 AS bm25
+FROM agg ORDER BY s_micro DESC, doc_id LIMIT 10""",
+)
+def doc_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval: top-10 documents for the fixed query
+    {spark, merge, window} with k1=1.2, b=0.75 — the lexical-search
+    scoring that complements the embedding retrieval family
+    (``emb_batch_topk``) on the text side, and the standard hard-
+    negative miner for training-data curation.
+
+    Distributed shape: document lengths and corpus totals are one
+    doc-keyed aggregate + one scalar; per-term document frequencies and
+    term frequencies touch only rows matching the 3-term broadcast
+    query (Catalyst pushes the IN filter into the token stream); every
+    small side (query, idf, stats) broadcasts, so the big side shuffles
+    once on doc_id. Top-10 is TakeOrdered on (score, doc_id), never a
+    global sort.
+
+    Determinism: idf quantizes to integer micro-units; each term's
+    score is ONE identically-shaped double expression floor-quantized
+    to micro-units before the integer per-doc sum (``doc_source_kl``
+    discipline); ranking compares exact integers with a doc_id
+    tie-break."""
+    TERMS = ["spark", "merge", "window"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("len").alias("n_toks")
+    )
+    qtoks = toks.filter(F.col("w").isin(*TERMS))
+    df = qtoks.groupBy(F.col("w").alias("term")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5)
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("long").alias("idf_micro"),
+    )
+    tf = qtoks.groupBy("doc_id", F.col("w").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tfd = F.col("tf").cast("double")
+    term_micro = F.floor(
+        F.col("idf_micro").cast("double") / F.lit(1000000.0)
+        * (tfd * F.lit(2.2))
+        / (
+            tfd
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75)
+                * F.col("len").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("n_toks").cast("double")
+            )
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_micro.alias("term_micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_micro").alias("s_micro"))
+    )
+    return (
+        scored.orderBy(F.desc("s_micro"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            (
+                F.floor(F.col("s_micro").cast("double") / F.lit(100.0) + F.lit(0.5))
+                / 10000.0
+            ).alias("bm25"),
+        )
+    )

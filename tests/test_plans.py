@@ -324,6 +324,8 @@ SINGLE_PARTITION_CENSUS = {
     "doc_source_kl": 1,  # grand-total agg finalize over the vocab-bounded checkpoint
     "ev_autocorr_daily": 1,  # denominator scalar-agg finalize over the calendar-bounded series
     "doc_dup_span_merge": 0,
+    "doc_repetition_stats": 0,
+    "doc_bm25_topk": 2,  # corpus-stats scalar agg finalize + the 10-row TakeOrdered limit
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

@@ -9201,3 +9201,373 @@ def doc_bm25_topk(spark, sf_dir):
             ).alias("bm25"),
         )
     )
+
+
+@query(
+    "ev_psi_drift",
+    """WITH vals AS (
+  SELECT epoch_us(ts) AS us, value AS v FROM events WHERE value IS NOT NULL
+),
+mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM vals),
+cuts AS (
+  SELECT [round(quantile_cont(v, 0.1), 4), round(quantile_cont(v, 0.2), 4),
+          round(quantile_cont(v, 0.3), 4), round(quantile_cont(v, 0.4), 4),
+          round(quantile_cont(v, 0.5), 4), round(quantile_cont(v, 0.6), 4),
+          round(quantile_cont(v, 0.7), 4), round(quantile_cont(v, 0.8), 4),
+          round(quantile_cont(v, 0.9), 4)] AS c
+  FROM vals
+),
+banded AS (
+  SELECT len(list_filter(cuts.c, x -> vals.v > x))::BIGINT AS band,
+         CASE WHEN vals.us < mid.m THEN 1 ELSE 0 END AS first_half
+  FROM vals CROSS JOIN cuts CROSS JOIN mid
+),
+bc AS (
+  SELECT band, sum(first_half)::BIGINT AS c1,
+         sum(1 - first_half)::BIGINT AS c2
+  FROM banded GROUP BY band
+),
+tot AS (SELECT sum(c1)::BIGINT AS t1, sum(c2)::BIGINT AS t2 FROM bc)
+SELECT band, c1 AS n_first, c2 AS n_second,
+       CASE WHEN c1 > 0 AND c2 > 0 THEN
+         floor((c1::DOUBLE / t1::DOUBLE - c2::DOUBLE / t2::DOUBLE)
+               * ln((c1::DOUBLE * t2::DOUBLE) / (c2::DOUBLE * t1::DOUBLE))
+               * 10000 + 0.5) / 10000.0
+       ELSE 0.0 END AS psi_term
+FROM bc CROSS JOIN tot""",
+)
+def ev_psi_drift(spark, sf_dir):
+    """Population Stability Index between the first and second time
+    halves of the event stream's `value` distribution — the standard
+    model-monitoring drift score (PSI < 0.1 stable, > 0.25 shifted),
+    reported per decile band so the drift is localized, not just
+    totaled. Completes the drift family: ``ev_ks_test`` answers "did it
+    shift?" with a hypothesis test; PSI answers "where and how much?"
+    in the banded form monitoring dashboards store.
+
+    Shape (``tpch_equidepth_hist`` banding): ONE exact-percentile
+    aggregate over all values yields the 9 decile cuts (broadcast, 4 dp
+    -rounded on both engines); the time midpoint is a second 1-row
+    aggregate; band assignment + half assignment are then a narrow
+    scan feeding a 10-key aggregate. Nothing corpus-sized shuffles.
+
+    Determinism: counts are exact; each band's PSI term is ONE
+    identically-shaped double expression (count ratios and their ln)
+    floor-quantized to 4 dp; empty-on-either-side bands contribute an
+    exact 0 by guard rather than an epsilon-smoothed float."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = ev.select(
+        F.unix_micros("ts").alias("us"), F.col("value").alias("v")
+    )
+    mid = vals.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("m")
+    )
+    cuts = vals.agg(
+        F.array(
+            *[F.round(F.percentile("v", x / 10.0), 4) for x in range(1, 10)]
+        ).alias("c")
+    )
+    banded = (
+        vals.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(mid))
+        .select(
+            F.aggregate(
+                F.filter("c", lambda x: F.col("v") > x),
+                F.lit(0).cast("long"),
+                lambda acc, _: acc + 1,
+            ).alias("band"),
+            F.when(F.col("us") < F.col("m"), 1).otherwise(0).alias("first_half"),
+        )
+    )
+    bc = (
+        banded.groupBy("band")
+        .agg(
+            F.sum("first_half").alias("c1"),
+            F.sum(F.lit(1) - F.col("first_half")).alias("c2"),
+        )
+        .localCheckpoint(eager=True)  # 10 rows, consumed twice (output + totals)
+    )
+    tot = bc.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    c1d, c2d = F.col("c1").cast("double"), F.col("c2").cast("double")
+    t1d, t2d = F.col("t1").cast("double"), F.col("t2").cast("double")
+    term = F.when(
+        (F.col("c1") > 0) & (F.col("c2") > 0),
+        F.floor(
+            (c1d / t1d - c2d / t2d) * F.log((c1d * t2d) / (c2d * t1d)) * 10000
+            + F.lit(0.5)
+        )
+        / 10000.0,
+    ).otherwise(F.lit(0.0))
+    return bc.crossJoin(F.broadcast(tot)).select(
+        "band",
+        F.col("c1").alias("n_first"),
+        F.col("c2").alias("n_second"),
+        term.alias("psi_term"),
+    )
+
+
+@query(
+    "ev_hot_window_sessions",
+    """WITH m AS (
+  SELECT epoch_us(ts) // 60000000 AS minute, count(*)::BIGINT AS cnt
+  FROM events GROUP BY minute
+),
+thr AS (SELECT quantile_cont(cnt, 0.95) AS t FROM m),
+hot AS (SELECT minute FROM m CROSS JOIN thr WHERE cnt::DOUBLE >= t),
+isl AS (
+  SELECT minute,
+         CASE WHEN minute > coalesce(lag(minute) OVER (ORDER BY minute),
+                                     minute - 2) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM hot
+),
+iv AS (
+  SELECT min(minute)::BIGINT AS s_min, max(minute)::BIGINT AS e_min,
+         count(*)::BIGINT AS n_minutes
+  FROM (SELECT minute,
+               sum(brk) OVER (ORDER BY minute ROWS UNBOUNDED PRECEDING) AS iid
+        FROM isl)
+  GROUP BY iid
+),
+gaps AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS emin,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, min(emin)::BIGINT AS ss, max(emin)::BIGINT AS se
+  FROM (SELECT user_id, emin,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY emin
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps)
+  GROUP BY user_id, sid
+),
+sh AS (SELECT user_id, ss, se, unnest(range(ss // 60, se // 60 + 1)) AS hr FROM sess),
+ih AS (SELECT s_min, e_min, n_minutes, unnest(range(s_min // 60, e_min // 60 + 1)) AS hr FROM iv),
+ov AS (
+  SELECT DISTINCT ih.s_min, ih.e_min, ih.n_minutes, sh.user_id, sh.ss, sh.se
+  FROM ih JOIN sh USING (hr)
+  WHERE sh.ss <= ih.e_min AND ih.s_min <= sh.se
+)
+SELECT s_min AS window_start_min, e_min AS window_end_min, n_minutes,
+       count(*)::BIGINT AS n_sessions,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM ov GROUP BY s_min, e_min, n_minutes""",
+)
+def ev_hot_window_sessions(spark, sf_dir):
+    """Which user sessions overlap the platform's hot windows? Hot
+    windows = maximal runs of consecutive minutes whose event count is
+    at or above the 95th percentile of per-minute traffic (the
+    incident/peak intervals an on-call would investigate); sessions =
+    the standard 30-minute-gap sessionization. Reports, per hot window,
+    how many sessions and distinct users were active in it — the blast-
+    radius readout.
+
+    Distributed shape — a BANDED INTERVAL JOIN, the pattern that
+    replaces the cartesian range join at scale: both interval sets
+    explode to the HOURS they span (bounded fan-out: windows and
+    sessions are minutes-to-hours long), equi-join on the hour bucket,
+    then the exact overlap predicate filters residually and DISTINCT
+    collapses multi-hour double-hits. Spark executes a shuffled hash
+    join on the hour key — never session x window pairs. The island
+    merge runs on the calendar-bounded hot-minute table (the justified
+    single-partition class); sessionization windows are per-user
+    parallel.
+
+    Determinism: minutes are exact integer epoch-division; the only
+    float is the p95 threshold, compared identically on both engines
+    (percentile interpolation parity, ``tpch_equidepth_hist``)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        F.expr("unix_micros(ts) div 60000000").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    thr = m.agg(F.percentile("cnt", 0.95).alias("t"))
+    hot = (
+        m.crossJoin(F.broadcast(thr))
+        .filter(F.col("cnt").cast("double") >= F.col("t"))
+        .select("minute")
+    )
+    wo = Window.orderBy("minute")
+    isl = hot.select(
+        "minute",
+        F.when(
+            F.col("minute")
+            > F.coalesce(F.lag("minute").over(wo), F.col("minute") - 2) + 1,
+            1,
+        ).otherwise(0).alias("brk"),
+    )
+    iv = (
+        isl.select(
+            "minute",
+            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("iid"),
+        )
+        .groupBy("iid")
+        .agg(
+            F.min("minute").alias("s_min"),
+            F.max("minute").alias("e_min"),
+            F.count(F.lit(1)).alias("n_minutes"),
+        )
+        .drop("iid")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag(F.unix_micros("ts")).over(wu)
+    gaps = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 60000000").alias("emin"),
+        F.when(
+            lag_us.isNull() | ((F.unix_micros("ts") - lag_us) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0).alias("new_session"),
+        "ts",
+        "event_id",
+    )
+    ws = Window.partitionBy("user_id").orderBy("emin")
+    sess = (
+        gaps.select(
+            "user_id",
+            "emin",
+            F.sum("new_session")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("emin").alias("ss"), F.max("emin").alias("se"))
+    )
+    sh = sess.select(
+        "user_id",
+        "ss",
+        "se",
+        F.explode(F.expr("sequence(ss div 60, se div 60)")).alias("hr"),
+    )
+    ih = iv.select(
+        "s_min",
+        "e_min",
+        "n_minutes",
+        F.explode(F.expr("sequence(s_min div 60, e_min div 60)")).alias("hr"),
+    )
+    ov = (
+        ih.join(sh, "hr")
+        .filter((F.col("ss") <= F.col("e_min")) & (F.col("s_min") <= F.col("se")))
+        .select("s_min", "e_min", "n_minutes", "user_id", "ss", "se")
+        .distinct()
+    )
+    return ov.groupBy("s_min", "e_min", "n_minutes").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        F.col("s_min").alias("window_start_min"),
+        F.col("e_min").alias("window_end_min"),
+        "n_minutes",
+        "n_sessions",
+        "n_users",
+    )
+
+
+def _ewma_sql() -> str:
+    """DuckDB oracle for ev_ewma_anomaly: 30 explicit lag columns, exact
+    half-life-1-day weights 2^(30-k), HUGEINT num/den folds."""
+    lags = ",\n         ".join(
+        f"lag(x, {k}) OVER (ORDER BY day) AS g{k}" for k in range(1, 31)
+    )
+    num = " + ".join(
+        f"CASE WHEN g{k} IS NOT NULL THEN g{k}::HUGEINT * {2 ** (30 - k)} ELSE 0 END"
+        for k in range(1, 31)
+    )
+    den = " + ".join(
+        f"CASE WHEN g{k} IS NOT NULL THEN {2 ** (30 - k)}::HUGEINT ELSE 0 END"
+        for k in range(1, 31)
+    )
+    return f"""WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY day
+),
+l AS (
+  SELECT day, x,
+         {lags}
+  FROM daily
+),
+f AS (
+  SELECT day, x, ({num}) AS num, ({den}) AS den
+  FROM l WHERE g1 IS NOT NULL
+)
+SELECT day, x,
+       floor(num::DOUBLE / den::DOUBLE * 10000 + 0.5) / 10000.0 AS ewma,
+       floor((x::HUGEINT * den - num)::DOUBLE / num::DOUBLE * 10000 + 0.5) / 10000.0 AS dev_ratio,
+       abs(floor((x::HUGEINT * den - num)::DOUBLE / num::DOUBLE * 10000 + 0.5)) > 5000 AS flag
+FROM f"""
+
+
+@query("ev_ewma_anomaly", _ewma_sql())
+def ev_ewma_anomaly(spark, sf_dir):
+    """EWMA anomaly flags on the daily event-count series: each day is
+    compared against the exponentially-weighted moving average of its
+    trailing 30 observed days (half-life = 1 day, i.e. weight 2^-k for
+    the k-th lag), and days deviating more than ±50% from their own
+    forecast are flagged — the standing traffic-anomaly monitor that
+    complements ``ev_cusum_changepoint`` (one-shot level shift) and
+    ``ev_autocorr_daily`` (seasonality) with a per-day alert column.
+
+    Exact-arithmetic trick: powers of TWO as the decay weights make the
+    truncated EWMA a pure integer computation — num = sum x_{t-k} *
+    2^(30-k), den = sum 2^(30-k) over the lags that exist — so there is
+    no float pow() (libm-portability hazard) and no float summation
+    anywhere; the two final divides are floor-quantized to 4 dp, and
+    the +-50% flag compares the already-quantized integer to 5000, so
+    the boolean can never straddle an ulp.
+
+    Shape: one daily aggregate (the only data-sized stage), then 30 lag
+    columns over the calendar-bounded series (the justified single-
+    partition window class, <= |days| rows) and a narrow projection.
+    Warm-up days (no lag-1) are excluded rather than zero-filled."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wo = Window.orderBy("day")
+    lag_cols = [F.lag("x", k).over(wo).alias(f"g{k}") for k in range(1, 31)]
+    l = daily.select("day", "x", *lag_cols)
+
+    def dec(c):
+        return c.cast("decimal(18,0)")
+
+    num = None
+    den = None
+    for k in range(1, 31):
+        w = 2 ** (30 - k)
+        n_t = F.when(
+            F.col(f"g{k}").isNotNull(), dec(F.col(f"g{k}")) * F.lit(w)
+        ).otherwise(F.lit(0).cast("decimal(18,0)"))
+        d_t = F.when(F.col(f"g{k}").isNotNull(), F.lit(w)).otherwise(0).cast(
+            "decimal(18,0)"
+        )
+        num = n_t if num is None else num + n_t
+        den = d_t if den is None else den + d_t
+    f = l.filter(F.col("g1").isNotNull()).select(
+        "day", "x", num.alias("num"), den.alias("den")
+    )
+    devq = F.floor(
+        (dec(F.col("x")) * F.col("den") - F.col("num")).cast("double")
+        / F.col("num").cast("double")
+        * 10000
+        + F.lit(0.5)
+    )
+    return f.select(
+        "day",
+        "x",
+        (
+            F.floor(
+                F.col("num").cast("double") / F.col("den").cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("ewma"),
+        (devq / 10000.0).alias("dev_ratio"),
+        (F.abs(devq) > 5000).alias("flag"),
+    )

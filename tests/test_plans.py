@@ -326,6 +326,9 @@ SINGLE_PARTITION_CENSUS = {
     "doc_dup_span_merge": 0,
     "doc_repetition_stats": 0,
     "doc_bm25_topk": 2,  # corpus-stats scalar agg finalize + the 10-row TakeOrdered limit
+    "ev_psi_drift": 1,  # totals agg finalize over the checkpointed 10-row band table
+    "ev_hot_window_sessions": 2,  # p95-threshold agg finalize + calendar-bounded hot-minute island window
+    "ev_ewma_anomaly": 1,  # calendar-bounded daily-series lag window (<= |days| rows)
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

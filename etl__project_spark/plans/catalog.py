@@ -9571,3 +9571,225 @@ def ev_ewma_anomaly(spark, sf_dir):
         (devq / 10000.0).alias("dev_ratio"),
         (F.abs(devq) > 5000).alias("flag"),
     )
+
+
+@query(
+    "emb_int8_quantize",
+    """WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1)::BIGINT AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+rng AS (
+  SELECT dim, min(v) AS dmin, max(v) AS dmax FROM e GROUP BY dim
+),
+coded AS (
+  SELECT e.vec_id, e.v, r.dmin, r.dmax,
+         CASE WHEN r.dmax > r.dmin
+              THEN least(greatest(floor((e.v - r.dmin) / (r.dmax - r.dmin) * 255 + 0.5), 0), 255)
+              ELSE 0 END AS code
+  FROM e JOIN rng r USING (dim)
+),
+err AS (
+  SELECT vec_id,
+         floor((v - (dmin + code * (dmax - dmin) / 255.0))
+               * (v - (dmin + code * (dmax - dmin) / 255.0))
+               * 100000000 + 0.5)::BIGINT AS se_e8
+  FROM coded
+)
+SELECT vec_id, count(*)::BIGINT AS dims,
+       floor(sum(se_e8)::DOUBLE / count(*) / 10000.0 + 0.5) / 10000.0 AS mse_e4,
+       floor(max(se_e8)::DOUBLE / 10000.0 + 0.5) / 10000.0 AS max_se_e4
+FROM err GROUP BY vec_id""",
+)
+def emb_int8_quantize(spark, sf_dir):
+    """Scalar int8 quantization audit for the embedding store: per-
+    dimension min/max calibration over the corpus, symmetric 0..255
+    affine codes, and the per-vector reconstruction error (mean and max
+    squared error) that decides whether 4x-compressed embeddings are
+    safe to serve — the scalar-quantization counterpart of the PQ
+    family (``emb_pq_topk`` compresses 32x with codebooks; int8 is the
+    cheap first rung every vector store offers).
+
+    Distributed shape: one (dim, value) explode feeds a 64-key min/max
+    aggregate (the calibration table — bounded by dimensionality,
+    broadcast back); coding + reconstruction are then a narrow map and
+    one vec-keyed aggregate. Embeddings shuffle once, on vec_id-sized
+    error rows, never raw vectors.
+
+    Determinism: codes are floor-rounded integers from one identically-
+    shaped double expression (float->double widening is exact on both
+    engines); each dimension's squared error quantizes to 1e-8 units
+    BEFORE the per-vector integer sum (``doc_unigram_logprob``
+    discipline), so aggregation order cannot move the result; final
+    divides floor-quantize to 4 dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    rng = e.groupBy("dim").agg(F.min("v").alias("dmin"), F.max("v").alias("dmax"))
+    span = F.col("dmax") - F.col("dmin")
+    code = F.when(
+        F.col("dmax") > F.col("dmin"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("v") - F.col("dmin")) / span * 255 + F.lit(0.5)),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(255).cast("bigint"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    coded = e.join(F.broadcast(rng), "dim").select(
+        "vec_id", "v", "dmin", "dmax", code.alias("code")
+    )
+    recon = F.col("dmin") + F.col("code") * (F.col("dmax") - F.col("dmin")) / F.lit(
+        255.0
+    )
+    se_e8 = F.floor(
+        (F.col("v") - recon) * (F.col("v") - recon) * 100000000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        coded.select("vec_id", se_e8.alias("se_e8"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("dims"),
+            (
+                F.floor(
+                    F.sum("se_e8").cast("double") / F.count(F.lit(1)) / F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("mse_e4"),
+            (
+                F.floor(F.max("se_e8").cast("double") / F.lit(10000.0) + F.lit(0.5))
+                / 10000.0
+            ).alias("max_se_e4"),
+        )
+    )
+
+
+@query(
+    "ev_attribution_last_touch",
+    """WITH marked AS (
+  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click_us
+  FROM events
+),
+p AS (
+  SELECT ts::DATE AS day,
+         CASE WHEN last_click_us IS NOT NULL
+                   AND us - last_click_us <= 604800000000 THEN 1 ELSE 0 END AS attributed
+  FROM marked WHERE event_type = 'purchase'
+)
+SELECT day, count(*)::BIGINT AS n_purchases,
+       sum(attributed)::BIGINT AS n_attributed,
+       floor(sum(attributed)::DOUBLE / count(*)::DOUBLE * 10000 + 0.5) / 10000.0 AS attach_rate
+FROM p GROUP BY day""",
+)
+def ev_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is attributed to
+    the user's most recent click within a 7-day lookback window, daily
+    attach rate reported — the standard conversion-attribution readout,
+    and the batch twin of what ``ev_asof_signup`` does for dimension
+    lookups (an as-of join expressed as a running conditional max, no
+    join at all).
+
+    Distributed shape: ONE per-user ordered window carries the last
+    click timestamp forward (conditional running max — partition-
+    parallel, microsecond-exact on both engines via unix_micros /
+    epoch_us), then purchases project a boolean and collapse to a
+    calendar-bounded daily aggregate. The naive formulation is a
+    purchases x clicks range join; this is the linear-scan replacement.
+
+    Determinism: timestamps compare in exact integer microseconds; the
+    7-day window is the exact literal 604 800 000 000 us; only the
+    final attach-rate divide is floating point, floor-quantized 4 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    ).over(wu)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        last_click.alias("last_click_us"),
+    )
+    p = marked.filter(F.col("event_type") == "purchase").select(
+        F.to_date("ts").alias("day"),
+        F.when(
+            F.col("last_click_us").isNotNull()
+            & ((F.col("us") - F.col("last_click_us")) <= 604_800_000_000),
+            1,
+        ).otherwise(0).alias("attributed"),
+    )
+    return p.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("attributed").alias("n_attributed"),
+        (
+            F.floor(
+                F.sum("attributed").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("attach_rate"),
+    )
+
+
+@query(
+    "doc_lang_confusion",
+    f"""WITH g AS ({ORACLES["doc_lang_id"]})
+SELECT d.lang, g.lang_guess, count(*)::BIGINT AS n,
+       floor(count(*)::DOUBLE
+             / (sum(count(*)) OVER (PARTITION BY d.lang))::DOUBLE
+             * 10000 + 0.5) / 10000.0 AS frac_of_lang
+FROM g JOIN documents d USING (doc_id)
+GROUP BY d.lang, g.lang_guess""",
+)
+def doc_lang_confusion(spark, sf_dir):
+    """Confusion matrix of the declared `lang` column against the
+    stopword-marker language-ID heuristic (``doc_lang_id``) — the
+    accuracy audit that tells a corpus curator whether the cheap
+    heuristic is trustworthy enough to gate ingestion on, per language
+    (row-normalized fractions localize which languages it confuses).
+
+    Distributed shape: the heuristic is a narrow in-row map; one
+    |langs|x|guesses|-key aggregate, then the row normalization runs
+    on that bounded matrix (window partitioned by lang — a handful of
+    rows per partition). Counts exact, fraction floor-quantized 4 dp.
+
+    Reuses the doc_lang_id single coded path on BOTH engines, so the
+    confusion matrix can never drift from the classifier it audits."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = lang_id_heuristic(docs).select("doc_id", "lang_guess")
+    m = (
+        g.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wl = Window.partitionBy("lang")
+    return m.select(
+        "lang",
+        "lang_guess",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double")
+                / F.sum("n").over(wl).cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("frac_of_lang"),
+    )

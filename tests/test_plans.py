@@ -329,6 +329,9 @@ SINGLE_PARTITION_CENSUS = {
     "ev_psi_drift": 1,  # totals agg finalize over the checkpointed 10-row band table
     "ev_hot_window_sessions": 2,  # p95-threshold agg finalize + calendar-bounded hot-minute island window
     "ev_ewma_anomaly": 1,  # calendar-bounded daily-series lag window (<= |days| rows)
+    "emb_int8_quantize": 0,
+    "ev_attribution_last_touch": 0,
+    "doc_lang_confusion": 0,
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

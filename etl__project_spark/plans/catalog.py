@@ -9525,52 +9525,19 @@ def ev_ewma_anomaly(spark, sf_dir):
     Shape: one daily aggregate (the only data-sized stage), then 30 lag
     columns over the calendar-bounded series (the justified single-
     partition window class, <= |days| rows) and a narrow projection.
-    Warm-up days (no lag-1) are excluded rather than zero-filled."""
+    Warm-up days (no lag-1) are excluded rather than zero-filled.
+
+    The fold lives in ``operators/series.py:ewma_flags`` — the SAME
+    coded path serves the streaming-maintained daily series
+    (``streaming/pipeline.py:read_daily_anomaly``), so the one-shot and
+    at-ingest monitors cannot drift."""
+    from etl__project_spark.operators.series import ewma_flags
+
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    wo = Window.orderBy("day")
-    lag_cols = [F.lag("x", k).over(wo).alias(f"g{k}") for k in range(1, 31)]
-    l = daily.select("day", "x", *lag_cols)
-
-    def dec(c):
-        return c.cast("decimal(18,0)")
-
-    num = None
-    den = None
-    for k in range(1, 31):
-        w = 2 ** (30 - k)
-        n_t = F.when(
-            F.col(f"g{k}").isNotNull(), dec(F.col(f"g{k}")) * F.lit(w)
-        ).otherwise(F.lit(0).cast("decimal(18,0)"))
-        d_t = F.when(F.col(f"g{k}").isNotNull(), F.lit(w)).otherwise(0).cast(
-            "decimal(18,0)"
-        )
-        num = n_t if num is None else num + n_t
-        den = d_t if den is None else den + d_t
-    f = l.filter(F.col("g1").isNotNull()).select(
-        "day", "x", num.alias("num"), den.alias("den")
-    )
-    devq = F.floor(
-        (dec(F.col("x")) * F.col("den") - F.col("num")).cast("double")
-        / F.col("num").cast("double")
-        * 10000
-        + F.lit(0.5)
-    )
-    return f.select(
-        "day",
-        "x",
-        (
-            F.floor(
-                F.col("num").cast("double") / F.col("den").cast("double") * 10000
-                + F.lit(0.5)
-            )
-            / 10000.0
-        ).alias("ewma"),
-        (devq / 10000.0).alias("dev_ratio"),
-        (F.abs(devq) > 5000).alias("flag"),
-    )
+    return ewma_flags(daily)
 
 
 @query(

@@ -936,3 +936,78 @@ def stream_ann_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming daily-series monitor maintenance -----------------------------
+
+DAILY_COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.DateType()),
+        T.StructField("x", T.LongType()),
+    ]
+)
+
+
+def read_daily_counts(wh: ParquetWarehouse) -> DataFrame:
+    """The maintained daily event-count series."""
+    return wh.read("daily_counts", DAILY_COUNTS_SCHEMA)
+
+
+def read_daily_anomaly(wh: ParquetWarehouse) -> DataFrame:
+    """EWMA anomaly flags served from the MAINTAINED daily series —
+    the at-ingest face of the batch ``ev_ewma_anomaly`` query. Calls
+    the same ``operators/series.py:ewma_flags`` fold, so serve ≡
+    one-shot is a property of shared code, not a re-implementation."""
+    from etl__project_spark.operators.series import ewma_flags
+
+    return ewma_flags(read_daily_counts(wh))
+
+
+def stream_daily_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    ts_col: str = "ts",
+    available_now: bool = True,
+):
+    """The daily-series monitors maintained AT INGEST: per micro-batch,
+    fold the batch's per-day event counts into a persistent daily
+    series — the table ``ev_ewma_anomaly`` / ``ev_cusum_changepoint`` /
+    ``ev_autocorr_daily`` actually need, kept fresh without ever
+    re-scanning the event history (on a 100 TB stream the daily series
+    is the ONLY thing those monitors touch, and it is <= |days| rows
+    forever).
+
+    Per-day counts are the simplest mergeable statistic (counts sum),
+    so the fold is one bounded groupBy per batch through the exactly-
+    once merged publish: replayed batches no-op via the batch-id
+    ledger, late rows for an already-seen day just add to that day's
+    count on their own batch's fold.
+    """
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        delta = batch.groupBy(F.to_date(ts_col).alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("x")
+        )
+
+        def merge(existing: DataFrame, delta_df: DataFrame) -> DataFrame:
+            return (
+                existing.unionByName(delta_df)
+                .groupBy("day")
+                .agg(F.sum("x").cast("long").alias("x"))
+            )
+
+        wh.publish_merged(
+            "daily_counts", delta, DAILY_COUNTS_SCHEMA, str(batch_id), merge
+        )
+
+    rows = spark.readStream.schema(schema).json(landing_dir)
+    writer = rows.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

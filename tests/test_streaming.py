@@ -826,3 +826,81 @@ def test_streaming_ann_index_serves_equal_to_scratch(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
     assert wh.read_fact("ann_codes", ANN_CODES_SCHEMA).count() == n_codes
+
+
+def test_streaming_daily_counts_anomaly_matches_one_shot(spark, tmp_path):
+    """Three batches of timestamped rows with cross-batch same-day and
+    late-arriving rows: the maintained daily series must equal a
+    one-shot daily aggregate over everything, the served EWMA anomaly
+    view must row-match ewma_flags over that one-shot series (shared
+    coded path), and replay must no-op."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl__project_spark.operators.series import ewma_flags
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_daily_anomaly,
+        read_daily_counts,
+        stream_daily_counts,
+    )
+
+    landing = str(tmp_path / "dc_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "dc_wh")
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+
+    def day_rows(day, n, hour=9):
+        return [f"2024-03-{day:02d}T{hour:02d}:00:{i % 60:02d}" for i in range(n)]
+
+    batches = [
+        day_rows(1, 10) + day_rows(2, 12),
+        day_rows(2, 3) + day_rows(3, 40),       # late rows for day 2
+        day_rows(3, 5, hour=23) + day_rows(4, 8),
+    ]
+
+    def run(i, rows, ckpt):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for ts in rows:
+                fh.write(json.dumps({"ts": ts}) + "\n")
+        q = stream_daily_counts(spark, landing, wh_root, ckpt, schema)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run(i, rows, str(tmp_path / "dc_ckpt"))
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = {str(r["day"]): r["x"] for r in read_daily_counts(wh).collect()}
+    assert got == {
+        "2024-03-01": 10,
+        "2024-03-02": 15,
+        "2024-03-03": 45,
+        "2024-03-04": 8,
+    }
+
+    # served anomaly view ≡ ewma_flags over the one-shot series
+    all_ts = [ts for b in batches for ts in b]
+    oneshot_daily = (
+        spark.createDataFrame([(ts,) for ts in all_ts], "ts string")
+        .select(F.to_timestamp("ts").alias("ts"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    served = sorted(map(tuple, read_daily_anomaly(wh).collect()))
+    oneshot = sorted(map(tuple, ewma_flags(oneshot_daily).collect()))
+    assert served == oneshot
+    # day 3 quadruples day 2's level: the monitor must flag it
+    flagged = {str(r["day"]) for r in read_daily_anomaly(wh).collect() if r["flag"]}
+    assert "2024-03-03" in flagged
+
+    # replay with a fresh checkpoint: ledger no-ops the table
+    v = wh._current("daily_counts")
+    q = stream_daily_counts(
+        spark, landing, wh_root, str(tmp_path / "dc_ckpt2"), schema
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert wh._current("daily_counts") == v

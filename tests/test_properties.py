@@ -739,3 +739,202 @@ def test_copurchase_matches_python_model(spark, events):
         assert r["support"] == round(n_ab / n_sessions, 4)
         assert r["confidence_a_b"] == round(n_ab / singles[a], 4)
         assert r["lift"] == round(n_ab * n_sessions / (singles[a] * singles[b]), 4)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.integers(min_value=1, max_value=8),  # user_id
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_gini_matches_python_rank_model(spark, events):
+    """ev_gini_concentration's tie-block histogram decomposition == the
+    textbook global-rank formula computed directly in Python, for
+    random per-user count multisets (heavy ties, singletons, whales)."""
+    import math
+
+    import etl__project_spark.plans.catalog as cat
+
+    df = spark.createDataFrame(
+        [
+            (i, "2024-01-01 09:00:00", u, "view", 0.0, "{}")
+            for i, u in enumerate(events)
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    counts = sorted(
+        sum(1 for e in events if e == u) for u in set(events)
+    )
+    n = len(counts)
+    t = sum(counts)
+    s1 = sum((i + 1) * x for i, x in enumerate(counts))
+    want = math.floor((2 * s1 - (n + 1) * t) / (n * t) * 10000 + 0.5) / 10000.0
+
+    orig = cat.load_table
+    cat.load_table = lambda s, d, tbl: df
+    try:
+        row = cat.QUERIES["ev_gini_concentration"](spark, "unused").collect()[0]
+    finally:
+        cat.load_table = orig
+    assert row["n_users"] == n and row["total_events"] == t
+    assert row["gini"] == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(st.integers(min_value=1, max_value=10**6), min_size=2, max_size=45)
+)
+def test_ewma_flags_match_python_recursion(spark, xs):
+    """operators/series.py:ewma_flags (30 exact power-of-two lag weights)
+    == a pure-Python fold over the same observed-day series, including
+    warm-up truncation and the quantized ±50% flag."""
+    import math
+    from datetime import date, timedelta
+
+    from etl__project_spark.operators.series import ewma_flags
+
+    days = [date(2024, 1, 1) + timedelta(days=i) for i in range(len(xs))]
+    daily = spark.createDataFrame(
+        list(zip(days, xs)), "day date, x long"
+    )
+    got = {
+        str(r["day"]): (r["x"], r["ewma"], r["dev_ratio"], r["flag"])
+        for r in ewma_flags(daily).collect()
+    }
+
+    want = {}
+    for t in range(1, len(xs)):
+        num = den = 0
+        for k in range(1, 31):
+            if t - k >= 0:
+                num += xs[t - k] * 2 ** (30 - k)
+                den += 2 ** (30 - k)
+        ewma = math.floor(num / den * 10000 + 0.5) / 10000.0
+        devq = math.floor((xs[t] * den - num) / num * 10000 + 0.5)
+        want[str(days[t])] = (xs[t], ewma, devq / 10000.0, abs(devq) > 5000)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb"]), min_size=1, max_size=14),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dup_span_merge_matches_python_model(spark, docs):
+    """doc_dup_span_merge == a brute-force Python model: 8-gram corpus
+    frequencies, per-doc duplicated [i, i+7] spans, overlapping-or-
+    adjacent interval merge — over tiny-vocab corpora where within-doc
+    AND cross-doc repeats are both common."""
+    import math
+    from collections import Counter
+
+    import etl__project_spark.plans.catalog as cat
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words), "en", "src", 0) for i, words in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    grams: list[tuple[int, int, str]] = []
+    for d, words in enumerate(docs):
+        for i in range(len(words) - 7):
+            grams.append((d, i + 1, " ".join(words[i : i + 8])))
+    freq = Counter(g for _, _, g in grams)
+    want = {}
+    for d, words in enumerate(docs):
+        spans = sorted(
+            (s, s + 7) for dd, s, g in grams if dd == d and freq[g] > 1
+        )
+        if not spans:
+            continue
+        merged = [list(spans[0])]
+        for s, e in spans[1:]:
+            if s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        dup_tokens = sum(e - s + 1 for s, e in merged)
+        n_tokens = len(words)
+        want[d] = (
+            len(merged),
+            dup_tokens,
+            n_tokens,
+            math.floor(dup_tokens / n_tokens * 10000 + 0.5) / 10000.0,
+        )
+
+    orig = cat.load_table
+    cat.load_table = lambda s, dd, tbl: df
+    try:
+        got = {
+            r["doc_id"]: (
+                r["n_dup_spans"],
+                r["n_dup_tokens"],
+                r["n_tokens"],
+                r["dup_frac"],
+            )
+            for r in cat.QUERIES["doc_dup_span_merge"](spark, "unused").collect()
+        }
+    finally:
+        cat.load_table = orig
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    clicks=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=40
+    ),
+    purchases=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=40
+    ),
+)
+def test_ks_test_matches_python_model(spark, clicks, purchases):
+    """ev_ks_test's banded two-level prefix-sum D == the direct Python
+    two-sample KS statistic on the same integer-valued samples
+    (shared values, ties across samples, disjoint supports)."""
+    import math
+
+    import etl__project_spark.plans.catalog as cat
+
+    rows = [
+        (i, "2024-01-01 09:00:00", 1, "click", float(v), "{}")
+        for i, v in enumerate(clicks)
+    ] + [
+        (10_000 + i, "2024-01-01 09:00:00", 1, "purchase", float(v), "{}")
+        for i, v in enumerate(purchases)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    t1, t2 = len(clicks), len(purchases)
+    d_num = 0
+    c1 = c2 = 0
+    for v in sorted(set(clicks) | set(purchases)):
+        c1 += sum(1 for x in clicks if x == v)
+        c2 += sum(1 for x in purchases if x == v)
+        d_num = max(d_num, abs(c1 * t2 - c2 * t1))
+    ks_scaled = math.floor(d_num / (t1 * t2) * 10000 + 0.5)
+    crit_scaled = math.floor(
+        1.3581 * math.sqrt((t1 + t2) / (t1 * t2)) * 10000 + 0.5
+    )
+
+    orig = cat.load_table
+    cat.load_table = lambda s, d, tbl: df
+    try:
+        row = cat.QUERIES["ev_ks_test"](spark, "unused").collect()[0]
+    finally:
+        cat.load_table = orig
+    assert (row["n_click"], row["n_purchase"]) == (t1, t2)
+    assert row["ks_d"] == ks_scaled / 10000.0
+    assert row["crit_05"] == crit_scaled / 10000.0
+    assert row["reject_05"] == (ks_scaled > crit_scaled)

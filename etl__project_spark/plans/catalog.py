@@ -9760,3 +9760,134 @@ def doc_lang_confusion(spark, sf_dir):
             / 10000.0
         ).alias("frac_of_lang"),
     )
+
+
+@query(
+    "emb_coreset_sample",
+    _kmeans_ctes(4, 2)
+    + """,
+assigned AS (
+  SELECT vec_id, centroid_id, sim FROM (
+    SELECT e.vec_id, c.centroid_id,
+           round(list_dot_product(e.v, c.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.cv, c.cv))), 4) AS sim,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                   c.centroid_id) AS arn
+    FROM emb e CROSS JOIN c2 c) WHERE arn = 1
+)
+SELECT centroid_id, row_number() OVER (
+         PARTITION BY centroid_id ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+       vec_id, sim
+FROM assigned
+QUALIFY rank <= 5""",
+)
+def emb_coreset_sample(spark, sf_dir):
+    """Coreset / prototype selection: train k=4 centroids with the
+    shared 2-round Lloyd loop, assign every vector to its nearest
+    centroid, and keep the 5 most central vectors per cluster — the
+    cluster-representative subset a curation pipeline feeds to human
+    review or few-shot selection (the "closest-to-centroid" coreset
+    rule; ``emb_semantic_dedup`` removes redundancy, this PICKS the
+    exemplars).
+
+    Distributed shape: centroids come from ``kmeans_iterate`` (the
+    single coded path PQ/IVF training also uses — broadcast centroids,
+    vectors never shuffle) and stay broadcast for assignment; the
+    per-cluster top-5 is a rank window partitioned by cluster (k
+    partitions, parallel; never a global sort). Determinism: 4 dp-
+    rounded cosine with centroid-id then vec_id tiebreaks — the exact
+    ``emb_kmeans_assign`` ranking discipline."""
+    from etl__project_spark.datapipe.similarity import (
+        cosine_components,
+        kmeans_iterate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        kmeans_iterate(load_table(spark, sf_dir, "embeddings"), k=4, n_iter=2)
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid_val"))),
+                lambda s: s.centroid_val,
+            ).alias("cv")
+        )
+    )
+    sim = F.round(cosine_components(F.col("v"), F.col("cv")), 4)
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "centroid_id", sim.alias("sim"))
+        .withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .drop("arn")
+    )
+    wc = Window.partitionBy("centroid_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        assigned.withColumn("rank", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("centroid_id", "rank", "vec_id", "sim")
+    )
+
+
+@query(
+    "ev_weekday_profile",
+    """WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY day
+),
+wk AS (
+  SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow, count(*)::BIGINT AS n_days,
+         sum(x)::BIGINT AS n_events
+  FROM daily GROUP BY 1
+),
+tot AS (SELECT sum(n_events)::BIGINT AS t, sum(n_days)::BIGINT AS d FROM wk)
+SELECT dow, n_days, n_events,
+       floor(n_events::DOUBLE / n_days::DOUBLE * 10000 + 0.5) / 10000.0 AS avg_per_day,
+       floor((n_events::DOUBLE * d::DOUBLE) / (n_days::DOUBLE * t::DOUBLE)
+             * 10000 + 0.5) / 10000.0 AS seasonality_index
+FROM wk CROSS JOIN tot""",
+)
+def ev_weekday_profile(spark, sf_dir):
+    """Day-of-week seasonality profile: events per weekday, the per-day
+    average, and the seasonality index (weekday average over the
+    all-days average; 1.0 = flat week) — the profile that tells the
+    ``ev_ewma_anomaly`` consumer which deviations are just "it's
+    Saturday", and the capacity-planning complement of
+    ``ev_autocorr_daily``'s lag-7 signal.
+
+    Shape: the same calendar-bounded daily aggregate every series
+    monitor shares, then a 7-key rollup and one broadcast total.
+    Counts exact; the two ratios are identically floor-quantized, the
+    index computed as one cross-multiplied expression so no
+    intermediate average is rounded twice."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wk = daily.groupBy(F.dayofweek("day").cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x").alias("n_events")
+    )
+    tot = wk.agg(F.sum("n_events").alias("t"), F.sum("n_days").alias("d"))
+    ne, ndy = F.col("n_events").cast("double"), F.col("n_days").cast("double")
+    return wk.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "n_events",
+        (F.floor(ne / ndy * 10000 + F.lit(0.5)) / 10000.0).alias("avg_per_day"),
+        (
+            F.floor(
+                (ne * F.col("d").cast("double"))
+                / (ndy * F.col("t").cast("double"))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("seasonality_index"),
+    )

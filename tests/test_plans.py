@@ -332,6 +332,8 @@ SINGLE_PARTITION_CENSUS = {
     "emb_int8_quantize": 0,
     "ev_attribution_last_touch": 0,
     "doc_lang_confusion": 0,
+    "emb_coreset_sample": 0,
+    "ev_weekday_profile": 1,  # 2-row totals agg finalize over the 7-key weekday rollup
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

@@ -9891,3 +9891,128 @@ def ev_weekday_profile(spark, sf_dir):
             / 10000.0
         ).alias("seasonality_index"),
     )
+
+
+@query(
+    "emb_int8_recall_audit",
+    """WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1)::BIGINT AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+rng AS (SELECT dim, min(v) AS dmin, max(v) AS dmax FROM e GROUP BY dim),
+recon AS (
+  SELECT e.vec_id, e.dim,
+         r.dmin + (CASE WHEN r.dmax > r.dmin
+                        THEN least(greatest(floor((e.v - r.dmin) / (r.dmax - r.dmin) * 255 + 0.5), 0), 255)
+                        ELSE 0 END) * (r.dmax - r.dmin) / 255.0 AS rv
+  FROM e JOIN rng r USING (dim)
+),
+qr AS (SELECT dim, rv AS qv FROM recon WHERE vec_id = 0),
+sums AS (
+  SELECT c.vec_id,
+         sum(floor(c.rv * q.qv * 100000000 + 0.5)::BIGINT)::BIGINT AS dot_e8,
+         sum(floor(c.rv * c.rv * 100000000 + 0.5)::BIGINT)::BIGINT AS n1_e8,
+         sum(floor(q.qv * q.qv * 100000000 + 0.5)::BIGINT)::BIGINT AS n2_e8
+  FROM recon c JOIN qr q USING (dim)
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+),
+approx AS (
+  SELECT vec_id FROM sums
+  ORDER BY round(dot_e8::DOUBLE / (sqrt(n1_e8::DOUBLE) * sqrt(n2_e8::DOUBLE)), 4) DESC,
+           vec_id
+  LIMIT 10
+),
+exact AS (
+  SELECT e2.vec_id FROM embeddings e2, (
+    SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE e2.vec_id <> 0
+  ORDER BY round(list_dot_product(e2.embedding::DOUBLE[], q.qv) /
+                 (sqrt(list_dot_product(e2.embedding::DOUBLE[],
+                                        e2.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(q.qv, q.qv))), 4) DESC, e2.vec_id
+  LIMIT 10
+)
+SELECT (SELECT count(*) FROM exact JOIN approx USING (vec_id))::BIGINT
+           AS n_overlap,
+       round((SELECT count(*) FROM exact JOIN approx USING (vec_id)) / 10.0, 4)
+           AS recall_at_10""",
+)
+def emb_int8_recall_audit(spark, sf_dir):
+    """Recall@10 of int8-quantized retrieval against the exact brute-
+    force ranking for the same query — the published-quality metric for
+    the 4x-compressed store, completing the audit symmetry:
+    ``emb_ann_recall_audit`` audits SRP buckets, ``emb_pq_recall_audit``
+    audits 32x PQ codes, this audits the scalar-quantization rung
+    (``emb_int8_quantize``'s per-vector MSE says how much error exists;
+    this says whether that error MOVES the ranking).
+
+    Distributed shape: reconstruction is the int8 code path (64-key
+    calibration broadcast); the candidate ranking joins corpus recon
+    dims against the 64-row broadcast query side and aggregates per
+    vector — vectors never pair with each other, and both top-10s are
+    TakeOrdered. Determinism: per-dim products quantize to 1e-8 integer
+    units before the per-vector sums (summation-order-immune); cosines
+    rank at 4 dp with vec_id tiebreaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from etl__project_spark.datapipe.similarity import brute_force_topk
+
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    rng = e.groupBy("dim").agg(F.min("v").alias("dmin"), F.max("v").alias("dmax"))
+    span = F.col("dmax") - F.col("dmin")
+    code = F.when(
+        F.col("dmax") > F.col("dmin"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("v") - F.col("dmin")) / span * 255 + F.lit(0.5)),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(255).cast("bigint"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    recon = e.join(F.broadcast(rng), "dim").select(
+        "vec_id",
+        "dim",
+        (F.col("dmin") + code * span / F.lit(255.0)).alias("rv"),
+    )
+    qr = recon.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("rv").alias("qv")
+    )
+
+    def e8(col):
+        return F.floor(col * 100000000 + F.lit(0.5)).cast("long")
+
+    sums = (
+        recon.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qr), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(e8(F.col("rv") * F.col("qv"))).alias("dot_e8"),
+            F.sum(e8(F.col("rv") * F.col("rv"))).alias("n1_e8"),
+            F.sum(e8(F.col("qv") * F.col("qv"))).alias("n2_e8"),
+        )
+    )
+    cos = F.round(
+        F.col("dot_e8").cast("double")
+        / (
+            F.sqrt(F.col("n1_e8").cast("double"))
+            * F.sqrt(F.col("n2_e8").cast("double"))
+        ),
+        4,
+    )
+    approx = sums.orderBy(cos.desc(), F.asc("vec_id")).limit(10).select("vec_id")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = brute_force_topk(emb.filter(F.col("vec_id") != 0), q, k=10).select(
+        "vec_id"
+    )
+    n = exact.join(approx, "vec_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return n.select(
+        "n_overlap", F.round(F.col("n_overlap") / 10.0, 4).alias("recall_at_10")
+    )

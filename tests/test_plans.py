@@ -334,6 +334,7 @@ SINGLE_PARTITION_CENSUS = {
     "doc_lang_confusion": 0,
     "emb_coreset_sample": 0,
     "ev_weekday_profile": 1,  # 2-row totals agg finalize over the 7-key weekday rollup
+    "emb_int8_recall_audit": 0,
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

@@ -39,8 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # standing canaries (vs_fact / vs_warehouse_load, re-checked every
 # round). Remaining slots refresh the STALEST greens — last checked in
 # round 3 — oldest first; the r3/r4 greens that don't fit are round-7's
-# rotation. Every query outside the window stays pinned in-repo by
-# `pytest -m oracle` and the committed CORRECTNESS_FULL.json artifact.
+# rotation, as are the ~18 third-wave statistics/retrieval queries added
+# after this window filled (KS/Benford/CUSUM/Gini/KL/autocorr/span-merge/
+# repetition/BM25/PSI/hot-windows/EWMA/int8×2/attribution/confusion/
+# coreset/weekday). Every query outside the window stays pinned in-repo
+# by `pytest -m oracle` and the committed CORRECTNESS_FULL.json artifact
+# (195/195 at sf0.01 this round).
 _PRIORITY_R6 = [
     # never driver-checked: r5 third wave
     "emb_znorm_outliers",

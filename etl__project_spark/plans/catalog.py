@@ -10016,3 +10016,93 @@ def emb_int8_recall_audit(spark, sf_dir):
     return n.select(
         "n_overlap", F.round(F.col("n_overlap") / 10.0, 4).alias("recall_at_10")
     )
+
+
+@query(
+    "ev_pareto_shares",
+    """WITH per_user AS (
+  SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY user_id
+),
+hist AS (SELECT x, count(*)::BIGINT AS m FROM per_user GROUP BY x),
+cum AS (
+  SELECT x, m,
+         coalesce(sum(m) OVER (ORDER BY x DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS cu_before,
+         coalesce(sum(m * x) OVER (ORDER BY x DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)::BIGINT AS ce_before,
+         sum(m) OVER (ORDER BY x DESC ROWS UNBOUNDED PRECEDING)::BIGINT AS cu
+  FROM hist
+),
+tot AS (SELECT sum(m)::BIGINT AS n, sum(m * x)::BIGINT AS t FROM hist),
+p(pct) AS (VALUES (1), (5), (10), (20)),
+kk AS (SELECT pct::BIGINT AS pct, (pct * n + 99) // 100 AS k, t FROM p CROSS JOIN tot)
+SELECT kk.pct, kk.k AS k_users,
+       (c.ce_before + (kk.k - c.cu_before) * c.x)::BIGINT AS k_events,
+       floor((c.ce_before + (kk.k - c.cu_before) * c.x)::DOUBLE / kk.t::DOUBLE
+             * 10000 + 0.5) / 10000.0 AS events_share
+FROM kk JOIN cum c ON c.cu_before < kk.k AND c.cu >= kk.k""",
+)
+def ev_pareto_shares(spark, sf_dir):
+    """Pareto / Lorenz-curve readoff: what share of all events do the
+    top 1% / 5% / 10% / 20% most active users generate? The curve
+    points behind ``ev_gini_concentration``'s single number — the
+    "is this an 80/20 corpus?" answer a capacity planner or skew-
+    mitigation decision actually reads.
+
+    Exact tie-block arithmetic (no sampling, no interpolation error):
+    users sharing a count are interchangeable, so the top-k cut takes
+    ``k - cum_before`` users from the boundary block at exactly ``x``
+    events each — every term an exact integer; k itself is the exact
+    ceiling (pct*n+99) DIV 100. Only the final share divides, floor-
+    quantized 4 dp.
+
+    Shape: one user exchange, then ALL ranking runs on the bounded
+    count histogram (descending prefix windows — the
+    ``ev_gini_concentration`` single-partition class), a 4-row
+    threshold table broadcast, and a bounded non-equi join to locate
+    each threshold's boundary block."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    hist = per_user.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
+    wd = Window.orderBy(F.desc("x"))
+    cum = hist.select(
+        "x",
+        "m",
+        F.coalesce(
+            F.sum("m").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cu_before"),
+        F.coalesce(
+            F.sum(F.col("m") * F.col("x")).over(
+                wd.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("ce_before"),
+        F.sum("m").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("cu"),
+    )
+    tot = hist.agg(
+        F.sum("m").alias("n"), F.sum(F.col("m") * F.col("x")).alias("t")
+    )
+    p = spark.createDataFrame([(1,), (5,), (10,), (20,)], "pct long")
+    kk = p.crossJoin(F.broadcast(tot)).select(
+        "pct", F.expr("(pct * n + 99) DIV 100").alias("k"), "t"
+    )
+    k_events = F.col("ce_before") + (F.col("k") - F.col("cu_before")) * F.col("x")
+    return (
+        cum.join(
+            F.broadcast(kk),
+            (F.col("cu_before") < F.col("k")) & (F.col("cu") >= F.col("k")),
+        )
+        .select(
+            "pct",
+            F.col("k").alias("k_users"),
+            k_events.cast("long").alias("k_events"),
+            (
+                F.floor(
+                    k_events.cast("double") / F.col("t").cast("double") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("events_share"),
+        )
+    )

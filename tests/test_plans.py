@@ -335,6 +335,7 @@ SINGLE_PARTITION_CENSUS = {
     "emb_coreset_sample": 0,
     "ev_weekday_profile": 1,  # 2-row totals agg finalize over the 7-key weekday rollup
     "emb_int8_recall_audit": 0,
+    "ev_pareto_shares": 2,  # count-histogram prefix window + totals agg finalize (both bounded); threshold join is a 4-row broadcast BNL
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

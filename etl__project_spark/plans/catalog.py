@@ -10106,3 +10106,277 @@ def ev_pareto_shares(spark, sf_dir):
             ).alias("events_share"),
         )
     )
+
+
+@query(
+    "ev_mann_whitney",
+    """WITH pur AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR || 'mw'), 1, 15))::BIGINT % 2
+             AS arm,
+         value AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+vals AS (
+  SELECT v, sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         count(*)::BIGINT AS n
+  FROM pur GROUP BY v
+),
+cum AS (
+  SELECT n1, n,
+         coalesce(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS c
+  FROM vals
+),
+agg AS (
+  SELECT sum(n1)::BIGINT AS n1t, sum(n - n1)::BIGINT AS n2t,
+         sum(n1 * (2 * c + n + 1))::BIGINT AS r1x2,
+         sum(n * n * n - n)::BIGINT AS ties
+  FROM cum
+)
+SELECT n1t AS n_0, n2t AS n_1,
+       (r1x2 - n1t * (n1t + 1))::DOUBLE / 2 AS u_0,
+       floor((r1x2 - n1t * (n1t + 1) - n1t * n2t)::DOUBLE
+             / sqrt(n1t::DOUBLE * n2t::DOUBLE / 3.0
+                    * ((n1t + n2t + 1)::DOUBLE
+                       - ties::DOUBLE / ((n1t + n2t)::DOUBLE
+                                         * (n1t + n2t - 1)::DOUBLE)))
+             * 10000 + 0.5) / 10000.0 AS z_score,
+       (abs(floor((r1x2 - n1t * (n1t + 1) - n1t * n2t)::DOUBLE
+             / sqrt(n1t::DOUBLE * n2t::DOUBLE / 3.0
+                    * ((n1t + n2t + 1)::DOUBLE
+                       - ties::DOUBLE / ((n1t + n2t)::DOUBLE
+                                         * (n1t + n2t - 1)::DOUBLE)))
+             * 10000 + 0.5)) > 19600) AS reject_05
+FROM agg""",
+)
+def ev_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do the purchase VALUES
+    of hash-arm 0 come from the same distribution as arm 1? The
+    nonparametric companion to ``ev_ab_test_zscore`` (which compares
+    converting PROPORTIONS): rank-based, so a heavy-tailed value
+    distribution or outlier spend can't swamp the readout the way it
+    swamps a t-statistic. KS asks "are the distributions different
+    anywhere"; Mann-Whitney asks the A/B question "does one arm
+    stochastically dominate" — together they complete the two-sample
+    family.
+
+    Exactness: average ranks never materialize as fractions — the
+    identity 2*avgrank(v) = 2*C(v) + n(v) + 1 (C = count of values
+    strictly below v) keeps the doubled rank-sum 2*R1, the doubled
+    centered statistic 2*(U1 - mu) = 2R1 - n1(n1+1) - n1*n2, and the
+    tie term sum(n^3 - n) ALL exact BIGINTs on both engines; the only
+    floating step is the final tie-corrected z = (2U-2mu)/sqrt(4*Var),
+    floor-quantized 4 dp, and the 0.05 decision compares the QUANTIZED
+    integer against 19600 = 1.96 * 10^4 exactly.
+
+    Distributed shape: per-value collapse (one exchange on value),
+    then C(v) is the ``ev_ks_test`` two-level prefix sum — 31
+    percentile cuts broadcast, running sums WITHIN each band, carry-in
+    from the <=32-row band rollup — so no global-order window ever
+    sees the full distinct-value set; everything after is one
+    constant-size aggregate."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("value").isNotNull())
+    )
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    pur = ev.select(
+        hash_bucket(F.col("user_id"), 2, salt="mw").alias("arm"),
+        F.col("value").alias("v"),
+    )
+    vals = pur.groupBy("v").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cuts = pur.agg(
+        F.percentile(
+            "v", F.array(*[F.lit(i / 32.0) for i in range(1, 32)])
+        ).alias("cutpoints")
+    )
+    banded = vals.crossJoin(F.broadcast(cuts)).select(
+        "v",
+        "n1",
+        "n",
+        F.aggregate(
+            F.filter("cutpoints", lambda x: F.col("v") > x),
+            F.lit(0),
+            lambda a, _: a + 1,
+        ).alias("band"),
+    )
+    # |distinct values| rows, consumed twice (local running + band totals)
+    banded = banded.localCheckpoint(eager=True)
+    wb = Window.partitionBy("band").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = banded.select(
+        "band",
+        "n1",
+        "n",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("c_local"),
+    )
+    wc = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    carry = banded.groupBy("band").agg(F.sum("n").alias("b")).select(
+        "band", F.coalesce(F.sum("b").over(wc), F.lit(0)).alias("c_carry")
+    )
+    c = F.col("c_local") + F.col("c_carry")
+    agg = local.join(F.broadcast(carry), "band").agg(
+        F.sum("n1").alias("n1t"),
+        F.sum(F.col("n") - F.col("n1")).alias("n2t"),
+        F.sum(F.col("n1") * (2 * c + F.col("n") + 1)).alias("r1x2"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n")).alias("ties"),
+    )
+    n1t, n2t = F.col("n1t"), F.col("n2t")
+    diff_x2 = (F.col("r1x2") - n1t * (n1t + 1) - n1t * n2t).cast("double")
+    var_x4 = (
+        n1t.cast("double") * n2t.cast("double") / F.lit(3.0)
+        * (
+            (n1t + n2t + 1).cast("double")
+            - F.col("ties").cast("double")
+            / ((n1t + n2t).cast("double") * (n1t + n2t - 1).cast("double"))
+        )
+    )
+    z_scaled = F.floor(diff_x2 / F.sqrt(var_x4) * 10000 + F.lit(0.5))
+    return agg.select(
+        n1t.alias("n_0"),
+        n2t.alias("n_1"),
+        ((F.col("r1x2") - n1t * (n1t + 1)).cast("double") / 2).alias("u_0"),
+        (z_scaled / 10000.0).alias("z_score"),
+        (F.abs(z_scaled) > 19600).alias("reject_05"),
+    )
+
+
+@query(
+    "ev_survival_km",
+    """WITH mx AS (SELECT max(ts::DATE) AS dmax FROM events),
+usr AS (
+  SELECT user_id,
+         date_diff('day', min(ts::DATE), max(ts::DATE))::BIGINT AS t,
+         CASE WHEN max(ts::DATE) > (SELECT dmax FROM mx) - 7
+              THEN 0 ELSE 1 END AS ev
+  FROM events GROUP BY user_id
+),
+days AS (
+  SELECT t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c
+  FROM usr GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         sum(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)::BIGINT
+             AS r
+  FROM days
+),
+terms AS (
+  SELECT t, d, c, r,
+         CASE WHEN d < r
+              THEN floor(ln((r - d)::DOUBLE / r::DOUBLE) * 1000000
+                         + 0.5)::BIGINT
+              ELSE 0 END AS qln,
+         CASE WHEN d >= r THEN 1 ELSE 0 END AS dead
+  FROM risk WHERE d > 0
+),
+curve AS (
+  SELECT t, d, c, r,
+         sum(qln) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)::BIGINT AS cq,
+         sum(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)::BIGINT AS zp
+  FROM terms
+)
+SELECT t AS t_day, r AS n_risk, d AS n_events, c AS n_censored,
+       CASE WHEN zp > 0 THEN 0.0
+            ELSE floor(exp(cq::DOUBLE / 1000000.0) * 10000 + 0.5)
+                 / 10000.0 END AS survival
+FROM curve""",
+)
+def ev_survival_km(spark, sf_dir):
+    """Kaplan-Meier product-limit estimator over user LIFETIMES with
+    right-censoring — the survival curve behind ``ev_retention``'s
+    cohort grid: lifetime = days between a user's first and last
+    event; users whose last event falls inside the trailing 7-day
+    horizon are CENSORED (still active — their true lifetime is only
+    known to exceed what we observed), everyone else is an observed
+    churn. S(t) = prod over event-days t' <= t of (1 - d/r) with the
+    risk set r(t) = users whose lifetime (observed or censored)
+    reaches t — the estimator that reads censored users correctly,
+    where naive "fraction retained past t" undercounts survival.
+
+    Determinism across engines: each factor ln(1 - d/r) is quantized
+    to integer MICRO-units before summing (the ``doc_unigram_logprob``
+    discipline), the prefix sum over quantized integers is exact, and
+    one exp at the end is floor-quantized 4 dp. The d = r boundary
+    (everyone remaining churns — S hits exactly 0, where ln blows up)
+    is carried as a separate exact integer flag summed over the same
+    prefix.
+
+    Distributed shape: ONE exchange (per-user collapse); everything
+    after lives on the day histogram, bounded by the corpus's day
+    span (<= |days| rows — the ``ev_gini_concentration``
+    single-partition class): descending risk-set prefix sum, ascending
+    log-sum prefix, 1-row max-date broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("dmax"))
+    usr = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("last_day", "first_day").cast("long").alias("t"),
+            F.when(
+                F.col("last_day") > F.date_sub(F.col("dmax"), 7), 0
+            ).otherwise(1).alias("ev"),
+        )
+    )
+    days = usr.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = days.select(
+        "t", "d", "c", F.sum(F.col("d") + F.col("c")).over(wdesc).alias("r")
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "c",
+        "r",
+        F.when(
+            F.col("d") < F.col("r"),
+            F.floor(
+                F.log(
+                    (F.col("r") - F.col("d")).cast("double")
+                    / F.col("r").cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("qln"),
+        F.when(F.col("d") >= F.col("r"), 1).otherwise(0).alias("dead"),
+    )
+    wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = terms.select(
+        "t",
+        "d",
+        "c",
+        "r",
+        F.sum("qln").over(wasc).alias("cq"),
+        F.sum("dead").over(wasc).alias("zp"),
+    )
+    return curve.select(
+        F.col("t").alias("t_day"),
+        F.col("r").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("zp") > 0, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.exp(F.col("cq").cast("double") / F.lit(1000000.0)) * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        )
+        .alias("survival"),
+    )

@@ -938,3 +938,158 @@ def test_ks_test_matches_python_model(spark, clicks, purchases):
     assert row["ks_d"] == ks_scaled / 10000.0
     assert row["crit_05"] == crit_scaled / 10000.0
     assert row["reject_05"] == (ks_scaled > crit_scaled)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    samples=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),   # user_id -> hash arm
+            st.integers(min_value=0, max_value=12),   # value (int grid: ties)
+        ),
+        min_size=4,
+        max_size=60,
+    ),
+)
+def test_mann_whitney_matches_python_rank_model(spark, samples):
+    """ev_mann_whitney's banded doubled-rank-sum == a direct Python
+    average-rank model (explicit sort, fractional average ranks, tie
+    correction) on the same samples, with the arm assignment
+    reproduced through the same md5 bucketing."""
+    import hashlib
+    import math
+
+    from hypothesis import assume
+
+    import etl__project_spark.plans.catalog as cat
+
+    def arm_of(uid: int) -> int:
+        return int(hashlib.md5(f"{uid}mw".encode()).hexdigest()[:15], 16) % 2
+
+    arm0 = sorted(v for u, v in samples if arm_of(u) == 0)
+    arm1 = sorted(v for u, v in samples if arm_of(u) == 1)
+    assume(arm0 and arm1)
+    pooled = sorted(arm0 + arm1)
+    n1t, n2t = len(arm0), len(arm1)
+    nn = n1t + n2t
+    # fractional average ranks (1-based), per pooled value
+    avgrank = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        avgrank[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    r1 = sum(avgrank[v] for v in arm0)
+    u0 = r1 - n1t * (n1t + 1) / 2.0
+    ties = sum(
+        (c := pooled.count(v)) ** 3 - c for v in sorted(set(pooled))
+    )
+    var_x4 = n1t * n2t / 3.0 * (
+        (nn + 1) - ties / (nn * (nn - 1))
+    )
+    assume(var_x4 > 0)
+    z_scaled = math.floor(
+        2 * (u0 - n1t * n2t / 2.0) / math.sqrt(var_x4) * 10000 + 0.5
+    )
+
+    rows = [
+        (i, "2024-01-01 09:00:00", u, "purchase", float(v), "{}")
+        for i, (u, v) in enumerate(samples)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orig = cat.load_table
+    cat.load_table = lambda s, d, tbl: df
+    try:
+        row = cat.QUERIES["ev_mann_whitney"](spark, "unused").collect()[0]
+    finally:
+        cat.load_table = orig
+    assert (row["n_0"], row["n_1"]) == (n1t, n2t)
+    assert row["u_0"] == u0
+    assert row["z_score"] == z_scaled / 10000.0
+    assert row["reject_05"] == (abs(z_scaled) > 19600)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=27),  # first active day
+            st.integers(min_value=0, max_value=27),  # extra active span
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_survival_km_matches_python_product_limit(spark, users):
+    """ev_survival_km == a direct Python product-limit fold: per-day
+    deaths/censor counts, risk sets by reverse accumulation, survival
+    as the running product over micro-quantized log factors (exactly
+    the query's quantization, so S matches to the emitted 4 dp)."""
+    import math
+
+    import etl__project_spark.plans.catalog as cat
+
+    spans = [(a, min(a + b, 29)) for a, b in users]
+    dmax = max(b for _, b in spans)
+    lifetimes = [
+        (b - a, 0 if b > dmax - 7 else 1) for a, b in spans
+    ]
+    days = {}
+    for t, evt in lifetimes:
+        d, c = days.get(t, (0, 0))
+        days[t] = (d + evt, c + (1 - evt))
+    at_risk = len(lifetimes)
+    want = []
+    cq = zp = 0
+    for t in sorted(days):
+        d, c = days[t]
+        r = at_risk
+        at_risk -= d + c
+        if d == 0:
+            continue
+        if d >= r:
+            zp += 1
+        else:
+            cq += math.floor(math.log((r - d) / r) * 1000000 + 0.5)
+        surv = 0.0 if zp > 0 else math.floor(
+            math.exp(cq / 1000000.0) * 10000 + 0.5
+        ) / 10000.0
+        want.append((t, r, d, c, surv))
+
+    rows = []
+    eid = 0
+    for u, (a, b) in enumerate(spans):
+        for day in {a, b}:
+            rows.append(
+                (eid, f"2024-01-{day + 1:02d} 12:00:00", u, "click", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orig = cat.load_table
+    cat.load_table = lambda s, d, tbl: df
+    try:
+        got = [
+            (
+                r["t_day"],
+                r["n_risk"],
+                r["n_events"],
+                r["n_censored"],
+                r["survival"],
+            )
+            for r in cat.QUERIES["ev_survival_km"](spark, "unused")
+            .orderBy("t_day")
+            .collect()
+        ]
+    finally:
+        cat.load_table = orig
+    assert got == want

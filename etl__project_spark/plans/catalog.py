@@ -10380,3 +10380,84 @@ def ev_survival_km(spark, sf_dir):
         )
         .alias("survival"),
     )
+
+
+@query(
+    "tpch_part_skyline",
+    """SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)""",
+)
+def tpch_part_skyline(spark, sf_dir):
+    """2-D skyline (Pareto-dominance) operator: the parts no other part
+    beats on BOTH price (lower is better) and size (higher is better)
+    — the "best tradeoff frontier" query class (Borzsonyi et al., ICDE
+    2001) that SQL engines express as a quadratic NOT EXISTS self-join.
+
+    The oracle IS that quadratic dominance definition; the Spark plan
+    is the O(n log n) decomposition — a part survives iff its size (a)
+    tops its own price group and (b) strictly exceeds the max size over
+    all STRICTLY cheaper prices. That strictly-before prefix max runs
+    banded (the ``ev_ks_test`` two-level shape: 31 percentile cuts
+    broadcast, per-band running max, carry-in from the <=32-row band
+    rollup), so no global-order window ever sees the full distinct-
+    price set, and the value-hash match against the quadratic oracle
+    proves the decomposition. Candidates rejoin the part scan on price
+    — an equi-join (broadcastable in practice: skylines of anti-
+    correlated-at-worst data are tiny), never a theta self-join."""
+    pr = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    grp = pr.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    cuts = pr.agg(
+        F.percentile(
+            "p_retailprice", F.array(*[F.lit(i / 32.0) for i in range(1, 32)])
+        ).alias("cutpoints")
+    )
+    banded = grp.crossJoin(F.broadcast(cuts)).select(
+        "p_retailprice",
+        "gmax",
+        F.aggregate(
+            F.filter("cutpoints", lambda x: F.col("p_retailprice") > x),
+            F.lit(0),
+            lambda a, _: a + 1,
+        ).alias("band"),
+    )
+    # |distinct prices| rows, consumed twice (local prefix + band totals)
+    banded = banded.localCheckpoint(eager=True)
+    wb = Window.partitionBy("band").orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = banded.select(
+        "p_retailprice",
+        "gmax",
+        "band",
+        F.max("gmax").over(wb).alias("lmax"),
+    )
+    wc = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    carry = banded.groupBy("band").agg(F.max("gmax").alias("bmax")).select(
+        "band", F.max("bmax").over(wc).alias("cmax")
+    )
+    frontier = (
+        local.join(F.broadcast(carry), "band")
+        .filter(
+            F.col("gmax")
+            > F.greatest(
+                F.coalesce(F.col("lmax"), F.lit(-1)),
+                F.coalesce(F.col("cmax"), F.lit(-1)),
+            )
+        )
+        .select(
+            F.col("p_retailprice").alias("sky_price"),
+            F.col("gmax").alias("sky_size"),
+        )
+    )
+    return pr.join(
+        F.broadcast(frontier),
+        (F.col("p_retailprice") == F.col("sky_price"))
+        & (F.col("p_size") == F.col("sky_size")),
+    ).select("p_partkey", "p_retailprice", "p_size")

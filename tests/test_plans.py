@@ -338,6 +338,7 @@ SINGLE_PARTITION_CENSUS = {
     "ev_pareto_shares": 2,  # count-histogram prefix window + totals agg finalize (both bounded); threshold join is a 4-row broadcast BNL
     "ev_mann_whitney": 2,  # percentile-cuts 1-row agg finalize + <=32-row band-carry window (the ev_ks_test class); rank sums stay banded
     "ev_survival_km": 2,  # day-histogram prefix windows (risk-set desc + log-sum asc, <= |days| rows) + 1-row max-date agg finalize
+    "tpch_part_skyline": 1,  # percentile-cuts 1-row agg finalize; the <=32-row band-carry window rides the band rollup's partition
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

@@ -1093,3 +1093,50 @@ def test_survival_km_matches_python_product_limit(spark, users):
     finally:
         cat.load_table = orig
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=15),  # price grid (ties)
+            st.integers(min_value=1, max_value=15),  # size grid (ties)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_part_skyline_matches_python_dominance_scan(spark, points):
+    """tpch_part_skyline's banded prefix-max decomposition == the direct
+    quadratic dominance scan (min price / max size, strict-dominance
+    semantics: equal-on-both-dims ties all survive)."""
+    import etl__project_spark.plans.catalog as cat
+
+    want = {
+        (k, float(pr), sz)
+        for k, (pr, sz) in enumerate(points)
+        if not any(
+            qp <= pr and qs >= sz and (qp < pr or qs > sz)
+            for qp, qs in points
+        )
+    }
+
+    rows = [
+        (k, f"part{k}", "b", "t", sz, float(pr))
+        for k, (pr, sz) in enumerate(points)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    orig = cat.load_table
+    cat.load_table = lambda s, d, tbl: df
+    try:
+        got = {
+            (r["p_partkey"], r["p_retailprice"], r["p_size"])
+            for r in cat.QUERIES["tpch_part_skyline"](spark, "unused").collect()
+        }
+    finally:
+        cat.load_table = orig
+    assert got == want

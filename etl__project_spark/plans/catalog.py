@@ -10461,3 +10461,234 @@ def tpch_part_skyline(spark, sf_dir):
         (F.col("p_retailprice") == F.col("sky_price"))
         & (F.col("p_size") == F.col("sky_size")),
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@query(
+    "emb_ivf_nprobe_audit",
+    _kmeans_ctes(8, 2)
+    + f""",
+ranked AS (
+  SELECT e.vec_id, s.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_IVF_COS_ES} DESC, s.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN c2 s
+),
+cells AS (
+  SELECT vec_id AS cand_id, centroid_id FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, centroid_id, rn AS probe_rank
+  FROM ranked WHERE vec_id < 5 AND rn <= 4
+),
+scored AS (
+  SELECT p.q_id, c.cand_id, p.probe_rank,
+         {_IVF_COS_QX} AS sim
+  FROM probes p
+  JOIN cells c ON p.centroid_id = c.centroid_id AND c.cand_id <> p.q_id
+  JOIN embeddings q ON q.vec_id = p.q_id
+  JOIN embeddings x ON x.vec_id = c.cand_id
+),
+nps(np) AS (VALUES (1), (2), (4)),
+appr AS (
+  SELECT np, q_id, cand_id FROM (
+    SELECT n.np, s.q_id, s.cand_id,
+           row_number() OVER (PARTITION BY n.np, s.q_id
+                              ORDER BY s.sim DESC, s.cand_id) AS rn2
+    FROM scored s JOIN nps n ON s.probe_rank <= n.np
+  ) WHERE rn2 <= 3
+),
+ex AS (
+  SELECT q_id, cand_id FROM (
+    SELECT q.vec_id AS q_id, x.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_IVF_COS_QX} DESC, x.vec_id) AS rn
+    FROM embeddings q CROSS JOIN embeddings x
+    WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id
+  ) WHERE rn <= 3
+)
+SELECT a.np::BIGINT AS n_probe,
+       sum(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_hits,
+       15::BIGINT AS n_truth,
+       floor(sum(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / 15.0 * 10000 + 0.5) / 10000.0 AS recall_at_3
+FROM appr a
+LEFT JOIN ex e ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+GROUP BY a.np""",
+)
+def emb_ivf_nprobe_audit(spark, sf_dir):
+    """IVF recall-vs-cost SWEEP: recall@3 of the trained-cell index at
+    n_probe = 1 / 2 / 4 against the exact ``batch_topk`` ground truth
+    over the same 5 queries — the knee-finding measurement that picks a
+    production nprobe setting (each probe step scans ~1/k more of the
+    corpus; the audit shows where extra scan stops buying recall).
+    Extends the point audits (``emb_ann_recall_audit``,
+    ``emb_pq_recall_audit``, ``emb_int8_recall_audit``) to a CURVE.
+
+    The oracle trains the same 2 integer-quantized Lloyd rounds ONCE
+    and sweeps the probe rank; the Spark side reuses the tested
+    ``ivf_topk`` path per setting (training is deterministic, so the
+    three runs share identical centroids and the union is the same
+    sweep). Everything downstream of scoring is a (3 settings x 5
+    queries x 3 ranks)-row comparison — constant-size; the ground
+    truth is one broadcast-query scan with the corpus never shuffled."""
+    from etl__project_spark.datapipe.similarity import batch_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = batch_topk(emb, n_queries=5, k=3).select(
+        "q_id", "cand_id", F.lit(1).alias("hit")
+    )
+    appr = None
+    for np_ in (1, 2, 4):
+        run = ivf_topk(emb, n_probe=np_, train_iters=2).select(
+            F.lit(np_).cast("long").alias("n_probe"), "q_id", "cand_id"
+        )
+        appr = run if appr is None else appr.unionByName(run)
+    joined = appr.join(F.broadcast(exact), ["q_id", "cand_id"], "left")
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return joined.groupBy("n_probe").agg(
+        hits.cast("long").alias("n_hits"),
+        F.lit(15).cast("long").alias("n_truth"),
+        (
+            F.floor(hits.cast("double") / 15.0 * 10000 + F.lit(0.5)) / 10000.0
+        ).alias("recall_at_3"),
+    )
+
+
+@query(
+    "ev_jackknife_ci",
+    """WITH pur AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR || 'jk'), 1, 15))::BIGINT % 32
+             AS g,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS iu
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+blocks AS (
+  SELECT g, sum(iu)::BIGINT AS s_g, count(*)::BIGINT AS n_g
+  FROM pur GROUP BY g
+),
+tot AS (
+  SELECT sum(s_g)::BIGINT AS s, sum(n_g)::BIGINT AS n,
+         count(*)::BIGINT AS nb
+  FROM blocks
+),
+loo AS (
+  SELECT t.s, t.n, t.nb,
+         CAST(floor((t.s - b.s_g)::DOUBLE / (t.n - b.n_g)::DOUBLE * 100
+                    + 0.5) AS BIGINT) AS ql
+  FROM blocks b CROSS JOIN tot t
+),
+agg AS (
+  SELECT any_value(s) AS s, any_value(n) AS n, any_value(nb) AS nb,
+         sum(ql)::HUGEINT AS sq,
+         sum(ql::HUGEINT * ql::HUGEINT)::HUGEINT AS sqq
+  FROM loo
+)
+SELECT n AS n_purchases, nb AS n_blocks,
+       floor(s::DOUBLE / n::DOUBLE / 10000.0 * 10000 + 0.5) / 10000.0
+           AS mean_value,
+       floor(sqrt((nb - 1)::DOUBLE / nb::DOUBLE
+                  * (sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE / nb::DOUBLE))
+             / 1000000.0 * 10000 + 0.5) / 10000.0 AS se_value,
+       floor((s::DOUBLE / n::DOUBLE * 100.0
+              - 1.96 * sqrt((nb - 1)::DOUBLE / nb::DOUBLE
+                            * (sqq::DOUBLE
+                               - sq::DOUBLE * sq::DOUBLE / nb::DOUBLE)))
+             / 1000000.0 * 10000 + 0.5) / 10000.0 AS ci_lo,
+       floor((s::DOUBLE / n::DOUBLE * 100.0
+              + 1.96 * sqrt((nb - 1)::DOUBLE / nb::DOUBLE
+                            * (sqq::DOUBLE
+                               - sq::DOUBLE * sq::DOUBLE / nb::DOUBLE)))
+             / 1000000.0 * 10000 + 0.5) / 10000.0 AS ci_hi
+FROM agg""",
+)
+def ev_jackknife_ci(spark, sf_dir):
+    """Delete-one-BLOCK jackknife confidence interval for the mean
+    purchase value — resampling-based uncertainty without resampling
+    cost: users hash into 32 blocks (block = f(user_id), so a user's
+    correlated events leave together — the grouped jackknife that stays
+    honest under within-user correlation, where the naive iid SE is
+    too tight), each block's leave-one-out mean is recomputed from the
+    TOTALS minus the block's sums, and the jackknife variance
+    (G-1)/G * sum((theta_g - theta_bar)^2) prices the spread. The
+    estimator every A/B platform publishes next to its point metric;
+    complements ``ev_ab_test_zscore`` (which tests a difference; this
+    bounds a level).
+
+    Exactness: block sums are micro-unit BIGINTs (the ``ev_rfm``
+    value-quantization discipline); each leave-one-out mean is
+    quantized to an integer BEFORE the variance pass, so sum(ql) and
+    sum(ql^2) are exact on both engines (HUGEINT / decimal products —
+    the ``ev_ks_test`` wide-integer discipline) and the one floating
+    step per output is floor-quantized 4 dp.
+
+    Distributed shape: ONE 32-key hash aggregate over the purchase
+    scan (map-side combine does nearly all the work); everything after
+    lives on 32 rows — 1-row totals broadcast, 32-row pseudo-value
+    pass, 1-row finalize."""
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    pur = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("value").isNotNull())
+        .select(
+            hash_bucket(F.col("user_id"), 32, salt="jk").alias("g"),
+            F.floor(F.col("value") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("iu"),
+        )
+    )
+    blocks = pur.groupBy("g").agg(
+        F.sum("iu").alias("s_g"), F.count(F.lit(1)).alias("n_g")
+    )
+    tot = blocks.agg(
+        F.sum("s_g").alias("s"),
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    loo = blocks.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "n",
+        "nb",
+        F.floor(
+            (F.col("s") - F.col("s_g")).cast("double")
+            / (F.col("n") - F.col("n_g")).cast("double")
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ql"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(18,0)")
+
+    agg = loo.groupBy().agg(
+        F.first("s").alias("s"),
+        F.first("n").alias("n"),
+        F.first("nb").alias("nb"),
+        F.sum("ql").cast("decimal(38,0)").alias("sq"),
+        F.sum(dec(F.col("ql")) * dec(F.col("ql"))).cast("decimal(38,0)").alias("sqq"),
+    )
+    sd, nd = F.col("s").cast("double"), F.col("n").cast("double")
+    nbd = F.col("nb").cast("double")
+    sqd, sqqd = F.col("sq").cast("double"), F.col("sqq").cast("double")
+    se_ql = F.sqrt(
+        (F.col("nb") - 1).cast("double") / nbd * (sqqd - sqd * sqd / nbd)
+    )
+    theta_ql = sd / nd * 100.0
+
+    def q4(c):
+        return F.floor(c / 1000000.0 * 10000 + F.lit(0.5)) / 10000.0
+
+    return agg.select(
+        F.col("n").alias("n_purchases"),
+        F.col("nb").alias("n_blocks"),
+        (F.floor(sd / nd / 10000.0 * 10000 + F.lit(0.5)) / 10000.0).alias(
+            "mean_value"
+        ),
+        q4(se_ql).alias("se_value"),
+        q4(theta_ql - 1.96 * se_ql).alias("ci_lo"),
+        q4(theta_ql + 1.96 * se_ql).alias("ci_hi"),
+    )

@@ -339,6 +339,7 @@ SINGLE_PARTITION_CENSUS = {
     "ev_mann_whitney": 2,  # percentile-cuts 1-row agg finalize + <=32-row band-carry window (the ev_ks_test class); rank sums stay banded
     "ev_survival_km": 2,  # day-histogram prefix windows (risk-set desc + log-sum asc, <= |days| rows) + 1-row max-date agg finalize
     "tpch_part_skyline": 1,  # percentile-cuts 1-row agg finalize; the <=32-row band-carry window rides the band rollup's partition
+    "ev_jackknife_ci": 2,  # 1-row totals agg finalize + 32-row pseudo-value finalize; the heavy work is the 32-key block aggregate
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

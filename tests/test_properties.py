@@ -1140,3 +1140,85 @@ def test_part_skyline_matches_python_dominance_scan(spark, points):
     finally:
         cat.load_table = orig
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    samples=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),   # user_id -> hash block
+            st.integers(min_value=0, max_value=5000),  # value in cents
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+)
+def test_jackknife_ci_matches_python_model(spark, samples):
+    """ev_jackknife_ci == a direct Python grouped-jackknife fold (md5
+    block assignment, exact micro-unit block sums, quantized
+    leave-one-out means, (G-1)/G variance), to the emitted 4 dp."""
+    import hashlib
+    import math
+
+    from hypothesis import assume
+
+    import etl__project_spark.plans.catalog as cat
+
+    def block_of(uid: int) -> int:
+        return int(hashlib.md5(f"{uid}jk".encode()).hexdigest()[:15], 16) % 32
+
+    blocks = {}
+    for u, cents in samples:
+        g = block_of(u)
+        s, n = blocks.get(g, (0, 0))
+        blocks[g] = (s + cents * 100, n + 1)  # micro-units
+    # every leave-one-out denominator must be nonzero
+    s_tot = sum(s for s, _ in blocks.values())
+    n_tot = sum(n for _, n in blocks.values())
+    nb = len(blocks)
+    assume(nb >= 2)
+    assume(all(n_tot - n > 0 for _, n in blocks.values()))
+    qls = [
+        math.floor((s_tot - s) / (n_tot - n) * 100 + 0.5)
+        for s, n in blocks.values()
+    ]
+    sq, sqq = sum(qls), sum(q * q for q in qls)
+    se_ql = math.sqrt((nb - 1) / nb * (sqq - sq * sq / nb))
+    theta_ql = s_tot / n_tot * 100.0
+
+    def q4(x):
+        return math.floor(x / 1000000.0 * 10000 + 0.5) / 10000.0
+
+    want = (
+        n_tot,
+        nb,
+        math.floor(s_tot / n_tot / 10000.0 * 10000 + 0.5) / 10000.0,
+        q4(se_ql),
+        q4(theta_ql - 1.96 * se_ql),
+        q4(theta_ql + 1.96 * se_ql),
+    )
+
+    rows = [
+        (i, "2024-01-01 09:00:00", u, "purchase", cents / 100.0, "{}")
+        for i, (u, cents) in enumerate(samples)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orig = cat.load_table
+    cat.load_table = lambda s, d, tbl: df
+    try:
+        r = cat.QUERIES["ev_jackknife_ci"](spark, "unused").collect()[0]
+    finally:
+        cat.load_table = orig
+    got = (
+        r["n_purchases"],
+        r["n_blocks"],
+        r["mean_value"],
+        r["se_value"],
+        r["ci_lo"],
+        r["ci_hi"],
+    )
+    assert got == want

@@ -10252,9 +10252,17 @@ def ev_mann_whitney(spark, sf_dir):
     """WITH mx AS (SELECT max(ts::DATE) AS dmax FROM events),
 usr AS (
   SELECT user_id,
-         date_diff('day', min(ts::DATE), max(ts::DATE))::BIGINT AS t,
-         CASE WHEN max(ts::DATE) > (SELECT dmax FROM mx) - 7
-              THEN 0 ELSE 1 END AS ev
+         CASE WHEN min(CASE WHEN event_type = 'purchase' AND value > 180
+                            THEN ts::DATE END) IS NOT NULL
+              THEN date_diff('day', min(ts::DATE),
+                             min(CASE WHEN event_type = 'purchase'
+                                      AND value > 180
+                                      THEN ts::DATE END))
+              ELSE date_diff('day', min(ts::DATE), (SELECT dmax FROM mx))
+              END::BIGINT AS t,
+         CASE WHEN min(CASE WHEN event_type = 'purchase' AND value > 180
+                            THEN ts::DATE END) IS NOT NULL
+              THEN 1 ELSE 0 END AS ev
   FROM events GROUP BY user_id
 ),
 days AS (
@@ -10289,16 +10297,18 @@ SELECT t AS t_day, r AS n_risk, d AS n_events, c AS n_censored,
 FROM curve""",
 )
 def ev_survival_km(spark, sf_dir):
-    """Kaplan-Meier product-limit estimator over user LIFETIMES with
+    """Kaplan-Meier product-limit estimator of TIME-TO-CONVERSION with
     right-censoring — the survival curve behind ``ev_retention``'s
-    cohort grid: lifetime = days between a user's first and last
-    event; users whose last event falls inside the trailing 7-day
-    horizon are CENSORED (still active — their true lifetime is only
-    known to exceed what we observed), everyone else is an observed
-    churn. S(t) = prod over event-days t' <= t of (1 - d/r) with the
-    risk set r(t) = users whose lifetime (observed or censored)
-    reaches t — the estimator that reads censored users correctly,
-    where naive "fraction retained past t" undercounts survival.
+    cohort grid: t = days from a user's first event to their first
+    BIG-TICKET purchase (value > 180, the ``ev_ab_test_zscore``
+    conversion event); users who never convert are CENSORED at the end
+    of the observation window (their true conversion time is only
+    known to exceed what we observed — at fixture scale roughly 7 in
+    10 users, so the censoring is load-bearing, not decorative).
+    S(t) = prod over conversion-days t' <= t of (1 - d/r) with the
+    risk set r(t) = users still unconverted and observed at t — the
+    estimator that reads censored users correctly, where naive
+    "fraction converted by t" over-counts the denominator.
 
     Determinism across engines: each factor ln(1 - d/r) is quantized
     to integer MICRO-units before summing (the ``doc_unigram_logprob``
@@ -10315,18 +10325,28 @@ def ev_survival_km(spark, sf_dir):
     log-sum prefix, 1-row max-date broadcast."""
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max(F.to_date("ts")).alias("dmax"))
+    conv_day = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 180),
+            F.to_date("ts"),
+        )
+    )
     usr = (
         ev.groupBy("user_id")
         .agg(
             F.min(F.to_date("ts")).alias("first_day"),
-            F.max(F.to_date("ts")).alias("last_day"),
+            conv_day.alias("conv_day"),
         )
         .crossJoin(F.broadcast(mx))
         .select(
-            F.datediff("last_day", "first_day").cast("long").alias("t"),
             F.when(
-                F.col("last_day") > F.date_sub(F.col("dmax"), 7), 0
-            ).otherwise(1).alias("ev"),
+                F.col("conv_day").isNotNull(),
+                F.datediff("conv_day", "first_day"),
+            )
+            .otherwise(F.datediff("dmax", "first_day"))
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("conv_day").isNotNull(), 1).otherwise(0).alias("ev"),
         )
     )
     days = usr.groupBy("t").agg(

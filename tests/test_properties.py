@@ -1020,7 +1020,10 @@ def test_mann_whitney_matches_python_rank_model(spark, samples):
     users=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=27),  # first active day
-            st.integers(min_value=0, max_value=27),  # extra active span
+            st.one_of(
+                st.none(),  # never converts (low-value purchases only)
+                st.integers(min_value=0, max_value=27),  # days to convert
+            ),
         ),
         min_size=1,
         max_size=25,
@@ -1028,17 +1031,24 @@ def test_mann_whitney_matches_python_rank_model(spark, samples):
 )
 def test_survival_km_matches_python_product_limit(spark, users):
     """ev_survival_km == a direct Python product-limit fold: per-day
-    deaths/censor counts, risk sets by reverse accumulation, survival
-    as the running product over micro-quantized log factors (exactly
-    the query's quantization, so S matches to the emitted 4 dp)."""
+    conversion/censor counts, risk sets by reverse accumulation,
+    survival as the running product over micro-quantized log factors
+    (exactly the query's quantization, so S matches to the emitted
+    4 dp). Non-converting users carry a LOW-value purchase so the
+    big-ticket threshold is exercised, and are censored at the global
+    max event date."""
     import math
 
     import etl__project_spark.plans.catalog as cat
 
-    spans = [(a, min(a + b, 29)) for a, b in users]
-    dmax = max(b for _, b in spans)
+    spans = [
+        (a, None if p is None else min(a + p, 29)) for a, p in users
+    ]
+    dmax = max(
+        max(a, 29 if p is None else p) for a, p in spans
+    )  # censored users emit a low-value purchase on day 29
     lifetimes = [
-        (b - a, 0 if b > dmax - 7 else 1) for a, b in spans
+        (p - a, 1) if p is not None else (dmax - a, 0) for a, p in spans
     ]
     days = {}
     for t, evt in lifetimes:
@@ -1064,12 +1074,20 @@ def test_survival_km_matches_python_product_limit(spark, users):
 
     rows = []
     eid = 0
-    for u, (a, b) in enumerate(spans):
-        for day in {a, b}:
+    for u, (a, p) in enumerate(spans):
+        rows.append(
+            (eid, f"2024-01-{a + 1:02d} 12:00:00", u, "click", 1.0, "{}")
+        )
+        eid += 1
+        if p is not None:
             rows.append(
-                (eid, f"2024-01-{day + 1:02d} 12:00:00", u, "click", 1.0, "{}")
+                (eid, f"2024-01-{p + 1:02d} 12:00:00", u, "purchase", 250.0, "{}")
             )
-            eid += 1
+        else:
+            rows.append(
+                (eid, "2024-01-30 12:00:00", u, "purchase", 50.0, "{}")
+            )
+        eid += 1
     df = spark.createDataFrame(
         rows,
         "event_id long, ts string, user_id long, event_type string,"

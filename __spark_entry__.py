@@ -42,9 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation, as are the ~18 third-wave statistics/retrieval queries added
 # after this window filled (KS/Benford/CUSUM/Gini/KL/autocorr/span-merge/
 # repetition/BM25/PSI/hot-windows/EWMA/int8×2/attribution/confusion/
-# coreset/weekday). Every query outside the window stays pinned in-repo
-# by `pytest -m oracle` and the committed CORRECTNESS_FULL.json artifact
-# (195/195 at sf0.01 this round).
+# coreset/weekday) and the six fourth-wave additions (Pareto shares,
+# Mann-Whitney, Kaplan-Meier time-to-conversion, 2-D skyline, IVF
+# nprobe recall sweep, grouped-jackknife CI). Every query outside the
+# window stays pinned in-repo by `pytest -m oracle` and the committed
+# CORRECTNESS_FULL.json artifact (201/201 at sf0.01 this round).
 _PRIORITY_R6 = [
     # never driver-checked: r5 third wave
     "emb_znorm_outliers",

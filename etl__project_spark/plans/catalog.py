@@ -10322,84 +10322,20 @@ def ev_survival_km(spark, sf_dir):
     after lives on the day histogram, bounded by the corpus's day
     span (<= |days| rows — the ``ev_gini_concentration``
     single-partition class): descending risk-set prefix sum, ascending
-    log-sum prefix, 1-row max-date broadcast."""
+    log-sum prefix, 1-row max-date broadcast. The curve itself is
+    ``operators/series.py:survival_curve`` — the same coded path the
+    streaming maintenance serves from the incrementally-folded
+    per-user conversion table (``stream_user_conversion``), so the
+    one-shot and maintained curves can never drift."""
+    from etl__project_spark.operators.series import big_ticket, survival_curve
+
     ev = load_table(spark, sf_dir, "events")
-    mx = ev.agg(F.max(F.to_date("ts")).alias("dmax"))
-    conv_day = F.min(
-        F.when(
-            (F.col("event_type") == "purchase") & (F.col("value") > 180),
-            F.to_date("ts"),
-        )
+    users = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.min(F.when(big_ticket(), F.to_date("ts"))).alias("conv_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
     )
-    usr = (
-        ev.groupBy("user_id")
-        .agg(
-            F.min(F.to_date("ts")).alias("first_day"),
-            conv_day.alias("conv_day"),
-        )
-        .crossJoin(F.broadcast(mx))
-        .select(
-            F.when(
-                F.col("conv_day").isNotNull(),
-                F.datediff("conv_day", "first_day"),
-            )
-            .otherwise(F.datediff("dmax", "first_day"))
-            .cast("long")
-            .alias("t"),
-            F.when(F.col("conv_day").isNotNull(), 1).otherwise(0).alias("ev"),
-        )
-    )
-    days = usr.groupBy("t").agg(
-        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
-    )
-    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    risk = days.select(
-        "t", "d", "c", F.sum(F.col("d") + F.col("c")).over(wdesc).alias("r")
-    )
-    terms = risk.filter(F.col("d") > 0).select(
-        "t",
-        "d",
-        "c",
-        "r",
-        F.when(
-            F.col("d") < F.col("r"),
-            F.floor(
-                F.log(
-                    (F.col("r") - F.col("d")).cast("double")
-                    / F.col("r").cast("double")
-                )
-                * 1000000
-                + F.lit(0.5)
-            ),
-        ).otherwise(F.lit(0)).cast("long").alias("qln"),
-        F.when(F.col("d") >= F.col("r"), 1).otherwise(0).alias("dead"),
-    )
-    wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    curve = terms.select(
-        "t",
-        "d",
-        "c",
-        "r",
-        F.sum("qln").over(wasc).alias("cq"),
-        F.sum("dead").over(wasc).alias("zp"),
-    )
-    return curve.select(
-        F.col("t").alias("t_day"),
-        F.col("r").alias("n_risk"),
-        F.col("d").alias("n_events"),
-        F.col("c").alias("n_censored"),
-        F.when(F.col("zp") > 0, F.lit(0.0))
-        .otherwise(
-            F.floor(
-                F.exp(F.col("cq").cast("double") / F.lit(1000000.0)) * 10000
-                + F.lit(0.5)
-            )
-            / 10000.0
-        )
-        .alias("survival"),
-    )
+    return survival_curve(users)
 
 
 @query(

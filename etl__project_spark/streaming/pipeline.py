@@ -1011,3 +1011,95 @@ def stream_daily_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming survival-curve (per-user conversion) maintenance -------------
+
+USER_CONVERSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("first_day", T.DateType()),
+        T.StructField("conv_day", T.DateType()),
+        T.StructField("last_day", T.DateType()),
+    ]
+)
+
+
+def read_user_conversion(wh: ParquetWarehouse) -> DataFrame:
+    """The maintained per-user conversion table (first event day,
+    first big-ticket purchase day or null, last event day)."""
+    return wh.read("user_conversion", USER_CONVERSION_SCHEMA)
+
+
+def read_survival_curve(wh: ParquetWarehouse) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve served from the MAINTAINED
+    per-user table — the at-ingest face of the batch ``ev_survival_km``
+    query. Calls the same ``operators/series.py:survival_curve`` fold,
+    so serve ≡ one-shot is a property of shared code."""
+    from etl__project_spark.operators.series import survival_curve
+
+    return survival_curve(read_user_conversion(wh))
+
+
+def stream_user_conversion(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    ts_col: str = "ts",
+    available_now: bool = True,
+):
+    """The survival-curve inputs maintained AT INGEST: per micro-batch,
+    fold each user's (min first event day, min conversion day, max
+    last event day) into a persistent per-user table — the ONLY state
+    the Kaplan-Meier curve needs, |users|-sized (dimension-class)
+    rather than event-history-sized, kept fresh without re-scanning
+    the stream.
+
+    All three statistics are mergeable min/max folds, so the merge is
+    one per-user aggregate through the exactly-once merged publish:
+    replayed batches no-op via the batch-id ledger; a user whose first
+    sighting and conversion arrive in DIFFERENT batches converges to
+    the same row as a one-shot fold (mins and maxes commute across
+    batch boundaries). The conversion predicate is the shared
+    ``operators/series.py:big_ticket``, the same expression the batch
+    query and the A/B tests use.
+    """
+    from etl__project_spark.operators.series import big_ticket
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        delta = batch.groupBy("user_id").agg(
+            F.min(F.to_date(ts_col)).alias("first_day"),
+            F.min(F.when(big_ticket(), F.to_date(ts_col))).alias("conv_day"),
+            F.max(F.to_date(ts_col)).alias("last_day"),
+        )
+
+        def merge(existing: DataFrame, delta_df: DataFrame) -> DataFrame:
+            return (
+                existing.unionByName(delta_df)
+                .groupBy("user_id")
+                .agg(
+                    F.min("first_day").alias("first_day"),
+                    F.min("conv_day").alias("conv_day"),
+                    F.max("last_day").alias("last_day"),
+                )
+            )
+
+        wh.publish_merged(
+            "user_conversion",
+            delta,
+            USER_CONVERSION_SCHEMA,
+            str(batch_id),
+            merge,
+        )
+
+    rows = spark.readStream.schema(schema).json(landing_dir)
+    writer = rows.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -904,3 +904,108 @@ def test_streaming_daily_counts_anomaly_matches_one_shot(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
     assert wh._current("daily_counts") == v
+
+
+def test_streaming_survival_curve_matches_one_shot(spark, tmp_path):
+    """Three batches where users' first sightings, conversions, and
+    last events arrive in DIFFERENT batches (plus a low-value purchase
+    that must not count as conversion): the maintained per-user table
+    must equal the one-shot fold, the served KM curve must row-match
+    the batch ev_survival_km query over the union, and replay must
+    no-op."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    import etl__project_spark.plans.catalog as cat
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_survival_curve,
+        read_user_conversion,
+        stream_user_conversion,
+    )
+
+    landing = str(tmp_path / "km_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "km_wh")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def ev(day, uid, etype="click", value=1.0):
+        return {
+            "ts": f"2024-03-{day:02d}T12:00:00",
+            "user_id": uid,
+            "event_type": etype,
+            "value": value,
+        }
+
+    batches = [
+        # u1 first seen; u2 first seen AND converts same day
+        [ev(1, 1), ev(1, 2), ev(1, 2, "purchase", 250.0)],
+        # u1 low-value purchase (NOT a conversion); u3 first seen
+        [ev(3, 1, "purchase", 50.0), ev(4, 3)],
+        # u1 converts two batches after first sighting; u3 stays active
+        [ev(6, 1, "purchase", 300.0), ev(8, 3)],
+    ]
+
+    def run(i, rows, ckpt):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        q = stream_user_conversion(spark, landing, wh_root, ckpt, schema)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run(i, rows, str(tmp_path / "km_ckpt"))
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = {
+        r["user_id"]: (str(r["first_day"]), str(r["conv_day"]), str(r["last_day"]))
+        for r in read_user_conversion(wh).collect()
+    }
+    assert got == {
+        1: ("2024-03-01", "2024-03-06", "2024-03-06"),
+        2: ("2024-03-01", "2024-03-01", "2024-03-01"),
+        3: ("2024-03-04", "None", "2024-03-08"),
+    }
+
+    # served curve ≡ the batch ev_survival_km query over the union
+    all_rows = [r for b in batches for r in b]
+    events = spark.createDataFrame(
+        [
+            (i, r["ts"], r["user_id"], r["event_type"], r["value"], "{}")
+            for i, r in enumerate(all_rows)
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orig = cat.load_table
+    cat.load_table = lambda s, d, tbl: events
+    try:
+        oneshot = sorted(
+            map(tuple, cat.QUERIES["ev_survival_km"](spark, "unused").collect())
+        )
+    finally:
+        cat.load_table = orig
+    served = sorted(map(tuple, read_survival_curve(wh).collect()))
+    assert served == oneshot
+    # u2 converts at t=0 of 3 at risk; by t=5 u3 is already censored
+    # (t=4), so u1 converts alone in a risk set of 1
+    assert [(r[0], r[1], r[2]) for r in served] == [(0, 3, 1), (5, 1, 1)]
+
+    # replay with a fresh checkpoint: ledger no-ops the table
+    v = wh._current("user_conversion")
+    q = stream_user_conversion(
+        spark, landing, wh_root, str(tmp_path / "km_ckpt2"), schema
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert wh._current("user_conversion") == v

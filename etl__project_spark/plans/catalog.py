@@ -10648,3 +10648,167 @@ def ev_jackknife_ci(spark, sf_dir):
         q4(theta_ql - 1.96 * se_ql).alias("ci_lo"),
         q4(theta_ql + 1.96 * se_ql).alias("ci_hi"),
     )
+
+
+@query(
+    "emb_trunc_recall_audit",
+    """WITH tr AS (
+  SELECT vec_id, embedding[1:16]::DOUBLE[] AS tv FROM embeddings
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qt AS (SELECT tv AS qv FROM tr WHERE vec_id = 0),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+    FROM embeddings e, q WHERE e.vec_id <> 0
+  ) ORDER BY cosine DESC, vec_id LIMIT 10
+),
+approx AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           round(list_dot_product(e.tv, q.qv)
+                 / (sqrt(list_dot_product(e.tv, e.tv))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+    FROM tr e, qt q WHERE e.vec_id <> 0
+  ) ORDER BY cosine DESC, vec_id LIMIT 10
+)
+SELECT (SELECT count(*) FROM exact JOIN approx USING (vec_id))::BIGINT
+           AS n_overlap,
+       round((SELECT count(*) FROM exact JOIN approx USING (vec_id))
+             / 10.0, 4) AS recall_at_10""",
+)
+def emb_trunc_recall_audit(spark, sf_dir):
+    """Truncated-dimension retrieval audit (the Matryoshka/MRL
+    question): recall@10 of cosine over the FIRST 16 of 64 dimensions
+    against the full-dimension exact ranking — 4x less memory,
+    bandwidth, and dot-product compute per candidate, priced in
+    recall. Completes the compression-rung ladder the engine already
+    audits (PQ codes ``emb_pq_recall_audit``, int8
+    ``emb_int8_recall_audit``, sign-LSH ``emb_ann_recall_audit``):
+    truncation is the cheapest rung — a pure column slice, no
+    training, no codebooks — and the natural FIRST-stage filter in a
+    two-stage retrieve-then-rerank cascade (``emb_pq_rerank_topk``'s
+    shape with slicing instead of ADC).
+
+    Shape: both rankings are one broadcast-query scan with TakeOrdered
+    top-10s; the truncated side scans a 16-element slice (at rest this
+    is a separate short column family, so the scan reads 1/4 the
+    bytes). The overlap count is a tiny join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tr = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    exact = brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), emb.filter(F.col("vec_id") == 0), k=10
+    ).select("vec_id")
+    approx = brute_force_topk(
+        tr.filter(F.col("vec_id") != 0), tr.filter(F.col("vec_id") == 0), k=10
+    ).select("vec_id")
+    n = exact.join(approx, "vec_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return n.select(
+        "n_overlap", F.round(F.col("n_overlap") / 10.0, 4).alias("recall_at_10")
+    )
+
+
+@query(
+    "ev_cohort_ltv",
+    """WITH base AS (
+  SELECT user_id, event_type, value, ts::DATE AS day,
+         min(ts::DATE) OVER (PARTITION BY user_id) AS first_day
+  FROM events
+),
+cells AS (
+  SELECT strftime(date_trunc('week', first_day), '%Y-%m-%d') AS cohort_week,
+         (date_diff('day', first_day, day) // 7)::BIGINT AS age_week,
+         user_id,
+         CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+              THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+              ELSE 0 END AS rev_micro
+  FROM base
+),
+rev AS (
+  SELECT cohort_week, age_week, sum(rev_micro)::BIGINT AS rev_micro
+  FROM cells GROUP BY cohort_week, age_week
+),
+users AS (
+  SELECT cohort_week, count(DISTINCT user_id)::BIGINT AS cohort_users
+  FROM cells GROUP BY cohort_week
+)
+SELECT r.cohort_week, r.age_week, u.cohort_users, r.rev_micro,
+       floor(sum(r.rev_micro) OVER (PARTITION BY r.cohort_week
+                                    ORDER BY r.age_week
+                                    ROWS UNBOUNDED PRECEDING)::DOUBLE
+             / u.cohort_users + 0.5) / 10000.0 AS cum_ltv
+FROM rev r JOIN users u USING (cohort_week)""",
+)
+def ev_cohort_ltv(spark, sf_dir):
+    """Cohort LTV triangle: cumulative revenue per user by signup-week
+    cohort and weeks-since-signup — the monetized face of
+    ``ev_retention``'s activity grid (retention counts who came back;
+    LTV prices what they did). Each cohort's cum_ltv row at age a is
+    the number a growth team reads off to compare acquisition vintages
+    at equal age.
+
+    Exactness: revenue is micro-unit BIGINT (the ``ev_rfm``
+    quantization), so every cell and every running sum is exact; the
+    single divide by cohort size floor-quantizes to 4 dp.
+
+    Distributed shape: first_day comes from a min-over-user window —
+    ONE exchange on user_id, reused in place of a self-join back to
+    events (min is computed where the rows land, no second scan);
+    the triangle is a (cohorts x ages)-key aggregate — calendar-
+    bounded; the running sum partitions BY COHORT (parallel across
+    cohorts, <= |ages| rows each — never single-partition); cohort
+    sizes broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("day"),
+    ).withColumn("first_day", F.min("day").over(wu))
+    cells = base.select(
+        F.date_format(F.date_trunc("week", "first_day"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        (F.datediff("day", "first_day") / 7).cast("long").alias("age_week"),
+        "user_id",
+        F.when(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+            F.floor(F.col("value") * 10000 + F.lit(0.5)),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("rev_micro"),
+    )
+    rev = cells.groupBy("cohort_week", "age_week").agg(
+        F.sum("rev_micro").cast("long").alias("rev_micro")
+    )
+    users = cells.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_users")
+    )
+    wc = Window.partitionBy("cohort_week").orderBy("age_week").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.withColumn("cum_micro", F.sum("rev_micro").over(wc))
+        .join(F.broadcast(users), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "cohort_users",
+            "rev_micro",
+            (
+                F.floor(
+                    F.col("cum_micro").cast("double") / F.col("cohort_users")
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("cum_ltv"),
+        )
+    )

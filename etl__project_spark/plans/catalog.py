@@ -10812,3 +10812,221 @@ def ev_cohort_ltv(spark, sf_dir):
             ).alias("cum_ltv"),
         )
     )
+
+
+@query(
+    "ev_mann_kendall",
+    """WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY day
+),
+s AS (
+  SELECT sum(CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END)::BIGINT AS s_stat
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+n AS (SELECT count(*)::BIGINT AS n_days FROM daily),
+ties AS (
+  SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie_term
+  FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY x) g
+  WHERE t > 1
+),
+w AS (
+  SELECT s.s_stat, n.n_days,
+         (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term)
+             ::BIGINT AS var18
+  FROM s CROSS JOIN n CROSS JOIN ties
+)
+SELECT n_days, s_stat,
+       floor((CASE WHEN s_stat > 0 THEN s_stat - 1
+                   WHEN s_stat < 0 THEN s_stat + 1
+                   ELSE 0 END)::DOUBLE
+             / sqrt(var18::DOUBLE / 18.0) * 10000 + 0.5) / 10000.0 AS z_score,
+       (abs(floor((CASE WHEN s_stat > 0 THEN s_stat - 1
+                        WHEN s_stat < 0 THEN s_stat + 1
+                        ELSE 0 END)::DOUBLE
+                  / sqrt(var18::DOUBLE / 18.0) * 10000 + 0.5)) > 19600)
+           AS trend_05
+FROM w""",
+)
+def ev_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on the daily event-count series — the
+    nonparametric "is traffic actually trending?" answer that
+    completes the series-statistics family: ``ev_cusum_changepoint``
+    finds WHERE the level shifted, ``ev_autocorr_daily`` finds
+    periodicity, this decides whether a monotone trend exists at all
+    (robust to outlier days and any monotone transform — it reads only
+    pairwise ORDER, the reason operations teams prefer it over fitting
+    a slope to spiky traffic). S = sum over day pairs of
+    sign(x_j - x_i), tie-corrected variance, continuity-corrected z.
+
+    Everything is exact integers — S, n(n-1)(2n+5), the tie term — on
+    both engines; the single divide+sqrt is floor-quantized 4 dp and
+    the 0.05 decision compares the QUANTIZED integer against 19600.
+
+    Distributed shape: one daily aggregate (the shared
+    ``ev_ewma_anomaly`` class); the pairwise sum is a calendar-bounded
+    self-join (<= |days|^2 pairs — ~900 at fixture scale — via
+    broadcast), and ties come from a |distinct counts|-key aggregate.
+    On a 100 TB stream the daily series is maintained at ingest
+    (``stream_daily_counts``), so the trend test never rescans
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    daily = daily.localCheckpoint(eager=True)
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = a.join(F.broadcast(b), F.col("db") > F.col("da")).agg(
+        F.sum(
+            F.when(F.col("xb") > F.col("xa"), 1)
+            .when(F.col("xb") < F.col("xa"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nd = F.col("n_days")
+    w = s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties)).select(
+        "s_stat",
+        "n_days",
+        (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term"))
+        .cast("long")
+        .alias("var18"),
+    )
+    s_cc = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    z_scaled = F.floor(
+        s_cc.cast("double")
+        / F.sqrt(F.col("var18").cast("double") / 18.0)
+        * 10000
+        + F.lit(0.5)
+    )
+    return w.select(
+        "n_days",
+        "s_stat",
+        (z_scaled / 10000.0).alias("z_score"),
+        (F.abs(z_scaled) > 19600).alias("trend_05"),
+    )
+
+
+@query(
+    "doc_zipf_fit",
+    r"""WITH freq AS (
+  SELECT word, count(*)::BIGINT AS f
+  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+vocab AS (SELECT count(*)::BIGINT AS n_vocab FROM freq),
+top AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, word) AS r
+  FROM freq ORDER BY f DESC, word LIMIT 1000
+),
+q AS (
+  SELECT floor(ln(r::DOUBLE) * 1000000 + 0.5)::BIGINT AS xq,
+         floor(ln(f::DOUBLE) * 1000000 + 0.5)::BIGINT AS yq
+  FROM top
+),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(xq)::HUGEINT AS sx, sum(yq)::HUGEINT AS sy,
+         sum(xq::HUGEINT * yq)::HUGEINT AS sxy,
+         sum(xq::HUGEINT * xq)::HUGEINT AS sxx
+  FROM q
+)
+SELECT v.n_vocab, s.n AS n_top,
+       floor((s.n::DOUBLE * s.sxy::DOUBLE - s.sx::DOUBLE * s.sy::DOUBLE)
+             / (s.n::DOUBLE * s.sxx::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE)
+             * 10000 + 0.5) / 10000.0 AS zipf_slope,
+       floor((s.sy::DOUBLE
+              - (s.n::DOUBLE * s.sxy::DOUBLE - s.sx::DOUBLE * s.sy::DOUBLE)
+                / (s.n::DOUBLE * s.sxx::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE)
+                * s.sx::DOUBLE)
+             / s.n::DOUBLE / 1000000.0 * 10000 + 0.5) / 10000.0
+           AS log_intercept
+FROM s CROSS JOIN vocab v""",
+)
+def doc_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus vocabulary: least-squares slope of
+    ln(frequency) on ln(rank) over the top-1000 words — the classic
+    "is this natural language or something degenerate?" corpus
+    diagnostic (natural text slopes near -1; templated/generated text
+    and log spam bend the line), and a dataset-card statistic next to
+    ``ev_gini_concentration``'s skew number and ``doc_entropy``'s
+    per-doc score.
+
+    Exactness: ln(rank) and ln(frequency) are micro-quantized BIGINTs
+    BEFORE the regression sums (the ``doc_unigram_logprob``
+    discipline), so n, Sx, Sy, Sxy, Sxx are exact wide integers on
+    both engines (the quantization scale cancels in the slope ratio);
+    slope and intercept each do their floating arithmetic once over
+    those exact sums, floor-quantized 4 dp.
+
+    Distributed shape: ONE vocabulary aggregate (word-keyed exchange —
+    the ``doc_tfidf`` class); the top-1000 is TakeOrdered (never a
+    global sort); ranking and the regression run on 1000 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    freq = freq.localCheckpoint(eager=True)
+    vocab = freq.agg(F.count(F.lit(1)).alias("n_vocab"))
+    top = freq.orderBy(F.desc("f"), F.asc("word")).limit(1000)
+    wr = Window.orderBy(F.desc("f"), F.asc("word"))
+    ranked = top.select("f", F.row_number().over(wr).alias("r"))
+    q = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log(F.col("f").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("yq"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(18,0)")
+
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").cast("decimal(38,0)").alias("sx"),
+        F.sum("yq").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("xq")) * dec(F.col("yq")))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(dec(F.col("xq")) * dec(F.col("xq")))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.crossJoin(F.broadcast(vocab)).select(
+        "n_vocab",
+        F.col("n").alias("n_top"),
+        (F.floor(slope * 10000 + F.lit(0.5)) / 10000.0).alias("zipf_slope"),
+        (
+            F.floor(
+                (sy - slope * sx) / nd / 1000000.0 * 10000 + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("log_intercept"),
+    )

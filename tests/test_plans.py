@@ -340,6 +340,8 @@ SINGLE_PARTITION_CENSUS = {
     "ev_survival_km": 2,  # day-histogram prefix windows (risk-set desc + log-sum asc, <= |days| rows) + 1-row max-date agg finalize
     "tpch_part_skyline": 1,  # percentile-cuts 1-row agg finalize; the <=32-row band-carry window rides the band rollup's partition
     "ev_jackknife_ci": 2,  # 1-row totals agg finalize + 32-row pseudo-value finalize; the heavy work is the 32-key block aggregate
+    "ev_mann_kendall": 3,  # S / n_days / tie-term agg finalizes — all over the <= |days|-row daily series (pairs via bounded broadcast BNL)
+    "doc_zipf_fit": 1,  # rank window + regression finalize over the TakeOrdered 1000-row head; the vocab aggregate stays parallel
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

@@ -10837,11 +10837,14 @@ w AS (
   FROM s CROSS JOIN n CROSS JOIN ties
 )
 SELECT n_days, s_stat,
-       floor((CASE WHEN s_stat > 0 THEN s_stat - 1
-                   WHEN s_stat < 0 THEN s_stat + 1
-                   ELSE 0 END)::DOUBLE
-             / sqrt(var18::DOUBLE / 18.0) * 10000 + 0.5) / 10000.0 AS z_score,
-       (abs(floor((CASE WHEN s_stat > 0 THEN s_stat - 1
+       CASE WHEN var18 = 0 THEN 0.0
+            ELSE floor((CASE WHEN s_stat > 0 THEN s_stat - 1
+                             WHEN s_stat < 0 THEN s_stat + 1
+                             ELSE 0 END)::DOUBLE
+                       / sqrt(var18::DOUBLE / 18.0) * 10000 + 0.5) / 10000.0
+            END AS z_score,
+       (var18 <> 0 AND
+        abs(floor((CASE WHEN s_stat > 0 THEN s_stat - 1
                         WHEN s_stat < 0 THEN s_stat + 1
                         ELSE 0 END)::DOUBLE
                   / sqrt(var18::DOUBLE / 18.0) * 10000 + 0.5)) > 19600)
@@ -10920,8 +10923,10 @@ def ev_mann_kendall(spark, sf_dir):
     return w.select(
         "n_days",
         "s_stat",
-        (z_scaled / 10000.0).alias("z_score"),
-        (F.abs(z_scaled) > 19600).alias("trend_05"),
+        F.when(F.col("var18") == 0, F.lit(0.0))
+        .otherwise(z_scaled / 10000.0)
+        .alias("z_score"),
+        ((F.col("var18") != 0) & (F.abs(z_scaled) > 19600)).alias("trend_05"),
     )
 
 

@@ -1240,3 +1240,63 @@ def test_jackknife_ci_matches_python_model(spark, samples):
         r["ci_hi"],
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=8),  # events per day (ties likely)
+        min_size=3,
+        max_size=20,
+    ),
+)
+def test_mann_kendall_matches_python_pairwise_model(spark, counts):
+    """ev_mann_kendall == the direct Python pairwise fold: S over all
+    ordered day pairs, tie-corrected variance, continuity-corrected z,
+    to the emitted 4 dp."""
+    import math
+
+    import etl__project_spark.plans.catalog as cat
+
+    n = len(counts)
+    s_stat = sum(
+        (counts[j] > counts[i]) - (counts[j] < counts[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in (counts.count(v) for v in set(counts))
+        if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    s_cc = s_stat - 1 if s_stat > 0 else (s_stat + 1 if s_stat < 0 else 0)
+    # all-tied series: variance 0, no trend decidable (query emits 0)
+    z_scaled = (
+        0
+        if var18 == 0
+        else math.floor(s_cc / math.sqrt(var18 / 18.0) * 10000 + 0.5)
+    )
+
+    rows = []
+    eid = 0
+    for day, k in enumerate(counts):
+        for i in range(k):
+            rows.append(
+                (eid, f"2024-01-{day + 1:02d} 09:{i:02d}:00", 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orig = cat.load_table
+    cat.load_table = lambda s, d, tbl: df
+    try:
+        r = cat.QUERIES["ev_mann_kendall"](spark, "unused").collect()[0]
+    finally:
+        cat.load_table = orig
+    assert (r["n_days"], r["s_stat"]) == (n, s_stat)
+    assert r["z_score"] == z_scaled / 10000.0
+    assert r["trend_05"] == (abs(z_scaled) > 19600)

@@ -11035,3 +11035,129 @@ def doc_zipf_fit(spark, sf_dir):
             / 10000.0
         ).alias("log_intercept"),
     )
+
+
+@query(
+    "ev_k_anonymity",
+    """WITH qi AS (
+  SELECT (dayofweek(ts) + 1)::BIGINT AS dow,
+         (hour(ts) // 6)::BIGINT AS hour_band,
+         event_type,
+         CASE WHEN value IS NULL THEN -1
+              ELSE (floor(value / 50))::BIGINT END AS value_band,
+         count(*)::BIGINT AS n
+  FROM events
+  GROUP BY 1, 2, 3, 4
+)
+SELECT count(*)::BIGINT AS n_groups,
+       sum(n)::BIGINT AS n_rows,
+       min(n)::BIGINT AS k_min,
+       sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS rows_below_5,
+       floor(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE
+             / sum(n)::DOUBLE * 10000 + 0.5) / 10000.0 AS suppress_frac
+FROM qi""",
+)
+def ev_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    gate a training-data release runs next to ``doc_pii_scrub``'s
+    content scrub: PII regexes remove direct identifiers, this
+    measures RE-identification risk from indirect ones. Rows group by
+    (weekday, 6-hour band, event type, value band); k_min is the
+    smallest group (the textbook k), rows_below_5 and suppress_frac
+    price the k>=5 release policy (suppress or generalize those rows).
+
+    Everything is one hash aggregate over derived integer bands plus a
+    constant-size finalize — exact BIGINTs except the one quantized
+    fraction. At 100 TB the QI aggregate is the same shuffle class as
+    any rollup; no per-user state, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.floor(F.hour("ts") / 6).cast("long").alias("hour_band"),
+        "event_type",
+        F.when(F.col("value").isNull(), F.lit(-1))
+        .otherwise(F.floor(F.col("value") / 50))
+        .cast("long")
+        .alias("value_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    below = F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").alias("k_min"),
+        below.cast("long").alias("rows_below_5"),
+        (
+            F.floor(
+                below.cast("double") / F.sum("n").cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("suppress_frac"),
+    )
+
+
+@query(
+    "ev_l_diversity",
+    """WITH qi AS (
+  SELECT (dayofweek(ts) + 1)::BIGINT AS dow,
+         (hour(ts) // 6)::BIGINT AS hour_band,
+         event_type,
+         count(DISTINCT CASE WHEN value IS NULL THEN -1
+                             ELSE (floor(value / 50))::BIGINT END)::BIGINT
+             AS l,
+         count(*)::BIGINT AS n
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT count(*)::BIGINT AS n_groups,
+       min(l)::BIGINT AS l_min,
+       sum(CASE WHEN l < 2 THEN 1 ELSE 0 END)::BIGINT AS groups_below_2,
+       sum(CASE WHEN l < 2 THEN n ELSE 0 END)::BIGINT AS rows_below_2,
+       floor(sum(CASE WHEN l < 2 THEN n ELSE 0 END)::DOUBLE
+             / sum(n)::DOUBLE * 10000 + 0.5) / 10000.0 AS risk_frac
+FROM qi""",
+)
+def ev_l_diversity(spark, sf_dir):
+    """l-diversity audit — ``ev_k_anonymity``'s companion: a large
+    group is still an attribute-disclosure risk if everyone in it
+    shares the SAME sensitive value (k-anonymity says you can't be
+    singled out; l-diversity says the group doesn't give your
+    attribute away anyway). Here the quasi-identifiers are (weekday,
+    6-hour band, event type) and the sensitive attribute is the spend
+    band: l = distinct sensitive values per QI group, l_min the
+    release gate, rows in l < 2 groups the suppression candidates.
+
+    One hash aggregate with a distinct-count (Spark's two-phase
+    partial distinct — no row explosion), constant-size finalize;
+    the documented scale swap for ultra-wide QI spaces is the keyed
+    HLL register path ``stream_column_stats`` already maintains."""
+    ev = load_table(spark, sf_dir, "events")
+    sens = (
+        F.when(F.col("value").isNull(), F.lit(-1))
+        .otherwise(F.floor(F.col("value") / 50))
+        .cast("long")
+    )
+    qi = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.floor(F.hour("ts") / 6).cast("long").alias("hour_band"),
+        "event_type",
+    ).agg(
+        F.countDistinct(sens).alias("l"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    risky = F.sum(F.when(F.col("l") < 2, F.col("n")).otherwise(0))
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("l").alias("l_min"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_2"),
+        risky.cast("long").alias("rows_below_2"),
+        (
+            F.floor(
+                risky.cast("double") / F.sum("n").cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("risk_frac"),
+    )

@@ -342,6 +342,8 @@ SINGLE_PARTITION_CENSUS = {
     "ev_jackknife_ci": 2,  # 1-row totals agg finalize + 32-row pseudo-value finalize; the heavy work is the 32-key block aggregate
     "ev_mann_kendall": 3,  # S / n_days / tie-term agg finalizes — all over the <= |days|-row daily series (pairs via bounded broadcast BNL)
     "doc_zipf_fit": 1,  # rank window + regression finalize over the TakeOrdered 1000-row head; the vocab aggregate stays parallel
+    "ev_k_anonymity": 1,  # 1-row release-gate finalize over the QI-group aggregate (which stays parallel)
+    "ev_l_diversity": 1,  # 1-row release-gate finalize over the QI-group distinct aggregate (which stays parallel)
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

@@ -204,3 +204,73 @@ def corr_matrix(
     return one.select(F.explode(F.array(*picks)).alias("s")).select(
         F.lit(table_name).alias("table_name"), "s.col_a", "s.col_b", "s.corr"
     )
+
+
+# --- privacy release gates (shared by the batch catalog and streaming) ------
+
+
+def qi_band_counts(events: DataFrame) -> DataFrame:
+    """Quasi-identifier × sensitive-band counts: one hash aggregate at
+    (weekday, 6-hour band, event type, spend band) grain. This is the
+    ONLY state both privacy gates need — counts are mergeable (sums),
+    so the streaming path maintains exactly this table at ingest
+    (``streaming/pipeline.py:stream_qi_counts``) and both gates serve
+    from it; the batch queries ``ev_k_anonymity`` / ``ev_l_diversity``
+    run the same functions over a one-shot aggregate."""
+    return events.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.floor(F.hour("ts") / 6).cast("long").alias("hour_band"),
+        "event_type",
+        F.when(F.col("value").isNull(), F.lit(-1))
+        .otherwise(F.floor(F.col("value") / 50))
+        .cast("long")
+        .alias("value_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def k_anonymity_gate(qi: DataFrame, k: int = 5) -> DataFrame:
+    """Release-gate finalize over :func:`qi_band_counts` output: the
+    k-anonymity readout (min group size, suppression fraction for a
+    group-size >= k policy). All-BIGINT except one quantized divide."""
+    below = F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").alias("k_min"),
+        below.cast("long").alias(f"rows_below_{k}"),
+        (
+            F.floor(
+                below.cast("double") / F.sum("n").cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("suppress_frac"),
+    )
+
+
+def l_diversity_gate(qi: DataFrame, l_min: int = 2) -> DataFrame:
+    """l-diversity finalize over :func:`qi_band_counts` output: the
+    sensitive attribute is the spend band, so l per QI group is simply
+    the count of band rows present at that group — no re-scan of the
+    raw events, which is what makes the gate servable from the
+    MAINTAINED band-count table."""
+    per_qi = qi.groupBy("dow", "hour_band", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    risky = F.sum(F.when(F.col("l") < l_min, F.col("n")).otherwise(0))
+    return per_qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("l").alias("l_min"),
+        F.sum(F.when(F.col("l") < l_min, 1).otherwise(0))
+        .cast("long")
+        .alias(f"groups_below_{l_min}"),
+        risky.cast("long").alias(f"rows_below_{l_min}"),
+        (
+            F.floor(
+                risky.cast("double") / F.sum("n").cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("risk_frac"),
+    )

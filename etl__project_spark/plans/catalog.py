@@ -11069,30 +11069,18 @@ def ev_k_anonymity(spark, sf_dir):
     Everything is one hash aggregate over derived integer bands plus a
     constant-size finalize — exact BIGINTs except the one quantized
     fraction. At 100 TB the QI aggregate is the same shuffle class as
-    any rollup; no per-user state, no windows."""
-    ev = load_table(spark, sf_dir, "events")
-    qi = ev.groupBy(
-        F.dayofweek("ts").cast("long").alias("dow"),
-        F.floor(F.hour("ts") / 6).cast("long").alias("hour_band"),
-        "event_type",
-        F.when(F.col("value").isNull(), F.lit(-1))
-        .otherwise(F.floor(F.col("value") / 50))
-        .cast("long")
-        .alias("value_band"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    below = F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
-    return qi.agg(
-        F.count(F.lit(1)).alias("n_groups"),
-        F.sum("n").cast("long").alias("n_rows"),
-        F.min("n").alias("k_min"),
-        below.cast("long").alias("rows_below_5"),
-        (
-            F.floor(
-                below.cast("double") / F.sum("n").cast("double") * 10000
-                + F.lit(0.5)
-            )
-            / 10000.0
-        ).alias("suppress_frac"),
+    any rollup; no per-user state, no windows. Gate and banding are
+    ``operators/quality.py:k_anonymity_gate`` / ``qi_band_counts`` —
+    the same coded path the streaming maintenance serves from the
+    incrementally-folded QI table (``stream_qi_counts``), so a release
+    decision is always current without re-scanning history."""
+    from etl__project_spark.operators.quality import (
+        k_anonymity_gate,
+        qi_band_counts,
+    )
+
+    return k_anonymity_gate(
+        qi_band_counts(load_table(spark, sf_dir, "events")), k=5
     )
 
 
@@ -11127,37 +11115,18 @@ def ev_l_diversity(spark, sf_dir):
     band: l = distinct sensitive values per QI group, l_min the
     release gate, rows in l < 2 groups the suppression candidates.
 
-    One hash aggregate with a distinct-count (Spark's two-phase
-    partial distinct — no row explosion), constant-size finalize;
-    the documented scale swap for ultra-wide QI spaces is the keyed
-    HLL register path ``stream_column_stats`` already maintains."""
-    ev = load_table(spark, sf_dir, "events")
-    sens = (
-        F.when(F.col("value").isNull(), F.lit(-1))
-        .otherwise(F.floor(F.col("value") / 50))
-        .cast("long")
+    Served from the same (QI, band)-grain count table as
+    ``ev_k_anonymity`` (the band is part of the maintained grain, so l
+    per group is a ROW COUNT — no distinct over raw events, no
+    re-scan): gate is ``operators/quality.py:l_diversity_gate``,
+    shared with the streaming face ``read_l_diversity``. The
+    documented scale swap for ultra-wide QI spaces is the keyed HLL
+    register path ``stream_column_stats`` already maintains."""
+    from etl__project_spark.operators.quality import (
+        l_diversity_gate,
+        qi_band_counts,
     )
-    qi = ev.groupBy(
-        F.dayofweek("ts").cast("long").alias("dow"),
-        F.floor(F.hour("ts") / 6).cast("long").alias("hour_band"),
-        "event_type",
-    ).agg(
-        F.countDistinct(sens).alias("l"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    risky = F.sum(F.when(F.col("l") < 2, F.col("n")).otherwise(0))
-    return qi.agg(
-        F.count(F.lit(1)).alias("n_groups"),
-        F.min("l").alias("l_min"),
-        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
-        .cast("long")
-        .alias("groups_below_2"),
-        risky.cast("long").alias("rows_below_2"),
-        (
-            F.floor(
-                risky.cast("double") / F.sum("n").cast("double") * 10000
-                + F.lit(0.5)
-            )
-            / 10000.0
-        ).alias("risk_frac"),
+
+    return l_diversity_gate(
+        qi_band_counts(load_table(spark, sf_dir, "events")), l_min=2
     )

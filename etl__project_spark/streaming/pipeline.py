@@ -1103,3 +1103,90 @@ def stream_user_conversion(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming privacy-gate (QI band-count) maintenance ---------------------
+
+QI_COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("dow", T.LongType()),
+        T.StructField("hour_band", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value_band", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_QI_KEYS = ["dow", "hour_band", "event_type", "value_band"]
+
+
+def read_qi_counts(wh: ParquetWarehouse) -> DataFrame:
+    """The maintained quasi-identifier × sensitive-band count table."""
+    return wh.read("qi_counts", QI_COUNTS_SCHEMA)
+
+
+def read_k_anonymity(wh: ParquetWarehouse) -> DataFrame:
+    """k-anonymity release gate served from the MAINTAINED QI counts —
+    the at-ingest face of the batch ``ev_k_anonymity`` query, through
+    the same ``operators/quality.py:k_anonymity_gate`` coded path."""
+    from etl__project_spark.operators.quality import k_anonymity_gate
+
+    return k_anonymity_gate(read_qi_counts(wh), k=5)
+
+
+def read_l_diversity(wh: ParquetWarehouse) -> DataFrame:
+    """l-diversity release gate served from the same maintained table
+    (the sensitive band is part of the grain, so l per QI group is a
+    row count — no event re-scan), via ``l_diversity_gate``."""
+    from etl__project_spark.operators.quality import l_diversity_gate
+
+    return l_diversity_gate(read_qi_counts(wh), l_min=2)
+
+
+def stream_qi_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    available_now: bool = True,
+):
+    """The privacy release gates maintained AT INGEST: per micro-batch,
+    fold the batch's (weekday, hour band, event type, spend band)
+    counts into a persistent table bounded by the QI domain (7 x 4 x
+    |event types| x |spend bands| rows forever) — both
+    ``read_k_anonymity`` and ``read_l_diversity`` serve from it
+    without ever re-scanning event history, so a release decision is
+    always current.
+
+    Counts are the simplest mergeable statistic (sums), so the fold is
+    one bounded groupBy per batch through the exactly-once merged
+    publish — the ``stream_daily_counts`` pattern at QI grain;
+    replayed batches no-op via the batch-id ledger. The banding is the
+    shared ``operators/quality.py:qi_band_counts``, the same
+    expression the batch queries aggregate with."""
+    from etl__project_spark.operators.quality import qi_band_counts
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        delta = qi_band_counts(batch)
+
+        def merge(existing: DataFrame, delta_df: DataFrame) -> DataFrame:
+            return (
+                existing.unionByName(delta_df)
+                .groupBy(*_QI_KEYS)
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+
+        wh.publish_merged(
+            "qi_counts", delta, QI_COUNTS_SCHEMA, str(batch_id), merge
+        )
+
+    rows = spark.readStream.schema(schema).json(landing_dir)
+    writer = rows.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

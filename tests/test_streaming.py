@@ -1009,3 +1009,103 @@ def test_streaming_survival_curve_matches_one_shot(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
     assert wh._current("user_conversion") == v
+
+
+def test_streaming_privacy_gates_match_one_shot(spark, tmp_path):
+    """Two batches whose QI cells overlap (same weekday/band/type/spend
+    cells get counts from both batches): the maintained QI table must
+    equal a one-shot qi_band_counts fold, both served release gates
+    must row-match the batch ev_k_anonymity / ev_l_diversity queries
+    over the union, and replay must no-op."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    import etl__project_spark.plans.catalog as cat
+    from etl__project_spark.operators.quality import qi_band_counts
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_k_anonymity,
+        read_l_diversity,
+        read_qi_counts,
+        stream_qi_counts,
+    )
+
+    landing = str(tmp_path / "qi_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "qi_wh")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def ev(day, hour, etype, value):
+        return {
+            "ts": f"2024-03-{day:02d}T{hour:02d}:00:00",
+            "event_type": etype,
+            "value": value,
+        }
+
+    batches = [
+        [ev(4, 9, "click", 10.0)] * 3
+        + [ev(4, 9, "purchase", 60.0), ev(5, 20, "click", None)],
+        # same (Mon, band 1, click, band 0) cell again + new cells
+        [ev(4, 10, "click", 20.0)] * 2
+        + [ev(4, 9, "purchase", 220.0), ev(5, 21, "click", None)],
+    ]
+
+    def run(i, rows, ckpt):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        q = stream_qi_counts(spark, landing, wh_root, ckpt, schema)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run(i, rows, str(tmp_path / "qi_ckpt"))
+
+    all_rows = [r for b in batches for r in b]
+    events = spark.createDataFrame(
+        [
+            (i, r["ts"], 1, r["event_type"], r["value"], "{}")
+            for i, r in enumerate(all_rows)
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = sorted(map(tuple, read_qi_counts(wh).collect()))
+    want = sorted(map(tuple, qi_band_counts(events).collect()))
+    assert got == want
+    # the overlapping cell accumulated across batches: 3 + 2 clicks
+    # (Monday, 06-12 band, spend band 0)
+    assert (2, 1, "click", 0, 5) in got
+
+    orig = cat.load_table
+    cat.load_table = lambda s, d, tbl: events
+    try:
+        k_oneshot = cat.QUERIES["ev_k_anonymity"](spark, "unused").collect()
+        l_oneshot = cat.QUERIES["ev_l_diversity"](spark, "unused").collect()
+    finally:
+        cat.load_table = orig
+    assert sorted(map(tuple, read_k_anonymity(wh).collect())) == sorted(
+        map(tuple, k_oneshot)
+    )
+    assert sorted(map(tuple, read_l_diversity(wh).collect())) == sorted(
+        map(tuple, l_oneshot)
+    )
+
+    # replay with a fresh checkpoint: ledger no-ops the table
+    v = wh._current("qi_counts")
+    q = stream_qi_counts(
+        spark, landing, wh_root, str(tmp_path / "qi_ckpt2"), schema
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert wh._current("qi_counts") == v

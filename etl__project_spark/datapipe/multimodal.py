@@ -104,3 +104,66 @@ def synth_media(documents: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_sha", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames_batch(
+    pdf: pd.DataFrame, stride_ms: int, fake: bool
+) -> pd.DataFrame:
+    """Per-batch frame sampling: one input blob row → one output row per
+    sampled frame timestamp (0, stride, 2*stride, ... < duration_ms).
+    Real frame extraction needs ffmpeg (not in this container);
+    ``fake=True`` substitutes a deterministic per-frame signature
+    sha256(payload + b":" + ts) standing in for decode+frame-hash."""
+    if not fake:
+        raise NotImplementedError(
+            "video frame extraction requires ffmpeg, not installed in this"
+            " environment"
+        )
+    ids: list[int] = []
+    tss: list[int] = []
+    shas: list[str] = []
+    for media_id, duration, payload in zip(
+        pdf["media_id"], pdf["duration_ms"], pdf["payload"]
+    ):
+        blob = bytes(payload or b"")
+        for ts in range(0, int(duration or 0), stride_ms):
+            ids.append(int(media_id))
+            tss.append(ts)
+            shas.append(
+                hashlib.sha256(blob + b":" + str(ts).encode()).hexdigest()
+            )
+    return pd.DataFrame(
+        {
+            "media_id": pd.Series(ids, dtype="int64"),
+            "frame_ts_ms": pd.Series(tss, dtype="int64"),
+            "frame_sha": pd.Series(shas, dtype="object"),
+        }
+    )
+
+
+def sample_frames(
+    media: DataFrame, stride_ms: int = 5000, fake: bool = True
+) -> DataFrame:
+    """mapInPandas frame sampling over a multimodal table — the 1→N
+    Arrow shape (each blob row yields a variable number of frame rows)
+    that ``extract_features``'s 1→1 featurize doesn't exercise. Blob
+    memory stays bounded: Arrow streams record batches and each output
+    batch carries only (id, ts, hash) — frames never materialize as a
+    column of blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield sample_frames_batch(pdf, stride_ms=stride_ms, fake=fake)
+
+    return media.select("media_id", "duration_ms", "payload").mapInPandas(
+        run, FRAME_SCHEMA
+    )

@@ -11130,3 +11130,45 @@ def ev_l_diversity(spark, sf_dir):
     return l_diversity_gate(
         qi_band_counts(load_table(spark, sf_dir, "events")), l_min=2
     )
+
+
+@query(
+    "doc_media_frame_sample",
+    """SELECT media_id, ts AS frame_ts_ms,
+       sha256(text || ':' || ts::VARCHAR) AS frame_sha
+FROM (
+  SELECT doc_id AS media_id, text,
+         unnest(range(0, (n_chars * 40)::BIGINT, 5000)) AS ts
+  FROM documents
+)""",
+)
+def doc_media_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: every video blob yields one row per
+    sampled timestamp (stride 5 s over its duration) — the 1→N
+    ``mapInPandas`` shape a video pipeline needs for
+    frame-level dedup/captioning, which ``doc_media_features``'s 1→1
+    featurize doesn't exercise. Decode is env-stubbed like the rest of
+    the multimodal family (``multimodal.py:sample_frames_batch``
+    raises without ffmpeg; the tested deterministic fake signs each
+    frame as sha256(payload + ':' + ts)); the Arrow plumbing — blob
+    batching, variable fan-out, frames never materializing as blob
+    columns — is real. Duration is synthesized from the fixture
+    (n_chars × 40 ms, ~25 chars/s of 'video'); the oracle unrolls the
+    identical stride over the same synthetic duration, so the hash
+    match covers the fan-out AND the per-frame signatures.
+
+    Scale: output is (corpus duration / stride) rows of 80 B — frame
+    SIGNATURES, not frames; the blob column is read once and streamed
+    in bounded Arrow batches. The plan's only exchange is the fixture
+    loader's round-robin (``sources/tables.py:90`` — single-file local
+    parallelism, a no-op on real multi-split storage); the operator
+    itself adds none."""
+    from etl__project_spark.datapipe.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return sample_frames(media, stride_ms=5000, fake=True)

@@ -179,6 +179,41 @@ def test_multimodal_real_decode_is_stubbed(docs):
         extract_features(media, fake=False).collect()
 
 
+def test_multimodal_frame_sampling_fanout(docs, spark):
+    """1→N frame sampling: each blob yields ceil(duration/stride) rows,
+    frame signatures are deterministic per (payload, ts), and the real
+    extractor stays env-stubbed."""
+    import hashlib
+
+    from etl__project_spark.datapipe.multimodal import sample_frames
+
+    media = synth_media(docs).drop("duration_ms").withColumn(
+        "duration_ms", (F.length("payload") * 100).cast("long")
+    )
+    frames = sample_frames(media, stride_ms=250, fake=True).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.select("media_id", "duration_ms").collect()
+    }
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.select("media_id", "payload").collect()
+    }
+    for mid, dur in durations.items():
+        want_n = (dur + 249) // 250
+        got = sorted(by_media.get(mid, []), key=lambda r: r["frame_ts_ms"])
+        assert len(got) == want_n
+        assert [r["frame_ts_ms"] for r in got] == list(range(0, dur, 250))
+        assert got[0]["frame_sha"] == hashlib.sha256(
+            payloads[mid] + b":0"
+        ).hexdigest()
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_frames(media, fake=False).collect()
+
+
 def test_connected_components_chain_and_pair(spark):
     from etl__project_spark.datapipe.dedup import connected_components
 

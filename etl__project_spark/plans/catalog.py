@@ -11172,3 +11172,98 @@ def doc_media_frame_sample(spark, sf_dir):
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     return sample_frames(media, stride_ms=5000, fake=True)
+
+
+@query(
+    "ev_forecast_backtest",
+    """WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY day
+),
+joined AS (
+  SELECT a.day, a.x, b.x AS yhat
+  FROM daily a JOIN daily b ON a.day = b.day + 7
+),
+err AS (
+  SELECT count(*)::BIGINT AS n_days,
+         sum(abs(x - yhat))::BIGINT AS abs_err,
+         sum(x - yhat)::BIGINT AS bias_sum,
+         sum(x)::BIGINT AS actual_sum,
+         sum(CASE WHEN x > 0
+                  THEN abs(x - yhat) * 1000000 // x
+                  ELSE 0 END)::BIGINT AS ape_micro
+  FROM joined
+)
+SELECT n_days, abs_err,
+       floor(ape_micro::DOUBLE / n_days::DOUBLE / 1000000.0 * 10000 + 0.5)
+           / 10000.0 AS mape,
+       floor(abs_err::DOUBLE / actual_sum::DOUBLE * 10000 + 0.5) / 10000.0
+           AS wape,
+       floor(bias_sum::DOUBLE / n_days::DOUBLE * 10000 + 0.5) / 10000.0
+           AS mean_bias
+FROM err""",
+)
+def ev_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each day's event count
+    as the count 7 days earlier, then score MAPE / WAPE / mean bias
+    over every day with a week of history — the BASELINE every
+    forecasting deployment must publish (a model that can't beat
+    seasonal-naive isn't a model), completing the series family's arc:
+    monitor (EWMA/CUSUM) → characterize (autocorr/weekday/trend) →
+    forecast. ``ev_autocorr_daily``'s lag-7 spike is exactly the
+    signal this baseline exploits.
+
+    Exactness: per-day absolute percentage errors are integer-floored
+    micro-units (abs_err * 1e6 DIV actual — integer division on exact
+    BIGINTs, no float per-row), so every aggregate is exact and each
+    output does ONE quantized floating divide.
+
+    Distributed shape: one daily aggregate (maintained at ingest by
+    ``stream_daily_counts``, so the backtest never rescans events);
+    the lag join is the calendar-bounded ``ev_autocorr_daily``
+    equi-join; the scorecard is a 1-row finalize."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    daily = daily.localCheckpoint(eager=True)
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("x"))
+    b = daily.select(F.date_add(F.col("day"), 7).alias("db"), F.col("x").alias("yhat"))
+    joined = a.join(F.broadcast(b), F.col("da") == F.col("db"))
+    x, yhat = F.col("x"), F.col("yhat")
+    # exact integer DIV (matches the oracle's //): (a - a mod x) / x
+    ae_scaled = (F.abs(x - yhat) * 1000000).cast("long")
+    ape = (ae_scaled - F.pmod(ae_scaled, x)) / x
+    err = joined.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(x - yhat)).cast("long").alias("abs_err"),
+        F.sum(x - yhat).cast("long").alias("bias_sum"),
+        F.sum(x).cast("long").alias("actual_sum"),
+        F.sum(F.when(x > 0, ape).otherwise(0)).cast("long").alias("ape_micro"),
+    )
+    nd = F.col("n_days").cast("double")
+    return err.select(
+        "n_days",
+        "abs_err",
+        (
+            F.floor(
+                F.col("ape_micro").cast("double") / nd / 1000000.0 * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("mape"),
+        (
+            F.floor(
+                F.col("abs_err").cast("double")
+                / F.col("actual_sum").cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("wape"),
+        (
+            F.floor(
+                F.col("bias_sum").cast("double") / nd * 10000 + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("mean_bias"),
+    )

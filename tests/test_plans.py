@@ -344,6 +344,7 @@ SINGLE_PARTITION_CENSUS = {
     "doc_zipf_fit": 1,  # rank window + regression finalize over the TakeOrdered 1000-row head; the vocab aggregate stays parallel
     "ev_k_anonymity": 1,  # 1-row release-gate finalize over the QI-group aggregate (which stays parallel)
     "ev_l_diversity": 1,  # 1-row release-gate finalize over the QI-group distinct aggregate (which stays parallel)
+    "ev_forecast_backtest": 1,  # 1-row scorecard finalize; the lag join and error terms live on the <= |days|-row daily series
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

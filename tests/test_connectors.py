@@ -318,3 +318,47 @@ def test_salted_join_rejects_outer(spark, sample):
     small = spark.createDataFrame([("u1", 10)], "k string, w long")
     with pytest.raises(ValueError, match="outer"):
         salted_join(sample, small, "k", how="full")
+
+
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path, sample):
+    """Joining a partitioned fact against a FILTERED dim must plan a
+    DynamicPruningExpression on the fact's partition column — Spark
+    derives the partition list from the dim filter AT RUNTIME, so the
+    fact scan reads only matching directories even though the query
+    itself has no literal partition predicate. This is the mechanism
+    that makes date-partitioned 100 TB fact scans cheap for
+    star-schema queries whose date constraint lives on the dim side."""
+    path = str(tmp_path / "dpp_fact")
+    write_partitioned(sample, path, ["k"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(f"u{i}", f"name{i}") for i in range(7)], "k string, k_name string"
+    ).filter(F.col("k_name") == "name3")
+    joined = fact.join(dim, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = joined.count()
+    assert got == sample.filter("k = 'u3'").count()
+
+
+def test_observe_metrics_audit_single_pass(spark, sample):
+    """The Observation API collects audit metrics (row count, sum,
+    null count) ON the same pass that produces the result — the
+    single-scan replacement for the reference's separate COUNT(*)
+    audit query (SURVEY §2 O1/A3). The metrics must match a direct
+    recompute."""
+    from pyspark.sql import Observation
+
+    obs = Observation("audit")
+    observed = sample.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("v_sum"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("k_nulls"),
+    )
+    out = observed.filter(F.col("v") >= 50.0).count()  # the real workload
+    m = obs.get
+    assert out == 50
+    assert m["n_rows"] == 100
+    assert m["v_sum"] == sum(float(i) for i in range(100))
+    assert m["k_nulls"] == 0

@@ -11267,3 +11267,186 @@ def ev_forecast_backtest(spark, sf_dir):
             / 10000.0
         ).alias("mean_bias"),
     )
+
+
+_HALF_SIG = (
+    "list_sum(list_transform(range(1, 33),"
+    " i -> CASE WHEN embedding[i + {off}] > 0"
+    " THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT"
+)
+
+
+@query(
+    "emb_hamming_recall_audit",
+    f"""WITH sig AS (
+  SELECT vec_id,
+         {_HALF_SIG.format(off=0)} AS h1,
+         {_HALF_SIG.format(off=32)} AS h2
+  FROM embeddings
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT h1 AS q1, h2 AS q2 FROM sig WHERE vec_id = 0),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id, round({{cos}}, 4) AS cosine
+    FROM embeddings e, q WHERE e.vec_id <> 0
+  ) ORDER BY cosine DESC, vec_id LIMIT 10
+),
+approx AS (
+  SELECT vec_id FROM (
+    SELECT s.vec_id,
+           bit_count(xor(s.h1, qs.q1)) + bit_count(xor(s.h2, qs.q2))
+               AS hamming
+    FROM sig s, qs WHERE s.vec_id <> 0
+  ) ORDER BY hamming ASC, vec_id LIMIT 10
+)
+SELECT (SELECT count(*) FROM exact JOIN approx USING (vec_id))::BIGINT
+           AS n_overlap,
+       round((SELECT count(*) FROM exact JOIN approx USING (vec_id))
+             / 10.0, 4) AS recall_at_10""".replace(
+        "{cos}",
+        "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))",
+    ),
+)
+def emb_hamming_recall_audit(spark, sf_dir):
+    """Binary-embedding retrieval audit: binarize all 64 dimensions to
+    sign bits (two 32-bit halves — no signed-overflow hazard on either
+    engine), rank by HAMMING distance via bit_count(xor), and score
+    recall@10 against the exact cosine ranking — the 1-bit rung that
+    completes the compression ladder the engine audits (64x memory
+    reduction vs float32; sign-of-dimension is the asymptotic LSH
+    estimator of cosine, so Hamming rank approximates angle rank).
+    Next to ``emb_trunc_recall_audit`` (keep fewer dims) this measures
+    the other axis: keep every dim at 1 bit.
+
+    Shape: signatures are 16 B/vector computed in one scan projection
+    (at rest: a separate tiny column family, the only thing the
+    retrieval path reads); ranking is TakeOrdered on two XOR+popcount
+    integer ops per candidate — the cheapest possible scan kernel; the
+    overlap count is a tiny join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def half(off):
+        b = F.lit(0).cast("long")
+        for i in range(32):
+            b = b + F.when(
+                F.element_at("embedding", i + off + 1) > 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return b
+
+    sig = emb.select("vec_id", half(0).alias("h1"), half(32).alias("h2"))
+    qs = sig.filter(F.col("vec_id") == 0).select(
+        F.col("h1").alias("q1"), F.col("h2").alias("q2")
+    )
+    hamming = F.bit_count(
+        F.col("h1").bitwiseXOR(F.col("q1"))
+    ) + F.bit_count(F.col("h2").bitwiseXOR(F.col("q2")))
+    approx = (
+        sig.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qs))
+        .select("vec_id", hamming.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    exact = brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), emb.filter(F.col("vec_id") == 0), k=10
+    ).select("vec_id")
+    n = exact.join(approx, "vec_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return n.select(
+        "n_overlap", F.round(F.col("n_overlap") / 10.0, 4).alias("recall_at_10")
+    )
+
+
+@query(
+    "ev_power_mde",
+    """WITH assign AS (
+  SELECT user_id,
+         ('0x' || substr(md5(user_id::VARCHAR || 'ab'), 1, 15))::BIGINT % 2
+             AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value > 180
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, count(*)::BIGINT AS n_users,
+         sum(converted)::BIGINT AS n_converted
+  FROM assign GROUP BY arm
+),
+w AS (
+  SELECT max(CASE WHEN arm = 0 THEN n_users END)::BIGINT AS n0,
+         max(CASE WHEN arm = 1 THEN n_users END)::BIGINT AS n1,
+         sum(n_converted)::BIGINT AS c, sum(n_users)::BIGINT AS n
+  FROM arms
+)
+SELECT n0, n1,
+       floor(c::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000.0 AS base_rate,
+       floor(2.8016 * sqrt((c::DOUBLE / n::DOUBLE)
+                           * (1.0 - c::DOUBLE / n::DOUBLE)
+                           * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE))
+             * 10000 + 0.5) / 10000.0 AS mde_abs,
+       floor(2.8016 * sqrt((c::DOUBLE / n::DOUBLE)
+                           * (1.0 - c::DOUBLE / n::DOUBLE)
+                           * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE))
+             / (c::DOUBLE / n::DOUBLE) * 10000 + 0.5) / 10000.0 AS mde_rel
+FROM w""",
+)
+def ev_power_mde(spark, sf_dir):
+    """Minimum detectable effect for the running experiment — the
+    power-analysis readout that belongs NEXT TO ``ev_ab_test_zscore``'s
+    verdict: with these arm sizes and this baseline big-ticket
+    conversion rate, the smallest absolute/relative lift a two-sided
+    alpha = 0.05, power = 0.80 test can reliably detect is
+    (z_{0.975} + z_{0.80}) * SE = 2.8016 * sqrt(p(1-p)(1/n0 + 1/n1)).
+    An experimenter reads mde_rel BEFORE trusting a null z-test result
+    — "not significant" means nothing if the detectable lift is 40%.
+
+    Same one user-keyed aggregate as the z-test (identical hash
+    assignment, so the two readouts describe the same experiment);
+    everything after is a 2-row rollup and one quantized formula with
+    the shared 2.8016 literal on both engines."""
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 180), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        hash_bucket(F.col("user_id"), 2, salt="ab").alias("arm"), "converted"
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.sum("n_converted").alias("c"),
+        F.sum("n_users").alias("n"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    se = F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+
+    def q4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+    return w.select(
+        "n0",
+        "n1",
+        q4(p).alias("base_rate"),
+        q4(F.lit(2.8016) * se).alias("mde_abs"),
+        q4(F.lit(2.8016) * se / p).alias("mde_rel"),
+    )

@@ -345,6 +345,7 @@ SINGLE_PARTITION_CENSUS = {
     "ev_k_anonymity": 1,  # 1-row release-gate finalize over the QI-group aggregate (which stays parallel)
     "ev_l_diversity": 1,  # 1-row release-gate finalize over the QI-group distinct aggregate (which stays parallel)
     "ev_forecast_backtest": 1,  # 1-row scorecard finalize; the lag join and error terms live on the <= |days|-row daily series
+    "ev_power_mde": 1,  # 2-row arm-rollup finalize; the heavy work is the per-user conversion aggregate
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

@@ -10957,14 +10957,19 @@ s AS (
   FROM q
 )
 SELECT v.n_vocab, s.n AS n_top,
-       floor((s.n::DOUBLE * s.sxy::DOUBLE - s.sx::DOUBLE * s.sy::DOUBLE)
-             / (s.n::DOUBLE * s.sxx::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE)
-             * 10000 + 0.5) / 10000.0 AS zipf_slope,
-       floor((s.sy::DOUBLE
-              - (s.n::DOUBLE * s.sxy::DOUBLE - s.sx::DOUBLE * s.sy::DOUBLE)
-                / (s.n::DOUBLE * s.sxx::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE)
-                * s.sx::DOUBLE)
-             / s.n::DOUBLE / 1000000.0 * 10000 + 0.5) / 10000.0
+       CASE WHEN s.n::DOUBLE * s.sxx::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE = 0
+            THEN 0.0
+            ELSE floor((s.n::DOUBLE * s.sxy::DOUBLE - s.sx::DOUBLE * s.sy::DOUBLE)
+                       / (s.n::DOUBLE * s.sxx::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE)
+                       * 10000 + 0.5) / 10000.0 END AS zipf_slope,
+       CASE WHEN s.n::DOUBLE * s.sxx::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE = 0
+            THEN floor(s.sy::DOUBLE / s.n::DOUBLE / 1000000.0 * 10000 + 0.5)
+                 / 10000.0
+            ELSE floor((s.sy::DOUBLE
+                        - (s.n::DOUBLE * s.sxy::DOUBLE - s.sx::DOUBLE * s.sy::DOUBLE)
+                          / (s.n::DOUBLE * s.sxx::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE)
+                          * s.sx::DOUBLE)
+                       / s.n::DOUBLE / 1000000.0 * 10000 + 0.5) / 10000.0 END
            AS log_intercept
 FROM s CROSS JOIN vocab v""",
 )
@@ -11023,17 +11028,27 @@ def doc_zipf_fit(spark, sf_dir):
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    den = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / den
+    # single-rank head (n_top = 1): zero-variance x, slope undefined ->
+    # emit slope 0 and the mean log frequency as the intercept
     return s.crossJoin(F.broadcast(vocab)).select(
         "n_vocab",
         F.col("n").alias("n_top"),
-        (F.floor(slope * 10000 + F.lit(0.5)) / 10000.0).alias("zipf_slope"),
-        (
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(F.floor(slope * 10000 + F.lit(0.5)) / 10000.0)
+        .alias("zipf_slope"),
+        F.when(
+            den == 0,
+            F.floor(sy / nd / 1000000.0 * 10000 + F.lit(0.5)) / 10000.0,
+        )
+        .otherwise(
             F.floor(
                 (sy - slope * sx) / nd / 1000000.0 * 10000 + F.lit(0.5)
             )
             / 10000.0
-        ).alias("log_intercept"),
+        )
+        .alias("log_intercept"),
     )
 
 

@@ -11465,3 +11465,109 @@ def ev_power_mde(spark, sf_dir):
         q4(F.lit(2.8016) * se).alias("mde_abs"),
         q4(F.lit(2.8016) * se / p).alias("mde_rel"),
     )
+
+
+@query(
+    "ev_bot_detection",
+    """WITH iat AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY epoch_us(ts),
+                                                         event_id) AS d
+  FROM events
+),
+usr AS (
+  SELECT user_id, count(*)::BIGINT AS n_gaps,
+         sum(d)::BIGINT AS span_us,
+         sum(d::HUGEINT * d)::HUGEINT AS d2
+  FROM iat WHERE d IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 19
+),
+scored AS (
+  SELECT user_id, n_gaps + 1 AS n_events,
+         floor((n_gaps + 1)::DOUBLE
+               / (span_us::DOUBLE / 60000000.0) * 10000 + 0.5) / 10000.0
+             AS events_per_min,
+         floor(sqrt(greatest(d2::DOUBLE / n_gaps::DOUBLE
+                             - (span_us::DOUBLE / n_gaps::DOUBLE)
+                               * (span_us::DOUBLE / n_gaps::DOUBLE), 0.0))
+               / (span_us::DOUBLE / n_gaps::DOUBLE) * 10000 + 0.5) / 10000.0
+             AS iat_cv
+  FROM usr
+)
+SELECT user_id, n_events, events_per_min, iat_cv,
+       (events_per_min > 0.5 OR iat_cv < 0.5) AS bot_flag
+FROM scored""",
+)
+def ev_bot_detection(spark, sf_dir):
+    """Behavioral bot screen — the abuse-filtering operator a
+    training-data pipeline runs over clickstream sources before the
+    content filters see anything: per user (min 20 events), event RATE
+    (events/min over the active span) and inter-arrival-time
+    REGULARITY (coefficient of variation of consecutive gaps — humans
+    are bursty, cv >> 0.5; schedulers and replay scripts are
+    metronomic, cv -> 0). Flag = too fast OR too regular. The two
+    simplest signals that survive at 100 TB because they need only
+    per-user sufficient statistics.
+
+    Exactness: gaps are exact epoch MICROSECOND integers from one
+    per-user ordered window (event_id tiebreak pins equal timestamps);
+    n, sum(d), sum(d^2) are exact wide-integer aggregates, so the
+    cv/rate formulas do their floating arithmetic once over exact
+    sums, floor-quantized 4 dp; the flag compares QUANTIZED values.
+    Variance is clamped at 0 (catastrophic-cancellation guard for
+    perfectly regular synthetic gaps).
+
+    Distributed shape: one user-partitioned lag window + one user
+    aggregate — a single exchange on user_id; no global stage, no
+    join. Output is the per-user scorecard (bounded by |users|)."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    iat = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)).alias("d"),
+    ).filter(F.col("d").isNotNull())
+
+    def dec(c):
+        return c.cast("decimal(18,0)")
+
+    usr = (
+        iat.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("d").cast("long").alias("span_us"),
+            F.sum(dec(F.col("d")) * dec(F.col("d")))
+            .cast("decimal(38,0)")
+            .alias("d2"),
+        )
+        .filter(F.col("n_gaps") >= 19)
+    )
+    ng = F.col("n_gaps").cast("double")
+    mean_d = F.col("span_us").cast("double") / ng
+    var_d = F.greatest(
+        F.col("d2").cast("double") / ng - mean_d * mean_d, F.lit(0.0)
+    )
+    rate = (F.col("n_gaps") + 1).cast("double") / (
+        F.col("span_us").cast("double") / F.lit(60000000.0)
+    )
+
+    def q4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+    scored = usr.select(
+        "user_id",
+        (F.col("n_gaps") + 1).alias("n_events"),
+        q4(rate).alias("events_per_min"),
+        q4(F.sqrt(var_d) / mean_d).alias("iat_cv"),
+    )
+    return scored.select(
+        "user_id",
+        "n_events",
+        "events_per_min",
+        "iat_cv",
+        (
+            (F.col("events_per_min") > 0.5) | (F.col("iat_cv") < 0.5)
+        ).alias("bot_flag"),
+    )

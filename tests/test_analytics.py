@@ -748,3 +748,49 @@ def test_equidepth_hist_is_equi_depth(spark):
     plan = plan_of(QUERIES["tpch_equidepth_hist"](spark, SF_DIR))
     assert plan.count("lineitem.parquet") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_bot_detection_flags_metronomic_and_fast_users(spark):
+    """Planted behaviors: a metronomic scheduler (exactly 60 s gaps),
+    a fast scripted burst (>0.5 events/min with jitter), a bursty
+    human, and a low-activity user (under the 20-event floor). The
+    screen must flag the first two, pass the human, and skip the
+    fourth entirely."""
+    import etl__project_spark.plans.catalog as cat
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    # user 1: metronomic — 30 events exactly 60 s apart
+    for i in range(30):
+        rows.append((eid, 1, f"2024-01-05 10:{i:02d}:00")); eid += 1
+    # user 2: fast — 30 events ~5 s apart with alternating jitter
+    for i in range(30):
+        sec = 5 * i + (i % 3)
+        rows.append((eid, 2, f"2024-01-05 10:{sec // 60:02d}:{sec % 60:02d}")); eid += 1
+    # user 3: bursty human — bursts separated by hours over days
+    human = [0, 10, 25, 3600, 3620, 7200, 86400, 86410, 90000, 172800,
+             172830, 180000, 259200, 259300, 260000, 345600, 345700,
+             350000, 432000, 432060]
+    for s in human:
+        rows.append((eid, 3, f"2024-01-{5 + s // 86400:02d} "
+                     f"{(s % 86400) // 3600:02d}:{(s % 3600) // 60:02d}:{s % 60:02d}"))
+        eid += 1
+    # user 4: only 5 events
+    for i in range(5):
+        rows.append((eid, 4, f"2024-01-05 10:0{i}:00")); eid += 1
+    df = spark.createDataFrame(
+        [(e, ts, u, "click", 1.0, "{}") for e, u, ts in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orig = cat.load_table
+    cat.load_table = lambda s, d, tbl: df
+    try:
+        got = {r["user_id"]: r for r in cat.QUERIES["ev_bot_detection"](spark, "unused").collect()}
+    finally:
+        cat.load_table = orig
+    assert set(got) == {1, 2, 3}  # user 4 under the event floor
+    assert got[1]["bot_flag"] and got[1]["iat_cv"] < 0.5  # metronomic
+    assert got[2]["bot_flag"] and got[2]["events_per_min"] > 0.5  # fast
+    assert not got[3]["bot_flag"]  # bursty human passes

@@ -11571,3 +11571,248 @@ def ev_bot_detection(spark, sf_dir):
             (F.col("events_per_min") > 0.5) | (F.col("iat_cv") < 0.5)
         ).alias("bot_flag"),
     )
+
+
+def _textrank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled TextRank power-iteration CTE (DuckDB dialect)."""
+    return f"""{out} AS (
+  SELECT e.dst AS word,
+         (150000 + floor(0.85 * sum(floor(s.s::DOUBLE / d.d::DOUBLE)::BIGINT)))::BIGINT AS s
+  FROM edges e
+  JOIN {prev} s ON e.src = s.word
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+
+
+@query(
+    "doc_textrank_keywords",
+    r"""WITH toks AS (
+  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+bi AS (
+  SELECT DISTINCT t[i] AS w_a, t[i+1] AS w_b
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE t[i] <> t[i+1]
+),
+edges AS (
+  SELECT w_a AS src, w_b AS dst FROM bi
+  UNION
+  SELECT w_b AS src, w_a AS dst FROM bi
+),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+s0 AS (SELECT src AS word, 1000000::BIGINT AS s FROM deg),
+"""
+    + ",\n".join(_textrank_iter_sql(f"s{i}", f"s{i + 1}") for i in range(5))
+    + """
+SELECT s5.word, s5.s AS rank_micro, deg.d AS degree
+FROM s5 JOIN deg ON s5.word = deg.src
+ORDER BY rank_micro DESC, word
+LIMIT 20""",
+)
+def doc_textrank_keywords(spark, sf_dir):
+    """Corpus keyword extraction by graph centrality — TextRank
+    (Mihalcea & Tarau, EMNLP 2004): build the undirected word
+    co-occurrence graph (distinct adjacent-word pairs), then run 5
+    PageRank power iterations with damping 0.85,
+    ``PR(v) = 0.15 + 0.85 * sum_u PR(u)/deg(u)``, and emit the top-20
+    words by final rank. The graph-centrality family member the
+    catalog's connected-components operators don't cover: an ITERATED
+    fixpoint over an explicit edge list, the same shape as PageRank
+    over a web/citation/link graph.
+
+    Cross-engine determinism for the iterated composition: scores live
+    in BIGINT micro-units (start 1_000_000; base 150_000 = 0.15); each
+    neighbor contribution is ``floor(s/deg)`` (exact — both engines
+    divide sub-2^53 integers in double and floor), the damped update
+    floors once per node per round, so round N+1's input is
+    bit-identical on both engines. Ranking ties break on word.
+
+    Distributed shape: the ONLY corpus-sized work is tokenize +
+    distinct-bigram (one exchange, two-phase); everything after lives
+    on the vocabulary-sized graph — edges/deg are localCheckpointed
+    once and reused, scores (|vocab| rows) re-attach to edges by
+    BROADCAST each round (a vocabulary fits an executor at any corpus
+    scale, the ``doc_pmi_bigrams`` argument), and each round is one
+    vocab-sized hash aggregate with per-round ``localCheckpoint``
+    lineage truncation (the ``kmeans_iterate`` pattern). Top-20 is
+    TakeOrderedAndProject — no global sort. At 100 TB the iteration
+    cost is independent of corpus size; rounds scale with the graph,
+    not the data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("t"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w_a"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w_b"),
+                )
+            ).alias("p")
+        )
+        .select("p.w_a", "p.w_b")
+        .filter(F.col("w_a") != F.col("w_b"))
+    )
+    edges = (
+        pairs.select(F.col("w_a").alias("src"), F.col("w_b").alias("dst"))
+        .union(pairs.select(F.col("w_b").alias("src"), F.col("w_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    scores = deg.select(
+        F.col("src").alias("word"), F.lit(1000000).cast("long").alias("s")
+    )
+    for _ in range(5):
+        contrib = (
+            edges.join(F.broadcast(scores), edges["src"] == scores["word"])
+            .join(F.broadcast(deg), "src")
+            .select(
+                "dst",
+                F.floor(
+                    F.col("s").cast("double") / F.col("d").cast("double")
+                ).alias("c"),
+            )
+        )
+        scores = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+            .select(
+                F.col("dst").alias("word"),
+                (
+                    F.lit(150000).cast("long")
+                    + F.floor(F.lit(0.85) * F.col("m").cast("double"))
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        scores.join(F.broadcast(deg), scores["word"] == deg["src"])
+        .select("word", F.col("s").alias("rank_micro"), F.col("d").alias("degree"))
+        .orderBy(F.desc("rank_micro"), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "doc_cooccur_triangles",
+    r"""WITH toks AS (
+  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+bi AS (
+  SELECT DISTINCT t[i] AS w_a, t[i+1] AS w_b
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE t[i] <> t[i+1]
+),
+edges AS (
+  SELECT w_a AS src, w_b AS dst FROM bi
+  UNION
+  SELECT w_b AS src, w_a AS dst FROM bi
+),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+oriented AS (
+  SELECT e.src AS a, e.dst AS b
+  FROM edges e
+  JOIN deg da ON e.src = da.src
+  JOIN deg db ON e.dst = db.src
+  WHERE (da.d, e.src) < (db.d, e.dst)
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e1.b = e2.a
+  JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+wedge AS (
+  SELECT sum(d * (d - 1) / 2)::BIGINT AS n_wedges FROM deg
+)
+SELECT n_triangles, n_wedges,
+       floor(3.0 * n_triangles::DOUBLE / n_wedges::DOUBLE * 1000000 + 0.5)::BIGINT
+           AS global_clustering_micro
+FROM tri CROSS JOIN wedge""",
+)
+def doc_cooccur_triangles(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the word
+    co-occurrence graph — the third graph-family member next to
+    connected components (``doc_dup_components``) and centrality
+    (``doc_textrank_keywords``), and the classic distributed-graph
+    benchmark shape: a multi-way SELF-join whose cost is tamed by
+    DEGREE-ORDERED ORIENTATION (Cohen 2009; Suri & Vassilvitskii WWW'11
+    use the same idea for MapReduce). Each undirected edge is oriented
+    low→high by (degree, word), so every triangle is counted exactly
+    once and the wedge join fans out by OUT-degree, which orientation
+    bounds by O(sqrt(m)) for any graph — the difference between a
+    feasible and an infeasible self-join at 100 TB.
+
+    Distributed shape: corpus-sized work is the one distinct-bigram
+    pass; the graph is vocabulary-sized. The wedge join (e1.b = e2.a)
+    and the closing semi-check are equi-joins on word keys over the
+    oriented edge list; degrees attach by broadcast. Output is one
+    row: triangle count, wedge count (sum d·(d−1)/2 — a deg-table
+    aggregate), and the global clustering coefficient
+    3·triangles/wedges in exact micro-units.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("t"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w_a"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w_b"),
+                )
+            ).alias("p")
+        )
+        .select("p.w_a", "p.w_b")
+        .filter(F.col("w_a") != F.col("w_b"))
+    )
+    edges = (
+        pairs.select(F.col("w_a").alias("src"), F.col("w_b").alias("dst"))
+        .union(pairs.select(F.col("w_b").alias("src"), F.col("w_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("src").alias("a_key"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("b_key"), F.col("d").alias("db"))
+    oriented = (
+        edges.join(F.broadcast(da), edges["src"] == da["a_key"])
+        .join(F.broadcast(db), edges["dst"] == db["b_key"])
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint()
+    )
+    e1 = oriented
+    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges2 = e1.join(e2, "b").select("a", "b", "c")
+    closing = oriented.select(F.col("a"), F.col("b").alias("c"))
+    tri = wedges2.join(closing, ["a", "c"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wedge))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.floor(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("global_clustering_micro"),
+        )
+    )

@@ -860,3 +860,63 @@ def test_dedup_keep_best_prefers_source_then_length(spark, monkeypatch):
     }
     assert out[1] == (3, "src0")      # curated source beats length and id
     assert out[9] == (9, "src9")      # singleton keeps itself
+
+
+def test_textrank_hub_word_ranks_first(spark, monkeypatch):
+    """Planted graph: 'hub' is adjacent to six distinct leaves (degree
+    6), an isolated 'solo pair' edge sits apart. TextRank must rank the
+    hub first, report its degree, score all six structurally-identical
+    leaves identically, and produce the exact same micro-unit scores on
+    a second run (the determinism the iterated integer quantization
+    buys)."""
+    import etl__project_spark.plans.catalog as cat
+
+    rows = [
+        (0, "hub alpha hub beta hub gamma hub delta"),
+        (1, "hub epsilon hub zeta"),
+        (2, "solo pair"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    run1 = cat.QUERIES["doc_textrank_keywords"](spark, "unused").collect()
+    run2 = cat.QUERIES["doc_textrank_keywords"](spark, "unused").collect()
+    assert [tuple(r) for r in run1] == [tuple(r) for r in run2]
+    got = {r["word"]: r for r in run1}
+    assert set(got) == {"hub", "alpha", "beta", "gamma", "delta",
+                        "epsilon", "zeta", "solo", "pair"}
+    top = run1[0]
+    assert top["word"] == "hub" and top["degree"] == 6
+    leaf_scores = {got[w]["rank_micro"]
+                   for w in ("alpha", "beta", "gamma", "delta", "epsilon", "zeta")}
+    assert len(leaf_scores) == 1  # symmetric leaves score identically
+    assert top["rank_micro"] > max(got[w]["rank_micro"] for w in got if w != "hub")
+    assert got["solo"]["rank_micro"] == got["pair"]["rank_micro"] == \
+        got["solo"]["rank_micro"]  # the isolated edge is symmetric too
+
+
+def test_triangle_count_planted_graph(spark, monkeypatch):
+    """Planted graph: 'a b c a' closes one triangle (a-b, b-c, c-a),
+    'x y z' is an open path (one wedge at y, no triangle). Expect
+    exactly 1 triangle, 4 wedges (one per triangle corner + the path
+    center), and global clustering 3*1/4 = 0.75."""
+    import etl__project_spark.plans.catalog as cat
+
+    rows = [(0, "a b c a"), (1, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    [row] = cat.QUERIES["doc_cooccur_triangles"](spark, "unused").collect()
+    assert row["n_triangles"] == 1
+    assert row["n_wedges"] == 4
+    assert row["global_clustering_micro"] == 750000

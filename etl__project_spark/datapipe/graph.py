@@ -1,0 +1,149 @@
+"""Word co-occurrence graph operators: edge construction, TextRank
+centrality, triangle counting.
+
+The graph family next to connected components (``dedup.py``):
+an explicit vocabulary-sized edge list built from one corpus-sized
+distinct-bigram pass, then fixpoint/self-join algorithms that never
+touch the corpus again. Shared by the batch catalog queries
+(``doc_textrank_keywords``, ``doc_cooccur_triangles``) and the
+streaming maintenance path (``streaming/pipeline.py:stream_word_graph``).
+
+All scores are exact BIGINT micro-units so iterated compositions are
+bit-identical across engines (the ``kmeans_iterate`` discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_cooccur_edges(
+    docs: DataFrame, text_col: str = "text", checkpoint: bool = True
+) -> DataFrame:
+    """Undirected word co-occurrence graph as a symmetric distinct
+    (src, dst) edge list: whitespace-lowered tokens, adjacent-pair
+    windows, self-loops dropped, both directions materialized.
+
+    This is the ONLY corpus-sized stage of the graph family — one
+    explode + one distinct (two-phase hash aggregate); the result is
+    vocabulary-bounded (distinct bigrams), so downstream iteration cost
+    is independent of corpus size. ``checkpoint`` truncates lineage so
+    multi-pass consumers don't re-tokenize (skip it for per-batch
+    deltas that are consumed once).
+    """
+    toks = docs.select(F.split(F.lower(F.col(text_col)), r"\s+").alias("t"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w_a"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w_b"),
+                )
+            ).alias("p")
+        )
+        .select("p.w_a", "p.w_b")
+        .filter(F.col("w_a") != F.col("w_b"))
+    )
+    edges = (
+        pairs.select(F.col("w_a").alias("src"), F.col("w_b").alias("dst"))
+        .union(pairs.select(F.col("w_b").alias("src"), F.col("w_a").alias("dst")))
+        .distinct()
+    )
+    return edges.localCheckpoint() if checkpoint else edges
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(src, d) — distinct-neighbor count per node (edges are
+    symmetric, so src ranges over every node)."""
+    return edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+
+def textrank(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """PageRank power iteration over a symmetric edge list —
+    ``PR(v) = 0.15 + 0.85 * sum_u PR(u)/deg(u)`` — returning
+    (word, rank_micro, degree) for EVERY node (callers rank/limit).
+
+    Scores live in BIGINT micro-units (start 1_000_000, base 150_000);
+    each contribution is ``floor(s/deg)`` and each damped update floors
+    once, so round N+1's input is bit-identical on any engine.
+    Distributed shape per round: scores (|vocab| rows) re-attach to
+    edges by BROADCAST, one vocab-sized hash aggregate, per-round
+    ``localCheckpoint`` lineage truncation.
+    """
+    edges = edges.localCheckpoint()
+    deg = degrees(edges).localCheckpoint()
+    scores = deg.select(
+        F.col("src").alias("word"), F.lit(1000000).cast("long").alias("s")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(F.broadcast(scores), edges["src"] == scores["word"])
+            .join(F.broadcast(deg), "src")
+            .select(
+                "dst",
+                F.floor(
+                    F.col("s").cast("double") / F.col("d").cast("double")
+                ).alias("c"),
+            )
+        )
+        scores = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+            .select(
+                F.col("dst").alias("word"),
+                (
+                    F.lit(150000).cast("long")
+                    + F.floor(F.lit(0.85) * F.col("m").cast("double"))
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    return scores.join(F.broadcast(deg), scores["word"] == deg["src"]).select(
+        "word", F.col("s").alias("rank_micro"), F.col("d").alias("degree")
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row (n_triangles, n_wedges, global_clustering_micro) via
+    degree-ordered orientation (each undirected edge kept low→high by
+    (degree, word)), so every triangle is counted exactly once and the
+    wedge self-join fans out by out-degree — O(sqrt(m))-bounded for any
+    graph, the classic distributed triangle-count trick (Cohen 2009;
+    Suri & Vassilvitskii WWW'11)."""
+    edges = edges.localCheckpoint()
+    deg = degrees(edges)
+    da = deg.select(F.col("src").alias("a_key"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("b_key"), F.col("d").alias("db"))
+    oriented = (
+        edges.join(F.broadcast(da), edges["src"] == da["a_key"])
+        .join(F.broadcast(db), edges["dst"] == db["b_key"])
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint()
+    )
+    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges2 = oriented.join(e2, "b").select("a", "b", "c")
+    closing = oriented.select(F.col("a"), F.col("b").alias("c"))
+    tri = wedges2.join(closing, ["a", "c"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wedge)).select(
+        "n_triangles",
+        "n_wedges",
+        F.floor(
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("global_clustering_micro"),
+    )

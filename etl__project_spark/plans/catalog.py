@@ -40,6 +40,11 @@ from etl__project_spark.operators import (
     scd1_upsert,
     with_dense_ids,
 )
+from etl__project_spark.datapipe.graph import (
+    textrank,
+    triangle_stats,
+    word_cooccur_edges,
+)
 from etl__project_spark.refdata import VIDEO_DATA_CTE, synth_video_data
 from etl__project_spark.sources import load_table
 
@@ -11641,59 +11646,9 @@ def doc_textrank_keywords(spark, sf_dir):
     not the data.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("t"))
-    pairs = (
-        toks.select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w_a"),
-                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w_b"),
-                )
-            ).alias("p")
-        )
-        .select("p.w_a", "p.w_b")
-        .filter(F.col("w_a") != F.col("w_b"))
-    )
-    edges = (
-        pairs.select(F.col("w_a").alias("src"), F.col("w_b").alias("dst"))
-        .union(pairs.select(F.col("w_b").alias("src"), F.col("w_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint()
-    )
-    scores = deg.select(
-        F.col("src").alias("word"), F.lit(1000000).cast("long").alias("s")
-    )
-    for _ in range(5):
-        contrib = (
-            edges.join(F.broadcast(scores), edges["src"] == scores["word"])
-            .join(F.broadcast(deg), "src")
-            .select(
-                "dst",
-                F.floor(
-                    F.col("s").cast("double") / F.col("d").cast("double")
-                ).alias("c"),
-            )
-        )
-        scores = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("m"))
-            .select(
-                F.col("dst").alias("word"),
-                (
-                    F.lit(150000).cast("long")
-                    + F.floor(F.lit(0.85) * F.col("m").cast("double"))
-                ).alias("s"),
-            )
-            .localCheckpoint()
-        )
+    edges = word_cooccur_edges(docs, checkpoint=False)
     return (
-        scores.join(F.broadcast(deg), scores["word"] == deg["src"])
-        .select("word", F.col("s").alias("rank_micro"), F.col("d").alias("degree"))
+        textrank(edges, n_iter=5)
         .orderBy(F.desc("rank_micro"), "word")
         .limit(20)
     )
@@ -11758,61 +11713,4 @@ def doc_cooccur_triangles(spark, sf_dir):
     3·triangles/wedges in exact micro-units.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("t"))
-    pairs = (
-        toks.select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w_a"),
-                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w_b"),
-                )
-            ).alias("p")
-        )
-        .select("p.w_a", "p.w_b")
-        .filter(F.col("w_a") != F.col("w_b"))
-    )
-    edges = (
-        pairs.select(F.col("w_a").alias("src"), F.col("w_b").alias("dst"))
-        .union(pairs.select(F.col("w_b").alias("src"), F.col("w_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    da = deg.select(F.col("src").alias("a_key"), F.col("d").alias("da"))
-    db = deg.select(F.col("src").alias("b_key"), F.col("d").alias("db"))
-    oriented = (
-        edges.join(F.broadcast(da), edges["src"] == da["a_key"])
-        .join(F.broadcast(db), edges["dst"] == db["b_key"])
-        .filter(
-            (F.col("da") < F.col("db"))
-            | ((F.col("da") == F.col("db")) & (F.col("src") < F.col("dst")))
-        )
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .localCheckpoint()
-    )
-    e1 = oriented
-    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges2 = e1.join(e2, "b").select("a", "b", "c")
-    closing = oriented.select(F.col("a"), F.col("b").alias("c"))
-    tri = wedges2.join(closing, ["a", "c"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    wedge = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
-    )
-    return (
-        tri.crossJoin(F.broadcast(wedge))
-        .select(
-            "n_triangles",
-            "n_wedges",
-            F.floor(
-                F.lit(3.0)
-                * F.col("n_triangles").cast("double")
-                / F.col("n_wedges").cast("double")
-                * 1000000
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("global_clustering_micro"),
-        )
-    )
+    return triangle_stats(word_cooccur_edges(docs, checkpoint=False))

@@ -1190,3 +1190,68 @@ def stream_qi_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming word-co-occurrence-graph maintenance --------------------------
+
+WORD_EDGES_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+    ]
+)
+
+
+def read_word_graph(wh: ParquetWarehouse) -> DataFrame:
+    """The maintained symmetric word co-occurrence edge list; feed it
+    to ``datapipe/graph.py:textrank`` / ``triangle_stats`` for
+    serve-time graph analytics over everything ingested so far."""
+    return wh.read("word_edges", WORD_EDGES_SCHEMA)
+
+
+def stream_word_graph(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """The word co-occurrence graph maintained AT INGEST: per
+    micro-batch, tokenize ONLY the batch's documents into distinct
+    adjacent-word edges (``datapipe/graph.py:word_cooccur_edges`` —
+    the same expression the batch queries use) and fold them into a
+    persistent edge table via set-union. Serve-time TextRank /
+    triangle counting (``doc_textrank_keywords`` /
+    ``doc_cooccur_triangles`` semantics) then runs on the maintained
+    vocabulary-sized graph WITHOUT ever re-tokenizing corpus history —
+    the iteration cost was already independent of corpus size, and
+    this makes the edge-building cost incremental too.
+
+    Edges don't cross document boundaries, so per-batch edge sets
+    union-distinct to exactly the one-shot graph regardless of how
+    documents were batched (pinned by test); a replayed batch is a
+    subset and no-ops both via the distinct and the batch-id ledger.
+    At 100 TB the edge table is vocabulary-bounded, the merge is one
+    vocab-sized distinct per batch, and storage would be bucketed by
+    src for the downstream joins."""
+    from etl__project_spark.datapipe.graph import word_cooccur_edges
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        delta = word_cooccur_edges(batch, checkpoint=False)
+        wh.publish_merged(
+            "word_edges",
+            delta,
+            WORD_EDGES_SCHEMA,
+            str(batch_id),
+            lambda ex, d: ex.unionByName(d).distinct(),
+        )
+
+    docs = spark.readStream.schema(DOC_SCHEMA).json(landing_dir)
+    writer = docs.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1109,3 +1109,75 @@ def test_streaming_privacy_gates_match_one_shot(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
     assert wh._current("qi_counts") == v
+
+
+def test_streaming_word_graph_matches_one_shot(spark, tmp_path):
+    """Documents streamed in three micro-batches through
+    stream_word_graph must accumulate exactly the one-shot
+    co-occurrence edge set, and serve-time TextRank over the
+    maintained graph must equal the batch doc_textrank_keywords
+    top-20 (edges don't cross document boundaries, so batching is
+    semantics-free)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    import etl__project_spark.plans.catalog as cat
+    from etl__project_spark.datapipe.graph import textrank, word_cooccur_edges
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.sources import load_table
+    from etl__project_spark.streaming.pipeline import (
+        read_word_graph,
+        stream_word_graph,
+    )
+
+    landing = str(tmp_path / "wg_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "wg_wh")
+    ckpt = str(tmp_path / "wg_ckpt")
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 90)  # deterministic (limit() is not)
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+
+    def run_batch(i, batch_rows):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for did, text in batch_rows:
+                fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        q = stream_word_graph(spark, landing, wh_root, ckpt)
+        q.awaitTermination(180)
+        q.stop()
+
+    for i in range(3):
+        run_batch(i, [r for r in rows if r[0] % 3 == i])
+
+    wh = ParquetWarehouse(spark, wh_root)
+    maintained = read_word_graph(wh)
+    got_edges = sorted(map(tuple, maintained.collect()))
+    want_edges = sorted(map(tuple, word_cooccur_edges(docs).collect()))
+    assert got_edges == want_edges and len(got_edges) > 0
+
+    serve = sorted(
+        map(
+            tuple,
+            textrank(maintained)
+            .orderBy(F.desc("rank_micro"), "word")
+            .limit(20)
+            .collect(),
+        )
+    )
+    orig = cat.load_table
+    cat.load_table = lambda s, d, t: docs
+    try:
+        want = sorted(
+            map(
+                tuple,
+                cat.QUERIES["doc_textrank_keywords"](spark, "unused").collect(),
+            )
+        )
+    finally:
+        cat.load_table = orig
+    assert serve == want

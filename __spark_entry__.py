@@ -39,14 +39,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # standing canaries (vs_fact / vs_warehouse_load, re-checked every
 # round). Remaining slots refresh the STALEST greens — last checked in
 # round 3 — oldest first; the r3/r4 greens that don't fit are round-7's
-# rotation, as are the ~18 third-wave statistics/retrieval queries added
-# after this window filled (KS/Benford/CUSUM/Gini/KL/autocorr/span-merge/
-# repetition/BM25/PSI/hot-windows/EWMA/int8×2/attribution/confusion/
-# coreset/weekday) and the six fourth-wave additions (Pareto shares,
-# Mann-Whitney, Kaplan-Meier time-to-conversion, 2-D skyline, IVF
-# nprobe recall sweep, grouped-jackknife CI). Every query outside the
-# window stays pinned in-repo by `pytest -m oracle` and the committed
-# CORRECTNESS_FULL.json artifact (201/201 at sf0.01 this round).
+# rotation, as is EVERYTHING registered after this window filled (the
+# ~18 third-wave statistics/retrieval queries — KS/Benford/CUSUM/Gini/
+# KL/autocorr/span-merge/repetition/BM25/PSI/hot-windows/EWMA/int8×2/
+# attribution/confusion/coreset/weekday — and the later round-6 waves:
+# Pareto shares, Mann-Whitney, Kaplan-Meier, 2-D skyline, IVF nprobe
+# sweep, jackknife CI, trunc-dim recall, cohort LTV, Mann-Kendall, Zipf
+# fit, k-anonymity, l-diversity, frame sampling, forecast backtest,
+# Hamming recall audit, power/MDE, bot screen, TextRank, triangle
+# count, k-core histogram, PPR related terms). Every query outside the
+# window stays pinned in-repo by
+# `pytest -m oracle` and the committed CORRECTNESS_FULL.json artifact
+# (refreshed this round at sf0.01 — see the file for the count).
 _PRIORITY_R6 = [
     # never driver-checked: r5 third wave
     "emb_znorm_outliers",

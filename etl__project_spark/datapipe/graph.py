@@ -147,3 +147,97 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .cast("long")
         .alias("global_clustering_micro"),
     )
+
+
+def kcore_hindex(edges: DataFrame, n_iter: int = 6) -> DataFrame:
+    """Coreness estimation by h-index iteration (Lü, Chen, Zhou et al.,
+    "The H-index of a network node...", 2016): start every node at its
+    degree and repeatedly replace each node's value with the H-INDEX of
+    its neighbors' values — the sequence is monotone non-increasing and
+    converges to the k-core number. A FIXED ``n_iter`` rounds gives a
+    deterministic upper-bound estimate (the catalog's fixed-round
+    discipline — kmeans 2, TextRank 5), which is also how you'd run it
+    at 100 TB: each round is one vocab-sized join + window, no
+    data-dependent convergence test.
+
+    H-index per node: sort neighbor values descending, take
+    ``max(min(rank, value))`` — one row_number window partitioned by
+    node. Returns (word, coreness_est, degree) for every node.
+    """
+    from pyspark.sql import Window
+
+    edges = edges.localCheckpoint()
+    deg = degrees(edges).localCheckpoint()
+    vals = deg.select(F.col("src").alias("word"), F.col("d").alias("c"))
+    for _ in range(n_iter):
+        nb = edges.join(F.broadcast(vals), edges["src"] == vals["word"]).select(
+            F.col("dst"), F.col("c")
+        )
+        # tie order among equal c is irrelevant to max(min(rn, c))
+        w = Window.partitionBy("dst").orderBy(F.desc("c"))
+        vals = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("dst")
+            .agg(F.max(F.least(F.col("rn").cast("long"), F.col("c"))).alias("h"))
+            .select(F.col("dst").alias("word"), F.col("h").alias("c"))
+            .localCheckpoint()
+        )
+    return vals.join(F.broadcast(deg), vals["word"] == deg["src"]).select(
+        "word", F.col("c").alias("coreness_est"), F.col("d").alias("degree")
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame, seed: str, n_iter: int = 5
+) -> DataFrame:
+    """Personalized PageRank with restart at a single seed word —
+    ``PPR(v) = 0.15*[v = seed] + 0.85 * sum_u PPR(u)/deg(u)`` — the
+    query-time use of the co-occurrence graph: related-term expansion
+    for corpus curation (seed a topic word, harvest its neighborhood
+    by stationary visit probability rather than raw adjacency).
+
+    Same BIGINT micro-unit discipline as :func:`textrank` (seed starts
+    at 1_000_000; restart mass 150_000 lands only on the seed), and the
+    same per-round shape: broadcast scores onto edges, one vocab-sized
+    aggregate, localCheckpoint. Mass never reaches disconnected
+    components, so unreached words are simply ABSENT (score 0) — rows
+    only exist for nodes with a contributing neighbor, matching the
+    SQL-oracle aggregation semantics. Returns (word, ppr_micro, degree)
+    for reached nodes INCLUDING the seed (callers usually drop it)."""
+    edges = edges.localCheckpoint()
+    deg = degrees(edges).localCheckpoint()
+    scores = deg.select(
+        F.col("src").alias("word"),
+        F.when(F.col("src") == seed, F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("s"),
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(F.broadcast(scores), edges["src"] == scores["word"])
+            .join(F.broadcast(deg), "src")
+            .select(
+                "dst",
+                F.floor(
+                    F.col("s").cast("double") / F.col("d").cast("double")
+                ).alias("c"),
+            )
+        )
+        scores = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+            .select(
+                F.col("dst").alias("word"),
+                (
+                    F.when(F.col("dst") == seed, F.lit(150000))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.floor(F.lit(0.85) * F.col("m").cast("double"))
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    return scores.join(F.broadcast(deg), scores["word"] == deg["src"]).select(
+        "word", F.col("s").alias("ppr_micro"), F.col("d").alias("degree")
+    )

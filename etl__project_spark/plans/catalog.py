@@ -11714,3 +11714,146 @@ def doc_cooccur_triangles(spark, sf_dir):
     """
     docs = load_table(spark, sf_dir, "documents")
     return triangle_stats(word_cooccur_edges(docs, checkpoint=False))
+
+
+def _kcore_iter_sql(prev: str, out: str) -> str:
+    """One unrolled h-index iteration CTE (DuckDB dialect)."""
+    return f"""{out} AS (
+  SELECT dst AS word, max(least(rn, c))::BIGINT AS c
+  FROM (
+    SELECT e.dst, s.c,
+           row_number() OVER (PARTITION BY e.dst ORDER BY s.c DESC) AS rn
+    FROM edges e JOIN {prev} s ON e.src = s.word
+  )
+  GROUP BY dst
+)"""
+
+
+@query(
+    "doc_kcore_histogram",
+    r"""WITH toks AS (
+  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+bi AS (
+  SELECT DISTINCT t[i] AS w_a, t[i+1] AS w_b
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE t[i] <> t[i+1]
+),
+edges AS (
+  SELECT w_a AS src, w_b AS dst FROM bi
+  UNION
+  SELECT w_b AS src, w_a AS dst FROM bi
+),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+v0 AS (SELECT src AS word, d AS c FROM deg),
+"""
+    + ",\n".join(_kcore_iter_sql(f"v{i}", f"v{i + 1}") for i in range(6))
+    + """
+SELECT c AS coreness_est, count(*)::BIGINT AS n_words
+FROM v6
+GROUP BY c
+ORDER BY coreness_est""",
+)
+def doc_kcore_histogram(spark, sf_dir):
+    """k-core decomposition estimate of the word co-occurrence graph —
+    coreness by H-INDEX ITERATION (Lu, Chen, Zhou et al. 2016: start
+    each node at its degree; repeatedly replace each node's value with
+    the h-index of its neighbors' values; the sequence decreases
+    monotonically to the exact core number). Six fixed rounds give a
+    deterministic upper-bound estimate — the fixed-round discipline the
+    catalog already uses for kmeans (2) and TextRank (5) — and the
+    histogram (coreness -> node count) is the density profile a corpus
+    curator reads: high-core words are the interconnected topical core,
+    1-core words are peripheral one-off junk.
+
+    The fourth graph-family member (components / centrality /
+    triangles / coreness), all sharing ``datapipe/graph.py``'s
+    vocabulary-sized edge list: corpus-sized work is the one
+    distinct-bigram pass; each h-index round is one broadcast-values
+    join + one row_number window + one max aggregate, ALL on the
+    vocab-sized neighbor list, with per-round localCheckpoint lineage
+    truncation. Output is bounded by the distinct coreness values
+    (<= max degree). Exact integers end to end — no float drift.
+    """
+    from etl__project_spark.datapipe.graph import kcore_hindex
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = kcore_hindex(word_cooccur_edges(docs, checkpoint=False), n_iter=6)
+    return (
+        vals.groupBy(F.col("coreness_est"))
+        .agg(F.count(F.lit(1)).alias("n_words"))
+        .orderBy("coreness_est")
+    )
+
+
+def _ppr_iter_sql(prev: str, out: str, seed: str) -> str:
+    """One unrolled personalized-PageRank iteration CTE (DuckDB)."""
+    return f"""{out} AS (
+  SELECT e.dst AS word,
+         ((CASE WHEN e.dst = '{seed}' THEN 150000 ELSE 0 END)
+          + floor(0.85 * sum(floor(s.s::DOUBLE / d.d::DOUBLE)::BIGINT)))::BIGINT AS s
+  FROM edges e
+  JOIN {prev} s ON e.src = s.word
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+
+
+@query(
+    "doc_related_terms_ppr",
+    r"""WITH toks AS (
+  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+bi AS (
+  SELECT DISTINCT t[i] AS w_a, t[i+1] AS w_b
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE t[i] <> t[i+1]
+),
+edges AS (
+  SELECT w_a AS src, w_b AS dst FROM bi
+  UNION
+  SELECT w_b AS src, w_a AS dst FROM bi
+),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+p0 AS (
+  SELECT src AS word,
+         (CASE WHEN src = 'join' THEN 1000000 ELSE 0 END)::BIGINT AS s
+  FROM deg
+),
+"""
+    + ",\n".join(_ppr_iter_sql(f"p{i}", f"p{i + 1}", "join") for i in range(5))
+    + """
+SELECT p5.word, p5.s AS ppr_micro, deg.d AS degree
+FROM p5 JOIN deg ON p5.word = deg.src
+WHERE p5.word <> 'join' AND p5.s > 0
+ORDER BY ppr_micro DESC, word
+LIMIT 20""",
+)
+def doc_related_terms_ppr(spark, sf_dir):
+    """Related-term expansion by personalized PageRank — restart mass
+    pinned to the seed word ('join'), 5 power iterations, top-20
+    neighbors by stationary visit probability. The QUERY-TIME use of
+    the co-occurrence graph: where ``doc_textrank_keywords`` ranks the
+    corpus globally, this ranks the neighborhood of one topic seed —
+    the curation primitive for harvesting topic-related vocabulary
+    (seed 'chemistry', collect the topic cluster) that raw adjacency
+    can't give you (PPR weights multi-hop paths by conductance).
+
+    Same engine as TextRank (``datapipe/graph.py:personalized_pagerank``):
+    BIGINT micro-unit scores, floor-quantized per round, so the DuckDB
+    oracle's 5 unrolled CTE iterations are bit-identical; mass that
+    never reaches a word leaves it absent (score 0) in BOTH engines'
+    aggregation semantics. Corpus-sized work is the one distinct-bigram
+    pass; each round is a broadcast-scores vocab-sized aggregate.
+    """
+    from etl__project_spark.datapipe.graph import personalized_pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppr = personalized_pagerank(
+        word_cooccur_edges(docs, checkpoint=False), "join", n_iter=5
+    )
+    return (
+        ppr.filter((F.col("word") != "join") & (F.col("ppr_micro") > 0))
+        .orderBy(F.desc("ppr_micro"), "word")
+        .limit(20)
+    )

@@ -920,3 +920,52 @@ def test_triangle_count_planted_graph(spark, monkeypatch):
     assert row["n_triangles"] == 1
     assert row["n_wedges"] == 4
     assert row["global_clustering_micro"] == 750000
+
+
+def test_kcore_histogram_clique_and_pendant(spark, monkeypatch):
+    """Planted graph: 'a b c d a c b d' wires the full K4 clique
+    (every member has true coreness 3), 'd e f' hangs a pendant path
+    (e, f have coreness 1). The h-index iteration must converge here
+    (it stabilizes by round 2) and the histogram must read
+    {1: 2 words, 3: 4 words}."""
+    import etl__project_spark.plans.catalog as cat
+
+    rows = [(0, "a b c d a c b d"), (1, "d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    got = {
+        r["coreness_est"]: r["n_words"]
+        for r in cat.QUERIES["doc_kcore_histogram"](spark, "unused").collect()
+    }
+    assert got == {1: 2, 3: 4}
+
+
+def test_ppr_stays_in_seed_cluster(spark, monkeypatch):
+    """Planted barbell: triangle {seed-side} a-b-c, triangle x-y-z,
+    single bridge c-x. Personalized PageRank seeded at... the catalog
+    query seeds 'join', so plant 'join' as a triangle member: restart
+    mass must keep the seed's own triangle (b, c twins) strictly above
+    everything across the bridge."""
+    import etl__project_spark.plans.catalog as cat
+
+    rows = [(0, "join b c join"), (1, "x y z x"), (2, "c x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    out = cat.QUERIES["doc_related_terms_ppr"](spark, "unused").collect()
+    got = {r["word"]: r["ppr_micro"] for r in out}
+    assert "join" not in got  # seed excluded
+    assert got["b"] > 0 and got["c"] > 0
+    far = [got.get(w, 0) for w in ("x", "y", "z")]
+    assert min(got["b"], got["c"]) > max(far)

@@ -479,3 +479,23 @@ def test_register_views_lists_all_tables(spark):
         "orders", "lineitem", "events", "documents", "embeddings",
     }
     assert spark.sql("SELECT count(*) AS n FROM region").collect()[0]["n"] > 0
+
+
+def test_graph_family_no_cartesian(spark):
+    """The graph-family queries (TextRank, triangles, k-core, PPR) must
+    stay equi-join-only: the wedge self-join and every per-round
+    score/degree attach are keyed on words — a cartesian anywhere here
+    is the all-pairs blow-up degree-ordering exists to prevent. (The
+    one-row stats crossJoin in triangles is a broadcast of a 1-row
+    aggregate, which Spark plans as BNL build-right over one row —
+    allowed explicitly.)"""
+    for name in (
+        "doc_textrank_keywords",
+        "doc_kcore_histogram",
+        "doc_related_terms_ppr",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    tri = plan_of(QUERIES["doc_cooccur_triangles"](spark, SF_DIR))
+    assert "CartesianProduct" not in tri

@@ -9141,8 +9141,26 @@ def doc_bm25_topk(spark, sf_dir):
     to micro-units before the integer per-doc sum (``doc_source_kl``
     discipline); ranking compares exact integers with a doc_id
     tie-break."""
-    TERMS = ["spark", "merge", "window"]
     docs = load_table(spark, sf_dir, "documents")
+    scored = _bm25_micro(docs, ["spark", "merge", "window"])
+    return (
+        scored.orderBy(F.desc("s_micro"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            (
+                F.floor(F.col("s_micro").cast("double") / F.lit(100.0) + F.lit(0.5))
+                / 10000.0
+            ).alias("bm25"),
+        )
+    )
+
+
+def _bm25_micro(docs, terms):
+    """Okapi BM25 (k1=1.2, b=0.75) per-document integer micro-unit
+    scores for a fixed term list — shared by ``doc_bm25_topk`` and the
+    hybrid-fusion query. Returns (doc_id, s_micro) for docs matching
+    at least one term."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
     )
@@ -9150,7 +9168,7 @@ def doc_bm25_topk(spark, sf_dir):
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("len").alias("n_toks")
     )
-    qtoks = toks.filter(F.col("w").isin(*TERMS))
+    qtoks = toks.filter(F.col("w").isin(*terms))
     df = qtoks.groupBy(F.col("w").alias("term")).agg(
         F.countDistinct("doc_id").alias("df")
     )
@@ -9187,24 +9205,13 @@ def doc_bm25_topk(spark, sf_dir):
         * 1000000
         + F.lit(0.5)
     ).cast("long")
-    scored = (
+    return (
         tf.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", term_micro.alias("term_micro"))
         .groupBy("doc_id")
         .agg(F.sum("term_micro").alias("s_micro"))
-    )
-    return (
-        scored.orderBy(F.desc("s_micro"), F.asc("doc_id"))
-        .limit(10)
-        .select(
-            "doc_id",
-            (
-                F.floor(F.col("s_micro").cast("double") / F.lit(100.0) + F.lit(0.5))
-                / 10000.0
-            ).alias("bm25"),
-        )
     )
 
 
@@ -11857,3 +11864,119 @@ def doc_related_terms_ppr(spark, sf_dir):
         .orderBy(F.desc("ppr_micro"), "word")
         .limit(20)
     )
+
+
+@query(
+    "doc_hybrid_rrf",
+    r"""WITH qt(term) AS (VALUES ('spark'), ('merge'), ('window')),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len)::BIGINT AS n_toks FROM dl),
+df AS (
+  SELECT w AS term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM toks JOIN qt ON toks.w = qt.term GROUP BY w
+),
+idf AS (
+  SELECT term,
+         floor(ln(1.0 + (s.n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+               * 1000000 + 0.5)::BIGINT AS idf_micro
+  FROM df CROSS JOIN stats s
+),
+tf AS (
+  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+  FROM toks JOIN qt ON toks.w = qt.term GROUP BY doc_id, w
+),
+scored AS (
+  SELECT tf.doc_id,
+         floor(i.idf_micro::DOUBLE / 1000000.0
+               * (tf.tf::DOUBLE * 2.2)
+               / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.len::DOUBLE
+                                                 * s.n_docs::DOUBLE / s.n_toks::DOUBLE))
+               * 1000000 + 0.5)::BIGINT AS term_micro
+  FROM tf JOIN idf i USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(term_micro)::BIGINT AS s_micro FROM scored GROUP BY doc_id),
+bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s_micro DESC, doc_id) AS r
+  FROM (SELECT doc_id, s_micro FROM agg ORDER BY s_micro DESC, doc_id LIMIT 50)
+),
+cq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+ctop AS (
+  SELECT vec_id, cosine FROM (
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+    FROM embeddings e, cq q
+  ) ORDER BY cosine DESC, vec_id LIMIT 50
+),
+cr AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
+  FROM ctop
+)
+SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+       (coalesce(1000000000 // (60 + b.r), 0)
+        + coalesce(1000000000 // (60 + c.r), 0))::BIGINT AS rrf_nano
+FROM bmr b FULL OUTER JOIN cr c ON b.doc_id = c.doc_id
+ORDER BY rrf_nano DESC, doc_id
+LIMIT 10""",
+)
+def doc_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): fuse the LEXICAL ranking (Okapi BM25 for
+    the fixed query {spark, merge, window} — shared ``_bm25_micro``
+    scoring) with the SEMANTIC ranking (exact cosine against the
+    vec_id-0 query embedding; the fixture convention vec_id = doc_id)
+    via ``RRF(d) = sum_r 1/(60 + rank_r(d))`` over each ranker's
+    top-50, emitting the fused top-10. The standard first-stage
+    retriever shape for RAG/hard-negative mining: rankers disagree,
+    RRF is the parameter-free consensus.
+
+    Determinism: both ranks are row_numbers over exact keys (integer
+    micro-unit BM25; 4 dp cosine) with id tie-breaks; each reciprocal
+    is the exact integer ``floor(1e9/(60+rank))`` so the fused score
+    is an exact BIGINT sum.
+
+    Distributed shape: BM25's big side shuffles once on doc_id and the
+    query-term filter is pushed to the token stream; cosine is a
+    broadcast-query scan with TakeOrdered. The only single-partition
+    work is ranking the two 50-row TOP-K LISTS (windows over
+    limit-50 results — bounded by construction, enumerated in
+    SINGLE_PARTITION_CENSUS); the fusion itself is a full outer join
+    of two 50-row frames.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = _bm25_micro(docs, ["spark", "merge", "window"])
+    bm_top = bm.orderBy(F.desc("s_micro"), F.asc("doc_id")).limit(50)
+    w_bm = Window.orderBy(F.desc("s_micro"), F.asc("doc_id"))
+    bmr = bm_top.withColumn("r", F.row_number().over(w_bm)).select(
+        F.col("doc_id"), F.col("r")
+    )
+    ctop = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
+    w_c = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    cr = ctop.withColumn("r", F.row_number().over(w_c)).select(
+        F.col("vec_id").alias("doc_id"), F.col("r")
+    )
+
+    def recip(c):
+        return F.floor(F.lit(1000000000).cast("double") / (F.lit(60) + c)).cast(
+            "long"
+        )
+
+    fused = (
+        bmr.withColumnRenamed("r", "rb")
+        .join(cr.withColumnRenamed("r", "rc"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(recip(F.col("rb")), F.lit(0).cast("long"))
+                + F.coalesce(recip(F.col("rc")), F.lit(0).cast("long"))
+            ).alias("rrf_nano"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_nano"), F.asc("doc_id")).limit(10)

@@ -969,3 +969,46 @@ def test_ppr_stays_in_seed_cluster(spark, monkeypatch):
     assert got["b"] > 0 and got["c"] > 0
     far = [got.get(w, 0) for w in ("x", "y", "z")]
     assert min(got["b"], got["c"]) > max(far)
+
+
+def test_hybrid_rrf_consensus_order(spark, monkeypatch):
+    """Planted corpus where the two rankers disagree: doc 0 is #1 in
+    BOTH lists (query-term-dense text, it IS the query embedding);
+    doc 1 is #2 lexically / #3 semantically; doc 3 is #3 lexically /
+    #4 semantically; doc 2 appears ONLY in the semantic list (#2).
+    RRF must put the both-list docs 1 and 3 above single-list doc 2
+    even though doc 2's one rank is better — the consensus property
+    that makes RRF the fusion default. Expected order: 0, 1, 3, 2."""
+    import etl__project_spark.plans.catalog as cat
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark merge window spark merge window"),
+            (1, "spark alpha beta"),
+            (2, "nothing relevant here"),
+            (3, "merge gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    ).select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.8, 0.2, 0.0, 0.0]),
+            (2, [0.9, 0.05, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(
+        cat, "load_table", lambda s, d, t: docs if t == "documents" else emb
+    )
+    out = cat.QUERIES["doc_hybrid_rrf"](spark, "unused").collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 3, 2]
+    # doc 0 leads with rank 1 in both lists: 2 * floor(1e9/61)
+    assert out[0]["rrf_nano"] == 2 * (10**9 // 61)

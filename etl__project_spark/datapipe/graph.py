@@ -137,12 +137,15 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     return tri.crossJoin(F.broadcast(wedge)).select(
         "n_triangles",
         "n_wedges",
-        F.floor(
-            F.lit(3.0)
-            * F.col("n_triangles").cast("double")
-            / F.col("n_wedges").cast("double")
-            * 1000000
-            + F.lit(0.5)
+        F.when(F.col("n_wedges") == 0, F.lit(0))  # wedge-free graph
+        .otherwise(
+            F.floor(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
         )
         .cast("long")
         .alias("global_clustering_micro"),

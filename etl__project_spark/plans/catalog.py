@@ -11694,7 +11694,9 @@ wedge AS (
   SELECT sum(d * (d - 1) / 2)::BIGINT AS n_wedges FROM deg
 )
 SELECT n_triangles, n_wedges,
-       floor(3.0 * n_triangles::DOUBLE / n_wedges::DOUBLE * 1000000 + 0.5)::BIGINT
+       (CASE WHEN n_wedges = 0 THEN 0
+             ELSE floor(3.0 * n_triangles::DOUBLE / n_wedges::DOUBLE
+                        * 1000000 + 0.5) END)::BIGINT
            AS global_clustering_micro
 FROM tri CROSS JOIN wedge""",
 )

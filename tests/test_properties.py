@@ -1300,3 +1300,102 @@ def test_mann_kendall_matches_python_pairwise_model(spark, counts):
     assert (r["n_days"], r["s_stat"]) == (n, s_stat)
     assert r["z_score"] == z_scaled / 10000.0
     assert r["trend_05"] == (abs(z_scaled) > 19600)
+
+
+# -- graph family vs pure-Python models --------------------------------------
+
+_edge = st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+    lambda p: p[0] < p[1]
+)
+
+
+def _edges_df(spark, pairs):
+    rows = [(f"n{a}", f"n{b}") for a, b in pairs] + [
+        (f"n{b}", f"n{a}") for a, b in pairs
+    ]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _adj(pairs):
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def model_core_numbers(pairs):
+    """Exact k-core by min-degree peeling (Batagelj-Zaversnik order)."""
+    adj = _adj(pairs)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    remaining = set(adj)
+    core, cur = {}, 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        cur = max(cur, deg[v])
+        core[v] = cur
+        remaining.remove(v)
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+    return core
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.sets(_edge, min_size=1, max_size=14))
+def test_kcore_hindex_converges_to_peeling(spark, pairs):
+    """With enough rounds the h-index iteration must converge to the
+    EXACT core numbers (Lu et al. 2016 convergence theorem), computed
+    independently by min-degree peeling; and every estimate is bounded
+    by the node's degree."""
+    from etl__project_spark.datapipe.graph import kcore_hindex
+
+    got = {
+        r["word"]: (r["coreness_est"], r["degree"])
+        for r in kcore_hindex(_edges_df(spark, pairs), n_iter=16).collect()
+    }
+    want = model_core_numbers(pairs)
+    assert {w: c for w, (c, _) in got.items()} == {
+        f"n{v}": c for v, c in want.items()
+    }
+    assert all(c <= d for c, d in got.values())
+
+
+def model_triangles(pairs):
+    adj = _adj(pairs)
+    nodes = sorted(adj)
+    tri = 0
+    for i, a in enumerate(nodes):
+        for b in (n for n in nodes[i + 1:] if n in adj[a]):
+            tri += sum(1 for c in nodes if c > b and c in adj[a] and c in adj[b])
+    wedges = sum(d * (d - 1) // 2 for d in (len(ns) for ns in adj.values()))
+    return tri, wedges
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.sets(_edge, min_size=1, max_size=14))
+def test_triangle_stats_matches_brute_force(spark, pairs):
+    """Degree-ordered orientation must count exactly the brute-force
+    triangle total (each once), and wedges must equal sum d(d-1)/2."""
+    from etl__project_spark.datapipe.graph import triangle_stats
+
+    [row] = triangle_stats(_edges_df(spark, pairs)).collect()
+    tri, wedges = model_triangles(pairs)
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.sets(_edge, min_size=1, max_size=14))
+def test_textrank_mass_bounds(spark, pairs):
+    """Floor-quantized PageRank only LOSES mass: every node keeps at
+    least the restart base (150000) and the total never exceeds the
+    initial mass (V * 1e6) — the invariant that makes the micro-unit
+    iteration safe from overflow at any vocabulary size."""
+    from etl__project_spark.datapipe.graph import textrank
+
+    rows = textrank(_edges_df(spark, pairs), n_iter=5).collect()
+    n = len(rows)
+    total = sum(r["rank_micro"] for r in rows)
+    assert all(r["rank_micro"] >= 150000 for r in rows)
+    assert 150000 * n <= total <= 1000000 * n

@@ -47,7 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # sweep, jackknife CI, trunc-dim recall, cohort LTV, Mann-Kendall, Zipf
 # fit, k-anonymity, l-diversity, frame sampling, forecast backtest,
 # Hamming recall audit, power/MDE, bot screen, TextRank, triangle
-# count, k-core histogram, PPR related terms, RRF hybrid retrieval).
+# count, k-core histogram, PPR related terms, RRF hybrid retrieval,
+# embedding-intake pipeline e2e).
 # Every query outside the
 # window stays pinned in-repo by
 # `pytest -m oracle` and the committed CORRECTNESS_FULL.json artifact

@@ -195,6 +195,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    return_sim: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings, then dropping any item with
@@ -234,7 +235,7 @@ def semantic_dedup(
         .select(id_col, "cluster_id", sim.alias("sim"), F.col(vec_col).alias("__v"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(id_col, "cluster_id", "__v")
+        .select(id_col, "cluster_id", "sim", "__v")
     )
     a = assigned.select(
         F.col(id_col).alias("__ida"), "cluster_id", F.col("__v").alias("__va")
@@ -251,14 +252,14 @@ def semantic_dedup(
         .distinct()
         .withColumn("__drop", F.lit(True))
     )
-    return (
-        assigned.join(dropped, id_col, "left")
-        .select(
-            id_col,
-            "cluster_id",
-            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
-        )
-    )
+    out_cols = [
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+    ]
+    if return_sim:  # assignment sim, for exemplar ranking downstream
+        out_cols.append(F.col("sim"))
+    return assigned.join(dropped, id_col, "left").select(*out_cols)
 
 
 def ivf_topk(

@@ -6114,7 +6114,16 @@ def emb_znorm_outliers(spark, sf_dir):
     before the per-vector sum, so summation order cannot perturb the
     score (the same order-free-integer-sum discipline as
     ``kmeans_iterate``)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings")
+    scores = _znorm_scores(emb)
+    return scores.orderBy(F.desc("z2_score"), F.asc("vec_id")).limit(20)
+
+
+def _znorm_scores(embeddings):
+    """Per-vector summed-squared-z QC score (vec_id, z2_score) —
+    shared by ``emb_znorm_outliers`` and the embedding-intake
+    pipeline's gate stage."""
+    emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     exploded = emb.select(
@@ -6149,7 +6158,7 @@ def emb_znorm_outliers(spark, sf_dir):
             ).alias("z2_score")
         )
     )
-    return scores.orderBy(F.desc("z2_score"), F.asc("vec_id")).limit(20)
+    return scores
 
 
 @query(
@@ -11982,3 +11991,145 @@ def doc_hybrid_rrf(spark, sf_dir):
         )
     )
     return fused.orderBy(F.desc("rrf_nano"), F.asc("doc_id")).limit(10)
+
+
+@query(
+    "emb_pipeline_e2e",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dims AS (SELECT range::BIGINT AS dim FROM range(1, 65)),
+stats AS (
+  SELECT dim,
+         sum(floor(e[dim::INT] * 1000000.0 + 0.5)::BIGINT)::BIGINT AS sx,
+         sum(floor(e[dim::INT] * e[dim::INT] * 100000000.0 + 0.5)::BIGINT)::BIGINT
+             AS sx2,
+         count(*)::BIGINT AS n
+  FROM v, dims GROUP BY dim
+),
+ms AS (
+  SELECT dim,
+         sx::DOUBLE / 1000000.0 / n AS mean,
+         sqrt(greatest(sx2::DOUBLE / 100000000.0 / n
+               - (sx::DOUBLE / 1000000.0 / n) * (sx::DOUBLE / 1000000.0 / n),
+               1e-12)) AS std
+  FROM stats
+),
+terms AS (
+  SELECT v.vec_id,
+         floor(((e[dim::INT] - mean) / std) * ((e[dim::INT] - mean) / std)
+               * 1000000.0 + 0.5)::BIGINT AS z2m
+  FROM v, dims JOIN ms USING (dim)
+),
+zscores AS (
+  SELECT vec_id,
+         floor(sum(z2m)::DOUBLE / 100.0 + 0.5) / 10000.0 AS z2_score
+  FROM terms GROUP BY vec_id
+),
+out10 AS (SELECT vec_id FROM zscores ORDER BY z2_score DESC, vec_id LIMIT 10),
+gated AS (
+  SELECT v.vec_id, v.e FROM v LEFT JOIN out10 o ON v.vec_id = o.vec_id
+  WHERE o.vec_id IS NULL
+),
+seeds AS (SELECT vec_id AS cluster_id, e AS cv FROM gated WHERE vec_id < 8),
+scored2 AS (
+  SELECT g.vec_id, s.cluster_id, g.e,
+         round(list_dot_product(g.e, s.cv) /
+               (sqrt(list_dot_product(g.e, g.e)) *
+                sqrt(list_dot_product(s.cv, s.cv))), 4) AS sim
+  FROM gated g CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, cluster_id, e, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cluster_id) AS rn
+    FROM scored2
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+  WHERE round(list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) *
+               sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35
+),
+kept AS (
+  SELECT a.vec_id, a.cluster_id, a.sim
+  FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+  WHERE d.vec_id IS NULL
+),
+ex AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY sim DESC, vec_id) AS r
+    FROM kept
+  ) WHERE r <= 5
+)
+SELECT 1::BIGINT AS stage, 'raw' AS stage_name, count(*)::BIGINT AS n FROM v
+UNION ALL SELECT 2::BIGINT, 'gated', count(*)::BIGINT FROM gated
+UNION ALL SELECT 3::BIGINT, 'deduped', count(*)::BIGINT FROM kept
+UNION ALL SELECT 4::BIGINT, 'exemplars', count(*)::BIGINT FROM ex
+ORDER BY stage""",
+)
+def emb_pipeline_e2e(spark, sf_dir, n_clusters=8):
+    """The embedding-intake pipeline composed end-to-end — the vector
+    twin of ``doc_pipeline_e2e``: (1) QC GATE: drop the 10 most
+    anomalous vectors by the shared summed-squared-z score
+    (``_znorm_scores``; TakeOrdered + anti-join, never a global rank
+    window); (2) SemDeDup on the survivors (seed centroids = surviving
+    vec_id < ``n_clusters``, cluster-blocked pair join —
+    ``semantic_dedup`` with ``return_sim`` for downstream ranking);
+    (3) CORESET: keep the 5 most-central representatives per cluster
+    (rank window partitioned by cluster — k parallel partitions);
+    (4) a 4-row per-stage scorecard.
+
+    SCALE KNOB — read this before running big: the dedup stage's cost
+    is Σ|cluster|², so a FIXED ``n_clusters`` is quadratic in the
+    corpus; SemDeDup at web scale uses ~10⁵ clusters precisely to keep
+    Σ|c|² flat, and this pipeline must scale ``n_clusters`` with the
+    corpus the same way (measured in SCALE.md §9h: fixed k=8 is
+    ~16× wall for 10× data; k scaled with N is near-flat). The oracle
+    pins the k=8 semantics at fixture scale; the catalog default is
+    audit-class at larger fixtures (``tools/scale_sweep.py``).
+
+    Determinism end to end: the gate ranks micro-quantized integer
+    scores; assignment/dedup/exemplars rank 4 dp cosine with id
+    tiebreaks — every stage is the already-oracle-verified discipline
+    of its standalone query (``emb_znorm_outliers``,
+    ``emb_semantic_dedup``, ``emb_coreset_sample``)."""
+    from etl__project_spark.datapipe.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scores = _znorm_scores(emb)
+    out10 = (
+        scores.orderBy(F.desc("z2_score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    gated = emb.join(out10, "vec_id", "left_anti").localCheckpoint()
+    audit = semantic_dedup(
+        gated, n_clusters=n_clusters, threshold=0.35, return_sim=True
+    )
+    kept = audit.filter(F.col("keep")).localCheckpoint()
+    w_ex = Window.partitionBy("cluster_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    ex = (
+        kept.withColumn("r", F.row_number().over(w_ex))
+        .filter(F.col("r") <= 5)
+        .select("vec_id")
+    )
+
+    def one(df, stage, name):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col("n"),
+        )
+
+    return (
+        one(emb, 1, "raw")
+        .unionByName(one(gated, 2, "gated"))
+        .unionByName(one(kept, 3, "deduped"))
+        .unionByName(one(ex, 4, "exemplars"))
+        .orderBy("stage")
+    )

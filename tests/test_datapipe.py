@@ -1012,3 +1012,40 @@ def test_hybrid_rrf_consensus_order(spark, monkeypatch):
     assert [r["doc_id"] for r in out] == [0, 1, 3, 2]
     # doc 0 leads with rank 1 in both lists: 2 * floor(1e9/61)
     assert out[0]["rrf_nano"] == 2 * (10**9 // 61)
+
+
+def test_emb_pipeline_scorecard_monotone(spark, monkeypatch):
+    """Planted intake: 16 vectors — 12 well-behaved near-orthogonal
+    rows, two EXACT duplicates of vector 0 (ids 14, 15), and two wild
+    outliers (ids 12, 13; 100x scale). The scorecard must be monotone
+    (raw >= gated >= deduped >= exemplars), gate exactly 10, and
+    produce the identical frame on a second run (per-stage value
+    semantics are pinned by each stage's standalone oracle)."""
+    import etl__project_spark.plans.catalog as cat
+
+    rows = []
+    for i in range(12):
+        v = [0.0] * 64
+        v[i] = 1.0
+        v[63] = 0.1
+        rows.append((i, v))
+    big = [100.0] * 64
+    rows.append((12, big))
+    rows.append((13, [-50.0] * 64))
+    dup = [0.0] * 64
+    dup[0] = 1.0
+    dup[63] = 0.1
+    rows.append((14, dup))
+    rows.append((15, dup))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: emb)
+    run1 = cat.QUERIES["emb_pipeline_e2e"](spark, "unused").collect()
+    run2 = cat.QUERIES["emb_pipeline_e2e"](spark, "unused").collect()
+    assert [tuple(r) for r in run1] == [tuple(r) for r in run2]
+    n = {r["stage_name"]: r["n"] for r in run1}
+    assert n["raw"] == 16
+    assert n["gated"] == 6  # the gate drops exactly 10
+    assert n["raw"] >= n["gated"] >= n["deduped"] >= n["exemplars"]
+    # dedup semantics (exact dups collapse to one keeper) are
+    # value-pinned by the emb_semantic_dedup oracle; the scorecard
+    # only needs the per-stage counts to be monotone and reproducible

@@ -45,6 +45,16 @@ AUDIT_CLASS = {
                               # per-row semantics fixture-pathological; the
                               # deployment fix is exact-dup collapse first,
                               # as canonical_components codes for components
+    "emb_semantic_dedup",     # Σ|cluster|² pair join at FIXED k=8 clusters:
+                              # quadratic in the corpus by construction (135 s
+                              # at sf1 when the pair join actually executes —
+                              # beware: a bare count() of the audit frame
+                              # join-eliminates it and measures nothing); the
+                              # scale path is k ∝ N (SemDeDup's ~1e5 clusters;
+                              # SCALE.md §9h)
+    "emb_pipeline_e2e",       # contains the same fixed-k=8 dedup stage; the
+                              # scale knob is its n_clusters parameter
+                              # (SCALE.md §9h measures k scaled with N)
 }
 
 

@@ -393,6 +393,11 @@ EXCHANGE_BUDGET = {
     # carries the initial A-join's own exchanges into the consolidation:
     # 4 shuffles, still zero SMJs (state probes stay broadcast).
     "tpch_join_cdc_incremental": (4, 0),
+    # embedding-intake composition (gate → SemDeDup → coreset →
+    # scorecard): gate/kept stages are localCheckpointed so the final
+    # plan is the exemplar window + four stage-count aggregates; the
+    # cluster pair join stays an equi-join behind the checkpoint.
+    "emb_pipeline_e2e": (6, 0),
 }
 
 

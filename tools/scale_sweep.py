@@ -71,12 +71,25 @@ def main() -> None:
         skipped = sorted(AUDIT_CLASS & queries.keys())
         queries = {k: v for k, v in queries.items() if k not in AUDIT_CLASS}
         print(json.dumps({"skipped_audit_class": skipped}), flush=True)
+    from pyspark.sql import functions as F
+
     out: dict[str, dict] = {}
     for name, fn in queries.items():
         t0 = time.monotonic()
         try:
             df = fn(spark, sf_dir)
-            n = df.count()
+            # Count via a hash over EVERY column, so Catalyst cannot
+            # prune/join-eliminate the expensive stages under the
+            # timer — a bare count() of an audit frame whose flag
+            # comes from a distinct-keyed LEFT join measures a scan,
+            # not the operator (caught on emb_semantic_dedup: 8.5 s
+            # "swept" vs 135 s real at sf1; SCALE.md §9h).
+            forced = df.select(
+                F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h")
+            )
+            n = forced.agg(
+                F.count(F.lit(1)).alias("n"), F.expr("bit_xor(__h)")
+            ).collect()[0]["n"]
             out[name] = {"sec": round(time.monotonic() - t0, 2), "rows": n}
         except Exception as exc:  # noqa: BLE001
             out[name] = {

@@ -274,3 +274,66 @@ def l_diversity_gate(qi: DataFrame, l_min: int = 2) -> DataFrame:
             / 10000.0
         ).alias("risk_frac"),
     )
+
+
+def t_closeness_gate(qi: DataFrame, t: float = 0.5) -> DataFrame:
+    """t-closeness finalize over :func:`qi_band_counts` output — the
+    third privacy gate (Li, Li & Venkatasubramanian, ICDE 2007) after
+    k-anonymity and l-diversity: a group can be large AND diverse yet
+    still leak if its sensitive-value DISTRIBUTION deviates from the
+    global one (e.g. a QI group that is 90% top-spend-band when the
+    corpus is 10%). Distance is total variation between the group's
+    spend-band distribution and the global distribution, computed as
+    the sum of POSITIVE deviations only — identical to TVD because
+    both distributions sum to 1, and it makes bands ABSENT from a
+    group contribute exactly nothing, so the gate runs entirely on
+    the maintained band-count table (no re-scan, same serve path as
+    the other two gates).
+
+    Determinism: each band's positive deviation is floor-quantized to
+    1e-8 units (BIGINT) before the per-group sum, so double summation
+    order cannot perturb the group TVD; the readout quantizes to 4 dp.
+    """
+    keys = ["dow", "hour_band", "event_type"]
+    band_tot = qi.groupBy("value_band").agg(F.sum("n").cast("long").alias("nb"))
+    grand = qi.agg(F.sum("n").cast("long").alias("nt"))
+    grp = qi.groupBy(*keys).agg(F.sum("n").cast("long").alias("n_g"))
+    dev = F.greatest(
+        F.col("n").cast("double") / F.col("n_g").cast("double")
+        - F.col("nb").cast("double") / F.col("nt").cast("double"),
+        F.lit(0.0),
+    )
+    per_group = (
+        qi.join(F.broadcast(band_tot), "value_band")
+        .join(F.broadcast(grp), keys)
+        .crossJoin(F.broadcast(grand))
+        .select(
+            *keys,
+            "n_g",
+            F.floor(dev * 100000000.0 + F.lit(0.5)).cast("long").alias("dm"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.min("n_g").alias("n_g"),
+            (
+                F.floor(F.sum("dm").cast("double") / 10000.0 + F.lit(0.5))
+                / 10000.0
+            ).alias("tvd"),
+        )
+    )
+    risky = F.sum(F.when(F.col("tvd") > t, F.col("n_g")).otherwise(0))
+    return per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("tvd").alias("t_max"),
+        F.sum(F.when(F.col("tvd") > t, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_above_t"),
+        risky.cast("long").alias("rows_above_t"),
+        (
+            F.floor(
+                risky.cast("double") / F.sum("n_g").cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("risk_frac"),
+    )

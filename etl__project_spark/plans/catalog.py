@@ -12133,3 +12133,69 @@ def emb_pipeline_e2e(spark, sf_dir, n_clusters=8):
         .unionByName(one(ex, 4, "exemplars"))
         .orderBy("stage")
     )
+
+
+@query(
+    "ev_t_closeness",
+    """WITH qi AS (
+  SELECT (dayofweek(ts) + 1)::BIGINT AS dow,
+         (hour(ts) // 6)::BIGINT AS hour_band,
+         event_type,
+         (CASE WHEN value IS NULL THEN -1
+               ELSE floor(value / 50) END)::BIGINT AS value_band,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2, 3, 4
+),
+band_tot AS (SELECT value_band, sum(n)::BIGINT AS nb FROM qi GROUP BY value_band),
+grand AS (SELECT sum(n)::BIGINT AS nt FROM qi),
+grp AS (
+  SELECT dow, hour_band, event_type, sum(n)::BIGINT AS n_g
+  FROM qi GROUP BY 1, 2, 3
+),
+per_group AS (
+  SELECT q.dow, q.hour_band, q.event_type,
+         min(g.n_g)::BIGINT AS n_g,
+         floor(sum(floor(greatest(q.n::DOUBLE / g.n_g::DOUBLE
+                                  - b.nb::DOUBLE / grand.nt::DOUBLE, 0.0)
+                         * 100000000.0 + 0.5)::BIGINT)::DOUBLE
+               / 10000.0 + 0.5) / 10000.0 AS tvd
+  FROM qi q
+  JOIN band_tot b USING (value_band)
+  JOIN grp g ON q.dow = g.dow AND q.hour_band = g.hour_band
+            AND q.event_type = g.event_type
+  CROSS JOIN grand
+  GROUP BY 1, 2, 3
+)
+SELECT count(*)::BIGINT AS n_groups,
+       max(tvd) AS t_max,
+       sum(CASE WHEN tvd > 0.5 THEN 1 ELSE 0 END)::BIGINT AS groups_above_t,
+       sum(CASE WHEN tvd > 0.5 THEN n_g ELSE 0 END)::BIGINT AS rows_above_t,
+       floor(sum(CASE WHEN tvd > 0.5 THEN n_g ELSE 0 END)::DOUBLE
+             / sum(n_g)::DOUBLE * 10000 + 0.5) / 10000.0 AS risk_frac
+FROM per_group""",
+)
+def ev_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    completes the release-gate trio: ``ev_k_anonymity`` (can you be
+    singled out), ``ev_l_diversity`` (does the group have one sensitive
+    value), and now DISTRIBUTIONAL skew (a big, diverse group still
+    leaks if its spend-band mix deviates far from the corpus). Distance
+    = total variation between group and global band distributions,
+    computed as the sum of positive deviations (equal to TVD since both
+    sum to 1 — and absent bands contribute nothing, so the audit runs
+    entirely on the same (QI, band)-grain count table the streaming
+    path maintains at ingest).
+
+    Distributed shape: everything downstream of ``qi_band_counts``'s
+    one event-sized aggregate is QI-domain-bounded — band totals and
+    the grand total broadcast back, one bounded aggregate per group,
+    1-row finalize. Shared gate: ``operators/quality.py:
+    t_closeness_gate`` (also servable from ``read_qi_counts``)."""
+    from etl__project_spark.operators.quality import (
+        qi_band_counts,
+        t_closeness_gate,
+    )
+
+    return t_closeness_gate(
+        qi_band_counts(load_table(spark, sf_dir, "events")), t=0.5
+    )

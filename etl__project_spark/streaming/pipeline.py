@@ -1143,6 +1143,16 @@ def read_l_diversity(wh: ParquetWarehouse) -> DataFrame:
     return l_diversity_gate(read_qi_counts(wh), l_min=2)
 
 
+def read_t_closeness(wh: ParquetWarehouse) -> DataFrame:
+    """t-closeness release gate served from the same maintained table
+    (group and global band distributions are both ratios of the
+    maintained counts), via ``t_closeness_gate`` — the third gate of
+    the trio, same serve path as the batch ``ev_t_closeness``."""
+    from etl__project_spark.operators.quality import t_closeness_gate
+
+    return t_closeness_gate(read_qi_counts(wh), t=0.5)
+
+
 def stream_qi_counts(
     spark: SparkSession,
     landing_dir: str,

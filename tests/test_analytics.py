@@ -794,3 +794,30 @@ def test_bot_detection_flags_metronomic_and_fast_users(spark):
     assert got[1]["bot_flag"] and got[1]["iat_cv"] < 0.5  # metronomic
     assert got[2]["bot_flag"] and got[2]["events_per_min"] > 0.5  # fast
     assert not got[3]["bot_flag"]  # bursty human passes
+
+
+def test_t_closeness_flags_skewed_group(spark, monkeypatch):
+    """Planted distributions in one (dow, hour-band) cell: group 'a' is
+    100 events all in spend band 0, group 'b' is 900 events all in
+    band 1. Global mix is (0.1, 0.9), so TVD('a') = 1 - 0.1 = 0.9
+    (above the 0.5 gate) and TVD('b') = 1 - 0.9 = 0.1 (below). Expect
+    t_max 0.9, one group above, 100 rows above, risk 0.1."""
+    import etl__project_spark.plans.catalog as cat
+    from pyspark.sql import functions as F
+
+    rows = [(i, "2024-03-04 09:00:00", 1, "a", 10.0, "{}") for i in range(100)]
+    rows += [
+        (100 + i, "2024-03-04 09:00:00", 1, "b", 60.0, "{}") for i in range(900)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    [row] = cat.QUERIES["ev_t_closeness"](spark, "unused").collect()
+    assert row["n_groups"] == 2
+    assert row["t_max"] == 0.9
+    assert row["groups_above_t"] == 1
+    assert row["rows_above_t"] == 100
+    assert row["risk_frac"] == 0.1

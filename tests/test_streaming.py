@@ -1029,6 +1029,7 @@ def test_streaming_privacy_gates_match_one_shot(spark, tmp_path):
         read_k_anonymity,
         read_l_diversity,
         read_qi_counts,
+        read_t_closeness,
         stream_qi_counts,
     )
 
@@ -1092,6 +1093,7 @@ def test_streaming_privacy_gates_match_one_shot(spark, tmp_path):
     try:
         k_oneshot = cat.QUERIES["ev_k_anonymity"](spark, "unused").collect()
         l_oneshot = cat.QUERIES["ev_l_diversity"](spark, "unused").collect()
+        t_oneshot = cat.QUERIES["ev_t_closeness"](spark, "unused").collect()
     finally:
         cat.load_table = orig
     assert sorted(map(tuple, read_k_anonymity(wh).collect())) == sorted(
@@ -1099,6 +1101,9 @@ def test_streaming_privacy_gates_match_one_shot(spark, tmp_path):
     )
     assert sorted(map(tuple, read_l_diversity(wh).collect())) == sorted(
         map(tuple, l_oneshot)
+    )
+    assert sorted(map(tuple, read_t_closeness(wh).collect())) == sorted(
+        map(tuple, t_oneshot)
     )
 
     # replay with a fresh checkpoint: ledger no-ops the table

@@ -12199,3 +12199,108 @@ def ev_t_closeness(spark, sf_dir):
     return t_closeness_gate(
         qi_band_counts(load_table(spark, sf_dir, "events")), t=0.5
     )
+
+
+@query(
+    "tpch_spearman_corr",
+    """WITH cells AS (
+  SELECT l_quantity::BIGINT AS q,
+         floor(l_discount * 100 + 0.5)::BIGINT AS d,
+         count(*)::BIGINT AS n
+  FROM lineitem GROUP BY 1, 2
+),
+hq AS (
+  SELECT q, sum(n)::BIGINT AS nq,
+         (2 * (sum(sum(n)) OVER (ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+          + sum(n) + 1)::BIGINT AS rq2
+  FROM cells GROUP BY q
+),
+hd AS (
+  SELECT d, sum(n)::BIGINT AS nd,
+         (2 * (sum(sum(n)) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+          + sum(n) + 1)::BIGINT AS rd2
+  FROM cells GROUP BY d
+),
+stats AS (
+  SELECT sum(c.n)::HUGEINT AS nn,
+         sum(c.n::HUGEINT * hq.rq2)::HUGEINT AS sx,
+         sum(c.n::HUGEINT * hd.rd2)::HUGEINT AS sy,
+         sum(c.n::HUGEINT * hq.rq2 * hq.rq2)::HUGEINT AS sxx,
+         sum(c.n::HUGEINT * hd.rd2 * hd.rd2)::HUGEINT AS syy,
+         sum(c.n::HUGEINT * hq.rq2 * hd.rd2)::HUGEINT AS sxy
+  FROM cells c JOIN hq USING (q) JOIN hd USING (d)
+)
+SELECT nn::BIGINT AS n_rows,
+       floor((nn::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((nn::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (nn::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+             * 10000 + 0.5) / 10000.0 AS spearman_rho
+FROM stats""",
+)
+def tpch_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between l_quantity and l_discount —
+    the robust companion to ``tpch_corr_matrix``'s Pearson r (rank
+    correlation survives monotone transforms and outliers, the version
+    a data-quality report should quote for non-normal columns).
+
+    The 100 TB trick: NO row ever gets a rank. Both columns have small
+    discrete domains (50 quantities x 11 discount ticks), so the
+    engine aggregates once to the 550-cell JOINT histogram, derives
+    exact tie-averaged ranks per value from the marginal prefix sums
+    (doubled to stay integer: 2*avgrank = 2*count_less + count_eq + 1),
+    and reads every Spearman sufficient statistic off the cells —
+    sum(n*x), sum(n*x^2), sum(n*x*y) as exact wide integers (Spark
+    decimal(38,0) / DuckDB HUGEINT — both convert the same integer to
+    the same IEEE double, so the final one-shot formula is
+    bit-identical). The only window is the 50-row / 11-row marginal
+    prefix sum. Global sort of N rows for ranking: never happens.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("d"),
+    )
+    cells = li.groupBy("q", "d").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+
+    def marginal(key, rank_name):
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+        m = cells.groupBy(key).agg(F.sum("n").alias("nk"))
+        return m.select(
+            key,
+            (
+                2 * F.coalesce(F.sum("nk").over(w), F.lit(0))
+                + F.col("nk")
+                + 1
+            ).cast("long").alias(rank_name),
+        )
+
+    hq = marginal("q", "rq2")
+    hd = marginal("d", "rd2")
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    j = cells.join(F.broadcast(hq), "q").join(F.broadcast(hd), "d")
+    stats = j.agg(
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum(dec(F.col("n")) * dec(F.col("rq2"))).alias("sx"),
+        F.sum(dec(F.col("n")) * dec(F.col("rd2"))).alias("sy"),
+        F.sum(dec(F.col("n") * F.col("rq2")) * dec(F.col("rq2"))).alias("sxx"),
+        F.sum(dec(F.col("n") * F.col("rd2")) * dec(F.col("rd2"))).alias("syy"),
+        F.sum(dec(F.col("n") * F.col("rq2")) * dec(F.col("rd2"))).alias("sxy"),
+    )
+    nn = F.col("nn").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    rho = (nn * sxy - sx * sy) / F.sqrt(
+        (nn * sxx - sx * sx) * (nn * syy - sy * sy)
+    )
+    return stats.select(
+        F.col("nn").cast("long").alias("n_rows"),
+        (F.floor(rho * 10000 + F.lit(0.5)) / 10000.0).alias("spearman_rho"),
+    )

@@ -821,3 +821,25 @@ def test_t_closeness_flags_skewed_group(spark, monkeypatch):
     assert row["groups_above_t"] == 1
     assert row["rows_above_t"] == 100
     assert row["risk_frac"] == 0.1
+
+
+def test_spearman_monotone_and_reversed(spark, monkeypatch):
+    """Planted monotone relation (discount tick = quantity, plus ties)
+    must score rho = 1.0; reversing the discount column must flip it
+    to -1.0 — the defining invariance of rank correlation."""
+    import etl__project_spark.plans.catalog as cat
+    from pyspark.sql import functions as F
+
+    def li(pairs):
+        return spark.createDataFrame(
+            [(float(q), d / 100.0) for q, d in pairs],
+            "l_quantity double, l_discount double",
+        )
+
+    up = [(q, q) for q in range(1, 6) for _ in range(3)]
+    down = [(q, 6 - q) for q in range(1, 6) for _ in range(3)]
+    for pairs, want in [(up, 1.0), (down, -1.0)]:
+        monkeypatch.setattr(cat, "load_table", lambda s, d, t, p=pairs: li(p))
+        [row] = cat.QUERIES["tpch_spearman_corr"](spark, "unused").collect()
+        assert row["n_rows"] == 15
+        assert row["spearman_rho"] == want

@@ -319,6 +319,7 @@ SINGLE_PARTITION_CENSUS = {
     "vs_scd2_asof_lookup": 5,  # inherits vs_scd2_upsert's tiny-dim bookkeeping windows; the as-of adds only a 2-row broadcast
     "doc_hybrid_rrf": 2,  # the two rank windows over limit-50 top-k lists (<= 50 rows each by construction)
     "emb_pipeline_e2e": 4,  # the four 1-row stage-count agg finalizes of the scorecard
+    "tpch_spearman_corr": 3,  # two marginal prefix windows (<= 50 / 11 rows) + the 1-row sufficient-stats finalize; row-level ranking never happens
     "ev_ks_test": 4,  # totals + percentile-cuts 1-row agg finalizes, <=32-row band-carry window, 1-row D-argmax agg finalize
     "ev_benford_audit": 1,  # the 9-row digit rollup's grand-total agg finalize
     "ev_cusum_changepoint": 2,  # totals agg finalize + calendar-bounded daily-series prefix window (<= |days| rows)

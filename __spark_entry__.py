@@ -48,7 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # fit, k-anonymity, l-diversity, frame sampling, forecast backtest,
 # Hamming recall audit, power/MDE, bot screen, TextRank, triangle
 # count, k-core histogram, PPR related terms, RRF hybrid retrieval,
-# embedding-intake pipeline e2e, t-closeness gate, Spearman rank corr).
+# embedding-intake pipeline e2e, t-closeness gate, Spearman rank corr,
+# split leakage audit).
 # Every query outside the
 # window stays pinned in-repo by
 # `pytest -m oracle` and the committed CORRECTNESS_FULL.json artifact

@@ -12304,3 +12304,103 @@ def tpch_spearman_corr(spark, sf_dir):
         F.col("nn").cast("long").alias("n_rows"),
         (F.floor(rho * 10000 + F.lit(0.5)) / 10000.0).alias("spearman_rho"),
     )
+
+
+@query(
+    "doc_split_leakage_audit",
+    f"""WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_LIST}) AS shingle FROM documents
+),
+sig AS ({_LSH_SQL_SIG}),
+bands AS (
+  SELECT doc_id, 0 AS band_id,
+         md5(h0::VARCHAR || h1::VARCHAR || h2::VARCHAR || h3::VARCHAR) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id,
+         md5(h4::VARCHAR || h5::VARCHAR || h6::VARCHAR || h7::VARCHAR) AS band_hash FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+split AS (
+  SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 15))::BIGINT
+               % 100 AS b
+    FROM documents
+  )
+)
+SELECT least(sa.split, sb.split) AS split_lo,
+       greatest(sa.split, sb.split) AS split_hi,
+       count(*)::BIGINT AS n_pairs,
+       (least(sa.split, sb.split) <> greatest(sa.split, sb.split)) AS is_leak
+FROM pairs p
+JOIN split sa ON p.id_a = sa.doc_id
+JOIN split sb ON p.id_b = sb.doc_id
+GROUP BY 1, 2
+ORDER BY split_lo, split_hi""",
+)
+def doc_split_leakage_audit(spark, sf_dir):
+    """Train/val/test SPLIT LEAKAGE audit — the check every training
+    pipeline must run before a split ships: assign each document to
+    train (80%) / val (10%) / test (10%) by the deterministic
+    ``hash_bucket`` (md5, engine-portable), then join the MinHash-LSH
+    near-dup candidate pairs against the assignment and count pairs
+    that STRADDLE splits. A near-duplicate of a training doc sitting
+    in the eval split inflates every benchmark number; this is the
+    composed guard the standalone pieces (``doc_hash_sample``,
+    ``doc_lsh_pairs``, ``doc_decontaminate``) exist to enable. Output:
+    one row per unordered split pair with the candidate count and the
+    leak flag (within-split rows are the benign dedup backlog).
+
+    Distributed shape: identical to ``doc_lsh_pairs`` (banded
+    equi-join, never all-pairs) plus two broadcast-able hash-assign
+    maps and one bounded (≤6-row) aggregate. At 100 TB the pair set is
+    the LSH candidate space (collision-bounded) and the split map is a
+    pure map-side column — no new shuffle beyond the pair join."""
+    from etl__project_spark.datapipe.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 100, salt="split")
+    split = docs.select(
+        "doc_id",
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    sig = minhash_signature(
+        char_shingles(docs, distinct=False), n_hashes=8
+    ).persist()
+    sig.count()
+    pairs = lsh_candidate_pairs(sig, n_bands=2, rows_per_band=4)
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("s_a"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("s_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("s_a", "s_b").alias("split_lo"),
+            F.greatest("s_a", "s_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )

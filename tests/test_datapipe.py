@@ -1049,3 +1049,50 @@ def test_emb_pipeline_scorecard_monotone(spark, monkeypatch):
     # dedup semantics (exact dups collapse to one keeper) are
     # value-pinned by the emb_semantic_dedup oracle; the scorecard
     # only needs the per-stage counts to be monotone and reproducible
+
+
+def test_split_leakage_audit_finds_planted_straddler(spark, monkeypatch):
+    """Plant one near-dup pair that straddles the hash split: compute
+    each candidate id's split with the SAME hash_bucket the operator
+    uses, pick one train id and one non-train id, give them identical
+    long texts (a guaranteed LSH candidate pair), and make every other
+    doc unique. The audit must emit exactly one pair, flagged
+    is_leak=True, between those two splits."""
+    import etl__project_spark.plans.catalog as cat
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    b = hash_bucket(F.col("id"), 100, salt="split")
+    buckets = {
+        r["id"]: r["b"]
+        for r in spark.range(60).select("id", b.alias("b")).collect()
+    }
+    train_id = next(i for i, v in buckets.items() if v < 80)
+    other_id = next(i for i, v in buckets.items() if v >= 80)
+    import hashlib
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(int(train_id), dup_text), (int(other_id), dup_text)]
+    rows += [
+        (
+            int(i),
+            " ".join(
+                hashlib.md5(f"{i}-{j}".encode()).hexdigest() for j in range(8)
+            ),
+        )
+        for i in buckets
+        if i not in (train_id, other_id)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    out = cat.QUERIES["doc_split_leakage_audit"](spark, "unused").collect()
+    leaks = [r for r in out if r["is_leak"]]
+    expect = tuple(sorted(["train", "val" if buckets[other_id] < 90 else "test"]))
+    got = [(r["split_lo"], r["split_hi"], r["n_pairs"]) for r in leaks]
+    assert (expect[0], expect[1], 1) in got
+    assert sum(r["n_pairs"] for r in leaks) == 1  # only the planted pair leaks

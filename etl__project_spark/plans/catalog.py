@@ -12404,3 +12404,104 @@ def doc_split_leakage_audit(spark, sf_dir):
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+@query(
+    "ev_markov_eval",
+    """WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS nxt
+  FROM events
+),
+mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM seq),
+train AS (
+  SELECT cur, nxt, count(*)::BIGINT AS n
+  FROM seq, mid WHERE nxt IS NOT NULL AND us <= m
+  GROUP BY cur, nxt
+),
+pred AS (
+  SELECT cur, nxt AS pred FROM (
+    SELECT cur, nxt,
+           row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt) AS rn
+    FROM train
+  ) WHERE rn = 1
+),
+test AS (
+  SELECT s.cur, s.nxt, p.pred
+  FROM seq s CROSS JOIN mid LEFT JOIN pred p ON s.cur = p.cur
+  WHERE s.nxt IS NOT NULL AND s.us > mid.m
+)
+SELECT count(*)::BIGINT AS n_test,
+       sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+       floor(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE * 10000 + 0.5) / 10000.0 AS top1_accuracy
+FROM test""",
+)
+def ev_markov_eval(spark, sf_dir):
+    """In-engine model evaluation: train the first-order Markov
+    next-event predictor on the FIRST HALF of the event timeline
+    (per-state argmax of ``ev_transition_matrix``'s counts), score
+    top-1 accuracy on the SECOND half — the time-split train/eval loop
+    a clickstream model actually ships through, run entirely as
+    relational algebra. Output: test transitions, correct predictions,
+    covered transitions (current state seen in training), accuracy.
+
+    Distributed shape: the ONE user-keyed exchange feeds the lead
+    window (shared with ``ev_transition_matrix``); the timeline
+    midpoint is a 1-row broadcast; training counts and the per-state
+    argmax live on the |types|²-bounded table; scoring joins the test
+    stream against the ≤|types|-row broadcast prediction map and
+    finalizes one row. Unseen-state test transitions score as misses
+    (pred NULL ≠ any type) — the honest accounting for a cold-start
+    state. At 100 TB the only data-sized stages are the window and
+    the final scan-side scoring join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # midpoint over ALL events (the oracle's seq CTE includes each
+    # user's last event; only train/test filter nxt IS NOT NULL)
+    allus = ev.select(F.unix_micros("ts").alias("us"))
+    seq = ev.select(
+        F.unix_micros("ts").alias("us"),
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull()).localCheckpoint()
+    mid = allus.agg(
+        (
+            (F.min("us") + F.max("us")) - F.pmod(F.min("us") + F.max("us"), 2)
+        ).alias("m2")
+    ).select((F.col("m2") / 2).cast("long").alias("m"))
+    train = (
+        seq.crossJoin(F.broadcast(mid))
+        .filter(F.col("us") <= F.col("m"))
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_arg = Window.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    pred = (
+        train.withColumn("rn", F.row_number().over(w_arg))
+        .filter(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    test = (
+        seq.crossJoin(F.broadcast(mid))
+        .filter(F.col("us") > F.col("m"))
+        .join(F.broadcast(pred), "cur", "left")
+    )
+    hit = F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0)
+    return test.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        F.sum(F.when(F.col("pred").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        (
+            F.floor(
+                F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("top1_accuracy"),
+    )

@@ -843,3 +843,29 @@ def test_spearman_monotone_and_reversed(spark, monkeypatch):
         [row] = cat.QUERIES["tpch_spearman_corr"](spark, "unused").collect()
         assert row["n_rows"] == 15
         assert row["spearman_rho"] == want
+
+
+def test_markov_eval_time_split_accuracy(spark, monkeypatch):
+    """Planted timeline: user 1 alternates A,B,A,B,A,B entirely in the
+    first half (training: A->B x3, B->A x2), user 2 plays A,B,A,C in
+    the second half (test: A->B hit, B->A hit, A->C miss). The
+    predictor must learn A->B / B->A and score exactly 2/3."""
+    import etl__project_spark.plans.catalog as cat
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i, et in enumerate(["A", "B", "A", "B", "A", "B"]):
+        rows.append((i, f"2024-03-04 00:0{i}:00", 1, et))
+    for i, et in enumerate(["A", "B", "A", "C"]):
+        rows.append((10 + i, f"2024-03-04 10:0{i}:00", 2, et))
+    df = spark.createDataFrame(
+        [(e, ts, u, t, 1.0, "{}") for e, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    [row] = cat.QUERIES["ev_markov_eval"](spark, "unused").collect()
+    assert row["n_test"] == 3
+    assert row["n_correct"] == 2
+    assert row["n_covered"] == 3
+    assert row["top1_accuracy"] == 0.6667

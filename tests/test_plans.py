@@ -321,6 +321,7 @@ SINGLE_PARTITION_CENSUS = {
     "emb_pipeline_e2e": 4,  # the four 1-row stage-count agg finalizes of the scorecard
     "tpch_spearman_corr": 3,  # two marginal prefix windows (<= 50 / 11 rows) + the 1-row sufficient-stats finalize; row-level ranking never happens
     "doc_cooccur_triangles": 2,  # triangle-count + wedge-count 1-row agg finalizes
+    "ev_markov_eval": 3,  # timeline-midpoint 1-row agg (x2 plan reuse) + the 1-row scorecard finalize; train/argmax live on the |types|^2 table
     "ev_ks_test": 4,  # totals + percentile-cuts 1-row agg finalizes, <=32-row band-carry window, 1-row D-argmax agg finalize
     "ev_benford_audit": 1,  # the 9-row digit rollup's grand-total agg finalize
     "ev_cusum_changepoint": 2,  # totals agg finalize + calendar-bounded daily-series prefix window (<= |days| rows)

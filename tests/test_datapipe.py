@@ -1096,3 +1096,42 @@ def test_split_leakage_audit_finds_planted_straddler(spark, monkeypatch):
     got = [(r["split_lo"], r["split_hi"], r["n_pairs"]) for r in leaks]
     assert (expect[0], expect[1], 1) in got
     assert sum(r["n_pairs"] for r in leaks) == 1  # only the planted pair leaks
+
+
+def test_snm_pairs_cross_band_straddle(spark, monkeypatch):
+    """Worst case for the banded decomposition: every first-char band
+    has size 1 (every band is ALL edge rows), so every window pair
+    straddles bands — plus one two-doc band to exercise the within-band
+    lead path. Expect exactly the sliding-window-of-4 pair set over the
+    global (key, doc_id) order, computed here by brute force."""
+    import etl__project_spark.plans.catalog as cat
+
+    texts = {
+        0: "alpha one",
+        1: "bravo two",
+        2: "charlie three",
+        3: "delta four",
+        4: "echo five",
+        5: "alpha zz sibling",  # second member of the 'a' band
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in cat.QUERIES["doc_snm_pairs"](spark, "unused").collect()
+    )
+    order = sorted(texts, key=lambda i: (texts[i].lower()[:24], i))
+    want = sorted(
+        tuple(sorted((order[i], order[j])))
+        for i in range(len(order))
+        for j in range(i + 1, min(i + 4, len(order)))
+    )
+    assert got == want

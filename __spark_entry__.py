@@ -49,7 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Hamming recall audit, power/MDE, bot screen, TextRank, triangle
 # count, k-core histogram, PPR related terms, RRF hybrid retrieval,
 # embedding-intake pipeline e2e, t-closeness gate, Spearman rank corr,
-# split leakage audit, Markov next-event eval, SNM blocking).
+# split leakage audit, Markov next-event eval, SNM blocking, event-
+# intake pipeline e2e).
 # Every query outside the
 # window stays pinned in-repo by
 # `pytest -m oracle` and the committed CORRECTNESS_FULL.json artifact

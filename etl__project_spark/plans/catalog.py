@@ -4109,7 +4109,16 @@ def ev_funnel_steps(spark, sf_dir):
     collect_list). At 100 TB this is exactly the shape you want: one
     user-keyed exchange, then embarrassingly parallel.
     """
-    ev = load_table(spark, sf_dir, "events")
+    c = _funnel_counts(load_table(spark, sf_dir, "events"))
+    return c.selectExpr(
+        "stack(4, 1L, 'signup', c1, 2L, 'view', c2, 3L, 'click', c3,"
+        " 4L, 'purchase', c4) AS (stage, stage_name, n_users)"
+    )
+
+
+def _funnel_counts(ev):
+    """One-row (c1..c4) strict-order funnel stage counts — shared by
+    ``ev_funnel_steps`` and the event-intake pipeline."""
     w = Window.partitionBy("user_id")
     df = ev.select("user_id", "ts", "event_type")
     df = df.withColumn(
@@ -4148,15 +4157,11 @@ def ev_funnel_steps(spark, sf_dir):
         F.min("t3").alias("t3"),
         F.min("t4").alias("t4"),
     )
-    c = u.agg(
+    return u.agg(
         F.count("t1").alias("c1"),
         F.count("t2").alias("c2"),
         F.count("t3").alias("c3"),
         F.count("t4").alias("c4"),
-    )
-    return c.selectExpr(
-        "stack(4, 1L, 'signup', c1, 2L, 'view', c2, 3L, 'click', c3,"
-        " 4L, 'purchase', c4) AS (stage, stage_name, n_users)"
     )
 
 
@@ -11542,7 +11547,13 @@ def ev_bot_detection(spark, sf_dir):
     Distributed shape: one user-partitioned lag window + one user
     aggregate — a single exchange on user_id; no global stage, no
     join. Output is the per-user scorecard (bounded by |users|)."""
-    ev = load_table(spark, sf_dir, "events")
+    return _bot_screen(load_table(spark, sf_dir, "events"))
+
+
+def _bot_screen(ev):
+    """Per-user behavioral bot scorecard (user_id, n_events,
+    events_per_min, iat_cv, bot_flag) — shared by ``ev_bot_detection``
+    and the event-intake pipeline's gate stage."""
     wu = Window.partitionBy("user_id").orderBy(
         F.unix_micros("ts"), F.col("event_id")
     )
@@ -12593,4 +12604,151 @@ def doc_snm_pairs(spark, sf_dir):
     return within.unionByName(cross).select(
         F.least("doc_id", "nb").alias("id_a"),
         F.greatest("doc_id", "nb").alias("id_b"),
+    )
+
+
+@query(
+    "ev_pipeline_e2e",
+    """WITH iat AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY epoch_us(ts),
+                                                         event_id) AS d
+  FROM events
+),
+usr AS (
+  SELECT user_id, count(*)::BIGINT AS n_gaps,
+         sum(d)::BIGINT AS span_us,
+         sum(d::HUGEINT * d)::HUGEINT AS d2
+  FROM iat WHERE d IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 19
+),
+scored AS (
+  SELECT user_id,
+         floor((n_gaps + 1)::DOUBLE
+               / (span_us::DOUBLE / 60000000.0) * 10000 + 0.5) / 10000.0
+             AS events_per_min,
+         floor(sqrt(greatest(d2::DOUBLE / n_gaps::DOUBLE
+                             - (span_us::DOUBLE / n_gaps::DOUBLE)
+                               * (span_us::DOUBLE / n_gaps::DOUBLE), 0.0))
+               / (span_us::DOUBLE / n_gaps::DOUBLE) * 10000 + 0.5) / 10000.0
+             AS iat_cv
+  FROM usr
+),
+flagged AS (
+  SELECT user_id FROM scored WHERE events_per_min > 0.5 OR iat_cv < 0.5
+),
+kept AS (
+  SELECT e.* FROM events e LEFT JOIN flagged f ON e.user_id = f.user_id
+  WHERE f.user_id IS NULL
+),
+gaps AS (
+  SELECT CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM kept
+),
+s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+  FROM kept
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+                OVER (PARTITION BY user_id) AS t2 FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+                OVER (PARTITION BY user_id) AS t3 FROM s2
+),
+s4 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+                OVER (PARTITION BY user_id) AS t4 FROM s3
+),
+u AS (
+  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3, min(t4) AS t4
+  FROM s4 GROUP BY user_id
+),
+c AS (
+  SELECT count(t1)::BIGINT AS c1, count(t2)::BIGINT AS c2,
+         count(t3)::BIGINT AS c3, count(t4)::BIGINT AS c4
+  FROM u
+)
+SELECT 1::BIGINT AS stage, 'raw_events' AS metric,
+       (SELECT count(*) FROM events)::BIGINT AS n
+UNION ALL SELECT 2::BIGINT, 'flagged_users',
+       (SELECT count(*) FROM flagged)::BIGINT
+UNION ALL SELECT 3::BIGINT, 'kept_events',
+       (SELECT count(*) FROM kept)::BIGINT
+UNION ALL SELECT 4::BIGINT, 'sessions',
+       (SELECT sum(new_session) FROM gaps)::BIGINT
+UNION ALL SELECT 5::BIGINT, 'funnel_signup', c1 FROM c
+UNION ALL SELECT 6::BIGINT, 'funnel_view', c2 FROM c
+UNION ALL SELECT 7::BIGINT, 'funnel_click', c3 FROM c
+UNION ALL SELECT 8::BIGINT, 'funnel_purchase', c4 FROM c
+ORDER BY stage""",
+)
+def ev_pipeline_e2e(spark, sf_dir):
+    """The event-intake pipeline composed end-to-end — completing the
+    intake trio with ``doc_pipeline_e2e`` (text) and
+    ``emb_pipeline_e2e`` (vectors): (1) GATE: drop every user the
+    behavioral bot screen flags (shared ``_bot_screen`` — too fast or
+    too metronomic); (2) SESSIONIZE the surviving events (30-min gap,
+    the ``ev_sessionize`` definition); (3) FUNNEL the survivors
+    through signup→view→click→purchase (shared ``_funnel_counts``);
+    (4) an 8-row scorecard (raw events, flagged users, kept events,
+    sessions, four funnel stages). The analytics a clickstream
+    pipeline publishes AFTER abuse filtering — bot traffic would
+    otherwise inflate every downstream number.
+
+    Distributed shape: the bot scorecard and the anti-join gate are
+    one user-keyed exchange + a users-bounded flag set; sessions and
+    the funnel chain reuse ONE user-keyed exchange on the
+    checkpointed kept stream (four stacked min windows + the lag
+    window plan on the same partitioning); the scorecard is bounded
+    1-row finalizes. Each stage shrinks the next stage's input — the
+    composition property of the other two pipelines."""
+    ev = load_table(spark, sf_dir, "events")
+    flagged = (
+        _bot_screen(ev)
+        .filter(F.col("bot_flag"))
+        .select("user_id")
+        .localCheckpoint()
+    )
+    kept = ev.join(flagged, "user_id", "left_anti").localCheckpoint()
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag(F.unix_micros("ts")).over(wu)
+    new_s = F.when(
+        lag_us.isNull() | ((F.unix_micros("ts") - lag_us) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    n_sessions = kept.select(new_s.alias("s")).agg(
+        F.sum("s").cast("long").alias("n")
+    )
+
+    def one(df, stage, name):
+        return df.select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("metric"),
+            F.col("n"),
+        )
+
+    raw = one(ev.agg(F.count(F.lit(1)).alias("n")), 1, "raw_events")
+    nf = one(flagged.agg(F.count(F.lit(1)).alias("n")), 2, "flagged_users")
+    nk = one(kept.agg(F.count(F.lit(1)).alias("n")), 3, "kept_events")
+    ns = one(n_sessions, 4, "sessions")
+    fun = _funnel_counts(kept).selectExpr(
+        "stack(4, 5L, 'funnel_signup', c1, 6L, 'funnel_view', c2,"
+        " 7L, 'funnel_click', c3, 8L, 'funnel_purchase', c4)"
+        " AS (stage, metric, n)"
+    )
+    return (
+        raw.unionByName(nf)
+        .unionByName(nk)
+        .unionByName(ns)
+        .unionByName(fun)
+        .orderBy("stage")
     )

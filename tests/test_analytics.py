@@ -869,3 +869,55 @@ def test_markov_eval_time_split_accuracy(spark, monkeypatch):
     assert row["n_correct"] == 2
     assert row["n_covered"] == 3
     assert row["top1_accuracy"] == 0.6667
+
+
+def test_ev_pipeline_scorecard_hand_computed(spark, monkeypatch):
+    """Planted intake reusing the bot-screen cast: a metronomic
+    scheduler (30 events) and a fast script (30) get gated; a bursty
+    human (20 events over 5 days, first four = signup/view/click/
+    purchase in order) and a tiny user (5 clicks, under the screen's
+    event floor) survive. Hand-computed: 85 raw, 2 flagged, 25 kept,
+    12 sessions (11 human bursts + 1 tiny), funnel 1/1/1/1."""
+    import etl__project_spark.plans.catalog as cat
+    from pyspark.sql import functions as F
+
+    rows, eid = [], 0
+    for i in range(30):
+        rows.append((eid, 1, f"2024-01-05 10:{i:02d}:00", "click")); eid += 1
+    for i in range(30):
+        sec = 5 * i + (i % 3)
+        rows.append(
+            (eid, 2, f"2024-01-05 10:{sec // 60:02d}:{sec % 60:02d}", "click")
+        ); eid += 1
+    human = [0, 10, 25, 3600, 3620, 7200, 86400, 86410, 90000, 172800,
+             172830, 180000, 259200, 259300, 260000, 345600, 345700,
+             350000, 432000, 432060]
+    h_types = ["signup", "view", "click", "purchase"] + ["click"] * 16
+    for s, et in zip(human, h_types):
+        rows.append(
+            (eid, 3, f"2024-01-{5 + s // 86400:02d} "
+             f"{(s % 86400) // 3600:02d}:{(s % 3600) // 60:02d}:{s % 60:02d}",
+             et)
+        ); eid += 1
+    for i in range(5):
+        rows.append((eid, 4, f"2024-01-05 10:0{i}:00", "click")); eid += 1
+    df = spark.createDataFrame(
+        [(e, ts, u, t, 1.0, "{}") for e, u, ts, t in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    got = {
+        r["metric"]: r["n"]
+        for r in cat.QUERIES["ev_pipeline_e2e"](spark, "unused").collect()
+    }
+    assert got == {
+        "raw_events": 85,
+        "flagged_users": 2,
+        "kept_events": 25,
+        "sessions": 12,
+        "funnel_signup": 1,
+        "funnel_view": 1,
+        "funnel_click": 1,
+        "funnel_purchase": 1,
+    }

@@ -322,6 +322,7 @@ SINGLE_PARTITION_CENSUS = {
     "tpch_spearman_corr": 3,  # two marginal prefix windows (<= 50 / 11 rows) + the 1-row sufficient-stats finalize; row-level ranking never happens
     "doc_cooccur_triangles": 2,  # triangle-count + wedge-count 1-row agg finalizes
     "ev_markov_eval": 3,  # timeline-midpoint 1-row agg (x2 plan reuse) + the 1-row scorecard finalize; train/argmax live on the |types|^2 table
+    "ev_pipeline_e2e": 5,  # the five 1-row scorecard finalizes (raw/flagged/kept/sessions/funnel counts)
     "ev_ks_test": 4,  # totals + percentile-cuts 1-row agg finalizes, <=32-row band-carry window, 1-row D-argmax agg finalize
     "ev_benford_audit": 1,  # the 9-row digit rollup's grand-total agg finalize
     "ev_cusum_changepoint": 2,  # totals agg finalize + calendar-bounded daily-series prefix window (<= |days| rows)

@@ -337,3 +337,43 @@ def t_closeness_gate(qi: DataFrame, t: float = 0.5) -> DataFrame:
             / 10000.0
         ).alias("risk_frac"),
     )
+
+
+def bot_scorecard(usr: DataFrame, min_gaps: int = 19) -> DataFrame:
+    """Behavioral bot scorecard finalize over per-user inter-arrival
+    SUFFICIENT STATISTICS (user_id, n_gaps, span_us, d2 = sum of
+    squared gaps): event rate over the active span and the coefficient
+    of variation of gaps, floor-quantized to 4 dp, flag = too fast OR
+    too metronomic. The stats are exact additive integers, so the
+    batch screen (``ev_bot_detection``) and the streaming maintenance
+    path (``stream_bot_screen`` folds per-batch partial sums plus
+    boundary gaps from a last-event cursor) finalize through THIS one
+    coded path and agree exactly."""
+    usr = usr.filter(F.col("n_gaps") >= min_gaps)
+    ng = F.col("n_gaps").cast("double")
+    mean_d = F.col("span_us").cast("double") / ng
+    var_d = F.greatest(
+        F.col("d2").cast("double") / ng - mean_d * mean_d, F.lit(0.0)
+    )
+    rate = (F.col("n_gaps") + 1).cast("double") / (
+        F.col("span_us").cast("double") / F.lit(60000000.0)
+    )
+
+    def q4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+    scored = usr.select(
+        "user_id",
+        (F.col("n_gaps") + 1).alias("n_events"),
+        q4(rate).alias("events_per_min"),
+        q4(F.sqrt(var_d) / mean_d).alias("iat_cv"),
+    )
+    return scored.select(
+        "user_id",
+        "n_events",
+        "events_per_min",
+        "iat_cv",
+        ((F.col("events_per_min") > 0.5) | (F.col("iat_cv") < 0.5)).alias(
+            "bot_flag"
+        ),
+    )

@@ -11565,44 +11565,16 @@ def _bot_screen(ev):
     def dec(c):
         return c.cast("decimal(18,0)")
 
-    usr = (
-        iat.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.sum("d").cast("long").alias("span_us"),
-            F.sum(dec(F.col("d")) * dec(F.col("d")))
-            .cast("decimal(38,0)")
-            .alias("d2"),
-        )
-        .filter(F.col("n_gaps") >= 19)
+    usr = iat.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("d").cast("long").alias("span_us"),
+        F.sum(dec(F.col("d")) * dec(F.col("d")))
+        .cast("decimal(38,0)")
+        .alias("d2"),
     )
-    ng = F.col("n_gaps").cast("double")
-    mean_d = F.col("span_us").cast("double") / ng
-    var_d = F.greatest(
-        F.col("d2").cast("double") / ng - mean_d * mean_d, F.lit(0.0)
-    )
-    rate = (F.col("n_gaps") + 1).cast("double") / (
-        F.col("span_us").cast("double") / F.lit(60000000.0)
-    )
+    from etl__project_spark.operators.quality import bot_scorecard
 
-    def q4(c):
-        return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
-
-    scored = usr.select(
-        "user_id",
-        (F.col("n_gaps") + 1).alias("n_events"),
-        q4(rate).alias("events_per_min"),
-        q4(F.sqrt(var_d) / mean_d).alias("iat_cv"),
-    )
-    return scored.select(
-        "user_id",
-        "n_events",
-        "events_per_min",
-        "iat_cv",
-        (
-            (F.col("events_per_min") > 0.5) | (F.col("iat_cv") < 0.5)
-        ).alias("bot_flag"),
-    )
+    return bot_scorecard(usr, min_gaps=19)
 
 
 def _textrank_iter_sql(prev: str, out: str) -> str:

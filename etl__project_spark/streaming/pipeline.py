@@ -1265,3 +1265,138 @@ def stream_word_graph(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming behavioral-bot-screen maintenance -----------------------------
+
+BOT_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+        T.StructField("span_us", T.LongType()),
+        T.StructField("d2", T.DecimalType(38, 0)),
+    ]
+)
+BOT_CURSOR_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+
+def read_bot_stats(wh: ParquetWarehouse) -> DataFrame:
+    """The maintained per-user inter-arrival sufficient statistics."""
+    return wh.read("bot_stats", BOT_STATS_SCHEMA)
+
+
+def read_bot_screen(wh: ParquetWarehouse) -> DataFrame:
+    """The bot scorecard served from the MAINTAINED stats — the
+    at-ingest face of ``ev_bot_detection``, finalized through the same
+    ``operators/quality.py:bot_scorecard`` coded path. Users still
+    under the 20-event floor stay in the stats table and start scoring
+    the moment they cross it."""
+    from etl__project_spark.operators.quality import bot_scorecard
+
+    return bot_scorecard(read_bot_stats(wh), min_gaps=19)
+
+
+def stream_bot_screen(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """The behavioral bot screen maintained AT INGEST: per micro-batch,
+    fold each user's inter-arrival-gap sufficient statistics
+    (n_gaps, Σd, Σd² — exact additive integers) into a persistent
+    per-user table, so abuse filtering is always current without ever
+    re-scanning event history. The boundary problem and its fix are
+    ``stream_transition_matrix``'s: the gap between a user's last
+    event of batch N and first event of batch N+1 exists in no single
+    batch, so a (user → last event) CURSOR supplies exactly that one
+    extra gap per user per batch. Within-chunk gaps + chunk-boundary
+    gaps = ALL consecutive gaps, so the folded stats equal the
+    one-shot scan exactly (pinned by test) and the serve path
+    finalizes through the shared ``bot_scorecard``.
+
+    Both folds go through exactly-once merged publishes (stats:
+    per-user sums — associative; cursor: latest-wins), so replayed
+    batches no-op. Assumes per-user event-time monotonicity ACROSS
+    batches, the file-source norm (same contract as the transition
+    cursor). State is one stats row + one cursor row per user."""
+    from pyspark.sql import Window
+
+    from etl__project_spark.operators.merge import cdc_apply
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def dec(c):
+        return c.cast("decimal(18,0)")
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.unix_micros("ts"), F.col("event_id")
+        )
+        us = F.unix_micros("ts")
+        ranked = batch.withColumn("d", us - F.lag(us).over(w)).withColumn(
+            "rn", F.row_number().over(w)
+        )
+        within = ranked.filter(F.col("d").isNotNull()).select("user_id", "d")
+        cursor = wh.read("bot_cursor", BOT_CURSOR_SCHEMA)
+        firsts = ranked.filter(F.col("rn") == 1).select(
+            "user_id", us.alias("first_us")
+        )
+        boundary = firsts.join(
+            cursor.select("user_id", F.unix_micros("ts").alias("cur_us")),
+            "user_id",
+        ).select("user_id", (F.col("first_us") - F.col("cur_us")).alias("d"))
+        delta = (
+            within.unionByName(boundary)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_gaps"),
+                F.sum("d").cast("long").alias("span_us"),
+                F.sum(dec(F.col("d")) * dec(F.col("d")))
+                .cast("decimal(38,0)")
+                .alias("d2"),
+            )
+        )
+
+        def merge_stats(existing: DataFrame, d: DataFrame) -> DataFrame:
+            return (
+                existing.unionByName(d)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_gaps").cast("long").alias("n_gaps"),
+                    F.sum("span_us").cast("long").alias("span_us"),
+                    F.sum("d2").cast("decimal(38,0)").alias("d2"),
+                )
+            )
+
+        wh.publish_merged(
+            "bot_stats", delta, BOT_STATS_SCHEMA, f"{batch_id}:stats", merge_stats
+        )
+        lasts = batch.select("user_id", "ts", "event_id")
+        wh.publish_merged(
+            "bot_cursor",
+            lasts,
+            BOT_CURSOR_SCHEMA,
+            f"{batch_id}:cursor",
+            lambda existing, d: cdc_apply(
+                existing.withColumn("op", F.lit("U"))
+                .unionByName(d.withColumn("op", F.lit("U"))),
+                key_cols=["user_id"],
+                seq_cols=["ts", "event_id"],
+            ).drop("op"),
+        )
+
+    events = spark.readStream.schema(TM_EVENT_SCHEMA).json(landing_dir)
+    writer = events.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1186,3 +1186,84 @@ def test_streaming_word_graph_matches_one_shot(spark, tmp_path):
     finally:
         cat.load_table = orig
     assert serve == want
+
+
+def test_streaming_bot_screen_matches_one_shot(spark, tmp_path):
+    """The bot-screen cast (metronomic / fast / bursty human / tiny)
+    streamed in three TIME-ORDERED micro-batches: the maintained
+    per-user gap statistics must equal the one-shot scan exactly
+    (within-chunk gaps + cursor boundary gaps = all consecutive gaps
+    — exact integers), so the served scorecard equals the batch
+    ev_bot_detection frame, and a replay with a fresh checkpoint
+    no-ops via the batch-id ledger."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    import etl__project_spark.plans.catalog as cat
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_bot_screen,
+        stream_bot_screen,
+    )
+
+    landing = str(tmp_path / "bot_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "bot_wh")
+
+    rows, eid = [], 0
+    for i in range(30):
+        rows.append((eid, 1, f"2024-01-05 10:{i:02d}:00")); eid += 1
+    for i in range(30):
+        sec = 5 * i + (i % 3)
+        rows.append((eid, 2, f"2024-01-05 10:{sec // 60:02d}:{sec % 60:02d}")); eid += 1
+    human = [0, 10, 25, 3600, 3620, 7200, 86400, 86410, 90000, 172800,
+             172830, 180000, 259200, 259300, 260000, 345600, 345700,
+             350000, 432000, 432060]
+    for s in human:
+        rows.append((eid, 3, f"2024-01-{5 + s // 86400:02d} "
+                     f"{(s % 86400) // 3600:02d}:{(s % 3600) // 60:02d}:{s % 60:02d}"))
+        eid += 1
+    for i in range(5):
+        rows.append((eid, 4, f"2024-01-05 10:0{i}:00")); eid += 1
+
+    ordered = sorted(rows, key=lambda r: (r[2], r[0]))
+    thirds = [ordered[:28], ordered[28:56], ordered[56:]]
+
+    def run_batch(i, batch_rows, ckpt):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for e, u, ts in batch_rows:
+                fh.write(json.dumps(
+                    {"event_id": e, "user_id": u,
+                     "ts": ts.replace(" ", "T"), "event_type": "click"}
+                ) + "\n")
+        q = stream_bot_screen(spark, landing, wh_root, ckpt)
+        q.awaitTermination(180)
+        q.stop()
+
+    for i, b in enumerate(thirds):
+        run_batch(i, b, str(tmp_path / "bot_ckpt"))
+
+    events = spark.createDataFrame(
+        [(e, ts, u, "click", 1.0, "{}") for e, u, ts in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = sorted(map(tuple, read_bot_screen(wh).collect()))
+    orig = cat.load_table
+    cat.load_table = lambda s, d, t: events
+    try:
+        want = sorted(
+            map(tuple, cat.QUERIES["ev_bot_detection"](spark, "unused").collect())
+        )
+    finally:
+        cat.load_table = orig
+    assert got == want and len(got) == 3  # users 1-3 score; 4 under floor
+
+    # replay everything with a fresh checkpoint: ledger no-ops the fold
+    q = stream_bot_screen(spark, landing, wh_root, str(tmp_path / "bot_ckpt2"))
+    q.awaitTermination(180)
+    q.stop()
+    assert sorted(map(tuple, read_bot_screen(wh).collect())) == want

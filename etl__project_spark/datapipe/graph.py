@@ -59,23 +59,13 @@ def degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
 
 
-def textrank(edges: DataFrame, n_iter: int = 5) -> DataFrame:
-    """PageRank power iteration over a symmetric edge list —
-    ``PR(v) = 0.15 + 0.85 * sum_u PR(u)/deg(u)`` — returning
-    (word, rank_micro, degree) for EVERY node (callers rank/limit).
-
-    Scores live in BIGINT micro-units (start 1_000_000, base 150_000);
-    each contribution is ``floor(s/deg)`` and each damped update floors
-    once, so round N+1's input is bit-identical on any engine.
-    Distributed shape per round: scores (|vocab| rows) re-attach to
-    edges by BROADCAST, one vocab-sized hash aggregate, per-round
-    ``localCheckpoint`` lineage truncation.
-    """
-    edges = edges.localCheckpoint()
-    deg = degrees(edges).localCheckpoint()
-    scores = deg.select(
-        F.col("src").alias("word"), F.lit(1000000).cast("long").alias("s")
-    )
+def _pagerank_rounds(edges, deg, scores, restart_of, n_iter):
+    """Shared floor-quantized power-iteration loop: per round, scores
+    (vocab-sized) BROADCAST onto edges, contributions ``floor(s/deg)``,
+    damped update ``restart + floor(0.85 * sum)``, per-round
+    ``localCheckpoint``. ``restart_of(node_col)`` supplies the restart
+    mass (uniform 150000 for TextRank; seed-gated for PPR) — ONE coded
+    path so the micro-unit discipline cannot fork between the two."""
     for _ in range(n_iter):
         contrib = (
             edges.join(F.broadcast(scores), edges["src"] == scores["word"])
@@ -93,12 +83,36 @@ def textrank(edges: DataFrame, n_iter: int = 5) -> DataFrame:
             .select(
                 F.col("dst").alias("word"),
                 (
-                    F.lit(150000).cast("long")
+                    restart_of(F.col("dst"))
                     + F.floor(F.lit(0.85) * F.col("m").cast("double"))
                 ).alias("s"),
             )
             .localCheckpoint()
         )
+    return scores
+
+
+def textrank(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """PageRank power iteration over a symmetric edge list —
+    ``PR(v) = 0.15 + 0.85 * sum_u PR(u)/deg(u)`` — returning
+    (word, rank_micro, degree) for EVERY node (callers rank/limit).
+
+    Scores live in BIGINT micro-units (start 1_000_000, base 150_000);
+    each contribution is ``floor(s/deg)`` and each damped update floors
+    once, so round N+1's input is bit-identical on any engine.
+    Distributed shape per round: scores (|vocab| rows) re-attach to
+    edges by BROADCAST, one vocab-sized hash aggregate, per-round
+    ``localCheckpoint`` lineage truncation (loop shared with
+    :func:`personalized_pagerank` via ``_pagerank_rounds``).
+    """
+    edges = edges.localCheckpoint()
+    deg = degrees(edges).localCheckpoint()
+    scores = deg.select(
+        F.col("src").alias("word"), F.lit(1000000).cast("long").alias("s")
+    )
+    scores = _pagerank_rounds(
+        edges, deg, scores, lambda _: F.lit(150000).cast("long"), n_iter
+    )
     return scores.join(F.broadcast(deg), scores["word"] == deg["src"]).select(
         "word", F.col("s").alias("rank_micro"), F.col("d").alias("degree")
     )
@@ -216,31 +230,15 @@ def personalized_pagerank(
         .cast("long")
         .alias("s"),
     )
-    for _ in range(n_iter):
-        contrib = (
-            edges.join(F.broadcast(scores), edges["src"] == scores["word"])
-            .join(F.broadcast(deg), "src")
-            .select(
-                "dst",
-                F.floor(
-                    F.col("s").cast("double") / F.col("d").cast("double")
-                ).alias("c"),
-            )
-        )
-        scores = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("m"))
-            .select(
-                F.col("dst").alias("word"),
-                (
-                    F.when(F.col("dst") == seed, F.lit(150000))
-                    .otherwise(F.lit(0))
-                    .cast("long")
-                    + F.floor(F.lit(0.85) * F.col("m").cast("double"))
-                ).alias("s"),
-            )
-            .localCheckpoint()
-        )
+    scores = _pagerank_rounds(
+        edges,
+        deg,
+        scores,
+        lambda node: F.when(node == seed, F.lit(150000))
+        .otherwise(F.lit(0))
+        .cast("long"),
+        n_iter,
+    )
     return scores.join(F.broadcast(deg), scores["word"] == deg["src"]).select(
         "word", F.col("s").alias("ppr_micro"), F.col("d").alias("degree")
     )

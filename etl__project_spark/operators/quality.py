@@ -362,18 +362,25 @@ def bot_scorecard(usr: DataFrame, min_gaps: int = 19) -> DataFrame:
     def q4(c):
         return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
 
+    # span_us = 0 (>= 20 events on ONE timestamp) is the most extreme
+    # bot signature possible AND a divide-by-zero under ANSI: rate/cv
+    # are NULL for such users and the flag is unconditionally true.
+    has_span = F.col("span_us") > 0
     scored = usr.select(
         "user_id",
         (F.col("n_gaps") + 1).alias("n_events"),
-        q4(rate).alias("events_per_min"),
-        q4(F.sqrt(var_d) / mean_d).alias("iat_cv"),
+        F.when(has_span, q4(rate)).alias("events_per_min"),
+        F.when(has_span, q4(F.sqrt(var_d) / mean_d)).alias("iat_cv"),
+        (~has_span).alias("zero_span"),
     )
     return scored.select(
         "user_id",
         "n_events",
         "events_per_min",
         "iat_cv",
-        ((F.col("events_per_min") > 0.5) | (F.col("iat_cv") < 0.5)).alias(
-            "bot_flag"
-        ),
+        F.when(F.col("zero_span"), F.lit(True))
+        .otherwise(
+            (F.col("events_per_min") > 0.5) | (F.col("iat_cv") < 0.5)
+        )
+        .alias("bot_flag"),
     )

@@ -11510,19 +11510,22 @@ usr AS (
   GROUP BY user_id HAVING count(*) >= 19
 ),
 scored AS (
-  SELECT user_id, n_gaps + 1 AS n_events,
-         floor((n_gaps + 1)::DOUBLE
-               / (span_us::DOUBLE / 60000000.0) * 10000 + 0.5) / 10000.0
+  SELECT user_id, n_gaps + 1 AS n_events, span_us,
+         (CASE WHEN span_us = 0 THEN NULL ELSE
+          floor((n_gaps + 1)::DOUBLE
+               / (span_us::DOUBLE / 60000000.0) * 10000 + 0.5) / 10000.0 END)
              AS events_per_min,
-         floor(sqrt(greatest(d2::DOUBLE / n_gaps::DOUBLE
+         (CASE WHEN span_us = 0 THEN NULL ELSE
+          floor(sqrt(greatest(d2::DOUBLE / n_gaps::DOUBLE
                              - (span_us::DOUBLE / n_gaps::DOUBLE)
                                * (span_us::DOUBLE / n_gaps::DOUBLE), 0.0))
-               / (span_us::DOUBLE / n_gaps::DOUBLE) * 10000 + 0.5) / 10000.0
+               / (span_us::DOUBLE / n_gaps::DOUBLE) * 10000 + 0.5) / 10000.0 END)
              AS iat_cv
   FROM usr
 )
 SELECT user_id, n_events, events_per_min, iat_cv,
-       (events_per_min > 0.5 OR iat_cv < 0.5) AS bot_flag
+       (CASE WHEN span_us = 0 THEN true
+             ELSE (events_per_min > 0.5 OR iat_cv < 0.5) END) AS bot_flag
 FROM scored""",
 )
 def ev_bot_detection(spark, sf_dir):
@@ -11577,6 +11580,25 @@ def _bot_screen(ev):
     return bot_scorecard(usr, min_gaps=19)
 
 
+# Shared word-co-occurrence-graph prelude (DuckDB dialect) — the ONE
+# SQL definition of the graph every graph-family oracle builds on,
+# mirroring the single coded path datapipe/graph.py:word_cooccur_edges.
+_WORD_GRAPH_SQL = r"""toks AS (
+  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+bi AS (
+  SELECT DISTINCT t[i] AS w_a, t[i+1] AS w_b
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE t[i] <> t[i+1]
+),
+edges AS (
+  SELECT w_a AS src, w_b AS dst FROM bi
+  UNION
+  SELECT w_b AS src, w_a AS dst FROM bi
+),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src)"""
+
+
 def _textrank_iter_sql(prev: str, out: str) -> str:
     """One unrolled TextRank power-iteration CTE (DuckDB dialect)."""
     return f"""{out} AS (
@@ -11591,20 +11613,9 @@ def _textrank_iter_sql(prev: str, out: str) -> str:
 
 @query(
     "doc_textrank_keywords",
-    r"""WITH toks AS (
-  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
-),
-bi AS (
-  SELECT DISTINCT t[i] AS w_a, t[i+1] AS w_b
-  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
-  WHERE t[i] <> t[i+1]
-),
-edges AS (
-  SELECT w_a AS src, w_b AS dst FROM bi
-  UNION
-  SELECT w_b AS src, w_a AS dst FROM bi
-),
-deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+    "WITH "
+    + _WORD_GRAPH_SQL
+    + r""",
 s0 AS (SELECT src AS word, 1000000::BIGINT AS s FROM deg),
 """
     + ",\n".join(_textrank_iter_sql(f"s{i}", f"s{i + 1}") for i in range(5))
@@ -11655,20 +11666,9 @@ def doc_textrank_keywords(spark, sf_dir):
 
 @query(
     "doc_cooccur_triangles",
-    r"""WITH toks AS (
-  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
-),
-bi AS (
-  SELECT DISTINCT t[i] AS w_a, t[i+1] AS w_b
-  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
-  WHERE t[i] <> t[i+1]
-),
-edges AS (
-  SELECT w_a AS src, w_b AS dst FROM bi
-  UNION
-  SELECT w_b AS src, w_a AS dst FROM bi
-),
-deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+    "WITH "
+    + _WORD_GRAPH_SQL
+    + r""",
 oriented AS (
   SELECT e.src AS a, e.dst AS b
   FROM edges e
@@ -11732,20 +11732,9 @@ def _kcore_iter_sql(prev: str, out: str) -> str:
 
 @query(
     "doc_kcore_histogram",
-    r"""WITH toks AS (
-  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
-),
-bi AS (
-  SELECT DISTINCT t[i] AS w_a, t[i+1] AS w_b
-  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
-  WHERE t[i] <> t[i+1]
-),
-edges AS (
-  SELECT w_a AS src, w_b AS dst FROM bi
-  UNION
-  SELECT w_b AS src, w_a AS dst FROM bi
-),
-deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+    "WITH "
+    + _WORD_GRAPH_SQL
+    + r""",
 v0 AS (SELECT src AS word, d AS c FROM deg),
 """
     + ",\n".join(_kcore_iter_sql(f"v{i}", f"v{i + 1}") for i in range(6))
@@ -11802,20 +11791,9 @@ def _ppr_iter_sql(prev: str, out: str, seed: str) -> str:
 
 @query(
     "doc_related_terms_ppr",
-    r"""WITH toks AS (
-  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
-),
-bi AS (
-  SELECT DISTINCT t[i] AS w_a, t[i+1] AS w_b
-  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
-  WHERE t[i] <> t[i+1]
-),
-edges AS (
-  SELECT w_a AS src, w_b AS dst FROM bi
-  UNION
-  SELECT w_b AS src, w_a AS dst FROM bi
-),
-deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+    "WITH "
+    + _WORD_GRAPH_SQL
+    + r""",
 p0 AS (
   SELECT src AS word,
          (CASE WHEN src = 'join' THEN 1000000 ELSE 0 END)::BIGINT AS s
@@ -12194,15 +12172,15 @@ def ev_t_closeness(spark, sf_dir):
 ),
 hq AS (
   SELECT q, sum(n)::BIGINT AS nq,
-         (2 * (sum(sum(n)) OVER (ORDER BY q
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         (2 * coalesce(sum(sum(n)) OVER (ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           + sum(n) + 1)::BIGINT AS rq2
   FROM cells GROUP BY q
 ),
 hd AS (
   SELECT d, sum(n)::BIGINT AS nd,
-         (2 * (sum(sum(n)) OVER (ORDER BY d
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         (2 * coalesce(sum(sum(n)) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           + sum(n) + 1)::BIGINT AS rd2
   FROM cells GROUP BY d
 ),
@@ -12216,10 +12194,13 @@ stats AS (
   FROM cells c JOIN hq USING (q) JOIN hd USING (d)
 )
 SELECT nn::BIGINT AS n_rows,
-       floor((nn::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-             / sqrt((nn::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                    * (nn::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
-             * 10000 + 0.5) / 10000.0 AS spearman_rho
+       (CASE WHEN (nn::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+              AND (nn::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+             THEN floor((nn::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / sqrt((nn::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                         * (nn::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                  * 10000 + 0.5) / 10000.0
+             ELSE NULL END) AS spearman_rho
 FROM stats""",
 )
 def tpch_spearman_corr(spark, sf_dir):
@@ -12280,12 +12261,16 @@ def tpch_spearman_corr(spark, sf_dir):
         F.col("syy").cast("double"),
         F.col("sxy").cast("double"),
     )
-    rho = (nn * sxy - sx * sy) / F.sqrt(
-        (nn * sxx - sx * sx) * (nn * syy - sy * sy)
-    )
+    varx, vary = nn * sxx - sx * sx, nn * syy - sy * sy
+    rho = (nn * sxy - sx * sy) / F.sqrt(varx * vary)
     return stats.select(
         F.col("nn").cast("long").alias("n_rows"),
-        (F.floor(rho * 10000 + F.lit(0.5)) / 10000.0).alias("spearman_rho"),
+        # zero-variance guard (constant column): NULL on both engines,
+        # never an ANSI divide-by-zero (the doc_zipf_fit discipline)
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.floor(rho * 10000 + F.lit(0.5)) / 10000.0,
+        ).alias("spearman_rho"),
     )
 
 
@@ -12454,7 +12439,7 @@ def ev_markov_eval(spark, sf_dir):
         (
             (F.min("us") + F.max("us")) - F.pmod(F.min("us") + F.max("us"), 2)
         ).alias("m2")
-    ).select((F.col("m2") / 2).cast("long").alias("m"))
+    ).select(F.expr("m2 div 2").alias("m"))  # exact integer floor-div
     train = (
         seq.crossJoin(F.broadcast(mid))
         .filter(F.col("us") <= F.col("m"))
@@ -12596,19 +12581,22 @@ usr AS (
   GROUP BY user_id HAVING count(*) >= 19
 ),
 scored AS (
-  SELECT user_id,
-         floor((n_gaps + 1)::DOUBLE
-               / (span_us::DOUBLE / 60000000.0) * 10000 + 0.5) / 10000.0
+  SELECT user_id, span_us,
+         (CASE WHEN span_us = 0 THEN NULL ELSE
+          floor((n_gaps + 1)::DOUBLE
+               / (span_us::DOUBLE / 60000000.0) * 10000 + 0.5) / 10000.0 END)
              AS events_per_min,
-         floor(sqrt(greatest(d2::DOUBLE / n_gaps::DOUBLE
+         (CASE WHEN span_us = 0 THEN NULL ELSE
+          floor(sqrt(greatest(d2::DOUBLE / n_gaps::DOUBLE
                              - (span_us::DOUBLE / n_gaps::DOUBLE)
                                * (span_us::DOUBLE / n_gaps::DOUBLE), 0.0))
-               / (span_us::DOUBLE / n_gaps::DOUBLE) * 10000 + 0.5) / 10000.0
+               / (span_us::DOUBLE / n_gaps::DOUBLE) * 10000 + 0.5) / 10000.0 END)
              AS iat_cv
   FROM usr
 ),
 flagged AS (
-  SELECT user_id FROM scored WHERE events_per_min > 0.5 OR iat_cv < 0.5
+  SELECT user_id FROM scored
+  WHERE span_us = 0 OR events_per_min > 0.5 OR iat_cv < 0.5
 ),
 kept AS (
   SELECT e.* FROM events e LEFT JOIN flagged f ON e.user_id = f.user_id

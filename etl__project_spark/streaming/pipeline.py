@@ -389,7 +389,16 @@ def stream_transition_matrix(
             .groupBy("from_type", "to_type")
             .agg(F.sum("n").alias("n")),
         )
-        lasts = batch.select("user_id", "ts", "event_id", "event_type")
+        # latest-wins within the batch first: the cursor fold merges one
+        # candidate per user, not the whole batch (review finding r6)
+        wd = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        lasts = (
+            batch.withColumn("__rn", F.row_number().over(wd))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "ts", "event_id", "event_type")
+        )
         wh.publish_merged(
             "tm_cursor",
             lasts,
@@ -1379,7 +1388,16 @@ def stream_bot_screen(
         wh.publish_merged(
             "bot_stats", delta, BOT_STATS_SCHEMA, f"{batch_id}:stats", merge_stats
         )
-        lasts = batch.select("user_id", "ts", "event_id")
+        # latest-wins WITHIN the batch first (one row per user), so the
+        # cursor fold merges |users| candidates, not |batch| rows
+        wd = Window.partitionBy("user_id").orderBy(
+            F.desc(F.unix_micros("ts")), F.desc("event_id")
+        )
+        lasts = (
+            batch.withColumn("__rn", F.row_number().over(wd))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "ts", "event_id")
+        )
         wh.publish_merged(
             "bot_cursor",
             lasts,

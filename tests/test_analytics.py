@@ -921,3 +921,31 @@ def test_ev_pipeline_scorecard_hand_computed(spark, monkeypatch):
         "funnel_click": 1,
         "funnel_purchase": 1,
     }
+
+
+def test_bot_screen_zero_span_user_is_flagged_not_crashed(spark, monkeypatch):
+    """Found by review: 20+ events on ONE timestamp give span_us = 0 —
+    previously an ANSI divide-by-zero crash. Defined semantics: the
+    most metronomic signature possible is unconditionally a bot, with
+    NULL rate/cv; a normal user alongside is unaffected, and the
+    pipeline gate drops the zero-span user's events."""
+    import etl__project_spark.plans.catalog as cat
+    from pyspark.sql import functions as F
+
+    rows = [(i, 1, "2024-01-05 10:00:00") for i in range(25)]
+    rows += [(100 + i, 2, f"2024-01-05 1{i}:00:00") for i in range(5)]
+    df = spark.createDataFrame(
+        [(e, ts, u, "click", 1.0, "{}") for e, u, ts in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(cat, "load_table", lambda s, d, t: df)
+    got = {r["user_id"]: r for r in cat.QUERIES["ev_bot_detection"](spark, "unused").collect()}
+    assert got[1]["bot_flag"] is True
+    assert got[1]["events_per_min"] is None and got[1]["iat_cv"] is None
+    assert 2 not in got  # under the event floor
+    score = {
+        r["metric"]: r["n"]
+        for r in cat.QUERIES["ev_pipeline_e2e"](spark, "unused").collect()
+    }
+    assert score["flagged_users"] == 1 and score["kept_events"] == 5

@@ -135,7 +135,11 @@ def sample_frames_batch(
         pdf["media_id"], pdf["duration_ms"], pdf["payload"]
     ):
         blob = bytes(payload or b"")
-        for ts in range(0, int(duration or 0), stride_ms):
+        # a nullable long arrives in pandas as float NaN, and
+        # `NaN or 0` is NaN — pd.isna covers None AND NaN, so a blob
+        # with no duration yields no frame rows instead of a crash
+        n_ms = 0 if pd.isna(duration) else int(duration)
+        for ts in range(0, n_ms, stride_ms):
             ids.append(int(media_id))
             tss.append(ts)
             shas.append(

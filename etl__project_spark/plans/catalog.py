@@ -9356,7 +9356,7 @@ iv AS (
   GROUP BY iid
 ),
 gaps AS (
-  SELECT user_id, epoch_us(ts) // 60000000 AS emin,
+  SELECT user_id, ts, event_id, epoch_us(ts) // 60000000 AS emin,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > 1800000000 OR
@@ -9367,7 +9367,8 @@ gaps AS (
 sess AS (
   SELECT user_id, min(emin)::BIGINT AS ss, max(emin)::BIGINT AS se
   FROM (SELECT user_id, emin,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY emin
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sid
         FROM gaps)
   GROUP BY user_id, sid
@@ -9451,7 +9452,6 @@ def ev_hot_window_sessions(spark, sf_dir):
         "ts",
         "event_id",
     )
-    ws = Window.partitionBy("user_id").orderBy("emin")
     sess = (
         gaps.select(
             "user_id",

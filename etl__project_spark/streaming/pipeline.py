@@ -930,7 +930,20 @@ def stream_ann_index(
         if b.isEmpty():
             return
         if wh._current("ann_codebooks") is None:
-            cb = pq_codebooks(b, train_iters=2).select("s", "cw_id", "c")
+            # pq_codebooks seeds with vec_id < n_codewords — re-index the
+            # training batch to dense 0..N-1 ids (by vec_id order) so a
+            # first batch with offset/sparse ids still yields full
+            # codebooks instead of silently publishing an empty table
+            # (the single-partition window is fine: the training batch
+            # is a bounded sample by design)
+            from pyspark.sql import Window
+
+            wtrain = Window.orderBy("vec_id")
+            train = b.select(
+                (F.row_number().over(wtrain) - 1).cast("long").alias("vec_id"),
+                "embedding",
+            )
+            cb = pq_codebooks(train, train_iters=2).select("s", "cw_id", "c")
             try:
                 wh.publish("ann_codebooks", cb)
             except ConcurrentWriteError:

@@ -1135,3 +1135,25 @@ def test_snm_pairs_cross_band_straddle(spark, monkeypatch):
         for j in range(i + 1, min(i + 4, len(order)))
     )
     assert got == want
+
+
+def test_frame_sampling_null_duration_yields_no_frames(spark, docs):
+    """Found by review: a NULL duration_ms arrives in pandas as float
+    NaN, and `NaN or 0` is NaN — previously a ValueError inside
+    mapInPandas. A blob with no duration must yield zero frame rows,
+    while sized blobs in the same batch still fan out."""
+    from etl__project_spark.datapipe.multimodal import sample_frames, synth_media
+
+    media = synth_media(docs).drop("duration_ms").withColumn(
+        "duration_ms",
+        F.when(F.col("media_id") == 0, F.lit(None).cast("long")).otherwise(
+            F.lit(500).cast("long")
+        ),
+    )
+    frames = sample_frames(media, stride_ms=250, fake=True).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], 0)
+        by_media[r["media_id"]] += 1
+    assert 0 not in by_media  # NULL duration: no frames, no crash
+    assert all(v == 2 for k, v in by_media.items() if k != 0)

@@ -408,7 +408,13 @@ EXCHANGE_BUDGET = {
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
 def test_exchange_budget_census(spark, name):
     plan = plan_of(QUERIES[name](spark, SF_DIR))
-    ex = plan.count("Exchange ") - plan.count("BroadcastExchange ")
+    # fresh shuffles only: BroadcastExchange is not a shuffle and
+    # ReusedExchange is not even a new exchange (census legend contract)
+    ex = (
+        plan.count("Exchange ")
+        - plan.count("BroadcastExchange ")
+        - plan.count("ReusedExchange ")
+    )
     smj = plan.count("SortMergeJoin")
     want_ex, want_smj = EXCHANGE_BUDGET[name]
     assert (ex, smj) == (want_ex, want_smj), (

@@ -1267,3 +1267,52 @@ def test_streaming_bot_screen_matches_one_shot(spark, tmp_path):
     q.awaitTermination(180)
     q.stop()
     assert sorted(map(tuple, read_bot_screen(wh).collect())) == want
+
+
+def test_streaming_ann_cold_start_with_offset_ids(spark, tmp_path):
+    """Found by review: codebook seeding used absolute vec_id <
+    n_codewords, so a first batch WITHOUT low ids silently published
+    empty codebooks and the index returned nothing forever. The
+    training batch is now densely re-indexed by id order, so a first
+    batch of ids 5000.. must still yield full 8x16 codebooks and a
+    lookup that returns k results."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.sources.tables import load_table
+    from etl__project_spark.streaming.pipeline import (
+        ann_lookup,
+        read_ann_codebooks,
+        stream_ann_index,
+    )
+
+    landing = str(tmp_path / "annc_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "annc_wh")
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = emb.filter(F.col("vec_id") < 60).collect()
+    with open(os.path.join(landing, "b0.jsonl"), "w") as fh:
+        for r in rows:
+            fh.write(
+                json.dumps(
+                    {"vec_id": int(r["vec_id"]) + 5000,
+                     "embedding": list(r["embedding"])}
+                ) + "\n"
+            )
+    q = stream_ann_index(spark, landing, wh_root, str(tmp_path / "annc_ckpt"))
+    q.awaitTermination(120)
+    q.stop()
+
+    wh = ParquetWarehouse(spark, wh_root)
+    cb = read_ann_codebooks(wh)
+    assert cb.count() > 0
+    assert cb.select("s").distinct().count() == 8  # every subspace trained
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    hits = ann_lookup(wh, query, k=5).collect()
+    assert len(hits) == 5
+    assert all(h["vec_id"] >= 5000 for h in hits)

@@ -7514,7 +7514,7 @@ def ev_join_size_est(spark, sf_dir):
 @query(
     "ev_peak_concurrency",
     """WITH gaps AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_session
@@ -7523,7 +7523,7 @@ def ev_join_size_est(spark, sf_dir):
 ),
 numbered AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM gaps
 ),
@@ -7583,7 +7583,7 @@ def ev_peak_concurrency(spark, sf_dir):
         "session_no",
         F.sum("new_session").over(
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
@@ -7943,7 +7943,7 @@ def vs_scd2_asof_lookup(spark, sf_dir):
 @query(
     "ev_session_copurchase",
     """WITH gaps AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, ts, event_id, event_type,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_session
@@ -7952,7 +7952,7 @@ def vs_scd2_asof_lookup(spark, sf_dir):
 ),
 sess AS (
   SELECT user_id, event_type,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM gaps
 ),
@@ -8009,7 +8009,7 @@ def ev_session_copurchase(spark, sf_dir):
             "session_no",
             F.sum("new_session").over(
                 Window.partitionBy("user_id")
-                .orderBy("ts")
+                .orderBy("ts", "event_id")
                 .rowsBetween(Window.unboundedPreceding, 0)
             ),
         )

@@ -20,6 +20,7 @@ from etl__project_spark.operators.audit import max_lengths, record_count  # noqa
 from etl__project_spark.operators.rollup import (  # noqa: F401
     finalize_rollup,
     merge_rollups,
+    merge_rollups_minmax_cdc,
     merge_rollups_signed,
     partial_rollup,
     partial_rollup_signed,
@@ -31,4 +32,5 @@ from etl__project_spark.operators.ivm import (  # noqa: F401
     delta_join_signed,
     maintain_join_view,
     maintain_join_view_cdc,
+    maintain_leftjoin_view_cdc,
 )

@@ -247,3 +247,135 @@ def maintain_join_view_cdc(
         if checkpoint:
             state_b = state_b.localCheckpoint(eager=True)
     return consolidate(view)
+
+
+# --- left-outer-join IVM: null-extension maintenance ------------------------
+#
+# The signed algebra above maintains INNER joins under churn. A LEFT
+# OUTER view A ⟕ B adds the non-monotone null-extension part:
+#
+#     A ⟕ B = (A ⋈ B)  ∪  NE       where NE = null-extended A-rows whose
+#                                   join key has net B multiplicity 0
+#
+# NE is anti-monotone in B — inserting B rows can RETRACT view rows (the
+# null-extended placeholder disappears when a key's first match arrives)
+# and deleting B rows can ASSERT them (when a key's last match retracts).
+# The standard IVM treatment (DBSP outer-join lowering; Materialize's
+# LEFT JOIN plans do the same) maintains a per-key B match count and
+# emits NE deltas exactly at the 0 ↔ >0 transitions. Everything stays
+# signed, so downstream consolidation/aggregation is unchanged.
+#
+# Per-batch cost shape: the inner delta is the usual small-probe join;
+# the transition detection aggregates ONLY the keys ΔB touches (one probe
+# of the key-bucketed B state, never a full rescan), and each NE delta is
+# a probe of bucketed A by the (few) transitioning keys.
+
+
+def maintain_leftjoin_view_cdc(
+    initial_a: DataFrame,
+    initial_b: DataFrame,
+    cdc_batches_b: list[DataFrame],
+    on: list[str],
+    key_cols_b: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maintain A ⟕ B (left outer) incrementally while B receives CDC
+    batches — the retraction case VERDICT r6 #2 asked for, extending the
+    inner-only scope documented on :func:`delta_join`. Returns the
+    CONSOLIDATED signed view: A payload + B payload (null for unmatched
+    keys) + ``sign`` (net multiplicity ≥ 1). Appending each batch's
+    delta and consolidating equals the one-shot LEFT join against the
+    post-CDC B state (pinned by the ``tpch_leftjoin_cdc_incremental``
+    oracle and a replay property test).
+
+    Per batch, beyond the inner delta (A ⋈ ΔB with sign products):
+
+    * keys whose net B count transitions **0 → >0** (first match
+      arrives, including late inserts of a withheld dimension row)
+      RETRACT their null-extended A rows (sign −1 · sign_a);
+    * keys transitioning **>0 → 0** (last match deleted) ASSERT the
+      null-extensions (sign +1 · sign_a).
+
+    Counts are computed only for the keys ΔB touches: one probe join of
+    the key-bucketed B state, then two tiny key frames probe bucketed A
+    for the null-extension deltas — O(|Δ| × fan-out) per batch, same
+    bound as the inner path. ``checkpoint`` materializes ΔB (it feeds
+    three consumers), the per-batch view delta, and B's state; the
+    accumulated view stays a lazy union of checkpointed deltas (the
+    SCALE.md §9g OOM lesson), consolidated once at the end.
+    """
+    sign1 = F.lit(1).cast("long").alias("sign")
+    state_a = initial_a.select("*", sign1)
+    state_b = initial_b.select("*", sign1)
+    a_payload = [c for c in state_a.columns if c != "sign"]
+    b_payload = [
+        f for f in state_b.schema.fields if f.name not in on and f.name != "sign"
+    ]
+
+    def ne_project(rows: DataFrame, negate: bool) -> DataFrame:
+        """Null-extend A rows on B's payload; sign = ±sign_a."""
+        s = -F.col("sign") if negate else F.col("sign")
+        return rows.select(
+            *a_payload,
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in b_payload],
+            s.alias("sign"),
+        )
+
+    # initial null-extensions: anti-join A directly against B's key set
+    # (never a distinct over A's keys — A is the big side; B's key set
+    # broadcasts, so this is one pass over A with no A-sized shuffle)
+    unmatched0 = state_a.join(state_b.select(*on).distinct(), on, "left_anti")
+    view = _signed_join(state_a, state_b, on, "sign").unionByName(
+        ne_project(unmatched0, negate=False)
+    )
+    if checkpoint:
+        state_b = state_b.localCheckpoint(eager=True)
+    for batch in cdc_batches_b:
+        delta_b = cdc_to_signed_delta(
+            state_b, batch, key_cols_b, op_col=op_col, delete_op=delete_op
+        )
+        if checkpoint:
+            delta_b = delta_b.localCheckpoint(eager=True)
+        inner_delta = _signed_join(state_a, delta_b, on, "sign")
+        # net-count transition detection, restricted to touched keys
+        touched = delta_b.select(*on).distinct()
+        old_cnt = (
+            state_b.join(touched, on)
+            .groupBy(*on)
+            .agg(F.sum("sign").alias("__old"))
+        )
+        trans = (
+            delta_b.groupBy(*on)
+            .agg(F.sum("sign").alias("__d"))
+            .join(old_cnt, on, "left")
+            .select(
+                *on,
+                F.coalesce(F.col("__old"), F.lit(0)).alias("__old"),
+                F.col("__d"),
+            )
+        )
+        # one signed key frame for both transition directions (−1 retract
+        # at 0→>0, +1 assert at >0→0) — a single probe of A per batch
+        new_cnt = F.col("__old") + F.col("__d")
+        ne_keys = trans.select(
+            *on,
+            F.when((F.col("__old") == 0) & (new_cnt > 0), -1)
+            .when((F.col("__old") > 0) & (new_cnt == 0), 1)
+            .cast("long")
+            .alias("__ne_mult"),
+        ).filter(F.col("__ne_mult").isNotNull())
+        ne_delta = (
+            state_a.join(ne_keys, on)
+            .withColumn("sign", F.col("sign") * F.col("__ne_mult"))
+            .drop("__ne_mult")
+        )
+        delta_v = inner_delta.unionByName(ne_project(ne_delta, negate=False))
+        if checkpoint:
+            delta_v = delta_v.localCheckpoint(eager=True)
+        view = view.unionByName(delta_v)
+        state_b = consolidate(state_b.unionByName(delta_b))
+        if checkpoint:
+            state_b = state_b.localCheckpoint(eager=True)
+    return consolidate(view)

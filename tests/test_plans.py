@@ -397,6 +397,18 @@ EXCHANGE_BUDGET = {
     # carries the initial A-join's own exchanges into the consolidation:
     # 4 shuffles, still zero SMJs (state probes stay broadcast).
     "tpch_join_cdc_incremental": (4, 0),
+    # left-outer IVM fold: the inner path's exchanges plus the
+    # null-extension machinery (touched-key distinct + old-count probe
+    # aggregate per batch) — all keyed on the join key and O(|Δ|)-sized;
+    # the initial NE is an anti-join of A against B's broadcast key set
+    # (no A-keyed shuffle) and both transition directions share ONE
+    # signed A-probe per batch; state probes stay broadcast (zero SMJs).
+    "tpch_leftjoin_cdc_incremental": (7, 0),
+    # partially-incremental min/max: three base aggregates (existing
+    # state, signed delta partial, touched-group re-derivation from
+    # post state) + the linear merge + two broadcast-probed rollup
+    # joins; every aggregate keys on the bounded event_type space.
+    "ev_rollup_cdc_minmax": (11, 0),
     # embedding-intake composition (gate → SemDeDup → coreset →
     # scorecard): gate/kept stages are localCheckpointed so the final
     # plan is the exemplar window + four stage-count aggregates; the

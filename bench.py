@@ -83,6 +83,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("bench")
+    print(
+        "note: any 'WindowExec: No Partition Defined' warnings below come "
+        "from census-pinned BOUNDED single-partition windows (tiny-dim "
+        "dense-id paths, sketch finalizes — see "
+        "tests/test_plans.py:SINGLE_PARTITION_CENSUS); they are expected "
+        "and size-bounded by construction, not a scale defect.",
+        file=sys.stderr,
+    )
 
     # Warm up the JVM / filesystem once so per-query numbers measure the
     # engine, not first-touch costs: tiny sf0.001 runs covering each

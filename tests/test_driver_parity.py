@@ -134,3 +134,27 @@ def test_readme_query_count_is_fresh():
         f"README claims {m.group(1)} catalog queries, live catalog has "
         f"{len(entrymod.queries())} — update README.md"
     )
+
+
+def test_plans_census_query_list_is_fresh():
+    """PLANS.md is regenerated by hand-run tooling (`python
+    tools/plan_census.py > PLANS.md`, ~5 min) — unlike CATALOG.md it
+    has no cheap full-content twin, so this gate (VERDICT r6 #5) pins
+    the query LIST against the live catalog: a census that silently
+    lacks (or orphans) queries fails here without re-deriving the
+    per-plan counts."""
+    import pathlib
+    import re
+
+    from etl__project_spark.plans import QUERIES
+
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath(
+        "PLANS.md"
+    ).read_text()
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    missing = sorted(set(QUERIES) - listed)
+    orphaned = sorted(listed - set(QUERIES))
+    assert not missing and not orphaned, (
+        f"PLANS.md is stale vs the live catalog (missing: {missing}, "
+        f"orphaned: {orphaned}) — regenerate with tools/plan_census.py"
+    )

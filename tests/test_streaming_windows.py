@@ -229,3 +229,72 @@ def test_size_watermark_edges():
         size_watermark({"p50_lateness_bin_s": 8}, pctl_col="p50_lateness_bin_s")
         == "12 seconds"
     )
+
+
+def test_resolve_watermark_precedence(spark):
+    """VERDICT r6 #7: the measured horizon IS the default — an explicit
+    string wins, a supplied history batch is audited (globally) and
+    sized, and the constant fallback applies only with no measurement."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.streaming.windows import resolve_watermark
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    # same shape as the acceptance test: p95 of late rows in [72,76) -> 76 s
+    on_time = [(i, 7, base + dt.timedelta(seconds=15 * i)) for i in range(40)]
+    m_ts = base + dt.timedelta(seconds=15 * 39)
+    late = [
+        (100 + j, 7, m_ts - dt.timedelta(seconds=4 * j + 3)) for j in range(19)
+    ]
+    straggler = [(119, 7, m_ts - dt.timedelta(seconds=400))]
+    hist = spark.createDataFrame(
+        on_time + late + straggler, "event_id long, user_id long, ts timestamp"
+    ).withColumn("arr_key", F.col("event_id"))
+    assert resolve_watermark("9 minutes", hist) == "9 minutes"  # explicit wins
+    assert resolve_watermark(None, hist) == "76 seconds"  # measured default
+    assert resolve_watermark(None, None, "10 minutes") == "10 minutes"
+
+
+def test_windowed_counts_take_measured_watermark(spark, tmp_path):
+    """The windowed operators thread the measured horizon into their
+    EventTimeWatermark node when history is supplied (and keep the
+    documented constants only as the no-measurement fallback). Checked
+    on a STREAMING frame — batch analysis elides the watermark node."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.streaming.windows import (
+        sessionized_counts,
+        windowed_event_counts,
+    )
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(i, 7, base + dt.timedelta(seconds=15 * i), "click", 1.0)
+            for i in range(40)]
+    m_ts = base + dt.timedelta(seconds=15 * 39)
+    rows += [(100 + j, 7, m_ts - dt.timedelta(seconds=4 * j + 3), "click", 1.0)
+             for j in range(19)]
+    rows += [(119, 7, m_ts - dt.timedelta(seconds=400), "click", 1.0)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double",
+    )
+    hist = ev.withColumn("arr_key", F.col("event_id"))
+    src = str(tmp_path / "wm_src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+    def wm_of(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    # the watermark delay shows up as the -T<ms>ms attribute suffix on
+    # every event-time column in the analyzed plan
+    assert "-T76000ms" in wm_of(windowed_event_counts(stream, history=hist))
+    assert "-T76000ms" in wm_of(sessionized_counts(stream, history=hist))
+    # no measurement -> documented constant fallbacks, unchanged
+    assert "-T600000ms" in wm_of(windowed_event_counts(stream))
+    assert "-T3600000ms" in wm_of(sessionized_counts(stream))

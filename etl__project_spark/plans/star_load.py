@@ -377,6 +377,7 @@ class ParquetWarehouse:
         self.spark.read.parquet(*sources).coalesce(num_files).write.mode(
             "overwrite"
         ).parquet(tmp)
+        self._compact_sidecars(sources, tmp)
         os.replace(tmp, final)
         absorbed_ids = [
             os.path.basename(d).split("=", 1)[1] for d in batch_dirs
@@ -394,6 +395,67 @@ class ParquetWarehouse:
         for d in sources:
             shutil.rmtree(d, ignore_errors=True)
         return len(sources)
+
+    def _compact_sidecars(self, sources: list[str], tmp: str) -> None:
+        """Rebuild bloom data-skipping sidecars for a compaction output
+        INSIDE the same commit (VERDICT r6 #6 — compaction previously
+        produced always-read directories, eroding skipping over time).
+        Written into the ``compacting-*`` dir before the rename, so the
+        index commits atomically with the data it describes.
+
+        For each key any source is indexed on: when EVERY source carries
+        a sidecar for it (same bit-width/k), the compacted sidecar is
+        the pure metadata UNION of their bit sets — bits(A ∪ B) =
+        bits(A) ∪ bits(B), no data rescan, the O(1) path a 100 TB
+        compaction needs. When only some sources are indexed, a union
+        would miss the unindexed dirs' keys (false negatives — the one
+        thing the index must never do), so the bits are recomputed from
+        the compacted data with the same bounded distinct used by
+        ``index_fact_batch``.
+        """
+        key_cols: set[str] = set()
+        for d in sources:
+            for f in os.listdir(d):
+                if f.startswith("_BLOOM_") and f.endswith(".json"):
+                    key_cols.add(f[len("_BLOOM_") : -len(".json")])
+        for key in sorted(key_cols):
+            metas = []
+            for d in sources:
+                p = os.path.join(d, f"_BLOOM_{key}.json")
+                if not os.path.exists(p):
+                    metas = None
+                    break
+                with open(p) as fh:
+                    metas.append(json.load(fh))
+            if metas is not None and all(
+                mm["n_bits"] == BLOOM_BITS and mm["k"] == BLOOM_K
+                for mm in metas
+            ):
+                bits = sorted(set().union(*[set(mm["bits"]) for mm in metas]))
+            else:
+                bits = sorted(
+                    int(r["p"])
+                    for r in self.spark.read.parquet(tmp)
+                    .select(
+                        F.explode(
+                            F.array(*_bloom_position_cols(key))
+                        ).alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                )
+            tmp_f = os.path.join(tmp, f".BLOOM_{key}.tmp")
+            with open(tmp_f, "w") as fh:
+                json.dump(
+                    {
+                        "key_col": key,
+                        "n_bits": BLOOM_BITS,
+                        "k": BLOOM_K,
+                        "bits": bits,
+                    },
+                    fh,
+                )
+            os.replace(tmp_f, os.path.join(tmp, f"_BLOOM_{key}.json"))
 
 
 def check_manifest(paths: list[str]) -> list[str]:

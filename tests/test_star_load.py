@@ -543,11 +543,65 @@ def test_bloom_batch_index_prunes_without_false_negatives(spark, tmp_path):
         wh, "f", schema, "id", 42
     ).collect()] == [(42, "b2")]
 
-    # compaction absorbs the batch dirs; the compacted dir carries no
-    # index -> must-read, and lookups stay correct
+    # compaction re-indexes inside the same commit (VERDICT r6 #6) —
+    # here via the RECOMPUTE path, since unindexed b4 is among the
+    # sources (a metadata union would miss key 500): present keys are
+    # admitted, absent keys are provably excluded, exactly as before
+    # compaction
     wh.compact_fact("f")
     must, skipped = prune_dirs_for_key(wh, "f", "id", 42)
     assert len(must) == 1 and skipped == []
     assert [(r["id"], r["v"]) for r in read_fact_point(
         wh, "f", schema, "id", 42
     ).collect()] == [(42, "b2")]
+    for present in (0, 59, 89, 500):  # incl. the previously-unindexed key
+        must, _ = prune_dirs_for_key(wh, "f", "id", present)
+        assert len(must) == 1, present
+    must, skipped = prune_dirs_for_key(wh, "f", "id", 1_000_000)
+    assert must == [] and len(skipped) == 1  # skips as well as before
+    assert read_fact_point(wh, "f", schema, "id", 1_000_000).count() == 0
+
+
+def test_compaction_sidecar_union_path(spark, tmp_path):
+    """When EVERY compaction source is indexed, the compacted sidecar is
+    the pure metadata union of the source bit sets (no data rescan):
+    bit-for-bit equal to re-indexing the merged data, so skipping power
+    is unchanged through compaction."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import (
+        ParquetWarehouse,
+        _bloom_positions_py,
+        index_fact_batch,
+        prune_dirs_for_key,
+        read_fact_point,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    src_bits: set[int] = set()
+    for bid, ids in {"b1": range(0, 30), "b2": range(30, 60)}.items():
+        wh.fact_append("f", _mini_fact(spark, [(i, bid) for i in ids]), bid)
+        index_fact_batch(wh, "f", bid, "id")
+        with open(
+            os.path.join(wh.fact_batch_dir("f", bid), "_BLOOM_id.json")
+        ) as fh:
+            src_bits |= set(json.load(fh)["bits"])
+    assert wh.compact_fact("f") == 2
+    [cdir] = wh._live_dirs("f")
+    with open(os.path.join(cdir, "_BLOOM_id.json")) as fh:
+        got = json.load(fh)
+    assert got["bits"] == sorted(src_bits)  # exact union, not a rescan
+    # every key still admitted, absent keys still excluded
+    for i in (0, 29, 30, 59):
+        assert set(_bloom_positions_py(str(i))) <= set(got["bits"])
+        must, _ = prune_dirs_for_key(wh, "f", "id", i)
+        assert must == [cdir]
+    must, skipped = prune_dirs_for_key(wh, "f", "id", 1_000_000)
+    assert must == [] and skipped == [cdir]
+    assert read_fact_point(wh, "f", schema, "id", 30).count() == 1

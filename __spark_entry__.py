@@ -39,8 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # every round). doc_snm_pairs yields its slot to the round-7 additions:
 # it already has independent sf0.01 evidence (judge-run
 # tools/check_correctness.py spot-check, 8/8 green, VERDICT r6) — it
-# leads round-8's rotation together with the r3-stale greens that don't
-# fit (tpch_q7..q22, emb_ivf_topk, ev_pivot/unpivot/user_profile,
+# leads round-8's rotation together with the LATER round-7 additions
+# that arrived after the window filled (ev_scd2_multiversion,
+# ev_rollup_cdc_distinct) and the r3-stale greens that don't fit
+# (tpch_q7..q22, emb_ivf_topk, ev_pivot/unpivot/user_profile,
 # grouping_sets, doc_passage_dup, and the rest of the 31 r3 rows).
 # Every query outside the window stays pinned in-repo by
 # `pytest -m oracle` and the committed CORRECTNESS_FULL.json artifact.

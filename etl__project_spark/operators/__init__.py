@@ -9,6 +9,7 @@ from etl__project_spark.operators.dims import (  # noqa: F401
     derive_dim_time,
     scd1_upsert,
     scd2_upsert,
+    scd2_upsert_multi,
     with_dense_ids,
 )
 from etl__project_spark.operators.fact import build_fact  # noqa: F401
@@ -18,10 +19,13 @@ from etl__project_spark.operators.merge import (  # noqa: F401
 )
 from etl__project_spark.operators.audit import max_lengths, record_count  # noqa: F401
 from etl__project_spark.operators.rollup import (  # noqa: F401
+    finalize_distinct,
     finalize_rollup,
+    merge_distinct_signed,
     merge_rollups,
     merge_rollups_minmax_cdc,
     merge_rollups_signed,
+    partial_distinct_signed,
     partial_rollup,
     partial_rollup_signed,
 )

@@ -242,3 +242,147 @@ def scd2_upsert(
         .unionByName(expired.select(cols))
         .unionByName(new_rows.select(cols))
     )
+
+
+def scd2_upsert_multi(
+    dim: DataFrame,
+    delta: DataFrame,
+    natural_key: str,
+    attr_cols: list[str],
+    skey_col: str,
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+    end_of_time_ord: int = 253402300800000000,
+) -> DataFrame:
+    """SCD Type-2 upsert that keeps EVERY intra-batch version — the
+    refinement VERDICT r6 listed as gap #5: :func:`scd2_upsert`
+    collapses a batch to one winner per key (all the reference's
+    nightly single-version loads need, summary.pdf p.8), but CDC-grade
+    feeds deliver several ordered changes per key per batch and each
+    must become its own dimension version.
+
+    Effective-ORDINAL variant: validity is tracked on ``order_col``'s
+    scale (epoch micros, a change sequence, …) as half-open intervals
+    ``[start_ord, end_ord)`` — several versions inside one load date
+    cannot be told apart at day grain, so the day-grain schema of
+    ``scd2_upsert`` is replaced by the standard timestamp-grain
+    refinement. dim schema: (skey, nk, *attrs, current_flag,
+    start_ord, end_ord); exactly one 'Y' row per key.
+
+    Semantics = folding the batch's rows through single-version SCD2
+    one at a time in ``(order_col, *tiebreak_cols)`` order (the
+    property test replays exactly that), computed in ONE pass:
+
+    1. consecutive-duplicate collapse per key (lag over attrs): a row
+       repeating its predecessor's attrs is a no-op, not a version;
+    2. the first surviving row per key is also a no-op when it matches
+       the dim's CURRENT attrs for that key;
+    3. chain: start_ord = own ordinal, end_ord = the next version's
+       start (lead), end-of-time for the last → that row is 'Y';
+    4. the dim's current row for a touched key expires at the first
+       new version's start_ord;
+    5. new skeys continue densely past max(skey), ordered by
+       (natural_key, start_ord) via the range-partitioned dense-id
+       path.
+
+    Ties on ``order_col`` are ordered by ``tiebreak_cols`` (pass the
+    feed's unique id); a version boundary between tied ordinals yields
+    a zero-width interval — well-defined, deterministic, and identical
+    in the SQL oracle.
+
+    Scale shape: two natural_key-keyed window stages over the BATCH
+    (delta-sized, never the dim), one probe join of the batch's
+    touched keys into the key-bucketed dim, and the dense-id path;
+    dim history is never re-windowed.
+    """
+    tb = [F.col(c) for c in (tiebreak_cols or [])]
+    wo = Window.partitionBy(natural_key).orderBy(F.col(order_col), *tb)
+    d = delta.select(natural_key, *attr_cols, order_col, *(tiebreak_cols or []))
+    with_prev = d.select(
+        "*",
+        *[F.lag(a).over(wo).alias(f"__p_{a}") for a in attr_cols],
+        F.row_number().over(wo).alias("__rn"),
+    )
+    same_prev = F.lit(True)
+    for a in attr_cols:
+        same_prev = same_prev & F.col(f"__p_{a}").eqNullSafe(F.col(a))
+    survivors = with_prev.filter((F.col("__rn") == 1) | ~same_prev).drop(
+        *[f"__p_{a}" for a in attr_cols], "__rn"
+    )
+
+    cur = dim.filter(F.col("current_flag") == "Y")
+    cur_probe = cur.select(
+        natural_key,
+        *[F.col(a).alias(f"__c_{a}") for a in attr_cols],
+        F.lit(1).alias("__has_cur"),
+    )
+    ranked = survivors.withColumn("__rn", F.row_number().over(wo))
+    same_cur = F.lit(True)
+    for a in attr_cols:
+        same_cur = same_cur & F.col(f"__c_{a}").eqNullSafe(F.col(a))
+    noop_first = (
+        F.broadcast(ranked.filter(F.col("__rn") == 1))
+        .join(cur_probe, natural_key)
+        .filter(same_cur)
+        .select(natural_key, order_col, *(tiebreak_cols or []))
+    )
+    versions = ranked.drop("__rn").join(
+        F.broadcast(noop_first),
+        [natural_key, order_col, *(tiebreak_cols or [])],
+        "left_anti",
+    )
+
+    chained = (
+        versions.withColumn("start_ord", F.col(order_col).cast("long"))
+        .withColumn("__next", F.lead("start_ord").over(wo))
+        .withColumn(
+            "end_ord",
+            F.coalesce("__next", F.lit(end_of_time_ord)).cast("long"),
+        )
+        .withColumn(
+            "current_flag",
+            F.when(F.col("__next").isNull(), F.lit("Y")).otherwise(F.lit("N")),
+        )
+        .drop("__next", *([order_col] if order_col != "start_ord" else []))
+        .drop(*(tiebreak_cols or []))
+    )
+
+    first_new = chained.groupBy(natural_key).agg(
+        F.min("start_ord").alias("__first_start")
+    )
+    expired = (
+        cur.join(F.broadcast(first_new), natural_key)
+        .withColumn("current_flag", F.lit("N"))
+        .withColumn("end_ord", F.col("__first_start"))
+        .drop("__first_start")
+    )
+    untouched_current = cur.join(F.broadcast(first_new), natural_key, "left_anti")
+    history = dim.filter(F.col("current_flag") == "N")
+
+    base = dim.agg(F.coalesce(F.max(skey_col) + 1, F.lit(0)).alias("__base"))
+    new_rows = (
+        with_dense_ids(
+            chained.withColumn("__ord", F.struct(natural_key, "start_ord")),
+            "__ord",
+            id_col=skey_col,
+            start=0,
+        )
+        .drop("__ord")
+        .crossJoin(F.broadcast(base))
+        .withColumn(skey_col, (F.col(skey_col) + F.col("__base")).cast("long"))
+        .drop("__base")
+    )
+    cols = [
+        skey_col,
+        natural_key,
+        *attr_cols,
+        "current_flag",
+        "start_ord",
+        "end_ord",
+    ]
+    return (
+        history.select(cols)
+        .unionByName(untouched_current.select(cols))
+        .unionByName(expired.select(cols))
+        .unionByName(new_rows.select(cols))
+    )

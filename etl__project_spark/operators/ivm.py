@@ -271,6 +271,94 @@ def maintain_join_view_cdc(
 # a probe of bucketed A by the (few) transitioning keys.
 
 
+def _ne_project(
+    rows: DataFrame,
+    state_a_cols: list[str],
+    b_payload_fields,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Null-extend signed A rows on B's payload columns (sign kept)."""
+    return rows.select(
+        *[c for c in state_a_cols if c != sign_col],
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in b_payload_fields],
+        F.col(sign_col),
+    )
+
+
+def _b_payload_fields(state_b: DataFrame, on: list[str], sign_col: str = "sign"):
+    return [
+        f
+        for f in state_b.schema.fields
+        if f.name not in on and f.name != sign_col
+    ]
+
+
+def leftjoin_init_signed(
+    state_a: DataFrame, state_b: DataFrame, on: list[str], sign_col: str = "sign"
+) -> DataFrame:
+    """The signed LEFT-join view of the initial states: the inner join
+    plus null-extensions for A rows whose key has no B match. The
+    unmatched set is a direct anti-join of A against B's key set —
+    never a distinct over A's keys (A is the big side; B's key set
+    broadcasts, so this is one pass over A with no A-sized shuffle)."""
+    unmatched = state_a.join(state_b.select(*on).distinct(), on, "left_anti")
+    return _signed_join(state_a, state_b, on, sign_col).unionByName(
+        _ne_project(unmatched, state_a.columns, _b_payload_fields(state_b, on))
+    )
+
+
+def leftjoin_delta_signed(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    sign_col: str = "sign",
+) -> DataFrame:
+    """One CDC batch's signed delta of the LEFT-join view A ⟕ B (B
+    churns, A static): the inner delta (A ⋈ ΔB, sign products) plus the
+    null-extension transitions — keys whose net B count crosses
+    **0 → >0** retract their null-extended A rows, keys crossing
+    **>0 → 0** assert them. Counts are computed only for the keys ΔB
+    touches (one probe of the key-bucketed B state), and both
+    transition directions share ONE signed A-probe. ``state_b`` must be
+    the PRE-batch state. Used by both the batch fold
+    (:func:`maintain_leftjoin_view_cdc`) and the streaming job
+    (``streaming/pipeline.py:stream_leftjoin_view_cdc``)."""
+    inner_delta = _signed_join(state_a, delta_b, on, sign_col)
+    touched = delta_b.select(*on).distinct()
+    old_cnt = (
+        state_b.join(touched, on)
+        .groupBy(*on)
+        .agg(F.sum(sign_col).alias("__old"))
+    )
+    trans = (
+        delta_b.groupBy(*on)
+        .agg(F.sum(sign_col).alias("__d"))
+        .join(old_cnt, on, "left")
+        .select(
+            *on,
+            F.coalesce(F.col("__old"), F.lit(0)).alias("__old"),
+            F.col("__d"),
+        )
+    )
+    new_cnt = F.col("__old") + F.col("__d")
+    ne_keys = trans.select(
+        *on,
+        F.when((F.col("__old") == 0) & (new_cnt > 0), -1)
+        .when((F.col("__old") > 0) & (new_cnt == 0), 1)
+        .cast("long")
+        .alias("__ne_mult"),
+    ).filter(F.col("__ne_mult").isNotNull())
+    ne_delta = (
+        state_a.join(ne_keys, on)
+        .withColumn(sign_col, F.col(sign_col) * F.col("__ne_mult"))
+        .drop("__ne_mult")
+    )
+    return inner_delta.unionByName(
+        _ne_project(ne_delta, state_a.columns, _b_payload_fields(state_b, on))
+    )
+
+
 def maintain_leftjoin_view_cdc(
     initial_a: DataFrame,
     initial_b: DataFrame,
@@ -309,27 +397,7 @@ def maintain_leftjoin_view_cdc(
     sign1 = F.lit(1).cast("long").alias("sign")
     state_a = initial_a.select("*", sign1)
     state_b = initial_b.select("*", sign1)
-    a_payload = [c for c in state_a.columns if c != "sign"]
-    b_payload = [
-        f for f in state_b.schema.fields if f.name not in on and f.name != "sign"
-    ]
-
-    def ne_project(rows: DataFrame, negate: bool) -> DataFrame:
-        """Null-extend A rows on B's payload; sign = ±sign_a."""
-        s = -F.col("sign") if negate else F.col("sign")
-        return rows.select(
-            *a_payload,
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in b_payload],
-            s.alias("sign"),
-        )
-
-    # initial null-extensions: anti-join A directly against B's key set
-    # (never a distinct over A's keys — A is the big side; B's key set
-    # broadcasts, so this is one pass over A with no A-sized shuffle)
-    unmatched0 = state_a.join(state_b.select(*on).distinct(), on, "left_anti")
-    view = _signed_join(state_a, state_b, on, "sign").unionByName(
-        ne_project(unmatched0, negate=False)
-    )
+    view = leftjoin_init_signed(state_a, state_b, on)
     if checkpoint:
         state_b = state_b.localCheckpoint(eager=True)
     for batch in cdc_batches_b:
@@ -338,40 +406,7 @@ def maintain_leftjoin_view_cdc(
         )
         if checkpoint:
             delta_b = delta_b.localCheckpoint(eager=True)
-        inner_delta = _signed_join(state_a, delta_b, on, "sign")
-        # net-count transition detection, restricted to touched keys
-        touched = delta_b.select(*on).distinct()
-        old_cnt = (
-            state_b.join(touched, on)
-            .groupBy(*on)
-            .agg(F.sum("sign").alias("__old"))
-        )
-        trans = (
-            delta_b.groupBy(*on)
-            .agg(F.sum("sign").alias("__d"))
-            .join(old_cnt, on, "left")
-            .select(
-                *on,
-                F.coalesce(F.col("__old"), F.lit(0)).alias("__old"),
-                F.col("__d"),
-            )
-        )
-        # one signed key frame for both transition directions (−1 retract
-        # at 0→>0, +1 assert at >0→0) — a single probe of A per batch
-        new_cnt = F.col("__old") + F.col("__d")
-        ne_keys = trans.select(
-            *on,
-            F.when((F.col("__old") == 0) & (new_cnt > 0), -1)
-            .when((F.col("__old") > 0) & (new_cnt == 0), 1)
-            .cast("long")
-            .alias("__ne_mult"),
-        ).filter(F.col("__ne_mult").isNotNull())
-        ne_delta = (
-            state_a.join(ne_keys, on)
-            .withColumn("sign", F.col("sign") * F.col("__ne_mult"))
-            .drop("__ne_mult")
-        )
-        delta_v = inner_delta.unionByName(ne_project(ne_delta, negate=False))
+        delta_v = leftjoin_delta_signed(state_a, state_b, delta_b, on)
         if checkpoint:
             delta_v = delta_v.localCheckpoint(eager=True)
         view = view.unionByName(delta_v)

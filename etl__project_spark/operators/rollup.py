@@ -222,3 +222,55 @@ def merge_rollups_minmax_cdc(
             F.coalesce("__new_vmax", "__old_vmax").alias("vmax"),
         )
     )
+
+
+# --- distinct counts under retraction ----------------------------------------
+#
+# COUNT(DISTINCT x) is the third classically non-self-maintainable
+# aggregate (with min/max): a merged distinct COUNT cannot absorb a
+# delete (was the deleted value's last occurrence in the group or not?),
+# and sketch forms (HLL) are strictly insert-only — registers only ever
+# ratchet up. The standard IVM fix is to keep the state one grain finer:
+# a signed multiplicity per (group, value). Deletes decrement, values at
+# net 0 vanish, and the distinct count is a row count over the live
+# state. Memory is O(distinct values) instead of O(1) — exactly the
+# price the IVM literature assigns to retractable distinct counts; at
+# 100 TB the state table is bucketed on the group key so both the merge
+# and the finalize are co-located aggregates.
+
+
+def partial_distinct_signed(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """One signed batch's (group, value)-grain state: net multiplicity
+    per distinct value per group."""
+    return df.groupBy(*keys, value_col).agg(
+        F.sum(sign_col).cast("long").alias("n")
+    )
+
+
+def merge_distinct_signed(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Merge a signed (group, value) state into the stored one; values
+    retracted to net 0 disappear, so liveness is the multiplicity."""
+    return (
+        existing.unionByName(delta.select(existing.columns))
+        .groupBy(*keys, value_col)
+        .agg(F.sum("n").cast("long").alias("n"))
+        .filter(F.col("n") != 0)
+    )
+
+
+def finalize_distinct(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Read-time distinct count per group: a row count over the live
+    (group, value) state."""
+    return state.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )

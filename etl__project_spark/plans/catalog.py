@@ -12878,3 +12878,131 @@ def ev_rollup_cdc_minmax(spark, sf_dir):
         F.round(F.col("vmin").cast("double"), 2).alias("min_value"),
         F.round(F.col("vmax").cast("double"), 2).alias("max_value"),
     )
+
+
+@query(
+    "ev_scd2_multiversion",
+    """WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+  FROM events
+),
+starts AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+),
+chained AS (
+  SELECT user_id, event_type, epoch_us(ts)::BIGINT AS start_ord,
+         lead(epoch_us(ts)::BIGINT)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ord
+  FROM starts
+)
+SELECT user_id, event_type, start_ord,
+       coalesce(next_ord, 253402300800000000)::BIGINT AS end_ord,
+       CASE WHEN next_ord IS NULL THEN 'Y' ELSE 'N' END AS current_flag
+FROM chained""",
+)
+def ev_scd2_multiversion(spark, sf_dir):
+    """SCD2 with intra-batch MULTI-versioning (VERDICT r6 gap #5) —
+    ``scd2_upsert`` collapses a batch to one winner per key, which the
+    reference's nightly loads never notice (summary.pdf p.8 loads one
+    version per day) but a CDC-grade feed does: here the whole events
+    table arrives as ONE batch of per-user profile changes (attr =
+    event_type, effective ordinal = epoch micros, ties by event_id)
+    and ``operators/dims.py:scd2_upsert_multi`` must emit EVERY
+    distinct consecutive state as its own half-open validity interval
+    [start_ord, end_ord), exactly one current row per user.
+    Consecutive duplicates collapse (a repeat is a no-op, not a
+    version); the oracle is the pure-SQL window form of the same
+    chaining, so the hash match proves dedup, interval chaining, and
+    current-flag placement row-for-row. Surrogate keys are excluded
+    from the comparison frame (assignment order is pinned by pytest,
+    not the oracle).
+
+    Scale shape: two user-keyed window stages over the BATCH plus the
+    dense-id range-partition path — the dim side (empty here) is only
+    ever probed by touched keys, never re-windowed."""
+    from etl__project_spark.operators import scd2_upsert_multi
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ord_us"),
+        "event_id",
+    )
+    dim0 = spark.createDataFrame(
+        [],
+        "skey long, user_id long, event_type string, current_flag string, "
+        "start_ord long, end_ord long",
+    )
+    out = scd2_upsert_multi(
+        dim0,
+        ev,
+        natural_key="user_id",
+        attr_cols=["event_type"],
+        skey_col="skey",
+        order_col="ord_us",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_type", "start_ord", "end_ord", "current_flag"
+    )
+
+
+@query(
+    "ev_rollup_cdc_distinct",
+    """WITH post AS (
+  SELECT event_type,
+         CASE WHEN event_id % 10 = 3 THEN user_id + 1000000
+              ELSE user_id END AS u
+  FROM events WHERE event_id % 10 <> 7
+)
+SELECT event_type, count(DISTINCT u)::BIGINT AS n_users
+FROM post GROUP BY event_type""",
+)
+def ev_rollup_cdc_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) under retraction — the third classically
+    non-self-maintainable aggregate, completing the set with min/max
+    (``ev_rollup_cdc_minmax``): a merged distinct count cannot absorb
+    a delete (was that the value's last occurrence?) and HLL sketches
+    are strictly insert-only. ``operators/rollup.py:
+    partial_distinct_signed`` keeps the state one grain finer — signed
+    multiplicity per (event_type, user_id) — so deletes decrement,
+    values at net 0 vanish, and the distinct count is a row count over
+    live state. The churn (event_id%10==3 re-attributed to a shifted
+    user id, %10==7 deleted) changes per-type distinct-user sets in
+    both directions; the oracle is the one-shot COUNT(DISTINCT) over
+    post-CDC state, so the hash match proves last-occurrence handling.
+
+    Cost shape: two (group, value)-keyed hash aggregates (batch
+    partial + merge) and a group-keyed finalize — O(batch + touched
+    values) per refresh; state is O(live distinct values), the
+    documented price of retractable distinct counts, bucketed on the
+    group key at scale."""
+    from etl__project_spark.operators import (
+        finalize_distinct,
+        merge_distinct_signed,
+        partial_distinct_signed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    m10 = F.col("event_id") % 10
+    state = partial_distinct_signed(
+        ev.withColumn("sign", F.lit(1)), ["event_type"], "user_id"
+    )
+    retractions = ev.filter(m10.isin(3, 7)).withColumn("sign", F.lit(-1))
+    post_images = (
+        ev.filter(m10 == 3)
+        .withColumn("user_id", F.col("user_id") + F.lit(1000000))
+        .withColumn("sign", F.lit(1))
+    )
+    delta = partial_distinct_signed(
+        retractions.unionByName(post_images), ["event_type"], "user_id"
+    )
+    merged = merge_distinct_signed(state, delta, ["event_type"], "user_id")
+    return finalize_distinct(merged, ["event_type"]).select(
+        "event_type", F.col("n_distinct").alias("n_users")
+    )

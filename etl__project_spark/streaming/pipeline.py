@@ -531,6 +531,96 @@ def stream_join_view_cdc(
     return writer.start()
 
 
+def read_leftjoin_view(wh: ParquetWarehouse, static_a: DataFrame) -> DataFrame:
+    """The maintained A ⟕ B view: consolidated signed rows; unmatched
+    A keys carry a NULL B payload (the null-extension rows)."""
+    return wh.read("ljv_view", _jv_view_schema(static_a))
+
+
+def stream_leftjoin_view_cdc(
+    spark: SparkSession,
+    static_a: DataFrame,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the LEFT-OUTER join view ``static_a ⟕ B`` while B
+    arrives as a CDC changelog stream — the streaming face of
+    ``operators/ivm.py:leftjoin_delta_signed`` (the batch twin is
+    ``tpch_leftjoin_cdc_incremental``), completing the
+    ``stream_join_view_cdc`` family with null-extension maintenance.
+
+    The view is SEEDED once (exactly-once batch id "seed") with every
+    A row null-extended — B starts empty, so the LEFT join of the
+    initial states is exactly NE(A); a restart no-ops the seed by id.
+    Per micro-batch thereafter: compact latest-wins keeping tombstones,
+    translate to signed deltas against B's stored state, and fold the
+    combined inner + null-extension-transition delta
+    (keys crossing 0→>0 retract their placeholders, >0→0 re-assert
+    them) through the warehouse's exactly-once merges.
+
+    Crash ordering matches the inner job: the VIEW merges before B's
+    state, so a replayed batch recomputes the identical delta against
+    the unchanged pre-batch state and no-ops on its batch id. Per-batch
+    cost adds one touched-keys probe of B's state and one signed probe
+    of A to the inner job's plan — O(|Δ| × fan-out).
+    """
+    from etl__project_spark.operators.ivm import (
+        cdc_to_signed_delta,
+        consolidate,
+        leftjoin_delta_signed,
+        leftjoin_init_signed,
+    )
+    from etl__project_spark.operators.merge import cdc_apply
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+    a_signed = static_a.select(
+        "*", F.lit(1).cast("long").alias("sign")
+    ).localCheckpoint(eager=True)
+    view_schema = _jv_view_schema(static_a)
+    empty_b = spark.createDataFrame([], JV_STATE_SCHEMA)
+    wh.publish_merged(
+        "ljv_view",
+        leftjoin_init_signed(a_signed, empty_b, ["id"]),
+        view_schema,
+        "seed",
+        lambda ex, d: consolidate(ex.unionByName(d)),
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        compact = cdc_apply(
+            batch, key_cols=["id"], seq_cols=["seq"], drop_deletes=False
+        )
+        state_b = wh.read("ljv_state_b", JV_STATE_SCHEMA)
+        delta_b = cdc_to_signed_delta(
+            state_b, compact.select("id", "op", "v"), ["id"]
+        ).localCheckpoint(eager=True)
+        delta_v = leftjoin_delta_signed(a_signed, state_b, delta_b, ["id"])
+        wh.publish_merged(
+            "ljv_view",
+            delta_v,
+            view_schema,
+            str(batch_id),
+            lambda ex, d: consolidate(ex.unionByName(d)),
+        )
+        wh.publish_merged(
+            "ljv_state_b",
+            delta_b,
+            JV_STATE_SCHEMA,
+            str(batch_id),
+            lambda ex, d: consolidate(ex.unionByName(d)),
+        )
+
+    changes = spark.readStream.schema(CDC_SCHEMA).json(landing_dir)
+    writer = changes.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --- streaming dedup-index maintenance ---------------------------------------
 
 DOC_SCHEMA = T.StructType(

@@ -168,3 +168,111 @@ def test_scd2_asof_lookup_routes_versions(spark):
         # every changed key flips attribute between the probes
         assert both.filter(F.col("e.attr") == F.col("l.attr")).count() == 0
         assert both.count() == n_changed
+
+
+def _multi_dim(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "skey long, nk long, attr string, current_flag string, "
+        "start_ord long, end_ord long",
+    )
+
+
+def test_scd2_multi_intra_batch_versions(spark):
+    """One batch carrying several ordered changes per key: every
+    distinct consecutive state becomes its own half-open interval,
+    consecutive duplicates collapse, a first version equal to the
+    dim's current attrs is a no-op, and the current row expires at the
+    first new version's ordinal (VERDICT r6 gap #5)."""
+    from etl__project_spark.operators import scd2_upsert_multi
+
+    EOT = 253402300800000000
+    dim = _multi_dim(
+        spark,
+        [
+            (0, 1, "a", "Y", 100, EOT),   # key 1: will take 2 new versions
+            (1, 2, "x", "Y", 100, EOT),   # key 2: batch opens with a no-op
+            (2, 3, "q", "Y", 100, EOT),   # key 3: untouched
+        ],
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, "b", 200, 1),  # change
+            (1, "b", 210, 2),  # consecutive dup -> collapsed
+            (1, "c", 220, 3),  # change
+            (2, "x", 300, 4),  # equals current -> no-op
+            (2, "y", 310, 5),  # change
+            (4, "n1", 400, 6),  # brand-new key, two versions
+            (4, "n2", 410, 7),
+        ],
+        "nk long, attr string, ord long, eid long",
+    )
+    out = scd2_upsert_multi(
+        dim, delta, "nk", ["attr"], "skey", "ord", tiebreak_cols=["eid"]
+    ).collect()
+    rows = {
+        (r["nk"], r["start_ord"]): (r["attr"], r["current_flag"], r["end_ord"])
+        for r in out
+    }
+    assert rows == {
+        (1, 100): ("a", "N", 200),   # expired at first new version
+        (1, 200): ("b", "N", 220),   # dup at 210 collapsed into this span
+        (1, 220): ("c", "Y", EOT),
+        (2, 100): ("x", "N", 310),   # no-op at 300 left it current until 310
+        (2, 310): ("y", "Y", EOT),
+        (3, 100): ("q", "Y", EOT),   # untouched
+        (4, 400): ("n1", "N", 410),
+        (4, 410): ("n2", "Y", EOT),
+    }
+    # exactly one current row per key; skeys dense past max(dim)
+    cur = [r for r in out if r["current_flag"] == "Y"]
+    assert sorted(r["nk"] for r in cur) == [1, 2, 3, 4]
+    new_skeys = sorted(r["skey"] for r in out if r["start_ord"] >= 200)
+    assert new_skeys == [3, 4, 5, 6, 7]
+
+
+def test_scd2_multi_equals_one_at_a_time_replay(spark):
+    """Property (random batches): the one-pass multi-version upsert
+    equals folding the batch's rows through a Python SCD2 model one
+    row at a time in ordinal order."""
+    import random
+
+    from etl__project_spark.operators import scd2_upsert_multi
+
+    random.seed(17)
+    EOT = 253402300800000000
+    keys = list(range(6))
+    dim_rows, model = [], {}  # model[nk] = list of [attr, start, end, flag]
+    for skey, nk in enumerate(keys[:4]):  # 4 pre-existing keys
+        attr = f"v{nk}"
+        dim_rows.append((skey, nk, attr, "Y", 50, EOT))
+        model[nk] = [[attr, 50, EOT, "Y"]]
+    delta_rows = []
+    ordinal = 100
+    for eid in range(40):
+        nk = random.choice(keys)
+        attr = f"a{random.randrange(3)}"
+        delta_rows.append((nk, attr, ordinal, eid))
+        # replay model: single-version SCD2 fold at ordinal grain
+        vers = model.setdefault(nk, [])
+        if not vers or vers[-1][0] != attr:
+            if vers:
+                vers[-1][2] = ordinal  # expire current at new start
+                vers[-1][3] = "N"
+            vers.append([attr, ordinal, EOT, "Y"])
+        ordinal += random.randrange(1, 5)
+    dim = _multi_dim(spark, dim_rows)
+    delta = spark.createDataFrame(
+        delta_rows, "nk long, attr string, ord long, eid long"
+    )
+    out = scd2_upsert_multi(
+        dim, delta, "nk", ["attr"], "skey", "ord", tiebreak_cols=["eid"]
+    )
+    got = sorted(
+        (r["nk"], r["start_ord"], r["attr"], r["end_ord"], r["current_flag"])
+        for r in out.collect()
+    )
+    want = sorted(
+        (nk, v[1], v[0], v[2], v[3]) for nk, vs in model.items() for v in vs
+    )
+    assert got == want

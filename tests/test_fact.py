@@ -193,3 +193,77 @@ def test_minmax_rollup_random_churn_matches_recompute(spark):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in agg(post).collect()
     }
+
+
+def test_distinct_count_survives_last_occurrence_deletes(spark):
+    """Retractable COUNT(DISTINCT): deleting a value's LAST occurrence
+    drops it from the count, deleting one of several does not, and a
+    re-attributed value moves between groups."""
+    from etl__project_spark.operators import (
+        finalize_distinct,
+        merge_distinct_signed,
+        partial_distinct_signed,
+    )
+
+    base = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("x", 2), ("y", 3), ("y", 4)],
+        "k string, u long",
+    )
+    state = partial_distinct_signed(
+        base.withColumn("sign", F.lit(1)), ["k"], "u"
+    )
+    # delete ONE of x's two u=1 rows (still distinct-counted), delete
+    # x's only u=2 row (drops), move y's u=3 to group x
+    delta_rows = spark.createDataFrame(
+        [("x", 1, -1), ("x", 2, -1), ("y", 3, -1), ("x", 3, 1)],
+        "k string, u long, sign long",
+    )
+    merged = merge_distinct_signed(
+        state, partial_distinct_signed(delta_rows, ["k"], "u"), ["k"], "u"
+    )
+    got = {r["k"]: r["n_distinct"] for r in finalize_distinct(merged, ["k"]).collect()}
+    assert got == {"x": 2, "y": 1}  # x: {1, 3}; y: {4}
+
+
+def test_distinct_count_random_churn_matches_recompute(spark):
+    """Randomized churn folded through the signed (group, value) state
+    equals the one-shot COUNT(DISTINCT) over the replayed post state."""
+    import random
+
+    from etl__project_spark.operators import (
+        finalize_distinct,
+        merge_distinct_signed,
+        partial_distinct_signed,
+    )
+
+    random.seed(23)
+    rows = [(f"g{i % 4}", random.randrange(12)) for i in range(60)]
+    base = spark.createDataFrame(rows, "k string, u long")
+    state = partial_distinct_signed(
+        base.withColumn("sign", F.lit(1)), ["k"], "u"
+    )
+    live = list(rows)
+    deltas = []
+    for _ in range(25):
+        if live and random.random() < 0.5:
+            victim = live.pop(random.randrange(len(live)))
+            deltas.append((*victim, -1))
+        else:
+            row = (f"g{random.randrange(4)}", random.randrange(12))
+            live.append(row)
+            deltas.append((*row, 1))
+    merged = merge_distinct_signed(
+        state,
+        partial_distinct_signed(
+            spark.createDataFrame(deltas, "k string, u long, sign long"),
+            ["k"],
+            "u",
+        ),
+        ["k"],
+        "u",
+    )
+    got = {r["k"]: r["n_distinct"] for r in finalize_distinct(merged, ["k"]).collect()}
+    want = {}
+    for k, u in live:
+        want.setdefault(k, set()).add(u)
+    assert got == {k: len(v) for k, v in want.items()}

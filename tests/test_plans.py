@@ -276,6 +276,7 @@ def test_q11_scalar_threshold_no_sort_merge(spark):
 # the plan.
 SINGLE_PARTITION_CENSUS = {
     "vs_fact": 4,  # platform+site small=True windows, datetime+title offset windows
+    "ev_scd2_multiversion": 1,  # dense-id offset window (≤ #partitions rows)
     "vs_fact_rollup": 0,
     "tpch_q1_pricing": 0,
     "tpch_q3_shipping": 0,
@@ -409,6 +410,16 @@ EXCHANGE_BUDGET = {
     # post state) + the linear merge + two broadcast-probed rollup
     # joins; every aggregate keys on the bounded event_type space.
     "ev_rollup_cdc_minmax": (11, 0),
+    # multi-version SCD2 in one pass: the exchanges are the BATCH's
+    # user-keyed window stages re-derived across the four union
+    # branches (history/untouched/expired/new) plus the dense-id
+    # range partition — all delta-sized; every dim probe (noop-first,
+    # first-new expiry) is broadcast (zero SMJs).
+    "ev_scd2_multiversion": (20, 0),
+    # retractable distinct count: two (group,value)-keyed hash
+    # aggregates (base partial + churn partial), the merge, and the
+    # group-keyed finalize; no joins at all.
+    "ev_rollup_cdc_distinct": (6, 0),
     # embedding-intake composition (gate → SemDeDup → coreset →
     # scorecard): gate/kept stages are localCheckpointed so the final
     # plan is the exemplar window + four stage-count aggregates; the

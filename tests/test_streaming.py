@@ -1316,3 +1316,70 @@ def test_streaming_ann_cold_start_with_offset_ids(spark, tmp_path):
     hits = ann_lookup(wh, query, k=5).collect()
     assert len(hits) == 5
     assert all(h["vec_id"] >= 5000 for h in hits)
+
+
+def test_streaming_leftjoin_view_maintains_null_extensions(spark, tmp_path):
+    """Three CDC changelog files streamed through stream_leftjoin_view_cdc
+    maintain A LEFT JOIN B: the seeded null-extensions retract when a
+    key's first match arrives (0 -> >0), re-assert when its last match
+    is deleted (>0 -> 0), and the final view equals the one-shot LEFT
+    join against B's replayed post-state with every multiplicity 1."""
+    import json
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_leftjoin_view,
+        stream_leftjoin_view_cdc,
+    )
+
+    landing = str(tmp_path / "ljv_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "ljv_wh")
+    ckpt = str(tmp_path / "ljv_ckpt")
+
+    static_a = spark.createDataFrame(
+        [(k, 100 + k) for k in range(1, 6)] + [(2, 202)],  # key 2 fan-out 2
+        "id long, av long",
+    )
+    batches = [
+        # batch 1: first matches for 1..3 (their placeholders retract)
+        [(1, 10, "U", 1.0), (2, 10, "U", 2.0), (3, 10, "U", 3.0)],
+        # batch 2: update key 2 (no transition), insert key 4
+        [(2, 20, "U", 2.5), (4, 20, "U", 4.0)],
+        # batch 3: delete key 3 (placeholder re-asserts), update key 1
+        [(3, 30, "D", None), (1, 30, "U", 1.5)],
+    ]
+
+    def run_batch(i, rows):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps({"id": r[0], "seq": r[1], "op": r[2], "v": r[3]})
+                    + "\n"
+                )
+        q = stream_leftjoin_view_cdc(spark, static_a, landing, wh_root, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run_batch(i, rows)
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = sorted(
+        (r["id"], r["av"], r["v"], r["sign"])
+        for r in read_leftjoin_view(wh, static_a).collect()
+    )
+    # replayed post-state of B: 1 -> 1.5, 2 -> 2.5, 4 -> 4.0 (3 deleted)
+    b_final = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5), (4, 4.0)], "id long, v double"
+    )
+    want = sorted(
+        (r["id"], r["av"], r["v"], 1)
+        for r in static_a.join(b_final, "id", "left").collect()
+    )
+    assert got == want
+    # the never-matched key 5 and the deleted key 3 are null-extended
+    assert [r for r in got if r[0] == 3] == [(3, 103, None, 1)]
+    assert [r for r in got if r[0] == 5] == [(5, 105, None, 1)]
+    # key 2's fan-out rows both carry the updated value exactly once
+    assert [r for r in got if r[0] == 2] == [(2, 102, 2.5, 1), (2, 202, 2.5, 1)]

@@ -21,11 +21,14 @@ from etl__project_spark.operators.audit import max_lengths, record_count  # noqa
 from etl__project_spark.operators.rollup import (  # noqa: F401
     finalize_distinct,
     finalize_rollup,
+    finalize_variance,
     merge_distinct_signed,
+    merge_moments_signed,
     merge_rollups,
     merge_rollups_minmax_cdc,
     merge_rollups_signed,
     partial_distinct_signed,
+    partial_moments_signed,
     partial_rollup,
     partial_rollup_signed,
 )
@@ -34,6 +37,7 @@ from etl__project_spark.operators.ivm import (  # noqa: F401
     consolidate,
     delta_join,
     delta_join_signed,
+    maintain_fulljoin_view_cdc,
     maintain_join_view,
     maintain_join_view_cdc,
     maintain_leftjoin_view_cdc,

@@ -59,6 +59,7 @@ def with_dense_ids(
     start: int = 0,
     num_partitions: int | None = None,
     small: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """I1 — assign dense, insertion-ordered int64 ids ``start, start+1, …``
     ordered by ``order_col``.
@@ -89,12 +90,26 @@ def with_dense_ids(
         parted = df.repartitionByRange(order_col)
     else:
         parted = df.repartitionByRange(num_partitions, order_col)
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
-    local = with_pid.withColumn(
-        "__rn", F.row_number().over(Window.partitionBy("__pid").orderBy(order_col))
+    # Materialize the partitioned frame ONCE: the row side and the
+    # offset side below must see the SAME physical partitioning, but a
+    # re-evaluated repartitionByRange is not guaranteed identical under
+    # AQE (stage-level re-planning can coalesce the two evaluations
+    # differently, and spark_partition_id is then inconsistent between
+    # them — the inner __pid join silently drops rows; caught at sf0.1
+    # by the ev_scd2_multiversion oracle in round 7). localCheckpoint
+    # pins one evaluation; production would land the frame as a table
+    # at this point anyway. ``checkpoint=False`` exists ONLY so plan
+    # tests can inspect the pre-checkpoint shape (the lineage truncates
+    # at the checkpoint); never use it with a non-deterministic or
+    # AQE-re-planned input.
+    local = parted.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(order_col)),
     )
+    if checkpoint:
+        local = local.localCheckpoint(eager=True)
     offsets = (
-        with_pid.groupBy("__pid")
+        local.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .withColumn(
             "__off",

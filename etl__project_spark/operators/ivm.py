@@ -359,6 +359,131 @@ def leftjoin_delta_signed(
     )
 
 
+def _ne_project_b(
+    rows: DataFrame,
+    on: list[str],
+    a_fields,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Null-extend signed B rows on A's payload columns (sign kept)."""
+    b_cols = [c for c in rows.columns if c not in on and c != sign_col]
+    return rows.select(
+        *on,
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in a_fields],
+        *b_cols,
+        F.col(sign_col),
+    )
+
+
+def _a_payload_fields(state_a: DataFrame, on: list[str], sign_col: str = "sign"):
+    return [
+        f
+        for f in state_a.schema.fields
+        if f.name not in on and f.name != sign_col
+    ]
+
+
+def fulljoin_delta_signed(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    sign_col: str = "sign",
+    a_keys: DataFrame | None = None,
+) -> DataFrame:
+    """One CDC batch's signed delta of the FULL-outer view A ⟗ B with A
+    static: the LEFT-join delta (:func:`leftjoin_delta_signed` — inner
+    term + A-side null-extension transitions) plus the B-side
+    null-extensions, which are trivial precisely BECAUSE A is static —
+    whether a key has A matches never changes, so a ΔB row on a key
+    absent from A enters (or leaves, by its own sign) the view
+    null-extended on A's payload, with no transition detection at all:
+    one anti-join of the delta against A's (static) key set. Pass
+    ``a_keys`` (the distinct key frame, ideally materialized once —
+    A never changes) to keep the per-batch plan from re-deriving the
+    distinct over the big side; the batch driver and streaming job do.
+    """
+    if a_keys is None:
+        a_keys = state_a.select(*on).distinct()
+    left = leftjoin_delta_signed(state_a, state_b, delta_b, on, sign_col)
+    ne_b = _ne_project_b(
+        delta_b.join(a_keys, on, "left_anti"),
+        on,
+        _a_payload_fields(state_a, on, sign_col),
+        sign_col,
+    )
+    return left.unionByName(ne_b.select(left.columns))
+
+
+def fulljoin_init_signed(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    on: list[str],
+    sign_col: str = "sign",
+    a_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Signed FULL-outer view of the initial states: the LEFT-join init
+    plus initial B rows whose key has no A match, null-extended."""
+    if a_keys is None:
+        a_keys = state_a.select(*on).distinct()
+    left = leftjoin_init_signed(state_a, state_b, on, sign_col)
+    ne_b = _ne_project_b(
+        state_b.join(a_keys, on, "left_anti"),
+        on,
+        _a_payload_fields(state_a, on, sign_col),
+        sign_col,
+    )
+    return left.unionByName(ne_b.select(left.columns))
+
+
+def maintain_fulljoin_view_cdc(
+    initial_a: DataFrame,
+    initial_b: DataFrame,
+    cdc_batches_b: list[DataFrame],
+    on: list[str],
+    key_cols_b: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maintain A ⟗ B (full outer) incrementally while B receives CDC
+    batches — completing the outer-join IVM family
+    (:func:`maintain_leftjoin_view_cdc` adds the A-side null
+    extensions; this adds the B-side ones, which need no transition
+    machinery while A is static). Returns the consolidated signed view;
+    oracle-pinned by ``tpch_fulljoin_cdc_incremental`` against a
+    one-shot FULL JOIN of the post-CDC state."""
+    sign1 = F.lit(1).cast("long").alias("sign")
+    state_a = initial_a.select("*", sign1)
+    state_b = initial_b.select("*", sign1)
+    # A is static: derive its key set ONCE and materialize it — without
+    # this the final consolidation plan re-derives the big-side distinct
+    # once per batch plus once for the init, and the concurrent distinct
+    # subtrees OOMed the 100× sweep (same lesson as SCALE.md §9g).
+    a_keys = state_a.select(*on).distinct()
+    if checkpoint:
+        a_keys = a_keys.localCheckpoint(eager=True)
+    view = fulljoin_init_signed(state_a, state_b, on, a_keys=a_keys)
+    if checkpoint:
+        state_b = state_b.localCheckpoint(eager=True)
+    for batch in cdc_batches_b:
+        delta_b = cdc_to_signed_delta(
+            state_b, batch, key_cols_b, op_col=op_col, delete_op=delete_op
+        )
+        if checkpoint:
+            delta_b = delta_b.localCheckpoint(eager=True)
+        delta_v = fulljoin_delta_signed(
+            state_a, state_b, delta_b, on, a_keys=a_keys
+        )
+        if checkpoint:
+            delta_v = delta_v.localCheckpoint(eager=True)
+        view = view.unionByName(delta_v)
+        state_b = consolidate(state_b.unionByName(delta_b))
+        if checkpoint:
+            state_b = state_b.localCheckpoint(eager=True)
+    return consolidate(view)
+
+
 def maintain_leftjoin_view_cdc(
     initial_a: DataFrame,
     initial_b: DataFrame,

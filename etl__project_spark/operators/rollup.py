@@ -274,3 +274,64 @@ def finalize_distinct(state: DataFrame, keys: list[str]) -> DataFrame:
     return state.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct")
     )
+
+
+# --- second moments under retraction -----------------------------------------
+#
+# Variance (and stddev) ARE fully self-maintainable under churn, unlike
+# min/max/distinct: they are derived from the first two power sums
+# (Σx, Σx²), and power sums are sign-linear. Kept here in exact integer
+# cents (the measure quantized to 2dp × 100) with decimal(38,0)
+# accumulators, so the maintained moments are bit-identical to a
+# recompute at any merge-tree shape — the same exactness discipline as
+# the decimal sums above, extended to second order.
+
+
+def partial_moments_signed(
+    df: DataFrame,
+    keys: list[str],
+    cents_col: str,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """One signed batch's exact moment state: (keys, n, s1, s2) with
+    n = Σ sign, s1 = Σ sign·c, s2 = Σ sign·c² over integer cents."""
+    c = F.col(cents_col).cast("decimal(38,0)")
+    s = F.col(sign_col).cast("decimal(38,0)")
+    return df.groupBy(*keys).agg(
+        F.sum(sign_col).cast("long").alias("n"),
+        F.sum(s * c).alias("s1"),
+        F.sum(s * c * c).alias("s2"),
+    )
+
+
+def merge_moments_signed(
+    existing: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge signed moment states; groups at net-zero count vanish."""
+    return (
+        existing.unionByName(delta.select(existing.columns))
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+        )
+        .filter(F.col("n") != 0)
+    )
+
+
+def finalize_variance(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Read-time population variance from the exact moments:
+    var = (n·s2 − s1²) / n², computed in decimal then floor-quantized
+    to 4dp of the ORIGINAL value scale (cents² / 10⁴) — the numerator
+    is exact integer arithmetic, so the quantized result matches a
+    one-shot recompute bit-for-bit."""
+    n_dec = F.col("n").cast("decimal(38,0)")
+    num = n_dec * F.col("s2") - F.col("s1") * F.col("s1")
+    var = F.floor(
+        num.cast("double") / (F.col("n").cast("double") * F.col("n"))
+        + F.lit(0.5)
+    ) / F.lit(10000.0)
+    return state.select(
+        *keys, F.col("n").alias("n_events"), var.alias("var_value")
+    )

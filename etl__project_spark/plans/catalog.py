@@ -13006,3 +13006,168 @@ def ev_rollup_cdc_distinct(spark, sf_dir):
     return finalize_distinct(merged, ["event_type"]).select(
         "event_type", F.col("n_distinct").alias("n_users")
     )
+
+
+@query(
+    "tpch_fulljoin_cdc_incremental",
+    """WITH post AS (
+  SELECT o_orderkey AS okey,
+         CASE WHEN o_orderkey % 10 = 3 THEN 'Y-UPDATED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 10 <> 7
+),
+li AS (
+  SELECT l_orderkey AS okey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS rev_micro
+  FROM lineitem WHERE l_orderkey % 3 <> 0
+)
+SELECT coalesce(o.o_orderpriority, 'NO-ORDER') AS priority,
+       count(*)::BIGINT AS n_rows,
+       count(l.rev_micro)::BIGINT AS n_matched,
+       (floor(sum(l.rev_micro) / 100.0 + 0.5) / 100.0) AS revenue
+FROM li l FULL JOIN post o ON l.okey = o.okey
+GROUP BY 1""",
+)
+def tpch_fulljoin_cdc_incremental(spark, sf_dir):
+    """FULL-OUTER-join IVM under CDC churn — completing the outer
+    family begun by ``tpch_leftjoin_cdc_incremental``: the A side is
+    lineitem RESTRICTED to okey%3 != 0, so roughly a third of the
+    orders have no fact rows and must surface as B-side
+    null-extensions (A-payload NULLs) in the maintained view, while
+    the same CDC script as the left-join twin (updates %10==3 twice,
+    late inserts %10==4, deletes %10==7) drives the A-side
+    null-extension transitions AND inserts/retracts B-side
+    null-extended rows. Because A is static, the B side needs no
+    transition detection at all — a ΔB row on an A-less key enters or
+    leaves the view by its own sign via one anti-join against A's
+    static key set (``operators/ivm.py:fulljoin_delta_signed``).
+    Oracle = one-shot FULL JOIN of the post-CDC state; ``n_matched``
+    counts only matched rows (null-skipping count), separating the
+    three row populations in the hash.
+
+    Per-batch cost = the left-join delta's bound plus one
+    broadcast/bucketed anti-join of the delta — still O(|Δ| ×
+    fan-out)."""
+    from etl__project_spark.operators import maintain_fulljoin_view_cdc
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 != 0
+    ).select(
+        F.col("l_orderkey").alias("okey"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rev_micro"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    m10 = F.col("okey") % 10
+    initial_b = orders.filter(m10 != 4)
+    batch1 = (
+        orders.filter(m10 == 3)
+        .select("okey", F.lit("X-UPDATED").alias("o_orderpriority"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            orders.filter(m10 == 4).select("okey", "o_orderpriority").withColumn(
+                "op", F.lit("I")
+            )
+        )
+    )
+    batch2 = (
+        orders.filter(m10 == 3)
+        .select("okey", F.lit("Y-UPDATED").alias("o_orderpriority"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            orders.filter(m10 == 7).select("okey", "o_orderpriority").withColumn(
+                "op", F.lit("D")
+            )
+        )
+    )
+    view = maintain_fulljoin_view_cdc(
+        li, initial_b, [batch1, batch2], on=["okey"], key_cols_b=["okey"]
+    )
+    return view.groupBy(
+        F.coalesce("o_orderpriority", F.lit("NO-ORDER")).alias("priority")
+    ).agg(
+        F.sum("sign").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("rev_micro").isNotNull(), F.col("sign")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+        (
+            F.floor(
+                F.sum(F.col("rev_micro") * F.col("sign")).cast("double")
+                / F.lit(100.0)
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "ev_rollup_cdc_variance",
+    """WITH post AS (
+  SELECT event_type,
+         CAST(floor(round(value, 2) * 100 + 0.5) AS BIGINT)
+         + CASE WHEN event_id % 10 = 3 THEN 100 ELSE 0 END AS c
+  FROM events WHERE event_id % 10 <> 7
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       floor((count(*)::HUGEINT * sum(c::HUGEINT * c::HUGEINT)
+              - sum(c)::HUGEINT * sum(c)::HUGEINT)::DOUBLE
+             / (count(*)::DOUBLE * count(*)) + 0.5) / 10000.0 AS var_value
+FROM post GROUP BY event_type""",
+)
+def ev_rollup_cdc_variance(spark, sf_dir):
+    """VARIANCE under retraction — the counterpoint to
+    ``ev_rollup_cdc_minmax``/``ev_rollup_cdc_distinct``: second moments
+    ARE fully self-maintainable under churn, because variance derives
+    from the sign-LINEAR power sums (Σx, Σx²). ``operators/rollup.py:
+    partial_moments_signed`` keeps (n, s1, s2) in exact integer cents
+    with decimal(38,0) accumulators, so the maintained state is
+    bit-identical to a recompute at any merge shape and the final
+    population variance — (n·s2 − s1²)/n², floor-quantized at 4dp —
+    hash-matches the one-shot oracle exactly (DuckDB does the same
+    integer arithmetic in HUGEINT). Same churn script as the other
+    CDC rollups: %10==3 values shifted +1.00 (+100 cents), %10==7
+    deleted.
+
+    Cost shape: identical to the linear path — two bounded-keyspace
+    signed hash aggregates and a merge; no base-state consultation,
+    no per-value state. This is why a production rollup stores power
+    sums rather than variances."""
+    from etl__project_spark.operators import (
+        finalize_variance,
+        merge_moments_signed,
+        partial_moments_signed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.round(F.col("value"), 2) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    m10 = F.col("event_id") % 10
+    state = partial_moments_signed(
+        ev.withColumn("sign", F.lit(1)), ["event_type"], "c"
+    )
+    retractions = ev.filter(m10.isin(3, 7)).withColumn("sign", F.lit(-1))
+    post_images = (
+        ev.filter(m10 == 3)
+        .withColumn("c", F.col("c") + F.lit(100))
+        .withColumn("sign", F.lit(1))
+    )
+    delta = partial_moments_signed(
+        retractions.unionByName(post_images), ["event_type"], "c"
+    )
+    merged = merge_moments_signed(state, delta, ["event_type"])
+    return finalize_variance(merged, ["event_type"])

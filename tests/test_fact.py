@@ -267,3 +267,55 @@ def test_distinct_count_random_churn_matches_recompute(spark):
     for k, u in live:
         want.setdefault(k, set()).add(u)
     assert got == {k: len(v) for k, v in want.items()}
+
+
+def test_variance_moments_signed_match_recompute(spark):
+    """Signed second moments under churn (incl. deleting extreme values)
+    equal the one-shot recompute — variance is sign-linear, needing no
+    base-state consultation, unlike min/max/distinct."""
+    import random
+
+    from etl__project_spark.operators import (
+        finalize_variance,
+        merge_moments_signed,
+        partial_moments_signed,
+    )
+
+    random.seed(31)
+    rows = [(f"g{i % 4}", random.randrange(1, 40000)) for i in range(80)]
+    state = {}
+    for k, c in rows:
+        state.setdefault(k, []).append(c)
+    deltas = []
+    for k, cs in state.items():
+        for doom in {max(cs), min(cs)}:  # delete extremes too — no special case
+            cs.remove(doom)
+            deltas.append((k, doom, -1))
+        old = random.choice(cs)
+        cs.remove(old)
+        cs.append(old + 100)
+        deltas.append((k, old, -1))
+        deltas.append((k, old + 100, 1))
+    base = spark.createDataFrame(rows, "k string, c long")
+    merged = merge_moments_signed(
+        partial_moments_signed(base.withColumn("sign", F.lit(1)), ["k"], "c"),
+        partial_moments_signed(
+            spark.createDataFrame(deltas, "k string, c long, sign long"),
+            ["k"],
+            "c",
+        ),
+        ["k"],
+    )
+    got = {
+        r["k"]: (r["n_events"], r["var_value"])
+        for r in finalize_variance(merged, ["k"]).collect()
+    }
+    import math
+
+    want = {}
+    for k, cs in state.items():
+        n = len(cs)
+        mean = sum(cs) / n
+        var = sum((c - mean) ** 2 for c in cs) / n
+        want[k] = (n, math.floor(var + 0.5) / 10000.0)
+    assert got == want

@@ -306,3 +306,57 @@ def test_leftjoin_ivm_random_property_vs_replay(spark):
     want = sorted((r["k"], r["av"], r["bv"], r["count"]) for r in want_rows)
     got = sorted((r["k"], r["av"], r["bv"], r["sign"]) for r in view.collect())
     assert got == want
+
+
+def test_fulljoin_ivm_random_property_vs_replay(spark):
+    """Full-outer IVM under randomized churn: both A-side placeholders
+    (transition-maintained) and B-side null-extensions (keys with no A
+    match, entering/leaving by their own sign) must equal the one-shot
+    FULL join against the replayed post-state."""
+    import random
+
+    from etl__project_spark.operators import maintain_fulljoin_view_cdc
+
+    random.seed(47)
+    # A covers keys 0..8 only; B churns over 0..11 → keys 9..11 exist
+    # only B-side (null-extended A payload) whenever present in B
+    a = spark.createDataFrame(
+        [(random.randrange(9), i) for i in range(30)], "k long, av long"
+    )
+    state = {k: f"v{k}" for k in range(0, 12, 2)}
+    b0 = spark.createDataFrame(list(state.items()), "k long, bv string")
+    batches = []
+    for bi in range(3):
+        ops, seen = [], set()
+        for _ in range(8):
+            k = random.randrange(12)
+            if k in seen:
+                continue
+            seen.add(k)
+            if k in state and random.random() < 0.4:
+                ops.append((k, None, "D"))
+                del state[k]
+            else:
+                v = f"v{k}b{bi}"
+                ops.append((k, v, "U" if k in state else "I"))
+                state[k] = v
+        batches.append(
+            spark.createDataFrame(ops, "k long, bv string, op string")
+        )
+    view = maintain_fulljoin_view_cdc(a, b0, batches, on=["k"], key_cols_b=["k"])
+    b_final = spark.createDataFrame(
+        list(state.items()) or [], "k long, bv string"
+    )
+    want_rows = (
+        a.join(b_final, "k", "full").groupBy("k", "av", "bv").count().collect()
+    )
+    want = sorted(
+        (r["k"], r["av"], r["bv"], r["count"]) for r in want_rows
+    )
+    got = sorted(
+        (r["k"], r["av"], r["bv"], r["sign"]) for r in view.collect()
+    )
+    assert got == want
+    # the B-only population is genuinely exercised
+    assert any(r[1] is None for r in got)
+    assert any(r[2] is None for r in got)

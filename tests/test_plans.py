@@ -146,12 +146,19 @@ def test_unbounded_dims_avoid_single_partition_window(spark):
     range-partitioned dense-id path — a single-partition global
     row_number window over an unbounded dim is a one-task bottleneck at
     scale. Tiny enumerated dims (platform, site) may stay small=True."""
-    from etl__project_spark.plans.catalog import _parsed, _vs_fact_dims
+    from etl__project_spark.operators import derive_dim, with_dense_ids
+    from etl__project_spark.plans.catalog import _parsed
 
     parsed = _parsed(spark, SF_DIR)
-    dims = _vs_fact_dims(parsed)
-    for skey in ("datetime_skey", "title_skey"):
-        plan = plan_of(dims[skey][0])
+    # checkpoint=False exposes the pre-checkpoint lineage (production
+    # keeps the checkpoint, which truncates the visible plan at the
+    # materialized partitioning — see with_dense_ids)
+    for skey, nat in (("datetime_skey", "datetime"), ("title_skey", "video")):
+        plan = plan_of(
+            with_dense_ids(
+                derive_dim(parsed, nat), nat, skey, checkpoint=False
+            )
+        )
         # scalable path: full rows range-partitioned, row_number windows
         # partitioned by __pid (parallel)
         assert "rangepartitioning" in plan.lower(), skey
@@ -412,14 +419,25 @@ EXCHANGE_BUDGET = {
     "ev_rollup_cdc_minmax": (11, 0),
     # multi-version SCD2 in one pass: the exchanges are the BATCH's
     # user-keyed window stages re-derived across the four union
-    # branches (history/untouched/expired/new) plus the dense-id
-    # range partition — all delta-sized; every dim probe (noop-first,
-    # first-new expiry) is broadcast (zero SMJs).
-    "ev_scd2_multiversion": (20, 0),
+    # branches (history/untouched/expired/new) — all delta-sized;
+    # every dim probe (noop-first, first-new expiry) is broadcast
+    # (zero SMJs). The dense-id range partition runs inside the
+    # checkpoint (with_dense_ids materializes the partitioned frame
+    # once — the r7 AQE-re-evaluation fix), so it no longer shows in
+    # the visible plan.
+    "ev_scd2_multiversion": (10, 0),
     # retractable distinct count: two (group,value)-keyed hash
     # aggregates (base partial + churn partial), the merge, and the
     # group-keyed finalize; no joins at all.
     "ev_rollup_cdc_distinct": (6, 0),
+    # full-outer IVM: the left-join fold's exchanges plus one
+    # broadcast anti-join of each delta against A's static key set
+    # for the B-side null-extensions (no transition detection — A
+    # never changes); zero SMJs.
+    "tpch_fulljoin_cdc_incremental": (10, 0),
+    # sign-linear second moments: two bounded-keyspace signed hash
+    # aggregates + the merge, exactly the linear path's shape.
+    "ev_rollup_cdc_variance": (5, 0),
     # embedding-intake composition (gate → SemDeDup → coreset →
     # scorecard): gate/kept stages are localCheckpointed so the final
     # plan is the exemplar window + four stage-count aggregates; the

@@ -37,6 +37,7 @@ from etl__project_spark.operators.ivm import (  # noqa: F401
     consolidate,
     delta_join,
     delta_join_signed,
+    maintain_agg_over_join_cdc,
     maintain_fulljoin_view_cdc,
     maintain_join_view,
     maintain_join_view_cdc,

@@ -539,3 +539,65 @@ def maintain_leftjoin_view_cdc(
         if checkpoint:
             state_b = state_b.localCheckpoint(eager=True)
     return consolidate(view)
+
+
+# --- aggregate-over-join maintenance: the composed view ----------------------
+#
+# The folds above return the consolidated JOIN view — the right artifact
+# when downstream consumers need rows. But the most common production
+# IVM target is an AGGREGATE over a join ("revenue by priority while
+# orders churn"), and for that the view need never exist: each batch's
+# signed join delta feeds the signed rollup algebra directly, so the
+# stored state is only the (tiny) aggregate table. Per-batch cost drops
+# to O(|Δ| × fan-out + touched groups), and — unlike the view folds —
+# the FINAL read is a bounded table scan with no O(|A ⋈ B|)
+# consolidation anywhere. This is the composition DBSP/Materialize
+# lower "SELECT k, sum(x) FROM a JOIN b ... GROUP BY k" to.
+
+
+def maintain_agg_over_join_cdc(
+    initial_a: DataFrame,
+    initial_b: DataFrame,
+    cdc_batches_b: list[DataFrame],
+    on: list[str],
+    key_cols_b: list[str],
+    partial_fn,
+    agg_keys: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maintain an aggregate over ``A ⋈ B`` while B receives CDC
+    batches, WITHOUT materializing the join view. ``partial_fn`` maps a
+    signed joined frame (A payload + B payload + ``sign``) to its
+    signed partial state ``(agg_keys…, n, total)`` — n = Σ sign and
+    total = Σ sign·measure, the ``merge_rollups_signed`` contract;
+    groups retracted to net-zero vanish. Returns the maintained state.
+
+    The per-batch plan is one probe join (ΔB against static A) plus two
+    bounded hash aggregates; the aggregate state is checkpointed each
+    fold so batch N's plan is O(1) in N, and — the point — nothing in
+    the whole maintenance ever scales with |A ⋈ B|, only with the delta
+    and the group keyspace."""
+    from etl__project_spark.operators.rollup import merge_rollups_signed
+
+    sign1 = F.lit(1).cast("long").alias("sign")
+    state_a = initial_a.select("*", sign1)
+    state_b = initial_b.select("*", sign1)
+    state = partial_fn(_signed_join(state_a, state_b, on, "sign"))
+    if checkpoint:
+        state = state.localCheckpoint(eager=True)
+        state_b = state_b.localCheckpoint(eager=True)
+    for batch in cdc_batches_b:
+        delta_b = cdc_to_signed_delta(
+            state_b, batch, key_cols_b, op_col=op_col, delete_op=delete_op
+        )
+        if checkpoint:
+            delta_b = delta_b.localCheckpoint(eager=True)
+        delta_v = _signed_join(state_a, delta_b, on, "sign")
+        state = merge_rollups_signed(state, partial_fn(delta_v), agg_keys)
+        state_b = consolidate(state_b.unionByName(delta_b))
+        if checkpoint:
+            state = state.localCheckpoint(eager=True)
+            state_b = state_b.localCheckpoint(eager=True)
+    return state

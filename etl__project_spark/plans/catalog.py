@@ -13171,3 +13171,94 @@ def ev_rollup_cdc_variance(spark, sf_dir):
     )
     merged = merge_moments_signed(state, delta, ["event_type"])
     return finalize_variance(merged, ["event_type"])
+
+
+@query(
+    "tpch_agg_over_join_cdc",
+    """WITH post AS (
+  SELECT o_orderkey AS okey,
+         CASE WHEN o_orderkey % 10 = 3 THEN 'Y-UPDATED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 10 <> 7
+)
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_lines,
+       (floor(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                       AS BIGINT)) / 100.0 + 0.5) / 100.0) AS revenue
+FROM lineitem l JOIN post o ON l.l_orderkey = o.okey
+GROUP BY o.o_orderpriority""",
+)
+def tpch_agg_over_join_cdc(spark, sf_dir):
+    """Aggregate-over-join IVM — the COMPOSED maintenance production
+    warehouses actually run ("revenue by priority while orders churn"):
+    the same CDC script and the same oracle as
+    ``tpch_join_cdc_incremental``, but the join view is NEVER
+    materialized — each batch's signed join delta feeds
+    ``merge_rollups_signed`` directly (``operators/ivm.py:
+    maintain_agg_over_join_cdc``), so the stored state is only the
+    5-row aggregate and NOTHING in the maintenance scales with
+    |A ⋈ B|: no view log, no final O(view) consolidation (the view
+    twin pays 97 s at the 100× fixture for exactly that stage). The
+    shared oracle proves the two maintenance strategies converge to
+    identical results; the sweep rows prove the cost difference.
+
+    Per batch: one probe join of ΔB against static A plus two bounded
+    hash aggregates — O(|Δ| × fan-out + touched groups)."""
+    from etl__project_spark.operators import maintain_agg_over_join_cdc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    m10 = F.col("okey") % 10
+    initial_b = orders.filter(m10 != 4)
+    batch1 = (
+        orders.filter(m10 == 3)
+        .select("okey", F.lit("X-UPDATED").alias("o_orderpriority"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            orders.filter(m10 == 4).select("okey", "o_orderpriority").withColumn(
+                "op", F.lit("I")
+            )
+        )
+    )
+    batch2 = (
+        orders.filter(m10 == 3)
+        .select("okey", F.lit("Y-UPDATED").alias("o_orderpriority"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            orders.filter(m10 == 7).select("okey", "o_orderpriority").withColumn(
+                "op", F.lit("D")
+            )
+        )
+    )
+    rev_micro = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+
+    def partial(joined):
+        return joined.groupBy("o_orderpriority").agg(
+            F.sum("sign").cast("long").alias("n"),
+            F.sum(rev_micro * F.col("sign")).alias("total"),
+        )
+
+    state = maintain_agg_over_join_cdc(
+        li,
+        initial_b,
+        [batch1, batch2],
+        on=["okey"],
+        key_cols_b=["okey"],
+        partial_fn=partial,
+        agg_keys=["o_orderpriority"],
+    )
+    return state.select(
+        "o_orderpriority",
+        F.col("n").alias("n_lines"),
+        (
+            F.floor(F.col("total").cast("double") / F.lit(100.0) + F.lit(0.5))
+            / F.lit(100.0)
+        ).alias("revenue"),
+    )

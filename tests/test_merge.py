@@ -360,3 +360,60 @@ def test_fulljoin_ivm_random_property_vs_replay(spark):
     # the B-only population is genuinely exercised
     assert any(r[1] is None for r in got)
     assert any(r[2] is None for r in got)
+
+
+def test_agg_over_join_equals_view_then_aggregate(spark):
+    """Composed IVM: maintaining the aggregate directly from signed join
+    deltas equals consolidating the maintained view and aggregating it —
+    on the same randomized churn."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators import (
+        maintain_agg_over_join_cdc,
+        maintain_join_view_cdc,
+    )
+
+    random.seed(53)
+    a = spark.createDataFrame(
+        [(random.randrange(10), random.randrange(100)) for _ in range(40)],
+        "k long, x long",
+    )
+    state = {k: k % 3 for k in range(0, 10, 2)}
+    b0 = spark.createDataFrame(list(state.items()), "k long, g long")
+    batches = []
+    for bi in range(3):
+        ops, seen = [], set()
+        for _ in range(6):
+            k = random.randrange(10)
+            if k in seen:
+                continue
+            seen.add(k)
+            if k in state and random.random() < 0.4:
+                ops.append((k, None, "D"))
+                del state[k]
+            else:
+                g = random.randrange(3)
+                ops.append((k, g, "U" if k in state else "I"))
+                state[k] = g
+        batches.append(spark.createDataFrame(ops, "k long, g long, op string"))
+
+    def partial(joined):
+        return joined.groupBy("g").agg(
+            F.sum("sign").cast("long").alias("n"),
+            F.sum(F.col("x") * F.col("sign")).alias("total"),
+        )
+
+    direct = maintain_agg_over_join_cdc(
+        a, b0, batches, on=["k"], key_cols_b=["k"],
+        partial_fn=partial, agg_keys=["g"],
+    )
+    view = maintain_join_view_cdc(a, b0, batches, on=["k"], key_cols_b=["k"])
+    via_view = view.groupBy("g").agg(
+        F.sum("sign").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("sign")).alias("total"),
+    )
+    got = sorted((r["g"], r["n"], r["total"]) for r in direct.collect())
+    want = sorted((r["g"], r["n"], r["total"]) for r in via_view.collect())
+    assert got == want and got  # non-empty and identical

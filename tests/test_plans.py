@@ -430,14 +430,19 @@ EXCHANGE_BUDGET = {
     # aggregates (base partial + churn partial), the merge, and the
     # group-keyed finalize; no joins at all.
     "ev_rollup_cdc_distinct": (6, 0),
-    # full-outer IVM: the left-join fold's exchanges plus one
-    # broadcast anti-join of each delta against A's static key set
-    # for the B-side null-extensions (no transition detection — A
-    # never changes); zero SMJs.
-    "tpch_fulljoin_cdc_incremental": (10, 0),
+    # full-outer IVM: the left-join fold's exchanges plus B-side
+    # null-extension anti-joins against A's key set, which is now
+    # derived and checkpointed ONCE (the r7 OOM fix) — two exchanges
+    # fewer than the first reading; zero SMJs.
+    "tpch_fulljoin_cdc_incremental": (8, 0),
     # sign-linear second moments: two bounded-keyspace signed hash
     # aggregates + the merge, exactly the linear path's shape.
     "ev_rollup_cdc_variance": (5, 0),
+    # aggregate-over-join IVM: the final read is the checkpointed
+    # 5-row aggregate state — ZERO shuffles by construction, the
+    # whole point of composing the signed join delta into the rollup
+    # algebra instead of materializing the view.
+    "tpch_agg_over_join_cdc": (0, 0),
     # embedding-intake composition (gate → SemDeDup → coreset →
     # scorecard): gate/kept stages are localCheckpointed so the final
     # plan is the exemplar window + four stage-count aggregates; the

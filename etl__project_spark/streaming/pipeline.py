@@ -621,6 +621,132 @@ def stream_leftjoin_view_cdc(
     return writer.start()
 
 
+# --- streaming retractable-rollup maintenance --------------------------------
+
+RC_ROLLUP_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DecimalType(18, 2)),
+        T.StructField("vmin", T.DecimalType(18, 2)),
+        T.StructField("vmax", T.DecimalType(18, 2)),
+    ]
+)
+RC_DISTINCT_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def read_cdc_rollup(wh: ParquetWarehouse) -> DataFrame:
+    """The maintained per-group rollup (count/sum/min/max + distinct-v
+    count) over the CDC-churned base table."""
+    from etl__project_spark.operators.rollup import finalize_distinct
+
+    rollup = wh.read("rc_rollup", RC_ROLLUP_SCHEMA)
+    nd = finalize_distinct(wh.read("rc_distinct", RC_DISTINCT_SCHEMA), ["g"])
+    return rollup.join(nd, "g").select(
+        "g",
+        F.col("n").alias("n_rows"),
+        F.col("total").cast("double").alias("total_value"),
+        F.col("vmin").cast("double").alias("min_value"),
+        F.col("vmax").cast("double").alias("max_value"),
+        F.col("n_distinct").alias("n_distinct_values"),
+    )
+
+
+def stream_rollup_cdc(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain a (count, sum, MIN, MAX, DISTINCT-count) rollup while the
+    base table receives CDC churn — the streaming face of the round-7
+    retraction operators, and the production shape their batch twins
+    (``ev_rollup_cdc_minmax`` / ``ev_rollup_cdc_distinct``) document:
+    the base-consulting min/max re-derivation probes the BASE STATE
+    TABLE this same job maintains, restricted to touched groups.
+
+    Per micro-batch (group key g = id % 3, measure v): (1) compact the
+    changelog latest-wins keeping tombstones; (2) translate to signed
+    row deltas against the stored base; (3) merge the rollup —
+    count/sum through the signed algebra, min/max re-derived from the
+    post-batch base restricted to touched groups
+    (``merge_rollups_minmax_cdc``); (4) merge the (g, v)-grain distinct
+    state (``merge_distinct_signed``); (5) advance the base. Publish
+    ordering is rollup → distinct → base (every delta is a
+    deterministic function of the unchanged pre-batch base, so crash
+    replays recompute identical deltas, the done merges no-op on their
+    batch id, and the base catches up last — the
+    ``stream_join_view_cdc`` discipline).
+
+    Per-batch cost: one delta-keyed compaction exchange, one probe of
+    the key-bucketed base for old images, one touched-group probe for
+    the extremes, and bounded-keyspace merges.
+    """
+    from etl__project_spark.operators.ivm import cdc_to_signed_delta, consolidate
+    from etl__project_spark.operators.merge import cdc_apply
+    from etl__project_spark.operators.rollup import (
+        merge_distinct_signed,
+        merge_rollups_minmax_cdc,
+        partial_distinct_signed,
+    )
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _with_g(df: DataFrame) -> DataFrame:
+        return df.withColumn("g", F.pmod(F.col("id"), F.lit(3)))
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        compact = cdc_apply(
+            batch, key_cols=["id"], seq_cols=["seq"], drop_deletes=False
+        )
+        base = wh.read("rc_base", JV_STATE_SCHEMA)
+        delta = cdc_to_signed_delta(
+            base, compact.select("id", "op", "v"), ["id"]
+        ).localCheckpoint(eager=True)
+        post_base = consolidate(base.unionByName(delta)).localCheckpoint(
+            eager=True
+        )
+        delta_g = _with_g(delta)
+        wh.publish_merged(
+            "rc_rollup",
+            delta_g,
+            RC_ROLLUP_SCHEMA,
+            str(batch_id),
+            lambda ex, d: merge_rollups_minmax_cdc(
+                ex, d, _with_g(post_base), ["g"], value_col="v"
+            ),
+        )
+        wh.publish_merged(
+            "rc_distinct",
+            partial_distinct_signed(delta_g, ["g"], "v"),
+            RC_DISTINCT_SCHEMA,
+            str(batch_id),
+            lambda ex, d: merge_distinct_signed(ex, d, ["g"], "v"),
+        )
+        wh.publish_merged(
+            "rc_base",
+            delta,
+            JV_STATE_SCHEMA,
+            str(batch_id),
+            lambda ex, d: consolidate(ex.unionByName(d)),
+        )
+
+    changes = spark.readStream.schema(CDC_SCHEMA).json(landing_dir)
+    writer = changes.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --- streaming dedup-index maintenance ---------------------------------------
 
 DOC_SCHEMA = T.StructType(

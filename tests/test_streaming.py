@@ -1383,3 +1383,87 @@ def test_streaming_leftjoin_view_maintains_null_extensions(spark, tmp_path):
     assert [r for r in got if r[0] == 5] == [(5, 105, None, 1)]
     # key 2's fan-out rows both carry the updated value exactly once
     assert [r for r in got if r[0] == 2] == [(2, 102, 2.5, 1), (2, 202, 2.5, 1)]
+
+
+def test_streaming_rollup_cdc_minmax_distinct(spark, tmp_path):
+    """Three CDC changelog batches through stream_rollup_cdc: count/sum
+    stay signed-incremental, min/max re-derive from the maintained base
+    when a group's extremum is DELETED, the distinct-v count drops only
+    on last-occurrence deletes, and the served rollup equals a one-shot
+    aggregate over the maintained base (serve ≡ scratch)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        JV_STATE_SCHEMA,
+        read_cdc_rollup,
+        stream_rollup_cdc,
+    )
+
+    landing = str(tmp_path / "rc_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "rc_wh")
+    ckpt = str(tmp_path / "rc_ckpt")
+
+    # g = id % 3. Group 0 = ids {3, 6, 9}: values 5.0 (twice: ids 3, 6)
+    # and 9.0 (id 9, the max).
+    batches = [
+        # batch 1: inserts
+        [(3, 10, "U", 5.0), (6, 10, "U", 5.0), (9, 10, "U", 9.0),
+         (1, 10, "U", 1.5), (4, 10, "U", 2.5)],
+        # batch 2: DELETE group 0's max (id 9) and ONE of its two 5.0
+        # rows (id 3) — min/max must re-derive, distinct keeps 5.0
+        [(9, 20, "D", None), (3, 20, "D", None)],
+        # batch 3: update id 4 (1 % 3 group): 2.5 -> 7.25
+        [(4, 30, "U", 7.25)],
+    ]
+
+    def run_batch(i, rows):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps({"id": r[0], "seq": r[1], "op": r[2], "v": r[3]})
+                    + "\n"
+                )
+        q = stream_rollup_cdc(spark, landing, wh_root, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run_batch(i, rows)
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = {
+        r["g"]: (
+            r["n_rows"],
+            r["total_value"],
+            r["min_value"],
+            r["max_value"],
+            r["n_distinct_values"],
+        )
+        for r in read_cdc_rollup(wh).collect()
+    }
+    # group 0: only id 6 (5.0) survives; group 1: ids 1 (1.5), 4 (7.25)
+    assert got == {
+        0: (1, 5.0, 5.0, 5.0, 1),
+        1: (2, 8.75, 1.5, 7.25, 2),
+    }
+    # serve ≡ scratch: one-shot aggregate over the maintained base
+    base = wh.read("rc_base", JV_STATE_SCHEMA)
+    qv = F.round(F.col("v"), 2).cast("decimal(18,2)")
+    scratch = {
+        r["g"]: (r["n"], float(r["t"]), float(r["lo"]), float(r["hi"]), r["d"])
+        for r in base.withColumn("g", F.pmod("id", F.lit(3)))
+        .groupBy("g")
+        .agg(
+            F.sum("sign").cast("long").alias("n"),
+            F.sum(qv).alias("t"),
+            F.min(qv).alias("lo"),
+            F.max(qv).alias("hi"),
+            F.countDistinct("v").cast("long").alias("d"),
+        )
+        .collect()
+    }
+    assert scratch == got

@@ -37,9 +37,11 @@ def delta_join(
     Correctness contract (pinned by test and the catalog oracle):
     appending the returned rows to the maintained view gives exactly
     ``(A_old ∪ ΔA) ⋈ (B_old ∪ ΔB)`` — inner-join IVM is append-only, so
-    the maintained view needs no retraction machinery (outer joins and
-    deletions need delta-with-sign maintenance; out of scope here, the
-    CDC path handles deletes before the join state instead).
+    the maintained view needs no retraction machinery. Deletions take
+    the signed path below (:func:`delta_join_signed`); outer joins add
+    null-extension maintenance on top
+    (:func:`maintain_leftjoin_view_cdc` /
+    :func:`maintain_fulljoin_view_cdc`).
     """
     return (
         delta_a.join(state_b, on)

@@ -126,7 +126,10 @@ def finalize_rollup(rolled: DataFrame, keys: list[str]) -> DataFrame:
 # merged partial state no longer holds — under churn they require a
 # re-scan of the group (or an order-statistic sketch), the standard
 # distinction between fully-incremental and partially-incremental
-# aggregates in IVM literature.
+# aggregates in IVM literature. The partially-incremental treatment
+# (touched-group re-derivation from the base state) is
+# merge_rollups_minmax_cdc below; retractable COUNT(DISTINCT) and
+# variance follow, each with its own state grain.
 
 
 def partial_rollup_signed(

@@ -935,6 +935,94 @@ def stream_scd2_dim(
     return writer.start()
 
 
+SCD2M_DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("attr", T.StringType()),
+        T.StructField("ord", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+SCD2M_DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("skey", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("attr", T.StringType()),
+        T.StructField("current_flag", T.StringType()),
+        T.StructField("start_ord", T.LongType()),
+        T.StructField("end_ord", T.LongType()),
+    ]
+)
+
+
+def read_scd2_dim_multi(wh: ParquetWarehouse) -> DataFrame:
+    """The maintained multi-version SCD2 dimension (half-open
+    [start_ord, end_ord) validity; filter ``current_flag = 'Y'`` for
+    the serving view)."""
+    return wh.read("scd2m_dim", SCD2M_DIM_SCHEMA)
+
+
+def stream_scd2_dim_multi(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain a MULTI-VERSION SCD2 dimension from a streaming change
+    feed — the streaming face of ``operators/dims.py:
+    scd2_upsert_multi`` (batch twin: ``ev_scd2_multiversion``), for
+    CDC-grade feeds where one micro-batch may carry several ordered
+    changes per key and every distinct consecutive state must become
+    its own validity interval — what :func:`stream_scd2_dim`'s daily
+    one-winner collapse cannot express.
+
+    Each record carries (name, attr, ord, seq): ``ord`` is the
+    effective ordinal (epoch micros / change sequence) that becomes the
+    version interval bound, ``seq`` the unique tiebreak. Per
+    micro-batch the whole one-pass multi-version algorithm runs inside
+    ONE exactly-once merged publish — consecutive-dup collapse,
+    no-op-vs-current detection, interval chaining, expiry of the
+    stored current row at the first new version's ordinal — so a
+    replayed batch no-ops and redelivery can neither double-expire nor
+    burn surrogate keys. Assumes per-key ordinal monotonicity ACROSS
+    batches (the ordered-changelog norm, same contract as
+    ``stream_join_view_cdc``'s seq).
+
+    Scale shape per batch: the operator's two delta-keyed window
+    stages + broadcast dim probes, inside publish_merged's small-state
+    contract (dims ≪ facts).
+    """
+    from etl__project_spark.operators.dims import scd2_upsert_multi
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        b = batch.localCheckpoint(eager=True)
+
+        def merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
+            return scd2_upsert_multi(
+                existing,
+                delta.select("name", "attr", "ord", "seq"),
+                natural_key="name",
+                attr_cols=["attr"],
+                skey_col="skey",
+                order_col="ord",
+                tiebreak_cols=["seq"],
+            ).select([f.name for f in SCD2M_DIM_SCHEMA.fields])
+
+        wh.publish_merged("scd2m_dim", b, SCD2M_DIM_SCHEMA, str(batch_id), merge)
+
+    deltas = spark.readStream.schema(SCD2M_DELTA_SCHEMA).json(landing_dir)
+    writer = deltas.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --- streaming incremental table statistics ---------------------------------
 
 COLSTATS_SCHEMA = T.StructType(

@@ -1467,3 +1467,78 @@ def test_streaming_rollup_cdc_minmax_distinct(spark, tmp_path):
         .collect()
     }
     assert scratch == got
+
+
+def test_streaming_scd2_multi_versions_across_batches(spark, tmp_path):
+    """Two change-feed batches through stream_scd2_dim_multi: several
+    ordered versions per key inside one batch each become intervals, a
+    later batch extends the chain (expiring the stored current row at
+    the new version's ordinal), no-op repeats create no version, and a
+    REPLAYED batch no-ops (exactly-once by batch id)."""
+    import json
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_scd2_dim_multi,
+        stream_scd2_dim_multi,
+    )
+
+    landing = str(tmp_path / "scd2m_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "scd2m_wh")
+    ckpt = str(tmp_path / "scd2m_ckpt")
+    EOT = 253402300800000000
+
+    batches = [
+        # batch 1: key a takes two versions; key b one
+        [("a", "x", 100, 1), ("a", "y", 200, 2), ("b", "q", 150, 3)],
+        # batch 2: key a repeats current (no-op) then changes; key c new
+        [("a", "y", 300, 4), ("a", "z", 400, 5), ("c", "n", 350, 6)],
+    ]
+
+    def run_batch(i, rows):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps(
+                        {"name": r[0], "attr": r[1], "ord": r[2], "seq": r[3]}
+                    )
+                    + "\n"
+                )
+        q = stream_scd2_dim_multi(spark, landing, wh_root, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run_batch(i, rows)
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got = {
+        (r["name"], r["start_ord"]): (r["attr"], r["current_flag"], r["end_ord"])
+        for r in read_scd2_dim_multi(wh).collect()
+    }
+    assert got == {
+        ("a", 100): ("x", "N", 200),
+        ("a", 200): ("y", "N", 400),  # no-op at 300 left it current to 400
+        ("a", 400): ("z", "Y", EOT),
+        ("b", 150): ("q", "Y", EOT),
+        ("c", 350): ("n", "Y", EOT),
+    }
+    # exactly one current version per key; dense skeys survive restarts
+    rows = read_scd2_dim_multi(wh).collect()
+    assert sorted(r["name"] for r in rows if r["current_flag"] == "Y") == [
+        "a", "b", "c",
+    ]
+    assert sorted(r["skey"] for r in rows) == list(range(5))
+    # replay: re-running over the same landing dir with a fresh stream
+    # checkpoint must not change the dim (merged batch-id ledger)
+    q = stream_scd2_dim_multi(
+        spark, landing, wh_root, str(tmp_path / "scd2m_ckpt2")
+    )
+    q.awaitTermination(120)
+    q.stop()
+    again = {
+        (r["name"], r["start_ord"]): (r["attr"], r["current_flag"], r["end_ord"])
+        for r in read_scd2_dim_multi(wh).collect()
+    }
+    assert again == got

@@ -13262,3 +13262,75 @@ def tpch_agg_over_join_cdc(spark, sf_dir):
             / F.lit(100.0)
         ).alias("revenue"),
     )
+
+
+@query(
+    "ev_rollup_cdc_topk",
+    """WITH post AS (
+  SELECT event_type,
+         CASE WHEN event_id % 10 = 3 THEN round(value, 2) + 1.00
+              ELSE round(value, 2) END AS v
+  FROM events WHERE event_id % 10 <> 7
+),
+live AS (SELECT DISTINCT event_type, v FROM post),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v DESC)
+             AS rnk
+  FROM live
+)
+SELECT event_type, rnk::BIGINT AS rnk,
+       floor(v * 100 + 0.5) / 100.0 AS v
+FROM ranked WHERE rnk <= 3""",
+)
+def ev_rollup_cdc_topk(spark, sf_dir):
+    """TOP-K per group under retraction — the order-statistic cousin of
+    ``ev_rollup_cdc_minmax``, maintained the way streaming engines
+    (e.g. Materialize's hierarchical reductions) actually do it: the
+    self-maintaining state is the (group, value)-grain signed
+    multiplicity table (``ev_rollup_cdc_distinct``'s state — deletes
+    decrement, net-zero values vanish, so 'was that the last
+    occurrence of the 2nd-largest value?' needs no base rescan), and
+    top-k is a READ-TIME window over the live state. Same churn
+    script as the other CDC rollups; oracle = distinct-rank over the
+    one-shot post-CDC state, proving the maintained state's liveness
+    arithmetic places exactly the right values in the top 3 after
+    extrema-affecting deletes and shifts.
+
+    Cost: maintenance is the distinct path's two (group, value)-keyed
+    hash aggregates; the read projection is one window over the live
+    state, group-bucket-local at scale."""
+    from etl__project_spark.operators import (
+        merge_distinct_signed,
+        partial_distinct_signed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value"), 2).alias("v"),
+    )
+    m10 = F.col("event_id") % 10
+    state = partial_distinct_signed(
+        ev.withColumn("sign", F.lit(1)), ["event_type"], "v"
+    )
+    retractions = ev.filter(m10.isin(3, 7)).withColumn("sign", F.lit(-1))
+    post_images = (
+        ev.filter(m10 == 3)
+        .withColumn("v", F.col("v") + F.lit(1.0))
+        .withColumn("sign", F.lit(1))
+    )
+    delta = partial_distinct_signed(
+        retractions.unionByName(post_images), ["event_type"], "v"
+    )
+    live = merge_distinct_signed(state, delta, ["event_type"], "v")
+    w = Window.partitionBy("event_type").orderBy(F.col("v").desc())
+    return (
+        live.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "event_type",
+            "rnk",
+            (F.floor(F.col("v") * 100 + F.lit(0.5)) / F.lit(100.0)).alias("v"),
+        )
+    )

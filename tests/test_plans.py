@@ -443,6 +443,9 @@ EXCHANGE_BUDGET = {
     # whole point of composing the signed join delta into the rollup
     # algebra instead of materializing the view.
     "tpch_agg_over_join_cdc": (0, 0),
+    # top-k under retraction: the distinct path's (group,value)-keyed
+    # aggregates + one group-keyed read-time window over live state.
+    "ev_rollup_cdc_topk": (6, 0),
     # embedding-intake composition (gate → SemDeDup → coreset →
     # scorecard): gate/kept stages are localCheckpointed so the final
     # plan is the exemplar window + four stage-count aggregates; the

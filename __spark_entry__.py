@@ -43,7 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # that arrived after the window filled (ev_scd2_multiversion,
 # ev_rollup_cdc_distinct, tpch_fulljoin_cdc_incremental,
 # ev_rollup_cdc_variance, tpch_agg_over_join_cdc,
-# ev_rollup_cdc_topk) and the r3-stale
+# ev_rollup_cdc_topk, tpch_agg_over_leftjoin_cdc,
+# ev_rollup_cdc_median) and the r3-stale
 # greens that don't fit
 # (tpch_q7..q22, emb_ivf_topk, ev_pivot/unpivot/user_profile,
 # grouping_sets, doc_passage_dup, and the rest of the 31 r3 rows).

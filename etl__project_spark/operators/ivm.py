@@ -568,25 +568,39 @@ def maintain_agg_over_join_cdc(
     op_col: str = "op",
     delete_op: str = "D",
     checkpoint: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
-    """Maintain an aggregate over ``A ⋈ B`` while B receives CDC
-    batches, WITHOUT materializing the join view. ``partial_fn`` maps a
-    signed joined frame (A payload + B payload + ``sign``) to its
-    signed partial state ``(agg_keys…, n, total)`` — n = Σ sign and
-    total = Σ sign·measure, the ``merge_rollups_signed`` contract;
-    groups retracted to net-zero vanish. Returns the maintained state.
+    """Maintain an aggregate over ``A ⋈ B`` (or ``A ⟕ B`` with
+    ``how="left"``) while B receives CDC batches, WITHOUT materializing
+    the join view. ``partial_fn`` maps a signed joined frame (A payload
+    + B payload + ``sign``; B payload NULL on the left join's
+    null-extension rows) to its signed partial state
+    ``(agg_keys…, n, total)`` — n = Σ sign and total = Σ sign·measure,
+    the ``merge_rollups_signed`` contract; groups retracted to net-zero
+    vanish. Returns the maintained state.
 
-    The per-batch plan is one probe join (ΔB against static A) plus two
+    The per-batch plan is one probe join (ΔB against static A — plus
+    the null-extension transition probes for ``how="left"``) and two
     bounded hash aggregates; the aggregate state is checkpointed each
     fold so batch N's plan is O(1) in N, and — the point — nothing in
     the whole maintenance ever scales with |A ⋈ B|, only with the delta
-    and the group keyspace."""
+    and the group keyspace. The left mode composes the round's two
+    algebras: null-extension deltas carry signs like any other rows, so
+    the rollup absorbs a placeholder's retraction (first match arrives)
+    and re-assertion (last match deleted) with no special casing."""
     from etl__project_spark.operators.rollup import merge_rollups_signed
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     sign1 = F.lit(1).cast("long").alias("sign")
     state_a = initial_a.select("*", sign1)
     state_b = initial_b.select("*", sign1)
-    state = partial_fn(_signed_join(state_a, state_b, on, "sign"))
+    init = (
+        _signed_join(state_a, state_b, on, "sign")
+        if how == "inner"
+        else leftjoin_init_signed(state_a, state_b, on)
+    )
+    state = partial_fn(init)
     if checkpoint:
         state = state.localCheckpoint(eager=True)
         state_b = state_b.localCheckpoint(eager=True)
@@ -596,7 +610,11 @@ def maintain_agg_over_join_cdc(
         )
         if checkpoint:
             delta_b = delta_b.localCheckpoint(eager=True)
-        delta_v = _signed_join(state_a, delta_b, on, "sign")
+        delta_v = (
+            _signed_join(state_a, delta_b, on, "sign")
+            if how == "inner"
+            else leftjoin_delta_signed(state_a, state_b, delta_b, on)
+        )
         state = merge_rollups_signed(state, partial_fn(delta_v), agg_keys)
         state_b = consolidate(state_b.unionByName(delta_b))
         if checkpoint:

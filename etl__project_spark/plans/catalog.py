@@ -13334,3 +13334,182 @@ def ev_rollup_cdc_topk(spark, sf_dir):
             (F.floor(F.col("v") * 100 + F.lit(0.5)) / F.lit(100.0)).alias("v"),
         )
     )
+
+
+@query(
+    "tpch_agg_over_leftjoin_cdc",
+    """WITH post AS (
+  SELECT o_orderkey AS okey,
+         CASE WHEN o_orderkey % 10 = 3 THEN 'Y-UPDATED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 10 <> 7
+)
+SELECT coalesce(o.o_orderpriority, 'NO-ORDER') AS priority,
+       count(*)::BIGINT AS n_lines,
+       (floor(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                       AS BIGINT)) / 100.0 + 0.5) / 100.0) AS revenue
+FROM lineitem l LEFT JOIN post o ON l.l_orderkey = o.okey
+GROUP BY 1""",
+)
+def tpch_agg_over_leftjoin_cdc(spark, sf_dir):
+    """Aggregate over a LEFT-outer join under CDC churn, composed —
+    the two round-7 algebras working together: the null-extension
+    transition deltas (``leftjoin_delta_signed``) feed the signed
+    rollup merge directly (``maintain_agg_over_join_cdc`` with
+    ``how="left"``), so a deleted order's lineitems MOVE their revenue
+    into the 'NO-ORDER' bucket and a late insert moves it back out —
+    with the view never materialized and nothing scaling past the
+    delta and the 6-row group keyspace. Oracle = the one-shot LEFT
+    join aggregate over post-CDC state (shared with
+    ``tpch_leftjoin_cdc_incremental``, which pays the full view
+    consolidation for the same numbers — the cost contrast is the
+    point, as with the inner pair)."""
+    from etl__project_spark.operators import maintain_agg_over_join_cdc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    m10 = F.col("okey") % 10
+    initial_b = orders.filter(m10 != 4)
+    batch1 = (
+        orders.filter(m10 == 3)
+        .select("okey", F.lit("X-UPDATED").alias("o_orderpriority"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            orders.filter(m10 == 4).select("okey", "o_orderpriority").withColumn(
+                "op", F.lit("I")
+            )
+        )
+    )
+    batch2 = (
+        orders.filter(m10 == 3)
+        .select("okey", F.lit("Y-UPDATED").alias("o_orderpriority"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            orders.filter(m10 == 7).select("okey", "o_orderpriority").withColumn(
+                "op", F.lit("D")
+            )
+        )
+    )
+    rev_micro = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+
+    def partial(joined):
+        return joined.groupBy(
+            F.coalesce("o_orderpriority", F.lit("NO-ORDER")).alias("priority")
+        ).agg(
+            F.sum("sign").cast("long").alias("n"),
+            F.sum(rev_micro * F.col("sign")).alias("total"),
+        )
+
+    state = maintain_agg_over_join_cdc(
+        li,
+        initial_b,
+        [batch1, batch2],
+        on=["okey"],
+        key_cols_b=["okey"],
+        partial_fn=partial,
+        agg_keys=["priority"],
+        how="left",
+    )
+    return state.select(
+        "priority",
+        F.col("n").alias("n_lines"),
+        (
+            F.floor(F.col("total").cast("double") / F.lit(100.0) + F.lit(0.5))
+            / F.lit(100.0)
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "ev_rollup_cdc_median",
+    """WITH post AS (
+  SELECT event_type,
+         CASE WHEN event_id % 10 = 3 THEN round(value, 2) + 1.00
+              ELSE round(value, 2) END AS v
+  FROM events WHERE event_id % 10 <> 7
+),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM post
+)
+SELECT event_type, max(n)::BIGINT AS n_rows,
+       floor(min(CASE WHEN rn * 2 >= n THEN v END) * 100 + 0.5) / 100.0
+           AS median_lo
+FROM r GROUP BY event_type""",
+)
+def ev_rollup_cdc_median(spark, sf_dir):
+    """MEDIAN under retraction — order statistics join the retractable
+    family: quantile sketches (q-digest, t-digest) are strictly
+    insert-only, so the maintainable state is again the
+    (group, value)-grain signed multiplicity table
+    (``ev_rollup_cdc_distinct``'s state, here WITH multiplicities
+    weighting the rank arithmetic), and the lower weighted median —
+    the smallest value whose cumulative live count reaches half the
+    group total — is a READ-TIME prefix-sum window over live state.
+    Same churn script as the other CDC rollups; the oracle ranks the
+    one-shot post-CDC rows directly, so the hash match proves the
+    multiplicity-weighted rank arithmetic equals row-level ranking.
+
+    Cost: maintenance is the distinct path's aggregates; the read is
+    one cumulative window over the per-group value domain (not the
+    rows), group-bucket-local at scale."""
+    from etl__project_spark.operators import (
+        merge_distinct_signed,
+        partial_distinct_signed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value"), 2).alias("v"),
+    )
+    m10 = F.col("event_id") % 10
+    # NOTE: the state keeps per-(g, v) multiplicity n (may exceed 1) —
+    # the same merge as distinct, but the read weights ranks by n.
+    state = partial_distinct_signed(
+        ev.withColumn("sign", F.lit(1)), ["event_type"], "v"
+    )
+    retractions = ev.filter(m10.isin(3, 7)).withColumn("sign", F.lit(-1))
+    post_images = (
+        ev.filter(m10 == 3)
+        .withColumn("v", F.col("v") + F.lit(1.0))
+        .withColumn("sign", F.lit(1))
+    )
+    delta = partial_distinct_signed(
+        retractions.unionByName(post_images), ["event_type"], "v"
+    )
+    live = merge_distinct_signed(state, delta, ["event_type"], "v")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = live.select(
+        "event_type",
+        "v",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wall).alias("n_total"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n_total").cast("long").alias("n_rows"),
+        (
+            F.floor(
+                F.min(
+                    F.when(F.col("cum") * 2 >= F.col("n_total"), F.col("v"))
+                )
+                * 100
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("median_lo"),
+    )

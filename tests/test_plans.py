@@ -446,6 +446,12 @@ EXCHANGE_BUDGET = {
     # top-k under retraction: the distinct path's (group,value)-keyed
     # aggregates + one group-keyed read-time window over live state.
     "ev_rollup_cdc_topk": (6, 0),
+    # aggregate over LEFT join, composed: like the inner twin, the
+    # final read is the checkpointed bounded aggregate — zero shuffles.
+    "tpch_agg_over_leftjoin_cdc": (0, 0),
+    # median under retraction: the distinct-grain aggregates + one
+    # group-keyed cumulative window over the live value domain.
+    "ev_rollup_cdc_median": (6, 0),
     # embedding-intake composition (gate → SemDeDup → coreset →
     # scorecard): gate/kept stages are localCheckpointed so the final
     # plan is the exemplar window + four stage-count aggregates; the

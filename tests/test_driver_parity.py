@@ -136,6 +136,43 @@ def test_readme_query_count_is_fresh():
     )
 
 
+def test_green_ledger_is_fresh_and_rotation_holds():
+    """GREEN_LEDGER.json (VERDICT r7 #3) is the checked replacement for the
+    hand-maintained rotation comment: it merges every CORRECTNESS_r*.json
+    into a per-query last-driver-green table. This gate fails when (a) the
+    committed artifact is stale vs a rebuild from the same inputs, or (b)
+    any query's driver-green age exceeds the rotation period
+    (ceil(catalog/50) rounds) — i.e. the _PRIORITY_R{N} window stopped
+    rotating. Regenerate with `python tools/green_ledger.py`."""
+    import json
+    import pathlib
+
+    from etl__project_spark.plans import QUERIES
+    from tools.green_ledger import build_ledger, stale_queries
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    rebuilt = build_ledger(str(repo), list(QUERIES))
+    committed = json.loads(repo.joinpath("GREEN_LEDGER.json").read_text())
+    assert committed == rebuilt, (
+        "GREEN_LEDGER.json is stale — regenerate with tools/green_ledger.py"
+    )
+    stale = stale_queries(rebuilt)
+    assert not stale, (
+        f"driver-green rotation violated (age > {rebuilt['rotation_period']} "
+        f"rounds): {stale} — put these at the head of the next _PRIORITY_R{{N}} "
+        "window in __spark_entry__.py"
+    )
+
+
+def test_priority_window_head_is_live():
+    """Every name in the rotation window must exist in the catalog — a
+    typo'd priority entry silently wastes a driver slot."""
+    from etl__project_spark.plans import QUERIES
+
+    unknown = [q for q in entrymod._PRIORITY_R8 if q not in QUERIES]
+    assert not unknown, f"_PRIORITY_R8 names not in catalog: {unknown}"
+
+
 def test_plans_census_query_list_is_fresh():
     """PLANS.md is regenerated by hand-run tooling (`python
     tools/plan_census.py > PLANS.md`, ~5 min) — unlike CATALOG.md it

@@ -37,9 +37,16 @@ from etl__project_spark.operators.ivm import (  # noqa: F401
     consolidate,
     delta_join,
     delta_join_signed,
+    fulljoin_delta_signed_bothsides,
     maintain_agg_over_join_cdc,
     maintain_fulljoin_view_cdc,
+    maintain_fulljoin_view_cdc_bothsides,
     maintain_join_view,
     maintain_join_view_cdc,
     maintain_leftjoin_view_cdc,
+)
+from etl__project_spark.operators.sessions import (  # noqa: F401
+    maintain_sessions_cdc,
+    session_count_delta,
+    sessionize_counts,
 )

@@ -309,6 +309,43 @@ def leftjoin_init_signed(
     )
 
 
+def _ne_transition_keys(
+    state: DataFrame, delta: DataFrame, on: list[str], sign_col: str = "sign"
+) -> DataFrame:
+    """Keys whose net multiplicity in ``state`` crosses **0 ↔ >0** under
+    ``delta``, with ``__ne_mult`` = −1 for 0 → >0 (first match arrives:
+    the other side's null-extensions RETRACT) and +1 for >0 → 0 (last
+    match leaves: they ASSERT). Counts are computed only for the keys
+    the delta touches — one probe of the key-bucketed state, never a
+    full rescan. Shared by the left-join delta (B-side transitions) and
+    the both-sides full-outer delta (each side's transitions drive the
+    OTHER side's null-extension bookkeeping)."""
+    touched = delta.select(*on).distinct()
+    old_cnt = (
+        state.join(touched, on)
+        .groupBy(*on)
+        .agg(F.sum(sign_col).alias("__old"))
+    )
+    trans = (
+        delta.groupBy(*on)
+        .agg(F.sum(sign_col).alias("__d"))
+        .join(old_cnt, on, "left")
+        .select(
+            *on,
+            F.coalesce(F.col("__old"), F.lit(0)).alias("__old"),
+            F.col("__d"),
+        )
+    )
+    new_cnt = F.col("__old") + F.col("__d")
+    return trans.select(
+        *on,
+        F.when((F.col("__old") == 0) & (new_cnt > 0), -1)
+        .when((F.col("__old") > 0) & (new_cnt == 0), 1)
+        .cast("long")
+        .alias("__ne_mult"),
+    ).filter(F.col("__ne_mult").isNotNull())
+
+
 def leftjoin_delta_signed(
     state_a: DataFrame,
     state_b: DataFrame,
@@ -327,30 +364,7 @@ def leftjoin_delta_signed(
     (:func:`maintain_leftjoin_view_cdc`) and the streaming job
     (``streaming/pipeline.py:stream_leftjoin_view_cdc``)."""
     inner_delta = _signed_join(state_a, delta_b, on, sign_col)
-    touched = delta_b.select(*on).distinct()
-    old_cnt = (
-        state_b.join(touched, on)
-        .groupBy(*on)
-        .agg(F.sum(sign_col).alias("__old"))
-    )
-    trans = (
-        delta_b.groupBy(*on)
-        .agg(F.sum(sign_col).alias("__d"))
-        .join(old_cnt, on, "left")
-        .select(
-            *on,
-            F.coalesce(F.col("__old"), F.lit(0)).alias("__old"),
-            F.col("__d"),
-        )
-    )
-    new_cnt = F.col("__old") + F.col("__d")
-    ne_keys = trans.select(
-        *on,
-        F.when((F.col("__old") == 0) & (new_cnt > 0), -1)
-        .when((F.col("__old") > 0) & (new_cnt == 0), 1)
-        .cast("long")
-        .alias("__ne_mult"),
-    ).filter(F.col("__ne_mult").isNotNull())
+    ne_keys = _ne_transition_keys(state_b, delta_b, on, sign_col)
     ne_delta = (
         state_a.join(ne_keys, on)
         .withColumn(sign_col, F.col(sign_col) * F.col("__ne_mult"))
@@ -539,6 +553,186 @@ def maintain_leftjoin_view_cdc(
         view = view.unionByName(delta_v)
         state_b = consolidate(state_b.unionByName(delta_b))
         if checkpoint:
+            state_b = state_b.localCheckpoint(eager=True)
+    return consolidate(view)
+
+
+# --- full-outer IVM with BOTH sides churning ---------------------------------
+#
+# ``maintain_fulljoin_view_cdc`` exploits a static A: whether a key has A
+# matches never changes, so B-side null-extensions need no transition
+# machinery (§9j). When BOTH inputs take CDC (VERDICT r7 #5) that shortcut
+# dies — each side's null-extension set is anti-monotone in the OTHER
+# side, so both directions need incremental transition bookkeeping.
+# Writing V = (A ⋈ B) ∪ NE_A ∪ NE_B with NE_A = A ⊗ z (z(key) = 1 iff B's
+# net count at key is 0) and NE_B = B ⊗ w (w from A's counts), the exact
+# per-batch delta is bilinear:
+#
+#     Δ(A ⋈ B) = ΔA ⋈ B_old ∪ A_old ⋈ ΔB ∪ ΔA ⋈ ΔB      (signed products)
+#     Δ(NE_A)  = ΔA ⊗ z_new  ∪  A_old ⊗ Δz
+#     Δ(NE_B)  = ΔB ⊗ w_new  ∪  B_old ⊗ Δw
+#
+# where z_new/w_new are evaluated against the POST-batch other side and
+# Δz/Δw are the 0 ↔ >0 transition indicators (±1) of the other side's net
+# count — nonzero only at keys the other delta touches. Every term is a
+# small probe of key-bucketed state: per-batch cost stays O(|ΔA| + |ΔB|)
+# × fan-out with no history re-join and, unlike the §9j path, no
+# once-materialized big-side key set to go stale.
+
+
+def fulljoin_delta_signed_bothsides(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    sign_col: str = "sign",
+) -> DataFrame:
+    """One batch's signed delta of A ⟗ B when BOTH sides take signed
+    deltas. ``state_a``/``state_b`` are the PRE-batch consolidated
+    states. Appending the result to the maintained view and
+    consolidating equals the one-shot FULL join of the post-batch
+    states (pinned by the ``tpch_fulljoin_cdc_bothsides`` oracle and a
+    replay property test).
+
+    The same-batch cross terms are where naive approaches break; the
+    bilinear decomposition handles them exactly — e.g. a key whose
+    first A rows insert while its only B row updates in the SAME batch:
+    the inner cross term ΔA ⋈ ΔB cancels the stale a⋈b_old pairs, and
+    B_old ⊗ Δw retracts the old null-extended B row even though the
+    B-side's own delta lands matched (w_new = 0).
+    """
+    b_fields = _b_payload_fields(state_b, on, sign_col)
+    a_fields = _a_payload_fields(state_a, on, sign_col)
+    inner = delta_join_signed(state_a, state_b, delta_a, delta_b, on, sign_col)
+
+    # Δ(NE_A) term 1: ΔA rows whose key has zero POST-batch B matches.
+    da_keys = delta_a.select(*on).distinct()
+    b_matched_new = (
+        state_b.join(da_keys, on)
+        .select(*on, sign_col)
+        .unionByName(delta_b.join(da_keys, on).select(*on, sign_col))
+        .groupBy(*on)
+        .agg(F.sum(sign_col).alias("__c"))
+        .filter(F.col("__c") > 0)
+        .select(*on)
+    )
+    ne_a_from_da = _ne_project(
+        delta_a.join(b_matched_new, on, "left_anti"),
+        delta_a.columns,
+        b_fields,
+        sign_col,
+    )
+    # Δ(NE_A) term 2: pre-batch A rows at keys where B's count transitions.
+    b_trans = _ne_transition_keys(state_b, delta_b, on, sign_col)
+    ne_a_from_db = _ne_project(
+        state_a.join(b_trans, on)
+        .withColumn(sign_col, F.col(sign_col) * F.col("__ne_mult"))
+        .drop("__ne_mult"),
+        state_a.columns,
+        b_fields,
+        sign_col,
+    )
+
+    # Δ(NE_B) term 1: ΔB rows whose key has zero POST-batch A matches.
+    db_keys = delta_b.select(*on).distinct()
+    a_matched_new = (
+        state_a.join(db_keys, on)
+        .select(*on, sign_col)
+        .unionByName(delta_a.join(db_keys, on).select(*on, sign_col))
+        .groupBy(*on)
+        .agg(F.sum(sign_col).alias("__c"))
+        .filter(F.col("__c") > 0)
+        .select(*on)
+    )
+    ne_b_from_db = _ne_project_b(
+        delta_b.join(a_matched_new, on, "left_anti"), on, a_fields, sign_col
+    )
+    # Δ(NE_B) term 2: pre-batch B rows at keys where A's count transitions.
+    a_trans = _ne_transition_keys(state_a, delta_a, on, sign_col)
+    ne_b_from_da = _ne_project_b(
+        state_b.join(a_trans, on)
+        .withColumn(sign_col, F.col(sign_col) * F.col("__ne_mult"))
+        .drop("__ne_mult"),
+        on,
+        a_fields,
+        sign_col,
+    )
+
+    return (
+        inner.unionByName(ne_a_from_da)
+        .unionByName(ne_a_from_db)
+        .unionByName(ne_b_from_db.select(inner.columns))
+        .unionByName(ne_b_from_da.select(inner.columns))
+    )
+
+
+def maintain_fulljoin_view_cdc_bothsides(
+    initial_a: DataFrame,
+    initial_b: DataFrame,
+    cdc_batches_a: list[DataFrame | None],
+    cdc_batches_b: list[DataFrame | None],
+    on: list[str],
+    key_cols_a: list[str],
+    key_cols_b: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maintain A ⟗ B while BOTH inputs receive CDC batches (VERDICT r7
+    #5 — the §9j assumption "A static, keys materialized once" removed).
+    Batch i applies ``cdc_batches_a[i]`` and ``cdc_batches_b[i]``
+    atomically (either may be ``None`` for a side that idles that
+    batch). Returns the consolidated signed view.
+
+    Each side's null-extension bookkeeping is maintained incrementally
+    per side via :func:`fulljoin_delta_signed_bothsides` — no
+    re-derivation of either side's key set, ever: transition detection
+    probes only batch-touched keys of the key-bucketed states.
+    ``checkpoint`` materializes both deltas (each feeds five terms) and
+    both consolidated states; the accumulated view stays a lazy union
+    of checkpointed deltas (the SCALE.md §9g OOM lesson), consolidated
+    once at the end.
+    """
+    assert len(cdc_batches_a) == len(cdc_batches_b)
+    spark = initial_a.sparkSession
+    sign1 = F.lit(1).cast("long").alias("sign")
+    state_a = initial_a.select("*", sign1)
+    state_b = initial_b.select("*", sign1)
+    empty_a = spark.createDataFrame([], state_a.schema)
+    empty_b = spark.createDataFrame([], state_b.schema)
+    view = fulljoin_init_signed(state_a, state_b, on)
+    if checkpoint:
+        state_a = state_a.localCheckpoint(eager=True)
+        state_b = state_b.localCheckpoint(eager=True)
+    for batch_a, batch_b in zip(cdc_batches_a, cdc_batches_b):
+        delta_a = (
+            cdc_to_signed_delta(
+                state_a, batch_a, key_cols_a, op_col=op_col, delete_op=delete_op
+            )
+            if batch_a is not None
+            else empty_a
+        )
+        delta_b = (
+            cdc_to_signed_delta(
+                state_b, batch_b, key_cols_b, op_col=op_col, delete_op=delete_op
+            )
+            if batch_b is not None
+            else empty_b
+        )
+        if checkpoint:
+            delta_a = delta_a.localCheckpoint(eager=True)
+            delta_b = delta_b.localCheckpoint(eager=True)
+        delta_v = fulljoin_delta_signed_bothsides(
+            state_a, state_b, delta_a, delta_b, on
+        )
+        if checkpoint:
+            delta_v = delta_v.localCheckpoint(eager=True)
+        view = view.unionByName(delta_v)
+        state_a = consolidate(state_a.unionByName(delta_a))
+        state_b = consolidate(state_b.unionByName(delta_b))
+        if checkpoint:
+            state_a = state_a.localCheckpoint(eager=True)
             state_b = state_b.localCheckpoint(eager=True)
     return consolidate(view)
 

@@ -13513,3 +13513,203 @@ def ev_rollup_cdc_median(spark, sf_dir):
             / F.lit(100.0)
         ).alias("median_lo"),
     )
+
+
+@query(
+    "ev_session_cdc",
+    """WITH post AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 10 = 3 THEN ts + INTERVAL 300 SECOND
+              ELSE ts END AS ts
+  FROM events WHERE event_id % 10 <> 7
+),
+gaps AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM post
+)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM gaps GROUP BY user_id""",
+)
+def ev_session_cdc(spark, sf_dir):
+    """Sessionization under retraction (VERDICT r7 #4) — the aggregate
+    the whole IVM family couldn't yet express: session counts are a
+    NEIGHBORHOOD property, so a late insert inside the 30-min gap
+    MERGES two sessions (count −1) and a delete of a bridging event
+    SPLITS one (count +1), neither visible to the signed rollup
+    algebra. ``operators/sessions.py:maintain_sessions_cdc`` maintains
+    per-user counts exactly: per batch it recomputes session-start
+    flags ONLY inside the delta's ±gap band neighborhoods (one
+    equi-join against band-bucketed event state — affected windows
+    land fully inside the neighborhood, unaffected flags cancel
+    between the pre/post partial sums; proof in the module docstring).
+
+    CDC script: 10%% of events arrive LATE (event_id%%10==4 withheld
+    from the initial log, inserted in batch 1 — gap-bridging),
+    %%10==3 events have their timestamps SHIFTED +300 s (update =
+    retract old position + assert new), and batch 2 deletes %%10==7
+    (session-splitting). Oracle = one-shot sessionization of the
+    replayed post-CDC log, per user — the hash match proves the
+    neighborhood deltas merge and split with exact counts.
+
+    Per-batch cost: O(|Δ| + |events in touched bands|); a user's
+    history outside the touched time bands is never read — tighter
+    than the per-touched-group re-derive the minmax/median CDC paths
+    use. Reference basis: `lambda_s3/lambda_function_s3.py:79`
+    re-aggregates every load from scratch; this is its incremental,
+    late/retracted-event-correct counterpart."""
+    from etl__project_spark.operators import maintain_sessions_cdc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    m10 = F.col("event_id") % 10
+    initial = ev.filter(m10 != 4)
+    batch1 = (
+        ev.filter(m10 == 3)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 300 SECONDS"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(ev.filter(m10 == 4).withColumn("op", F.lit("I")))
+    )
+    batch2 = ev.filter(m10 == 7).withColumn("op", F.lit("D"))
+    return maintain_sessions_cdc(
+        initial, [batch1, batch2], key_cols=["event_id"]
+    )
+
+
+@query(
+    "tpch_fulljoin_cdc_bothsides",
+    """WITH post_o AS (
+  SELECT o_orderkey AS okey,
+         CASE WHEN o_orderkey % 10 = 3 THEN 'Y-UPDATED'
+              WHEN o_orderkey % 10 = 5 THEN 'Z-UPDATED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 10 <> 7
+),
+post_li AS (
+  SELECT l_orderkey AS okey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT)
+         + CASE WHEN l_linenumber = 1 AND l_orderkey % 5 <> 2 THEN 77
+                ELSE 0 END AS rev_micro
+  FROM lineitem WHERE l_orderkey % 5 <> 0
+)
+SELECT coalesce(o.o_orderpriority, 'NO-ORDER') AS priority,
+       count(*)::BIGINT AS n_rows,
+       count(l.rev_micro)::BIGINT AS n_matched,
+       (floor(sum(l.rev_micro) / 100.0 + 0.5) / 100.0) AS revenue
+FROM post_li l FULL JOIN post_o o ON l.okey = o.okey
+GROUP BY 1""",
+)
+def tpch_fulljoin_cdc_bothsides(spark, sf_dir):
+    """FULL-outer IVM with BOTH sides churning (VERDICT r7 #5) — the
+    §9j assumption removed: ``maintain_fulljoin_view_cdc`` exploited a
+    static A ("keys materialized once"); here lineitem AND orders both
+    take CDC, so each side's null-extension set is anti-monotone in
+    the OTHER side and both directions carry incremental transition
+    bookkeeping (``operators/ivm.py:fulljoin_delta_signed_bothsides``:
+    the bilinear decomposition Δ(NE_A) = ΔA⊗z_new ∪ A_old⊗Δz and its
+    mirror — every term a probe of batch-touched keys only).
+
+    CDC script: lineitem starts WITHOUT okey%5==2 lines (batch 1
+    inserts them → A-count 0→>0 retracts the B-side null-extended
+    orders), updates every l_linenumber==1 line (+77 µrev), then
+    batch 2 deletes all okey%5==0 lines (>0→0 asserts B-side
+    null-extensions); orders runs the standing script (update %10==3
+    twice, late-insert %10==4, delete %10==7) PLUS a batch-2 update of
+    %10==5 orders — keys whose ORDER churns in the same batch their
+    LAST LINEITEM is deleted, the cross-term case where the naive
+    "other side static this batch" shortcut emits the wrong
+    null-extension sign. Oracle = one-shot FULL JOIN of the two
+    post-CDC states.
+
+    Per-batch cost stays O(|ΔA| + |ΔB|) × fan-out: five probe joins
+    of key-bucketed state, no history re-join, and no once-derived
+    key-set to go stale."""
+    from etl__project_spark.operators import (
+        maintain_fulljoin_view_cdc_bothsides,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rev_micro"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    m5 = F.col("okey") % 5
+    m10 = F.col("okey") % 10
+    initial_a = li.filter(m5 != 2)
+    batch_a1 = (
+        li.filter((m5 != 2) & (F.col("lineno") == 1))
+        .withColumn("rev_micro", F.col("rev_micro") + F.lit(77))
+        .withColumn("op", F.lit("U"))
+        .unionByName(li.filter(m5 == 2).withColumn("op", F.lit("I")))
+    )
+    batch_a2 = li.filter(m5 == 0).withColumn("op", F.lit("D"))
+    initial_b = orders.filter(m10 != 4)
+    batch_b1 = (
+        orders.filter(m10 == 3)
+        .select("okey", F.lit("X-UPDATED").alias("o_orderpriority"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            orders.filter(m10 == 4)
+            .select("okey", "o_orderpriority")
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    batch_b2 = (
+        orders.filter(m10 == 3)
+        .select("okey", F.lit("Y-UPDATED").alias("o_orderpriority"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            orders.filter(m10 == 5)
+            .select("okey", F.lit("Z-UPDATED").alias("o_orderpriority"))
+            .withColumn("op", F.lit("U"))
+        )
+        .unionByName(
+            orders.filter(m10 == 7)
+            .select("okey", "o_orderpriority")
+            .withColumn("op", F.lit("D"))
+        )
+    )
+    view = maintain_fulljoin_view_cdc_bothsides(
+        initial_a,
+        initial_b,
+        [batch_a1, batch_a2],
+        [batch_b1, batch_b2],
+        on=["okey"],
+        key_cols_a=["okey", "lineno"],
+        key_cols_b=["okey"],
+    )
+    return view.groupBy(
+        F.coalesce("o_orderpriority", F.lit("NO-ORDER")).alias("priority")
+    ).agg(
+        F.sum("sign").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("rev_micro").isNotNull(), F.col("sign")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+        (
+            F.floor(
+                F.sum(F.col("rev_micro") * F.col("sign")).cast("double")
+                / F.lit(100.0)
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("revenue"),
+    )

@@ -417,3 +417,158 @@ def test_agg_over_join_equals_view_then_aggregate(spark):
     got = sorted((r["g"], r["n"], r["total"]) for r in direct.collect())
     want = sorted((r["g"], r["n"], r["total"]) for r in via_view.collect())
     assert got == want and got  # non-empty and identical
+
+
+def test_fulljoin_bothsides_same_batch_cross_transitions(spark):
+    """The cross-term cases that kill a 'other side static this batch'
+    shortcut (VERDICT r7 #5): in ONE batch — k=1 loses its only A row
+    while its B row updates (view must end with the NEW B row
+    null-extended, not the old); k=2 gains its first A row while its B
+    row updates (old B null-extension retracts, matched row appears);
+    k=3 gains an A row while its only B row is deleted (matched pair
+    cancels in the ΔA⋈ΔB term, A-side null-extension asserts)."""
+    from etl__project_spark.operators import (
+        maintain_fulljoin_view_cdc_bothsides,
+    )
+
+    a0 = spark.createDataFrame([(1, 10, 100)], "k long, aid long, av long")
+    b0 = spark.createDataFrame(
+        [(1, "b1-old"), (2, "b2-old"), (3, "b3")], "k long, bv string"
+    )
+    batch_a = spark.createDataFrame(
+        [(1, 10, None, "D"), (2, 20, 200, "I"), (3, 30, 300, "I")],
+        "k long, aid long, av long, op string",
+    )
+    batch_b = spark.createDataFrame(
+        [(1, "b1-new", "U"), (2, "b2-new", "U"), (3, None, "D")],
+        "k long, bv string, op string",
+    )
+    view = maintain_fulljoin_view_cdc_bothsides(
+        a0, b0, [batch_a], [batch_b],
+        on=["k"], key_cols_a=["aid"], key_cols_b=["k"],
+    )
+    got = sorted(
+        (r["k"], r["aid"], r["av"], r["bv"], r["sign"]) for r in view.collect()
+    )
+    want = [
+        (1, None, None, "b1-new", 1),
+        (2, 20, 200, "b2-new", 1),
+        (3, 30, 300, None, 1),
+    ]
+    assert got == want
+
+
+def test_fulljoin_bothsides_random_property_vs_replay(spark):
+    """Both-sides churn under randomized CDC: inserts/updates/deletes on
+    A (keyed by aid — updates may MOVE a row to a different join key,
+    so a single op can fire transitions on two keys) and on B, folded
+    through fulljoin_delta_signed_bothsides, must equal the one-shot
+    FULL join of the two replayed post-states."""
+    import random
+
+    from etl__project_spark.operators import (
+        maintain_fulljoin_view_cdc_bothsides,
+    )
+
+    random.seed(59)
+    astate = {aid: (random.randrange(9), random.randrange(100)) for aid in range(25)}
+    bstate = {k: f"v{k}" for k in range(0, 12, 2)}
+    a0 = spark.createDataFrame(
+        [(k, aid, v) for aid, (k, v) in astate.items()],
+        "k long, aid long, av long",
+    )
+    b0 = spark.createDataFrame(list(bstate.items()), "k long, bv string")
+    batches_a, batches_b = [], []
+    next_aid = 25
+    for bi in range(3):
+        ops_a, seen_a = [], set()
+        for _ in range(10):
+            if astate and random.random() < 0.35:
+                aid = random.choice(list(astate))
+                if aid in seen_a:
+                    continue
+                seen_a.add(aid)
+                if random.random() < 0.5:
+                    ops_a.append((astate[aid][0], aid, None, "D"))
+                    del astate[aid]
+                else:  # update: may move the row to a new join key
+                    nk, nv = random.randrange(9), random.randrange(100)
+                    ops_a.append((nk, aid, nv, "U"))
+                    astate[aid] = (nk, nv)
+            else:
+                aid, next_aid = next_aid, next_aid + 1
+                nk, nv = random.randrange(9), random.randrange(100)
+                ops_a.append((nk, aid, nv, "I"))
+                astate[aid] = (nk, nv)
+        ops_b, seen_b = [], set()
+        for _ in range(8):
+            k = random.randrange(12)
+            if k in seen_b:
+                continue
+            seen_b.add(k)
+            if k in bstate and random.random() < 0.4:
+                ops_b.append((k, None, "D"))
+                del bstate[k]
+            else:
+                v = f"v{k}b{bi}"
+                ops_b.append((k, v, "U" if k in bstate else "I"))
+                bstate[k] = v
+        batches_a.append(
+            spark.createDataFrame(ops_a, "k long, aid long, av long, op string")
+        )
+        batches_b.append(
+            spark.createDataFrame(ops_b, "k long, bv string, op string")
+        )
+    view = maintain_fulljoin_view_cdc_bothsides(
+        a0, b0, batches_a, batches_b,
+        on=["k"], key_cols_a=["aid"], key_cols_b=["k"],
+    )
+    a_final = spark.createDataFrame(
+        [(k, aid, v) for aid, (k, v) in astate.items()] or [],
+        "k long, aid long, av long",
+    )
+    b_final = spark.createDataFrame(
+        list(bstate.items()) or [], "k long, bv string"
+    )
+    want_rows = (
+        a_final.join(b_final, "k", "full")
+        .groupBy("k", "aid", "av", "bv")
+        .count()
+        .collect()
+    )
+    want = sorted(
+        (r["k"], r["aid"], r["av"], r["bv"], r["count"]) for r in want_rows
+    )
+    got = sorted(
+        (r["k"], r["aid"], r["av"], r["bv"], r["sign"]) for r in view.collect()
+    )
+    assert got == want
+    assert any(r[1] is None for r in got)  # B-only keys present
+    assert any(r[3] is None for r in got)  # A-only keys present
+
+
+def test_fulljoin_bothsides_idle_side_batches(spark):
+    """None batches (a side idling) degrade to the single-side algebra."""
+    from etl__project_spark.operators import (
+        maintain_fulljoin_view_cdc,
+        maintain_fulljoin_view_cdc_bothsides,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10), (2, 20), (4, 40)], "k long, av long"
+    )
+    b0 = spark.createDataFrame([(1, "one"), (3, "three")], "k long, bv string")
+    b1 = spark.createDataFrame(
+        [(2, "two", "I"), (1, None, "D")], "k long, bv string, op string"
+    )
+    both = maintain_fulljoin_view_cdc_bothsides(
+        a, b0, [None], [b1], on=["k"], key_cols_a=["av"], key_cols_b=["k"]
+    )
+    single = maintain_fulljoin_view_cdc(
+        a, b0, [b1], on=["k"], key_cols_b=["k"]
+    )
+    got = sorted((r["k"], r["av"], r["bv"], r["sign"]) for r in both.collect())
+    want = sorted(
+        (r["k"], r["av"], r["bv"], r["sign"]) for r in single.collect()
+    )
+    assert got == want

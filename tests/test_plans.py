@@ -457,6 +457,17 @@ EXCHANGE_BUDGET = {
     # plan is the exemplar window + four stage-count aggregates; the
     # cluster pair join stays an equi-join behind the checkpoint.
     "emb_pipeline_e2e": (6, 0),
+    # incremental sessionization: the counts state is checkpointed per
+    # batch, so the final read is ZERO shuffles — all neighborhood
+    # probes and lag windows run inside the fold behind checkpoints.
+    "ev_session_cdc": (0, 0),
+    # both-sides full-outer IVM: the init FULL view's exchanges plus
+    # per-batch transition-detection aggregates for BOTH sides (each
+    # O(|Δ|)-keyed on the join key); deltas/states are checkpointed,
+    # the accumulated view stays a lazy union (SCALE.md §9g), so the
+    # final consolidation carries them; zero SMJs — every state probe
+    # is a broadcast of a delta-derived frame.
+    "tpch_fulljoin_cdc_bothsides": (10, 0),
 }
 
 

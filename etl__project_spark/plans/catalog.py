@@ -13713,3 +13713,190 @@ def tpch_fulljoin_cdc_bothsides(spark, sf_dir):
             / F.lit(100.0)
         ).alias("revenue"),
     )
+
+
+@query(
+    "ev_asof_cdc",
+    """WITH post_l AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 10 = 3 THEN ts + INTERVAL 300 SECOND
+              ELSE ts END AS ts
+  FROM events WHERE event_type = 'purchase' AND event_id % 10 <> 7
+),
+post_r AS (
+  SELECT user_id,
+         CASE WHEN event_id % 10 = 2 THEN ts + INTERVAL 600 SECOND
+              ELSE ts END AS ts
+  FROM events WHERE event_type = 'signup' AND event_id % 10 <> 1
+)
+SELECT l.event_id, l.user_id,
+       strftime(r.ts, '%Y-%m-%dT%H:%M:%S') AS signup_ts_asof
+FROM post_l l ASOF LEFT JOIN post_r r
+  ON l.user_id = r.user_id AND r.ts <= l.ts""",
+)
+def ev_asof_cdc(spark, sf_dir):
+    """As-of join under CDC on BOTH sides — the first NON-EQUI member
+    of the IVM family. The equi-join delta algebra
+    (``operators/ivm.py``) cannot express it: a late signup INSERT at
+    (u, t) re-pairs purchases it never joins to in the delta (every
+    purchase of u in [t, next surviving signup)), a signup DELETE falls
+    its matched purchases back to the PREDECESSOR signup, and a
+    timestamp UPDATE does both at once. ``maintain_asof_view_cdc``
+    (operators/asof.py) bounds each batch's work with the interval
+    analogue of the sessionization neighborhood argument: affected
+    left rows are exactly covered by per-delta windows
+    [t, next-unchanged-right > t), computed with ONE window function
+    over (deltas ∪ touched users' surviving signups) — no inequality
+    join, no history rescan; only windowed rows re-pair, by key-splice
+    into the maintained view.
+
+    CDC script: purchases — %%10==4 arrive late (batch-1 inserts),
+    %%10==3 shift +300 s (update may cross a signup), batch 2 deletes
+    %%10==7; signups — %%10==6 arrive late (re-pair earlier
+    purchases), %%10==2 shift +600 s, batch 2 deletes %%10==1
+    (predecessor fallback, NULL when none). Oracle = DuckDB's native
+    ASOF LEFT JOIN over the two replayed post-CDC states.
+
+    Reference basis: the reference pipeline has no temporal-join or
+    retraction surface at all (`lambda_s3/lambda_function_s3.py`
+    re-derives everything per load); this extends its event analytics
+    to the late/corrected-data regime a 100 TB feature store lives in."""
+    from etl__project_spark.operators.asof import maintain_asof_view_cdc
+
+    ev = load_table(spark, sf_dir, "events")
+    m10 = F.col("event_id") % 10
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    initial_l = purchases.filter(m10 != 4)
+    batch_l1 = (
+        purchases.filter(m10 == 3)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 300 SECONDS"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(purchases.filter(m10 == 4).withColumn("op", F.lit("I")))
+    )
+    batch_l2 = purchases.filter(m10 == 7).withColumn("op", F.lit("D"))
+    initial_r = signups.filter(m10 != 6)
+    batch_r1 = (
+        signups.filter(m10 == 6)
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            signups.filter(m10 == 2)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 600 SECONDS"))
+            .withColumn("op", F.lit("U"))
+        )
+    )
+    batch_r2 = signups.filter(m10 == 1).withColumn("op", F.lit("D"))
+    view = maintain_asof_view_cdc(
+        initial_l,
+        initial_r,
+        [batch_l1, batch_l2],
+        [batch_r1, batch_r2],
+        on="ts",
+        by="user_id",
+        left_keys=["event_id"],
+        right_keys=["event_id"],
+    )
+    return view.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts_asof", "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "signup_ts_asof"
+        ),
+    )
+
+
+@query(
+    "doc_bm25_cdc",
+    r"""WITH post AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' spark merge spark'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 7
+),
+q(term) AS (VALUES ('spark'), ('merge'), ('window')),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM post
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len)::BIGINT AS n_toks FROM dl),
+df AS (
+  SELECT w AS term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM toks JOIN q ON toks.w = q.term GROUP BY w
+),
+idf AS (
+  SELECT term,
+         floor(ln(1.0 + (s.n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+               * 1000000 + 0.5)::BIGINT AS idf_micro
+  FROM df CROSS JOIN stats s
+),
+tf AS (
+  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+  FROM toks JOIN q ON toks.w = q.term GROUP BY doc_id, w
+),
+scored AS (
+  SELECT tf.doc_id,
+         floor(i.idf_micro::DOUBLE / 1000000.0
+               * (tf.tf::DOUBLE * 2.2)
+               / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.len::DOUBLE
+                                                 * s.n_docs::DOUBLE / s.n_toks::DOUBLE))
+               * 1000000 + 0.5)::BIGINT AS term_micro
+  FROM tf JOIN idf i USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(term_micro)::BIGINT AS s_micro FROM scored GROUP BY doc_id)
+SELECT doc_id, floor(s_micro::DOUBLE / 100.0 + 0.5) / 10000.0 AS bm25
+FROM agg ORDER BY s_micro DESC, doc_id LIMIT 10""",
+)
+def doc_bm25_cdc(spark, sf_dir):
+    """BM25 retrieval over an INCREMENTALLY MAINTAINED text index
+    (datapipe/text_index.py) while the corpus churns — the CDC
+    counterpart of ``doc_bm25_topk``, and the bridge between the IVM
+    family and the LLM-datapipe family: postings and doc-lengths are
+    distinct-grain signed states (a doc's churn = one doc-key probe +
+    tokenizing ONLY the delta docs), df is a per-term signed running
+    sum (postings are unique per (doc, term)), corpus totals are two
+    running sums. Scoring is a read of the maintained state — the
+    batch scorer's exact plan minus the corpus tokenization.
+
+    CDC script: docs %%10==4 arrive late (batch-1 inserts), %%10==3
+    get their text REWRITTEN (' spark merge spark' appended — shifts
+    tf, dl, df, avgdl, and every other doc's score via the globals),
+    batch 2 deletes %%10==7 (takedowns shrink df/n_docs). Oracle =
+    one-shot BM25 top-10 for {spark, merge, window} over the replayed
+    post-CDC corpus — the hash match proves the maintained index
+    equals the from-scratch index, globals included."""
+    from etl__project_spark.datapipe.text_index import (
+        bm25_from_index,
+        maintain_text_index_cdc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m10 = F.col("doc_id") % 10
+    initial = docs.filter(m10 != 4)
+    batch1 = (
+        docs.filter(m10 == 4)
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            docs.filter(m10 == 3)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" spark merge spark")))
+            .withColumn("op", F.lit("U"))
+        )
+    )
+    batch2 = docs.filter(m10 == 7).withColumn("op", F.lit("D"))
+    index = maintain_text_index_cdc(initial, [batch1, batch2])
+    scored = bm25_from_index(index, ["spark", "merge", "window"])
+    return (
+        scored.orderBy(F.desc("s_micro"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            (
+                F.floor(F.col("s_micro").cast("double") / F.lit(100.0) + F.lit(0.5))
+                / 10000.0
+            ).alias("bm25"),
+        )
+    )

@@ -692,10 +692,18 @@ def maintain_fulljoin_view_cdc_bothsides(
     ``checkpoint`` materializes both deltas (each feeds five terms) and
     both consolidated states; the accumulated view stays a lazy union
     of checkpointed deltas (the SCALE.md §9g OOM lesson), consolidated
-    once at the end.
+    once at the end. Checkpoint storage is DISK_ONLY: with both sides
+    churning, a batch's deltas are churn-rate × table-sized — at sf10
+    (~27 M-row deltas) the default MEMORY_AND_DISK level OOMed the 8 g
+    local heap mid-spill, and on a real cluster this state lives in
+    bucketed tables on disk anyway, so the in-memory copy is pure
+    exposure (SCALE.md §9m).
     """
+    from pyspark.storagelevel import StorageLevel
+
     assert len(cdc_batches_a) == len(cdc_batches_b)
     spark = initial_a.sparkSession
+    disk = StorageLevel.DISK_ONLY
     sign1 = F.lit(1).cast("long").alias("sign")
     state_a = initial_a.select("*", sign1)
     state_b = initial_b.select("*", sign1)
@@ -703,8 +711,8 @@ def maintain_fulljoin_view_cdc_bothsides(
     empty_b = spark.createDataFrame([], state_b.schema)
     view = fulljoin_init_signed(state_a, state_b, on)
     if checkpoint:
-        state_a = state_a.localCheckpoint(eager=True)
-        state_b = state_b.localCheckpoint(eager=True)
+        state_a = state_a.localCheckpoint(eager=True, storageLevel=disk)
+        state_b = state_b.localCheckpoint(eager=True, storageLevel=disk)
     for batch_a, batch_b in zip(cdc_batches_a, cdc_batches_b):
         delta_a = (
             cdc_to_signed_delta(
@@ -721,19 +729,19 @@ def maintain_fulljoin_view_cdc_bothsides(
             else empty_b
         )
         if checkpoint:
-            delta_a = delta_a.localCheckpoint(eager=True)
-            delta_b = delta_b.localCheckpoint(eager=True)
+            delta_a = delta_a.localCheckpoint(eager=True, storageLevel=disk)
+            delta_b = delta_b.localCheckpoint(eager=True, storageLevel=disk)
         delta_v = fulljoin_delta_signed_bothsides(
             state_a, state_b, delta_a, delta_b, on
         )
         if checkpoint:
-            delta_v = delta_v.localCheckpoint(eager=True)
+            delta_v = delta_v.localCheckpoint(eager=True, storageLevel=disk)
         view = view.unionByName(delta_v)
         state_a = consolidate(state_a.unionByName(delta_a))
         state_b = consolidate(state_b.unionByName(delta_b))
         if checkpoint:
-            state_a = state_a.localCheckpoint(eager=True)
-            state_b = state_b.localCheckpoint(eager=True)
+            state_a = state_a.localCheckpoint(eager=True, storageLevel=disk)
+            state_b = state_b.localCheckpoint(eager=True, storageLevel=disk)
     return consolidate(view)
 
 

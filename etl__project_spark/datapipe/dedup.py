@@ -748,3 +748,148 @@ def canonical_components(
         .join(comp, F.col("rep_id") == comp.id)
         .select(F.col(id_col).alias("id"), "component")
     )
+
+
+# --- LSH index maintenance under CDC (retractions included) -------------
+
+
+def lsh_bands_of_docs(
+    docs: DataFrame,
+    k: int = 5,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """shingle → minhash → band rows for one document set — the only
+    path that reads text, shared by the init build and the per-batch
+    delta (so the maintained index can never drift from the one-shot
+    pipeline's hashing)."""
+    sh = char_shingles(docs, k=k, text_col=text_col, id_col=id_col, distinct=False)
+    sig = minhash_signature(sh, n_hashes=n_hashes, id_col=id_col)
+    return lsh_bands(sig, n_bands=n_bands, rows_per_band=rows_per_band, id_col=id_col)
+
+
+def lsh_pair_count_delta(
+    state_bands: DataFrame,
+    delta_bands: DataFrame,
+    id_col: str = "doc_id",
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Signed delta of per-pair shared-bucket COUNTS for one signed band
+    delta against the PRE-batch band state — the self-join delta
+    decomposition Δ(B ⋈ B) = ΔB ⋈ B_old ∪ ΔB ⋈ ΔB specialized to
+    unordered pairs: the ΔB ⋈ B_old term ranges X over the delta and Y
+    over the full pre-state, so for a pair {a, b} with both sides
+    churning it contributes Δa·b_old AND Δb·a_old; the within-delta
+    term (id_x < id_y) adds Δa·Δb once. Signs multiply, so retraction
+    bands (sign −1) decrement exactly the bucket co-occurrences they
+    once created. Returns (id_a, id_b, n) with id_a < id_b."""
+    x = delta_bands.select(
+        F.col(id_col).alias("__xid"), "band_id", "band_hash",
+        F.col(sign_col).alias("__xs"),
+    )
+    y_old = state_bands.select(
+        F.col(id_col).alias("__yid"), "band_id", "band_hash",
+        F.col(sign_col).alias("__ys"),
+    )
+    vs_old = (
+        x.join(y_old, ["band_id", "band_hash"])
+        .filter(F.col("__xid") != F.col("__yid"))
+        .select(
+            F.least("__xid", "__yid").alias("id_a"),
+            F.greatest("__xid", "__yid").alias("id_b"),
+            (F.col("__xs") * F.col("__ys")).alias("n"),
+        )
+    )
+    y_new = x.select(
+        F.col("__xid").alias("__yid"), "band_id", "band_hash",
+        F.col("__xs").alias("__ys"),
+    )
+    within = (
+        x.join(y_new, ["band_id", "band_hash"])
+        .filter(F.col("__xid") < F.col("__yid"))
+        .select(
+            F.col("__xid").alias("id_a"),
+            F.col("__yid").alias("id_b"),
+            (F.col("__xs") * F.col("__ys")).alias("n"),
+        )
+    )
+    return vs_old.unionByName(within)
+
+
+def maintain_lsh_pairs_cdc(
+    initial: DataFrame,
+    cdc_batches: list[DataFrame],
+    k: int = 5,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maintain the LSH candidate-pair set while the corpus churns —
+    the RETRACTION story ``lsh_index_increment`` (ingest-only) lacks:
+    a takedown or text rewrite must also REMOVE the pairs its old
+    bands created, which the insert-only probe cannot express.
+
+    State: (1) the band table as a distinct-grain signed state — a
+    doc's churn retracts its old band rows (one doc-key probe; only
+    delta docs re-shingle/re-hash) and asserts its post-image rows;
+    (2) per-pair shared-bucket counts, advanced by
+    :func:`lsh_pair_count_delta` — a pair is a live candidate while
+    its count is positive, so a pair created by band 0 survives a
+    rewrite that only dissolves its band-1 bucket.
+
+    Returns the live distinct (id_a, id_b) pairs — equal to one-shot
+    ``lsh_candidate_pairs`` of the replayed post-CDC corpus (pinned by
+    the ``doc_lsh_cdc`` oracle and a replay property test). Per-batch
+    cost: O(|Δ| bands × bucket fan-in) probes of the bucket-keyed band
+    state, never a corpus rescan."""
+    from etl__project_spark.operators.ivm import consolidate
+
+    sign1 = F.lit(1).cast("long").alias("sign")
+    bands = lsh_bands_of_docs(
+        initial, k, n_hashes, n_bands, rows_per_band, id_col, text_col
+    ).select("*", sign1)
+    pair_counts = (
+        lsh_pair_count_delta(
+            bands.limit(0), bands, id_col
+        )  # init = delta-vs-empty + within-delta; limit(0) keeps the schema
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .filter(F.col("n") != 0)
+    )
+    if checkpoint:
+        bands = bands.localCheckpoint(eager=True)
+        pair_counts = pair_counts.localCheckpoint(eager=True)
+    for batch in cdc_batches:
+        touched = batch.select(id_col).distinct()
+        retract = bands.join(touched, [id_col]).select(
+            id_col, "band_id", "band_hash", (-F.col("sign")).alias("sign")
+        )
+        post_imgs = batch.filter(F.col(op_col) != delete_op).select(
+            id_col, text_col
+        )
+        assert_b = lsh_bands_of_docs(
+            post_imgs, k, n_hashes, n_bands, rows_per_band, id_col, text_col
+        ).select("*", sign1)
+        delta_b = retract.unionByName(assert_b)
+        if checkpoint:
+            delta_b = delta_b.localCheckpoint(eager=True)
+        d_counts = lsh_pair_count_delta(bands, delta_b, id_col)
+        pair_counts = (
+            pair_counts.unionByName(d_counts)
+            .groupBy("id_a", "id_b")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .filter(F.col("n") != 0)
+        )
+        bands = consolidate(bands.unionByName(delta_b))
+        if checkpoint:
+            bands = bands.localCheckpoint(eager=True)
+            pair_counts = pair_counts.localCheckpoint(eager=True)
+    return pair_counts.filter(F.col("n") > 0).select("id_a", "id_b")

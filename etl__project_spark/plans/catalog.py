@@ -13900,3 +13900,62 @@ def doc_bm25_cdc(spark, sf_dir):
             ).alias("bm25"),
         )
     )
+
+
+@query(
+    "doc_lsh_cdc",
+    f"""WITH post AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' spark merge spark'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 7
+),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLE_LIST}) AS shingle FROM post
+),
+sig AS ({_LSH_SQL_SIG}),
+bands AS (
+  SELECT doc_id, 0 AS band_id,
+         md5(h0::VARCHAR || h1::VARCHAR || h2::VARCHAR || h3::VARCHAR) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id,
+         md5(h4::VARCHAR || h5::VARCHAR || h6::VARCHAR || h7::VARCHAR) AS band_hash FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""",
+)
+def doc_lsh_cdc(spark, sf_dir):
+    """LSH near-dup candidate maintenance under corpus CHURN — the
+    retraction story ``doc_lsh_incremental`` (ingest-only) lacks: a
+    takedown or text rewrite must REMOVE the candidate pairs its old
+    bands created. ``datapipe/dedup.py:maintain_lsh_pairs_cdc`` keeps
+    (1) the band table as a distinct-grain signed state (churned docs
+    re-shingle/re-hash; everyone else's bands are never recomputed)
+    and (2) per-pair shared-bucket counts via the self-join delta
+    Δ(B ⋈ B) = ΔB ⋈ B_old ∪ ΔB ⋈ ΔB with multiplying signs — a pair
+    stays live while its count is positive, so a pair backed by two
+    buckets survives a rewrite that dissolves one.
+
+    CDC script: docs %%10==4 arrive late, %%10==3 get rewritten
+    (shingle set shifts → old bands retract, new bands may land in
+    different buckets), batch 2 deletes %%10==7. Oracle = the one-shot
+    ``doc_lsh_pairs`` SQL over the replayed post-CDC corpus — the hash
+    match proves pairs appear AND disappear exactly as a full rebuild
+    would have them."""
+    from etl__project_spark.datapipe.dedup import maintain_lsh_pairs_cdc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m10 = F.col("doc_id") % 10
+    initial = docs.filter(m10 != 4)
+    batch1 = (
+        docs.filter(m10 == 4)
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            docs.filter(m10 == 3)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" spark merge spark")))
+            .withColumn("op", F.lit("U"))
+        )
+    )
+    batch2 = docs.filter(m10 == 7).withColumn("op", F.lit("D"))
+    return maintain_lsh_pairs_cdc(initial, [batch1, batch2])

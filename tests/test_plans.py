@@ -468,6 +468,18 @@ EXCHANGE_BUDGET = {
     # final consolidation carries them; zero SMJs — every state probe
     # is a broadcast of a delta-derived frame.
     "tpch_fulljoin_cdc_bothsides": (10, 0),
+    # as-of IVM: the maintained view is checkpointed per batch, so the
+    # final read is ZERO shuffles — the window computations and
+    # key-splices all run inside the fold behind checkpoints.
+    "ev_asof_cdc": (0, 0),
+    # BM25 read over the maintained index: idf/stats broadcast, tf and
+    # dl join doc-keyed behind the checkpointed states; the one shuffle
+    # is the per-doc score sum; top-10 is TakeOrdered.
+    "doc_bm25_cdc": (1, 0),
+    # LSH under CDC: band state and pair counts are checkpointed per
+    # batch, so the final read is the live-pair filter — zero shuffles;
+    # the band probes and count merges all run inside the fold.
+    "doc_lsh_cdc": (0, 0),
 }
 
 

@@ -384,3 +384,301 @@ def bot_scorecard(usr: DataFrame, min_gaps: int = 19) -> DataFrame:
         )
         .alias("bot_flag"),
     )
+
+
+# --- incremental constraint monitoring under CDC -----------------------------
+#
+# The suite above re-scans its tables per run; a CONTINUOUS quality
+# monitor over churning 100 TB tables cannot. Every constraint class
+# reduces to signed-delta state:
+#
+# - row-local checks (not-null / accepted-values / range / bounds):
+#   violation counts are sign-linear — one fused aggregate over the
+#   BATCH, added to a running counter; the table is never re-read;
+# - uniqueness: per-key multiplicities are the state; the violation
+#   count (rows minus distinct keys = Σ max(mult−1, 0)) advances by the
+#   TRANSITION at touched keys, max(new−1,0) − max(old−1,0);
+# - referential integrity: per-key child and parent counts are the
+#   state; the orphan count advances by child·[parent==0] transitions
+#   at touched keys — the same null-extension transition algebra as the
+#   outer-join IVM (operators/ivm.py:_ne_transition_keys), surfaced as
+#   a data-quality gate.
+#
+# Per-batch cost: O(|Δ| + touched keys); nothing rescans history.
+
+
+def _signed_count(delta: DataFrame, pred, sign_col: str = "sign"):
+    """Aggregate Column: signed violation-count contribution of a delta."""
+    return (
+        F.sum(F.when(pred, F.col(sign_col)).otherwise(0))
+        .cast("long")
+    )
+
+
+def _key_count_delta(
+    delta: DataFrame, key: str, sign_col: str = "sign"
+) -> DataFrame:
+    return delta.groupBy(F.col(key).alias("__k")).agg(
+        F.sum(sign_col).cast("long").alias("__d")
+    )
+
+
+def _transitions(
+    state_counts: DataFrame, d_counts: DataFrame
+) -> DataFrame:
+    """(key, old, new) for every key the delta touches; ``state_counts``
+    is (key __k, count __c) and is probed only at the delta's keys."""
+    old = state_counts.join(d_counts.select("__k"), "__k", "left_semi")
+    return (
+        d_counts.join(old, "__k", "left")
+        .select(
+            "__k",
+            F.coalesce(F.col("__c"), F.lit(0)).alias("__old"),
+            (F.coalesce(F.col("__c"), F.lit(0)) + F.col("__d")).alias("__new"),
+        )
+    )
+
+
+def _merge_key_counts(
+    state_counts: DataFrame, d_counts: DataFrame
+) -> DataFrame:
+    return (
+        state_counts.unionByName(d_counts.withColumnRenamed("__d", "__c"))
+        .groupBy("__k")
+        .agg(F.sum("__c").cast("long").alias("__c"))
+        .filter(F.col("__c") != 0)
+    )
+
+
+def maintain_dq_suite_cdc(
+    initial_child: DataFrame,
+    initial_parent: DataFrame,
+    cdc_batches_child: list[DataFrame | None],
+    cdc_batches_parent: list[DataFrame | None],
+    child_checks: dict[str, object],
+    parent_checks: dict[str, object],
+    fk: str,
+    pk: str,
+    key_cols_child: list[str],
+    key_cols_parent: list[str],
+    child_table: str = "child",
+    parent_table: str = "parent",
+    unique_check: str | None = None,
+    ref_check: str | None = None,
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maintain the (table, check, n_violations, passed) suite while
+    both tables take CDC. ``child_checks`` / ``parent_checks`` map
+    check name → row-level violation predicate (Column); pass
+    ``unique_check`` to monitor ``pk`` uniqueness on the parent and
+    ``ref_check`` to monitor ``fk`` → ``pk`` referential integrity.
+    Equal to re-running the batch suite over the replayed post-CDC
+    tables (pinned by the ``dq_suite_cdc`` oracle and a replay test)."""
+    from etl__project_spark.operators.ivm import cdc_to_signed_delta, consolidate
+
+    sign1 = F.lit(1).cast("long").alias("sign")
+    state_c = initial_child.select("*", sign1)
+    state_p = initial_parent.select("*", sign1)
+
+    def _scalar_rows(delta, checks, table):
+        if not checks:
+            return None
+        row = delta.agg(
+            *[_signed_count(delta, pred).alias(name) for name, pred in checks.items()]
+        )
+        picks = [
+            F.struct(
+                F.lit(table).alias("table_name"),
+                F.lit(name).alias("check_name"),
+                F.coalesce(F.col(name), F.lit(0)).alias("n"),
+            )
+            for name in checks
+        ]
+        return row.select(F.explode(F.array(*picks)).alias("s")).select(
+            "s.table_name", "s.check_name", "s.n"
+        )
+
+    counters = _scalar_rows(state_c, child_checks, child_table)
+    p_rows = _scalar_rows(state_p, parent_checks, parent_table)
+    if p_rows is not None:
+        counters = p_rows if counters is None else counters.unionByName(p_rows)
+
+    pk_counts = state_p.groupBy(F.col(pk).alias("__k")).agg(
+        F.sum("sign").cast("long").alias("__c")
+    )
+    fk_counts = state_c.groupBy(F.col(fk).alias("__k")).agg(
+        F.sum("sign").cast("long").alias("__c")
+    )
+    if unique_check:
+        dup0 = pk_counts.agg(
+            F.coalesce(
+                F.sum(F.greatest(F.col("__c") - 1, F.lit(0))), F.lit(0)
+            ).cast("long").alias("n")
+        ).select(
+            F.lit(parent_table).alias("table_name"),
+            F.lit(unique_check).alias("check_name"),
+            "n",
+        )
+        counters = counters.unionByName(dup0)
+    if ref_check:
+        orph0 = (
+            fk_counts.join(
+                pk_counts.filter(F.col("__c") > 0).select("__k"),
+                "__k",
+                "left_anti",
+            )
+            .agg(F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n"))
+            .select(
+                F.lit(child_table).alias("table_name"),
+                F.lit(ref_check).alias("check_name"),
+                "n",
+            )
+        )
+        counters = counters.unionByName(orph0)
+    if checkpoint:
+        state_c = state_c.localCheckpoint(eager=True)
+        state_p = state_p.localCheckpoint(eager=True)
+        pk_counts = pk_counts.localCheckpoint(eager=True)
+        fk_counts = fk_counts.localCheckpoint(eager=True)
+        counters = counters.localCheckpoint(eager=True)
+
+    n_batches = max(len(cdc_batches_child), len(cdc_batches_parent))
+    for i in range(n_batches):
+        batch_c = cdc_batches_child[i] if i < len(cdc_batches_child) else None
+        batch_p = cdc_batches_parent[i] if i < len(cdc_batches_parent) else None
+        delta_c = (
+            cdc_to_signed_delta(
+                state_c, batch_c, key_cols_child, op_col=op_col, delete_op=delete_op
+            )
+            if batch_c is not None
+            else None
+        )
+        delta_p = (
+            cdc_to_signed_delta(
+                state_p, batch_p, key_cols_parent, op_col=op_col, delete_op=delete_op
+            )
+            if batch_p is not None
+            else None
+        )
+        if checkpoint:
+            delta_c = delta_c.localCheckpoint(eager=True) if delta_c is not None else None
+            delta_p = delta_p.localCheckpoint(eager=True) if delta_p is not None else None
+
+        new_rows = []
+        if delta_c is not None:
+            r = _scalar_rows(delta_c, child_checks, child_table)
+            if r is not None:
+                new_rows.append(r)
+        if delta_p is not None:
+            r = _scalar_rows(delta_p, parent_checks, parent_table)
+            if r is not None:
+                new_rows.append(r)
+
+        d_pk = (
+            _key_count_delta(delta_p, pk) if delta_p is not None else None
+        )
+        d_fk = (
+            _key_count_delta(delta_c, fk) if delta_c is not None else None
+        )
+        if unique_check and d_pk is not None:
+            t = _transitions(pk_counts, d_pk)
+            d_dup = t.agg(
+                F.coalesce(
+                    F.sum(
+                        F.greatest(F.col("__new") - 1, F.lit(0))
+                        - F.greatest(F.col("__old") - 1, F.lit(0))
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("n")
+            ).select(
+                F.lit(parent_table).alias("table_name"),
+                F.lit(unique_check).alias("check_name"),
+                "n",
+            )
+            new_rows.append(d_dup)
+        if ref_check and (d_pk is not None or d_fk is not None):
+            # orphan transitions at every touched key (either side):
+            # Δ = child_new·[par_new==0] − child_old·[par_old==0]
+            empty = d_pk if d_pk is not None else d_fk
+            touched = (
+                (d_pk.select("__k") if d_pk is not None else empty.select("__k").limit(0))
+                .unionByName(
+                    d_fk.select("__k") if d_fk is not None else empty.select("__k").limit(0)
+                )
+                .distinct()
+            )
+            tp = _transitions(
+                pk_counts,
+                touched.join(
+                    d_pk if d_pk is not None else touched.select(
+                        "__k", F.lit(0).cast("long").alias("__d")
+                    ).limit(0),
+                    "__k",
+                    "left",
+                ).select("__k", F.coalesce("__d", F.lit(0)).alias("__d")),
+            )
+            tc = _transitions(
+                fk_counts,
+                touched.join(
+                    d_fk if d_fk is not None else touched.select(
+                        "__k", F.lit(0).cast("long").alias("__d")
+                    ).limit(0),
+                    "__k",
+                    "left",
+                ).select("__k", F.coalesce("__d", F.lit(0)).alias("__d")),
+            )
+            both = tp.select(
+                "__k",
+                F.col("__old").alias("__p_old"),
+                F.col("__new").alias("__p_new"),
+            ).join(
+                tc.select(
+                    "__k",
+                    F.col("__old").alias("__c_old"),
+                    F.col("__new").alias("__c_new"),
+                ),
+                "__k",
+            )
+            d_orph = both.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__p_new") <= 0, F.col("__c_new")).otherwise(0)
+                        - F.when(F.col("__p_old") <= 0, F.col("__c_old")).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("n")
+            ).select(
+                F.lit(child_table).alias("table_name"),
+                F.lit(ref_check).alias("check_name"),
+                "n",
+            )
+            new_rows.append(d_orph)
+
+        for r in new_rows:
+            counters = counters.unionByName(r)
+        counters = (
+            counters.groupBy("table_name", "check_name")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        if d_pk is not None:
+            pk_counts = _merge_key_counts(pk_counts, d_pk)
+        if d_fk is not None:
+            fk_counts = _merge_key_counts(fk_counts, d_fk)
+        if delta_c is not None:
+            state_c = consolidate(state_c.unionByName(delta_c))
+        if delta_p is not None:
+            state_p = consolidate(state_p.unionByName(delta_p))
+        if checkpoint:
+            state_c = state_c.localCheckpoint(eager=True)
+            state_p = state_p.localCheckpoint(eager=True)
+            pk_counts = pk_counts.localCheckpoint(eager=True)
+            fk_counts = fk_counts.localCheckpoint(eager=True)
+            counters = counters.localCheckpoint(eager=True)
+    return counters.select(
+        "table_name",
+        "check_name",
+        F.col("n").alias("n_violations"),
+        (F.col("n") == 0).alias("passed"),
+    )

@@ -13959,3 +13959,141 @@ def doc_lsh_cdc(spark, sf_dir):
     )
     batch2 = docs.filter(m10 == 7).withColumn("op", F.lit("D"))
     return maintain_lsh_pairs_cdc(initial, [batch1, batch2])
+
+
+@query(
+    "dq_suite_cdc",
+    """WITH post_o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 5 THEN NULL ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 10 = 3 THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+         o_orderdate
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+  FROM orders WHERE o_orderkey % 100 = 11
+),
+post_l AS (
+  SELECT l_orderkey,
+         CASE WHEN l_linenumber = 1 AND l_orderkey % 10 = 3 THEN 99
+              ELSE l_quantity END AS l_quantity
+  FROM lineitem WHERE l_orderkey % 5 <> 0
+),
+o AS (
+  SELECT sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS c_null,
+         (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT AS c_dup,
+         sum(CASE WHEN o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END)::BIGINT AS c_status,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                   OR o_orderdate >= TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END)::BIGINT AS c_date
+  FROM post_o
+),
+l AS (
+  SELECT sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT AS c_qty
+  FROM post_l
+),
+orph AS (
+  SELECT count(*)::BIGINT AS c_orph
+  FROM post_l li LEFT JOIN (SELECT DISTINCT o_orderkey FROM post_o) o2
+    ON li.l_orderkey = o2.o_orderkey
+  WHERE o2.o_orderkey IS NULL
+)
+SELECT 'orders' AS table_name, 'o_custkey_not_null' AS check_name,
+       c_null AS n_violations, c_null = 0 AS passed FROM o
+UNION ALL SELECT 'orders', 'o_orderkey_unique', c_dup, c_dup = 0 FROM o
+UNION ALL SELECT 'orders', 'o_orderstatus_accepted', c_status, c_status = 0 FROM o
+UNION ALL SELECT 'orders', 'o_orderdate_in_bounds', c_date, c_date = 0 FROM o
+UNION ALL SELECT 'lineitem', 'l_quantity_in_range', c_qty, c_qty = 0 FROM l
+UNION ALL SELECT 'lineitem', 'l_orderkey_ref_orders', c_orph, c_orph = 0 FROM orph""",
+)
+def dq_suite_cdc(spark, sf_dir):
+    """CONTINUOUS data-quality monitoring: the ``dq_suite`` constraint
+    set maintained incrementally while orders AND lineitem churn
+    (``operators/quality.py:maintain_dq_suite_cdc``) — a quality
+    monitor over churning 100 TB tables cannot re-scan per refresh.
+    Row-local checks (not-null / accepted-values / range / bounds)
+    advance as signed sums over each batch; uniqueness advances by
+    per-key multiplicity TRANSITIONS (Σ max(mult−1,0) deltas at
+    touched keys); referential integrity advances by the
+    null-extension transition algebra (child·[parent==0] deltas at
+    touched keys) — the outer-join IVM machinery surfaced as a DQ
+    gate. Per batch: O(|Δ| + touched keys), no table rescans.
+
+    CDC script — every check class is EXERCISED, not just carried:
+    orders %%10==4 arrive late, %%10==3 flip to status 'P'
+    (accepted-values violations appear), batch 2 NULLs %%10==5's
+    custkey (not-null violations) and deletes %%10==7 (whose
+    late-arriving lineitems become orphans); %%100==11 orders get a
+    DUPLICATE row inserted (uniqueness violations); lineitem %%5==2
+    arrive late, %%10==3's first line gets qty 99 (range violations),
+    batch 2 deletes %%5==0. Oracle = the batch suite's SQL over the
+    replayed post-CDC tables."""
+    from etl__project_spark.operators.quality import maintain_dq_suite_cdc
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+        .withColumn("row_ord", F.lit(0))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    m10 = F.col("o_orderkey") % 10
+    initial_o = orders.filter(m10 != 4)
+    batch_o1 = (
+        orders.filter(m10 == 4)
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            orders.filter(m10 == 3)
+            .withColumn("o_orderstatus", F.lit("P"))
+            .withColumn("op", F.lit("U"))
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 100 == 11)
+            .withColumn("row_ord", F.lit(1))
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    batch_o2 = (
+        orders.filter(m10 == 5)
+        .withColumn("o_custkey", F.lit(None).cast("long"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(orders.filter(m10 == 7).withColumn("op", F.lit("D")))
+    )
+    lm5 = F.col("l_orderkey") % 5
+    initial_l = li.filter(lm5 != 2)
+    batch_l1 = (
+        li.filter(lm5 == 2)
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 3))
+            .withColumn("l_quantity", F.lit(99).cast(li.schema["l_quantity"].dataType))
+            .withColumn("op", F.lit("U"))
+        )
+    )
+    batch_l2 = li.filter(lm5 == 0).withColumn("op", F.lit("D"))
+    return maintain_dq_suite_cdc(
+        initial_l,
+        initial_o,
+        [batch_l1, batch_l2],
+        [batch_o1, batch_o2],
+        child_checks={
+            "l_quantity_in_range": (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50),
+        },
+        parent_checks={
+            "o_custkey_not_null": F.col("o_custkey").isNull(),
+            "o_orderstatus_accepted": ~F.col("o_orderstatus").isin("F", "O"),
+            "o_orderdate_in_bounds": (
+                F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")
+            )
+            | (F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")),
+        },
+        fk="l_orderkey",
+        pk="o_orderkey",
+        key_cols_child=["l_orderkey", "l_linenumber"],
+        key_cols_parent=["o_orderkey", "row_ord"],
+        child_table="lineitem",
+        parent_table="orders",
+        unique_check="o_orderkey_unique",
+        ref_check="l_orderkey_ref_orders",
+    )

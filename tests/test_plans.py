@@ -480,6 +480,10 @@ EXCHANGE_BUDGET = {
     # batch, so the final read is the live-pair filter — zero shuffles;
     # the band probes and count merges all run inside the fold.
     "doc_lsh_cdc": (0, 0),
+    # incremental DQ suite: the counters frame is checkpointed per
+    # batch (6 rows), so the final read is zero shuffles — the key
+    # transition probes run inside the fold.
+    "dq_suite_cdc": (0, 0),
 }
 
 

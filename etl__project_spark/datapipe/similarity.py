@@ -777,3 +777,101 @@ def pq_adc_topk(
         .orderBy(F.desc("approx_dot"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- IVF cell-assignment maintenance under embedding CDC ----------------
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    seeds: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment of ``embeddings`` against broadcast
+    ``seeds`` (centroid_id, cv) — the posting-list grain of an IVF
+    index: (cand_id, cand_vec, centroid_id). 4-dp-rounded cosine with
+    centroid-id tiebreaks, identical to :func:`ivf_topk`'s ranking."""
+    from pyspark.sql import Window
+
+    sim = F.round(cosine_components(F.col(vec_col), F.col("cv")), 4)
+    scored = embeddings.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col), F.col(vec_col), F.col("centroid_id"), sim.alias("s")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("s"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cand_vec"),
+            "centroid_id",
+        )
+    )
+
+
+def maintain_ivf_cells_cdc(
+    initial: DataFrame,
+    cdc_batches: list[DataFrame],
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain an IVF index's posting lists while the vector corpus
+    churns (new embeddings stream in, re-embedded docs move, takedowns
+    retract). Centroids are FROZEN from the initial state (seed
+    selection, ids < ``n_centroids``) — exactly how production IVF
+    behaves between periodic retrains: the quantizer is a trained
+    artifact, the posting lists are live state.
+
+    Per batch: one id-probe of the cell state retracts touched
+    vectors' postings; ONLY the batch's post-images score against the
+    broadcast centroids (a KB-sized crossJoin regardless of corpus
+    size); both states consolidate signed. Unchanged vectors are never
+    re-scored — the assignment step that dominates a full rebuild.
+
+    Returns ``(emb_state, cells)``, both signed/consolidated; serve
+    top-k by probing ``cells`` exactly as :func:`ivf_topk` does
+    (pinned by the ``emb_ivf_cdc`` oracle and the equality contract
+    with a from-scratch ``assign_cells``)."""
+    from etl__project_spark.operators.ivm import cdc_to_signed_delta, consolidate
+
+    seeds = initial.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    if checkpoint:
+        seeds = seeds.localCheckpoint(eager=True)
+    sign1 = F.lit(1).cast("long").alias("sign")
+    state = initial.select(id_col, vec_col).select("*", sign1)
+    cells = assign_cells(initial, seeds, vec_col, id_col).select("*", sign1)
+    if checkpoint:
+        state = state.localCheckpoint(eager=True)
+        cells = cells.localCheckpoint(eager=True)
+    for batch in cdc_batches:
+        delta = cdc_to_signed_delta(
+            state, batch.select(id_col, vec_col, op_col),
+            [id_col], op_col=op_col, delete_op=delete_op,
+        )
+        if checkpoint:
+            delta = delta.localCheckpoint(eager=True)
+        touched = batch.select(F.col(id_col).alias("cand_id")).distinct()
+        retract = cells.join(touched, ["cand_id"]).select(
+            "cand_id", "cand_vec", "centroid_id", (-F.col("sign")).alias("sign")
+        )
+        post_imgs = batch.filter(F.col(op_col) != delete_op).select(
+            id_col, vec_col
+        )
+        assert_c = assign_cells(post_imgs, seeds, vec_col, id_col).select(
+            "*", sign1
+        )
+        cells = consolidate(
+            cells.unionByName(retract).unionByName(assert_c)
+        )
+        state = consolidate(state.unionByName(delta))
+        if checkpoint:
+            cells = cells.localCheckpoint(eager=True)
+            state = state.localCheckpoint(eager=True)
+    return state, cells

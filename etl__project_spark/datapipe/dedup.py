@@ -541,12 +541,13 @@ def connected_components(
     executor loss cannot drop partitions mid-loop; the loop structure is
     the same one GraphFrames' CC (large-star/small-star) uses at scale.
     """
-    bidir = (
+    from etl__project_spark.session import stats_barrier
+
+    bidir = stats_barrier(
         edges.selectExpr("id_a AS src", "id_b AS dst")
         .unionByName(edges.selectExpr("id_b AS src", "id_a AS dst"))
-        .localCheckpoint()
     )
-    labels = nodes.selectExpr("id", "id AS component").localCheckpoint()
+    labels = stats_barrier(nodes.selectExpr("id", "id AS component"))
     for _ in range(max_iters):
         neighbor_min = (
             bidir.join(labels, bidir.src == labels.id)
@@ -562,7 +563,8 @@ def connected_components(
                 F.col("component"),
                 F.coalesce(F.col("nbr_component"), F.col("component")),
             ).alias("component"),
-        ).localCheckpoint()
+        )
+        tentative = stats_barrier(tentative)
         lookup = tentative.select(
             F.col("id").alias("l_id"), F.col("component").alias("l_component")
         )
@@ -573,8 +575,8 @@ def connected_components(
                 "prev_component",
                 F.coalesce(F.col("l_component"), F.col("component")).alias("component"),
             )
-            .localCheckpoint()
         )
+        new_labels = stats_barrier(new_labels)
         changed = new_labels.filter(
             F.col("component") != F.col("prev_component")
         ).count()
@@ -893,3 +895,138 @@ def maintain_lsh_pairs_cdc(
             bands = bands.localCheckpoint(eager=True)
             pair_counts = pair_counts.localCheckpoint(eager=True)
     return pair_counts.filter(F.col("n") > 0).select("id_a", "id_b")
+
+
+# --- incremental connected components (insert-only edge arrivals) -------
+
+
+def merge_components_delta(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    max_iters: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Advance a min-label component assignment when a batch of NEW
+    edges arrives. ``labels``: (id, component) with component = min id
+    of the component so far; ``new_edges``: (id_a, id_b), endpoints
+    already present in ``labels``. Returns the updated labels — equal
+    to one-shot :func:`connected_components` over the union of all
+    edges seen (pinned by ``doc_components_cdc`` and a replay test).
+
+    Insert-only is the monotone case — components only MERGE, so the
+    batch reduces to components-of-the-COMPONENT-graph: map each new
+    edge's endpoints through the current labels (two key probes), keep
+    the distinct cross-component edges (a batch touching k components
+    yields ≤ k·(k−1)/2 of them), run the iterative CC on that TINY
+    graph, and apply the resulting old→new mapping back to the labels
+    of AFFECTED components only (the mapping broadcasts; a
+    component-bucketed label store rewrites only matching buckets).
+    Edge DELETIONS are deliberately out of scope: decremental
+    connectivity needs spanning-forest state (e.g. Holm et al. 2001)
+    that no DataFrame composition expresses affordably — a takedown
+    path should re-derive the affected component from live pairs
+    (``maintain_lsh_pairs_cdc`` keeps those exact).
+    """
+    la = labels.select(F.col("id").alias("id_a"), F.col("component").alias("__ca"))
+    lb = labels.select(F.col("id").alias("id_b"), F.col("component").alias("__cb"))
+    comp_edges = (
+        new_edges.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("__ca") != F.col("__cb"))
+        .select(
+            F.least("__ca", "__cb").alias("id_a"),
+            F.greatest("__ca", "__cb").alias("id_b"),
+        )
+        .distinct()
+    )
+    # Checkpoint the comp graph BEFORE the iterative CC: checkpoint
+    # leaves carry no stats (sizeInBytes defaults to Long.MaxValue), so
+    # feeding the un-truncated multi-join lineage into the loop makes
+    # Catalyst's join-size estimation multiply MaxValue-sized BigInts
+    # across the compounding tree — at sf0.1 the driver burned 5+ min
+    # of CPU in BigInteger.multiplyToomCook3 before any task ran
+    # (caught by jstack: SizeInBytesOnlyStatsPlanVisitor.visitJoin).
+    if checkpoint:
+        from etl__project_spark.session import stats_barrier
+
+        comp_edges = stats_barrier(comp_edges)
+    comp_nodes = (
+        comp_edges.select(F.col("id_a").alias("id"))
+        .unionByName(comp_edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    mapping = connected_components(comp_nodes, comp_edges, max_iters)
+    changed = mapping.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("__old_c"), F.col("component").alias("__new_c")
+    )
+    if checkpoint:
+        from etl__project_spark.session import stats_barrier
+
+        changed = stats_barrier(changed)
+    return labels.join(
+        changed, labels.component == F.col("__old_c"), "left"
+    ).select(
+        "id",
+        F.coalesce(F.col("__new_c"), F.col("component")).alias("component"),
+    )
+
+
+def maintain_components_incremental(
+    doc_batches: list[DataFrame],
+    k: int = 5,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iters: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Streaming corpus canonicalization: documents arrive in batches;
+    each batch is signed and probed against the accumulated LSH band
+    index (:func:`lsh_index_increment` — history is never re-signed),
+    and the resulting NEW candidate pairs merge into the maintained
+    component labels (:func:`merge_components_delta` — history is never
+    re-clustered). Returns (id, component), component = min doc id —
+    equal to one-shot ``lsh_candidate_pairs`` + ``connected_components``
+    over the full corpus (the ``doc_dup_components`` oracle).
+
+    This is the composition a 100 TB ingest runs continuously: per
+    batch, cost is the batch's own hashing + band-bucket probes + a
+    component-graph reduction of the components the batch touches."""
+    spark = doc_batches[0].sparkSession
+    index_bands = None
+    labels = None
+    for batch in doc_batches:
+        sh = char_shingles(batch, k=k, text_col=text_col, id_col=id_col, distinct=False)
+        sig = minhash_signature(sh, n_hashes=n_hashes, id_col=id_col)
+        if index_bands is None:
+            new_pairs = lsh_candidate_pairs(
+                sig, n_bands=n_bands, rows_per_band=rows_per_band, id_col=id_col
+            )
+            new_bands = lsh_bands(
+                sig, n_bands=n_bands, rows_per_band=rows_per_band, id_col=id_col
+            )
+            index_bands = new_bands
+        else:
+            new_pairs, new_bands = lsh_index_increment(
+                index_bands, sig, n_bands=n_bands,
+                rows_per_band=rows_per_band, id_col=id_col,
+            )
+            index_bands = index_bands.unionByName(new_bands)
+        new_nodes = batch.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("component")
+        )
+        labels = (
+            new_nodes if labels is None else labels.unionByName(new_nodes)
+        )
+        if checkpoint:
+            from etl__project_spark.session import stats_barrier
+
+            new_pairs = stats_barrier(new_pairs)
+            index_bands = stats_barrier(index_bands)
+            labels = stats_barrier(labels)
+        labels = merge_components_delta(labels, new_pairs, max_iters)
+        if checkpoint:
+            labels = stats_barrier(labels)
+    return labels

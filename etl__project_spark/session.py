@@ -70,3 +70,42 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def stats_barrier(df, eager: bool = True):
+    """Checkpoint ``df`` AND reset its plan statistics — the
+    materialization primitive for ITERATIVE folds whose body joins.
+
+    Spark 4's ``localCheckpoint`` truncates lineage but PRESERVES the
+    optimized plan's statistics on the new leaf
+    (``LogicalRDD.rewriteStatsAndConstraints``). Catalyst's
+    size-in-bytes estimate for a join is the PRODUCT of its children,
+    so in a loop whose body self-joins the estimate SQUARES every
+    round, survives each checkpoint, and compounds across rounds and
+    batches — digit counts grow exponentially until the driver spends
+    minutes per plan inside ``BigInteger.multiplyToomCook3`` in
+    ``SizeInBytesOnlyStatsPlanVisitor.visitJoin`` (caught by jstack on
+    the round-8 incremental-components fold at sf0.1; minimal repro
+    and numbers in SCALE.md §9n).
+
+    The reset rebuilds the checkpointed RDD as a fresh ``LogicalRDD``
+    leaf without origin stats via ``internalCreateDataFrame`` — zero
+    I/O, zero recomputation; the leaf reports the neutral
+    ``defaultSizeInBytes`` exactly like a Spark 3.x checkpoint did
+    (side effect: a barriered frame is never auto-broadcast, which is
+    the pre-Spark-4 behavior the surrounding code already assumes —
+    broadcast-worthy frames use an explicit ``F.broadcast``). If the
+    private JVM API moves, degrades to the plain checkpoint.
+    """
+    from pyspark.sql import DataFrame
+
+    c = df.localCheckpoint(eager=eager)
+    try:
+        jdf = c._jdf
+        jspark = c.sparkSession._jsparkSession
+        ds = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(ds, c.sparkSession)
+    except Exception:
+        return c

@@ -484,6 +484,13 @@ EXCHANGE_BUDGET = {
     # batch (6 rows), so the final read is zero shuffles — the key
     # transition probes run inside the fold.
     "dq_suite_cdc": (0, 0),
+    # incremental canonicalization: labels are stats-barriered leaves
+    # per batch, so the final read is a bare scan.
+    "doc_components_cdc": (0, 0),
+    # IVF read over maintained cells: the query-ranking window (5 rows),
+    # the probe-join distinct, and the per-query top-k window; centroids
+    # and probes broadcast, cells state is a checkpoint leaf.
+    "emb_ivf_cdc": (3, 0),
 }
 
 
@@ -598,3 +605,35 @@ def test_graph_family_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
     tri = plan_of(QUERIES["doc_cooccur_triangles"](spark, SF_DIR))
     assert "CartesianProduct" not in tri
+
+
+def test_stats_barrier_bounds_iterative_size_estimates(spark):
+    """Spark 4 localCheckpoint PRESERVES plan statistics on the new leaf
+    (LogicalRDD.rewriteStatsAndConstraints), so a loop whose body
+    self-joins squares its size-in-bytes estimate every round — digits
+    grow exponentially until the driver burns minutes per plan in
+    BigInteger multiplication inside the stats visitor (round-8
+    incremental-components incident, SCALE.md §9n). stats_barrier must
+    reset the leaf to the neutral default so digits stay bounded."""
+    from etl__project_spark.session import stats_barrier
+
+    def digits(d):
+        return len(
+            str(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+
+    plain = spark.range(10).withColumnRenamed("id", "k")
+    barriered = plain
+    for _ in range(3):
+        b = plain.withColumnRenamed("k", "k2")
+        plain = plain.join(b, plain.k == b.k2).select("k").localCheckpoint()
+        b2 = barriered.withColumnRenamed("k", "k2")
+        barriered = stats_barrier(
+            barriered.join(b2, barriered.k == b2.k2).select("k")
+        )
+    # un-barriered checkpoints compound (squaring per round)...
+    assert digits(plain) > 10
+    # ...the barrier pins the leaf at the neutral default (19 digits =
+    # Long.MaxValue) and values stay correct
+    assert digits(barriered) <= 19
+    assert barriered.count() == 10

@@ -476,8 +476,11 @@ def maintain_dq_suite_cdc(
     ``ref_check`` to monitor ``fk`` → ``pk`` referential integrity.
     Equal to re-running the batch suite over the replayed post-CDC
     tables (pinned by the ``dq_suite_cdc`` oracle and a replay test)."""
+    from pyspark.storagelevel import StorageLevel
+
     from etl__project_spark.operators.ivm import cdc_to_signed_delta, consolidate
 
+    disk = StorageLevel.DISK_ONLY
     sign1 = F.lit(1).cast("long").alias("sign")
     state_c = initial_child.select("*", sign1)
     state_p = initial_parent.select("*", sign1)
@@ -538,10 +541,10 @@ def maintain_dq_suite_cdc(
         )
         counters = counters.unionByName(orph0)
     if checkpoint:
-        state_c = state_c.localCheckpoint(eager=True)
-        state_p = state_p.localCheckpoint(eager=True)
-        pk_counts = pk_counts.localCheckpoint(eager=True)
-        fk_counts = fk_counts.localCheckpoint(eager=True)
+        state_c = state_c.localCheckpoint(eager=True, storageLevel=disk)
+        state_p = state_p.localCheckpoint(eager=True, storageLevel=disk)
+        pk_counts = pk_counts.localCheckpoint(eager=True, storageLevel=disk)
+        fk_counts = fk_counts.localCheckpoint(eager=True, storageLevel=disk)
         counters = counters.localCheckpoint(eager=True)
 
     n_batches = max(len(cdc_batches_child), len(cdc_batches_parent))
@@ -563,8 +566,16 @@ def maintain_dq_suite_cdc(
             else None
         )
         if checkpoint:
-            delta_c = delta_c.localCheckpoint(eager=True) if delta_c is not None else None
-            delta_p = delta_p.localCheckpoint(eager=True) if delta_p is not None else None
+            delta_c = (
+                delta_c.localCheckpoint(eager=True, storageLevel=disk)
+                if delta_c is not None
+                else None
+            )
+            delta_p = (
+                delta_p.localCheckpoint(eager=True, storageLevel=disk)
+                if delta_p is not None
+                else None
+            )
 
         new_rows = []
         if delta_c is not None:
@@ -671,10 +682,10 @@ def maintain_dq_suite_cdc(
         if delta_p is not None:
             state_p = consolidate(state_p.unionByName(delta_p))
         if checkpoint:
-            state_c = state_c.localCheckpoint(eager=True)
-            state_p = state_p.localCheckpoint(eager=True)
-            pk_counts = pk_counts.localCheckpoint(eager=True)
-            fk_counts = fk_counts.localCheckpoint(eager=True)
+            state_c = state_c.localCheckpoint(eager=True, storageLevel=disk)
+            state_p = state_p.localCheckpoint(eager=True, storageLevel=disk)
+            pk_counts = pk_counts.localCheckpoint(eager=True, storageLevel=disk)
+            fk_counts = fk_counts.localCheckpoint(eager=True, storageLevel=disk)
             counters = counters.localCheckpoint(eager=True)
     return counters.select(
         "table_name",

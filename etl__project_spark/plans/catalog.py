@@ -14097,3 +14097,147 @@ def dq_suite_cdc(spark, sf_dir):
         unique_check="o_orderkey_unique",
         ref_check="l_orderkey_ref_orders",
     )
+
+
+@query("doc_components_cdc", ORACLES["doc_dup_components"])
+def doc_components_cdc(spark, sf_dir):
+    """Streaming corpus canonicalization — the INCREMENTAL composition
+    of the two dedup maintenance pieces: documents arrive in three
+    batches (doc_id %% 3); each batch signs ONLY its own docs, probes
+    the accumulated LSH band index for cross-batch candidate pairs
+    (``lsh_index_increment``), and the new pairs merge into maintained
+    component labels via
+    ``datapipe/dedup.py:merge_components_delta`` — insert-only arrivals
+    are the monotone case where components only MERGE, so each batch
+    reduces to connected-components over the tiny COMPONENT graph the
+    batch touches, never a re-cluster of history. Oracle = the one-shot
+    ``doc_dup_components`` recursive-CTE over the full corpus: the hash
+    match proves the batch-folded labels equal clustering everything
+    from scratch. (Deletions are documented out of scope — decremental
+    connectivity needs spanning-forest state; the takedown path
+    re-derives affected components from ``maintain_lsh_pairs_cdc``'s
+    exact live pairs.)"""
+    from etl__project_spark.datapipe.dedup import (
+        maintain_components_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m3 = F.col("doc_id") % 3
+    labels = maintain_components_incremental(
+        [docs.filter(m3 == 0), docs.filter(m3 == 1), docs.filter(m3 == 2)]
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), _int(F.col("component")).alias("component")
+    )
+
+
+@query(
+    "emb_ivf_cdc",
+    f"""WITH post AS (
+  SELECT vec_id,
+         CASE WHEN vec_id >= 8 AND vec_id % 10 = 3
+              THEN list_transform(embedding, v -> -v)
+              ELSE embedding END AS embedding
+  FROM embeddings
+  WHERE NOT (vec_id >= 8 AND vec_id % 10 = 7)
+),
+seeds AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM post WHERE vec_id < 8
+),
+ranked AS (
+  SELECT e.vec_id, s.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_IVF_COS_ES} DESC, s.centroid_id) AS rn
+  FROM post e CROSS JOIN seeds s
+),
+cells AS (
+  SELECT vec_id AS cand_id, centroid_id FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, centroid_id FROM ranked WHERE vec_id < 5 AND rn <= 2
+),
+scored AS (
+  SELECT p.q_id, c.cand_id,
+         {_IVF_COS_QX} AS sim
+  FROM probes p
+  JOIN cells c ON p.centroid_id = c.centroid_id AND c.cand_id <> p.q_id
+  JOIN post q ON q.vec_id = p.q_id
+  JOIN post x ON x.vec_id = c.cand_id
+)
+SELECT q_id, cand_id, sim FROM (
+  SELECT q_id, cand_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rn
+  FROM scored
+) WHERE rn <= 3""",
+)
+def emb_ivf_cdc(spark, sf_dir):
+    """ANN index maintenance under embedding CDC — the similarity
+    family's member of the maintenance suite: vectors stream in, get
+    re-embedded (updates), and are taken down (deletes), and the IVF
+    posting lists advance from the deltas
+    (``datapipe/similarity.py:maintain_ivf_cells_cdc``) instead of
+    re-assigning the corpus. Centroids stay FROZEN from the initial
+    state (production IVF between retrains: the quantizer is a trained
+    artifact, the postings are live state); per batch, only the delta
+    vectors score against the broadcast centroids and one id-probe
+    retracts stale postings. Serving is ``ivf_topk``'s exact
+    probe/score/rank read over the maintained cells.
+
+    CDC script (ids < 8 — the frozen seeds, which contain the 5 query
+    vectors — never churn): vec_id %%10==4 arrive late, %%10==3 get
+    RE-EMBEDDED to their negation (cosine flips sign → the vector
+    provably moves cells), batch 2 deletes %%10==7. Oracle = the
+    one-shot IVF SQL over the replayed post-CDC corpus."""
+    from etl__project_spark.datapipe.similarity import (
+        cosine_components,
+        maintain_ivf_cells_cdc,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    churn = F.col("vec_id") >= 8
+    m10 = F.col("vec_id") % 10
+    initial = emb.filter(~(churn & (m10 == 4)))
+    batch1 = (
+        emb.filter(churn & (m10 == 4))
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            emb.filter(churn & (m10 == 3))
+            .withColumn("embedding", F.transform("embedding", lambda v: -v))
+            .withColumn("op", F.lit("U"))
+        )
+    )
+    batch2 = emb.filter(churn & (m10 == 7)).withColumn("op", F.lit("D"))
+    state, cells = maintain_ivf_cells_cdc(initial, [batch1, batch2])
+
+    seeds = initial.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    sim_seed = F.round(cosine_components(F.col("embedding"), F.col("cv")), 4)
+    queries = state.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    ranked = queries.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "embedding", "centroid_id", sim_seed.alias("s")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("centroid_id"))
+    probes = (
+        ranked.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            "centroid_id",
+        )
+    )
+    pair_sim = F.round(cosine_components(F.col("q_vec"), F.col("cand_vec")), 4)
+    cand = (
+        cells.filter(F.col("sign") > 0)
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select("q_id", "cand_id", pair_sim.alias("sim"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "cand_id", "sim")
+    )

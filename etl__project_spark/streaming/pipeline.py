@@ -1735,3 +1735,111 @@ def stream_bot_screen(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming text-index (BM25 postings) maintenance ------------------------
+
+TEXT_CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+TEXT_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("sign", T.LongType()),
+    ]
+)
+
+
+def read_text_index(wh: ParquetWarehouse):
+    """Rebuild a :class:`~etl__project_spark.datapipe.text_index.TextIndex`
+    view over the streamed postings state: doc lengths, per-term df,
+    and corpus totals all DERIVE from the one stored table (len = Σ tf
+    per doc; df = live docs per term), so the stream needs exactly-once
+    on a single table while the expensive step — tokenization — stays
+    incremental. The trade vs the batch fold's incrementally-maintained
+    df/stats: these read-time aggregates rescan the postings state,
+    which is the already-tokenized index, not the corpus."""
+    from etl__project_spark.datapipe.text_index import TextIndex
+
+    postings = wh.read("text_postings", TEXT_POSTINGS_SCHEMA)
+    lengths = (
+        postings.groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("sign")).cast("long").alias("len"))
+        .filter(F.col("len") > 0)
+        .select("doc_id", "len", F.lit(1).cast("long").alias("sign"))
+    )
+    df = (
+        postings.filter(F.col("sign") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    stats = lengths.agg(
+        F.sum("sign").cast("long").alias("n_docs"),
+        F.sum(F.col("len") * F.col("sign")).cast("long").alias("n_toks"),
+    )
+    return TextIndex(postings, lengths, df, stats)
+
+
+def stream_text_index_cdc(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the BM25 postings index from a JSON-lines document
+    changelog stream — the streaming face of
+    ``datapipe/text_index.py:maintain_text_index_cdc``. Per micro-batch:
+    latest-wins compaction by doc (tombstones kept), then a
+    ``publish_merged`` whose merge callback computes the signed posting
+    delta against the PRE-batch stored state (one doc-key probe; only
+    the batch's post-images tokenize) and consolidates. Exactly-once:
+    the delta is derived INSIDE the merge from that table's own
+    pre-state, so a replayed batch either no-ops (already merged) or
+    recomputes the identical delta — there is no cross-table partial
+    state to resurrect (the dl/df/stats views derive at read time,
+    :func:`read_text_index`)."""
+    from etl__project_spark.datapipe.text_index import _doc_parts
+    from etl__project_spark.operators.ivm import consolidate
+    from etl__project_spark.operators.merge import cdc_apply
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _merge(existing: DataFrame, batch: DataFrame) -> DataFrame:
+        touched = batch.select("doc_id").distinct()
+        retract = existing.join(touched, ["doc_id"]).select(
+            "doc_id", "term", "tf", (-F.col("sign")).alias("sign")
+        )
+        post = batch.filter(F.col("op") != "D").select("doc_id", "text")
+        new_post, _ = _doc_parts(post, "doc_id", "text")
+        delta = retract.unionByName(
+            new_post.select("*", F.lit(1).cast("long").alias("sign"))
+        )
+        return consolidate(existing.unionByName(delta))
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        compact = cdc_apply(
+            batch, key_cols=["doc_id"], seq_cols=["seq"], drop_deletes=False
+        )
+        wh.publish_merged(
+            "text_postings",
+            compact,
+            TEXT_POSTINGS_SCHEMA,
+            str(batch_id),
+            _merge,
+        )
+
+    changes = spark.readStream.schema(TEXT_CDC_SCHEMA).json(landing_dir)
+    writer = changes.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1542,3 +1542,79 @@ def test_streaming_scd2_multi_versions_across_batches(spark, tmp_path):
         for r in read_scd2_dim_multi(wh).collect()
     }
     assert again == got
+
+
+def test_streaming_text_index_matches_one_shot_build(spark, tmp_path):
+    """Document changelog batches streamed through stream_text_index_cdc
+    yield an index whose BM25 scores equal a from-scratch build of the
+    replayed corpus — rewrites shift tf/df/avgdl, deletes shrink the
+    corpus, and a replayed batch (same stream restarted on the same
+    checkpoint+landing) must not double-apply."""
+    import json
+
+    from etl__project_spark.datapipe.text_index import (
+        bm25_from_index,
+        build_text_index,
+    )
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_text_index,
+        stream_text_index_cdc,
+    )
+
+    landing = str(tmp_path / "tx_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "tx_wh")
+    ckpt = str(tmp_path / "tx_ckpt")
+
+    batches = [
+        [
+            (1, "spark merge window", "U", 1),
+            (2, "merge merge delta", "U", 1),
+            (3, "spark spark", "U", 1),
+        ],
+        # rewrite doc 2, delete doc 3, insert doc 4
+        [
+            (2, "window window spark", "U", 2),
+            (3, None, "D", 2),
+            (4, "delta merge", "U", 2),
+        ],
+    ]
+
+    def run_batch(i, rows):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps(
+                        {"doc_id": r[0], "text": r[1], "op": r[2], "seq": r[3]}
+                    )
+                    + "\n"
+                )
+        q = stream_text_index_cdc(spark, landing, wh_root, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run_batch(i, rows)
+    # restart with no new files: must no-op (exactly-once)
+    q = stream_text_index_cdc(spark, landing, wh_root, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got_index = read_text_index(wh)
+    final = spark.createDataFrame(
+        [(1, "spark merge window"), (2, "window window spark"), (4, "delta merge")],
+        "doc_id long, text string",
+    )
+    want_index = build_text_index(final)
+    terms = ["spark", "merge", "window"]
+    got = sorted(
+        (r["doc_id"], r["s_micro"])
+        for r in bm25_from_index(got_index, terms).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["s_micro"])
+        for r in bm25_from_index(want_index, terms).collect()
+    )
+    assert got == want and len(got) == 3

@@ -14241,3 +14241,76 @@ def emb_ivf_cdc(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("q_id", "cand_id", "sim")
     )
+
+
+@query(
+    "ev_funnel_cdc",
+    """WITH post AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 10 = 3 THEN ts + INTERVAL 300 SECOND
+              ELSE ts END AS ts
+  FROM events WHERE event_id % 10 <> 7
+),
+s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+  FROM post
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+                OVER (PARTITION BY user_id) AS t2 FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+                OVER (PARTITION BY user_id) AS t3 FROM s2
+),
+s4 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+                OVER (PARTITION BY user_id) AS t4 FROM s3
+),
+u AS (
+  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3, min(t4) AS t4
+  FROM s4 GROUP BY user_id
+),
+c AS (
+  SELECT count(t1)::BIGINT AS c1, count(t2)::BIGINT AS c2,
+         count(t3)::BIGINT AS c3, count(t4)::BIGINT AS c4
+  FROM u
+)
+SELECT 1::BIGINT AS stage, 'signup' AS stage_name, c1 AS n_users FROM c
+UNION ALL SELECT 2::BIGINT, 'view', c2 FROM c
+UNION ALL SELECT 3::BIGINT, 'click', c3 FROM c
+UNION ALL SELECT 4::BIGINT, 'purchase', c4 FROM c""",
+)
+def ev_funnel_cdc(spark, sf_dir):
+    """Ordered funnel under CDC — non-monotone beyond even
+    sessionization: ONE late signup before an existing view→click→
+    purchase chain retroactively lights up stages 2–4 at once, and
+    deleting a user's only signup retreats them from every stage. A
+    stage vector is a function of the user's whole event set, so
+    ``operators/funnel.py:maintain_funnel_cdc`` re-derives per TOUCHED
+    USER (the min/max-under-retraction house pattern, group = user):
+    one user-key probe of the bucketed log, the batch funnel's chained
+    min-windows over only those users' rows, a 4-slot diff into the
+    counters, a stage-table upsert.
+
+    CDC script: events %%10==4 arrive late (retro-advances), %%10==3
+    shift +300 s (can flip strict-order relationships), batch 2
+    deletes %%10==7 (retreats). Oracle = the one-shot funnel SQL over
+    the replayed post-CDC log."""
+    from etl__project_spark.operators.funnel import maintain_funnel_cdc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    m10 = F.col("event_id") % 10
+    initial = ev.filter(m10 != 4)
+    batch1 = (
+        ev.filter(m10 == 3)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 300 SECONDS"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(ev.filter(m10 == 4).withColumn("op", F.lit("I")))
+    )
+    batch2 = ev.filter(m10 == 7).withColumn("op", F.lit("D"))
+    return maintain_funnel_cdc(initial, [batch1, batch2])

@@ -491,6 +491,9 @@ EXCHANGE_BUDGET = {
     # the probe-join distinct, and the per-query top-k window; centroids
     # and probes broadcast, cells state is a checkpoint leaf.
     "emb_ivf_cdc": (3, 0),
+    # funnel under CDC: the 1-row counters frame is checkpointed per
+    # batch, so the final read is the 4-row stack — zero shuffles.
+    "ev_funnel_cdc": (0, 0),
 }
 
 

@@ -19,15 +19,19 @@ from etl__project_spark.operators.merge import (  # noqa: F401
 )
 from etl__project_spark.operators.audit import max_lengths, record_count  # noqa: F401
 from etl__project_spark.operators.rollup import (  # noqa: F401
+    exact_quantile_2pass,
     finalize_distinct,
     finalize_rollup,
     finalize_variance,
+    hist_quantiles,
     merge_distinct_signed,
+    merge_hist_signed,
     merge_moments_signed,
     merge_rollups,
     merge_rollups_minmax_cdc,
     merge_rollups_signed,
     partial_distinct_signed,
+    partial_hist_signed,
     partial_moments_signed,
     partial_rollup,
     partial_rollup_signed,
@@ -44,6 +48,12 @@ from etl__project_spark.operators.ivm import (  # noqa: F401
     maintain_join_view,
     maintain_join_view_cdc,
     maintain_leftjoin_view_cdc,
+    maintain_semijoin_support_cdc,
+)
+from etl__project_spark.operators.retention import (  # noqa: F401
+    maintain_retention_cdc,
+    retention_cells,
+    retention_from_membership,
 )
 from etl__project_spark.operators.sessions import (  # noqa: F401
     maintain_sessions_cdc,

@@ -338,3 +338,162 @@ def finalize_variance(state: DataFrame, keys: list[str]) -> DataFrame:
     return state.select(
         *keys, F.col("n").alias("n_events"), var.alias("var_value")
     )
+
+
+# --- retractable histogram sketch: quantiles under CDC ------------------------
+#
+# Percentiles are the fourth non-self-maintainable read in the family
+# (with min/max, COUNT DISTINCT, and median — see ev_rollup_cdc_median's
+# exact value-grain state). The mergeable, RETRACTABLE middle ground is a
+# fixed-width bucket histogram: bucket counts are plain signed sums, so
+# the sketch absorbs inserts, updates, and deletes through the same ±1
+# algebra as count/sum — no base-state consultation at all — and any
+# quantile is derived at read time from the cumulative counts, accurate
+# to one bucket width. This is the signed-delta analog of what t-digest/
+# KLL give insert-only streams (neither sketch can retract; the
+# histogram can, which is why warehouse IVM engines ship histogram-backed
+# percentiles). State is O(buckets) per group — fixed, tiny, bucketable
+# on the group key at 100 TB.
+#
+# Determinism contract (oracle hash-parity): values are quantized to
+# DECIMAL(18,2) cents and bucketed by INTEGER division, so Spark and the
+# SQL oracle compute identical buckets bit-for-bit; quantile ranks use
+# integer ceil division ((num*N + den-1) div den), never float
+# multiplication. Bucket ids assume a non-negative value domain (integer
+# division truncates toward zero; shift negative domains by a pinned
+# offset first).
+
+
+def partial_hist_signed(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    sign_col: str = "sign",
+    bucket_cents: int = 1000,
+) -> DataFrame:
+    """One signed batch's histogram state: (keys, bucket, n) with
+    n = Σ sign and bucket = floor(cents / bucket_cents) over the
+    DECIMAL-quantized value (default width 10.00)."""
+    cents = (
+        F.round(F.col(value_col), 2).cast("decimal(18,2)") * 100
+    ).cast("long")
+    b = (
+        (cents - F.pmod(cents, F.lit(bucket_cents))) / F.lit(bucket_cents)
+    ).cast("long")
+    return df.groupBy(*keys, b.alias("bucket")).agg(
+        F.sum(sign_col).cast("long").alias("n")
+    )
+
+
+def merge_hist_signed(
+    existing: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge signed histogram states; buckets retracted to net zero
+    vanish (count is liveness, as in ``merge_rollups_signed``)."""
+    return (
+        existing.unionByName(delta.select(existing.columns))
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .filter(F.col("n") != 0)
+    )
+
+
+def hist_quantiles(
+    state: DataFrame,
+    keys: list[str],
+    quantiles: list[tuple[str, int, int]] = (("p50_lo", 1, 2), ("p90_lo", 9, 10)),
+    bucket_cents: int = 1000,
+) -> DataFrame:
+    """Read-time quantiles from the histogram state: for q = num/den the
+    estimate is the LOWER EDGE of the first bucket whose cumulative
+    count reaches ceil(q·N) — exact integer arithmetic throughout, so
+    the read is bit-identical to a one-shot recompute of the same
+    sketch. Two window passes per group over O(buckets) rows."""
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy(*keys).orderBy("bucket")
+    w_all = Window.partitionBy(*keys)
+    # NOTE: the running-total column must not collide case-insensitively
+    # with "n" (both Spark's default resolver and DuckDB treat `N` = `n`).
+    cum = state.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "n_total", F.sum("n").over(w_all)
+    )
+    aggs = [F.max("n_total").cast("long").alias("n_events")]
+    for name, num, den in quantiles:
+        rank = F.expr(f"({num}L * n_total + {den - 1}L) div {den}L")
+        edge = F.col("bucket") * F.lit(bucket_cents / 100.0)
+        aggs.append(
+            F.round(F.min(F.when(F.col("cum") >= rank, edge)), 2).alias(name)
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+def exact_quantile_2pass(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    num: int = 1,
+    den: int = 2,
+    bucket_cents: int = 1000,
+) -> DataFrame:
+    """EXACT order statistic (the ceil(q·N)-th smallest value, q =
+    num/den) per group WITHOUT a global sort — the two-pass histogram
+    refinement that replaces ORDER BY at 100 TB:
+
+      pass 1  one hash-agg builds the per-group bucket histogram; the
+              cumulative counts locate the single TARGET BUCKET that
+              contains the requested rank (and the residual rank
+              within it) — O(groups × buckets) driver-free state;
+      pass 2  re-scan rows, keep only (group, target-bucket) matches
+              via a BROADCAST probe (at most one bucket's rows per
+              group survive — the filter prunes ~buckets-fold), and a
+              row_number window over that sliver yields the exact
+              value.
+
+    A full sort shuffles every row; this shuffles one hash-agg plus a
+    bucket-sized sliver per group. Ties are harmless: the k-th smallest
+    VALUE of a multiset is well-defined whatever order equal values
+    land in. Values are quantized to DECIMAL cents (house determinism
+    contract), domain non-negative as in ``partial_hist_signed``.
+    Returns (keys…, n_events, q_cents)."""
+    from pyspark.sql import Window
+
+    cents = (
+        F.round(F.col(value_col), 2).cast("decimal(18,2)") * 100
+    ).cast("long")
+    b = (
+        (cents - F.pmod(cents, F.lit(bucket_cents))) / F.lit(bucket_cents)
+    ).cast("long")
+    rows = df.select(*keys, cents.alias("cents"), b.alias("bucket"))
+    hist = rows.groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = Window.partitionBy(*keys).orderBy("bucket")
+    w_all = Window.partitionBy(*keys)
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n_total", F.sum("c").over(w_all)
+    )
+    rank = F.expr(f"({num}L * n_total + {den - 1}L) div {den}L")
+    target = (
+        cum.withColumn("rank", rank)
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy(*keys)
+        .agg(
+            F.min_by(
+                F.struct("bucket", "cum", "c", "rank", "n_total"), "bucket"
+            ).alias("t")
+        )
+        .select(
+            *keys,
+            F.col("t.bucket").alias("bucket"),
+            (F.col("t.rank") - (F.col("t.cum") - F.col("t.c"))).alias("k_in"),
+            F.col("t.n_total").alias("n_events"),
+        )
+    )
+    sliver = rows.join(F.broadcast(target), [*keys, "bucket"])
+    rn = F.row_number().over(Window.partitionBy(*keys).orderBy("cents"))
+    return (
+        sliver.withColumn("rn", rn)
+        .filter(F.col("rn") == F.col("k_in"))
+        .select(*keys, "n_events", F.col("cents").alias("q_cents"))
+    )

@@ -1843,3 +1843,105 @@ def stream_text_index_cdc(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming retractable-histogram maintenance ------------------------------
+
+VALUE_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+# Debezium-shaped changelog: updates/deletes carry the BEFORE image
+# (old_value) — the histogram state is lossy (bucket counts, not rows),
+# so retractions cannot be derived from it the way the postings index
+# derives doc retractions; the before-image is the standard CDC answer.
+VALUE_CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("old_value", T.DoubleType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def read_value_histogram(wh: ParquetWarehouse) -> DataFrame:
+    """The maintained per-(event_type, bucket) signed count table."""
+    return wh.read("value_hist", VALUE_HIST_SCHEMA)
+
+
+def read_value_quantiles(wh: ParquetWarehouse) -> DataFrame:
+    """Quantile serve path over the maintained histogram — the streaming
+    face of the batch ``ev_quantile_cdc`` read, through the same
+    ``operators/rollup.py:hist_quantiles`` coded path. O(live buckets),
+    never the event history."""
+    from etl__project_spark.operators.rollup import hist_quantiles
+
+    return hist_quantiles(
+        read_value_histogram(wh).filter(F.col("n") != 0), ["event_type"]
+    )
+
+
+def stream_value_histogram_cdc(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the retractable value histogram from a JSON-lines event
+    changelog stream — the streaming face of the batch
+    ``ev_quantile_cdc`` maintenance. The histogram is LINEAR in the
+    changelog (bucket counts are signed sums), so unlike the SCD2 or
+    postings streams there is no compaction and no state probe at all:
+    every changelog row contributes its signed rows (before-image −1,
+    after-image +1) and the fold is one bounded hash-agg per batch,
+    order-independent even within a batch (I then U of the same event
+    nets to the U's after-image). Exactly-once via the batch-id ledger
+    (a replayed batch no-ops); quantiles serve from the maintained
+    table (:func:`read_value_quantiles`) at O(buckets).
+
+    State is bounded by (event types × live buckets) FOREVER — the
+    streaming sketch posture of ``stream_qi_counts``, extended from
+    counts to order statistics under full CDC churn."""
+    from etl__project_spark.operators.rollup import (
+        merge_hist_signed,
+        partial_hist_signed,
+    )
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        retract = batch.filter(
+            F.col("op").isin("U", "D") & F.col("old_value").isNotNull()
+        ).select(
+            "event_type",
+            F.col("old_value").alias("value"),
+            F.lit(-1).cast("long").alias("sign"),
+        )
+        assert_ = batch.filter(F.col("op") != "D").select(
+            "event_type", "value", F.lit(1).cast("long").alias("sign")
+        )
+        delta = partial_hist_signed(
+            retract.unionByName(assert_), ["event_type"]
+        )
+
+        def merge(existing: DataFrame, delta_df: DataFrame) -> DataFrame:
+            return merge_hist_signed(existing, delta_df, ["event_type"])
+
+        wh.publish_merged(
+            "value_hist", delta, VALUE_HIST_SCHEMA, str(batch_id), merge
+        )
+
+    changes = spark.readStream.schema(VALUE_CDC_SCHEMA).json(landing_dir)
+    writer = changes.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1618,3 +1618,94 @@ def test_streaming_text_index_matches_one_shot_build(spark, tmp_path):
         for r in bm25_from_index(want_index, terms).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_streaming_value_histogram_matches_one_shot(spark, tmp_path):
+    """Event changelog batches streamed through stream_value_histogram_cdc
+    yield a histogram (and quantile reads) equal to a one-shot sketch of
+    the replayed post state — updates move mass between buckets via
+    before-images, deletes drain buckets, and a restarted stream on the
+    same checkpoint+landing must not double-apply."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators.rollup import (
+        hist_quantiles,
+        partial_hist_signed,
+    )
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_value_histogram,
+        read_value_quantiles,
+        stream_value_histogram_cdc,
+    )
+
+    landing = str(tmp_path / "vh_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "vh_wh")
+    ckpt = str(tmp_path / "vh_ckpt")
+
+    # (event_id, event_type, value, old_value, op, seq)
+    batches = [
+        [
+            (1, "a", 5.0, None, "I", 1),
+            (2, "a", 15.0, None, "I", 1),
+            (3, "b", 25.0, None, "I", 1),
+            (4, "b", 25.5, None, "I", 1),
+        ],
+        # update 2 across a bucket edge, delete 4, insert 5; plus an
+        # intra-batch I-then-U of event 6 (must net to the U image)
+        [
+            (2, "a", 31.0, 15.0, "U", 2),
+            (4, "b", None, 25.5, "D", 2),
+            (5, "b", 45.0, None, "I", 2),
+            (6, "a", 7.0, None, "I", 2),
+            (6, "a", 55.0, 7.0, "U", 3),
+        ],
+    ]
+
+    def run_batch(i, rows):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for e, t, v, ov, op, seq in rows:
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": e,
+                            "event_type": t,
+                            "value": v,
+                            "old_value": ov,
+                            "op": op,
+                            "seq": seq,
+                        }
+                    )
+                    + "\n"
+                )
+        q = stream_value_histogram_cdc(spark, landing, wh_root, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run_batch(i, rows)
+    # restart with no new files: must no-op (exactly-once)
+    q = stream_value_histogram_cdc(spark, landing, wh_root, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+
+    wh = ParquetWarehouse(spark, wh_root)
+    post = spark.createDataFrame(
+        [("a", 5.0), ("a", 31.0), ("b", 25.0), ("b", 45.0), ("a", 55.0)],
+        "event_type string, value double",
+    )
+    want_hist = partial_hist_signed(
+        post.withColumn("sign", F.lit(1)), ["event_type"]
+    )
+    got_hist = read_value_histogram(wh).filter(F.col("n") != 0).select(
+        "event_type", "bucket", "n"
+    )
+    assert {tuple(r) for r in got_hist.collect()} == {
+        tuple(r) for r in want_hist.collect()
+    }
+    assert {tuple(r) for r in read_value_quantiles(wh).collect()} == {
+        tuple(r) for r in hist_quantiles(want_hist, ["event_type"]).collect()
+    }

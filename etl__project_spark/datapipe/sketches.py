@@ -113,3 +113,104 @@ def hll_registers_keyed(
         .groupBy(key_col, "reg")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+# --- count-min sketch under signed updates (turnstile stream) -----------------
+#
+# The catalog's batch CMS (``ev_heavy_hitters_cms``) is insert-only; the
+# maintenance form below accepts SIGNED updates — CDC deletes and
+# update old-images decrement cells, post-images increment — which the
+# CMS algebra absorbs natively (cells are plain sums). The classic
+# guarantee survives in the strict turnstile setting: as long as every
+# key's TRUE net count is non-negative, each cell = true + Σ(colliding
+# true counts) ≥ true, so min-over-rows never underestimates and a
+# threshold scan has NO FALSE NEGATIVES. That makes the maintained
+# sketch a sound PRUNING filter for heavy-hitter reads: broadcast the
+# d×w cells (fixed KB, independent of key cardinality), keep only keys
+# whose estimate clears the threshold, and run the exact aggregate over
+# the survivors — at 100 TB the exact pass touches the few candidate
+# keys' rows instead of every key. Hashing reuses ``hash_bucket``'s
+# md5-based scheme (engine-portable, deterministic).
+
+
+def cms_cells_signed(
+    df: DataFrame,
+    key_col: str,
+    sign_col: str = "sign",
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """One signed batch's CMS contribution: (r, b, c) cells with
+    c = Σ sign per cell. All ``depth`` hash rows come from ONE pass
+    over the input (explode, not a d-way union of scans)."""
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("r"),
+                    hash_bucket(
+                        F.col(key_col), width, salt=f"{salt}{j}"
+                    ).alias("b"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(cells.alias("x"), F.col(sign_col).alias("s"))
+        .select("x.r", "x.b", "s")
+        .groupBy("r", "b")
+        .agg(F.sum("s").cast("long").alias("c"))
+    )
+
+
+def cms_merge_signed(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Cell-wise sum; zero cells are kept only implicitly (absent rows
+    read as 0 — ``cms_estimate_keys`` left-joins and coalesces)."""
+    return (
+        existing.unionByName(delta.select(existing.columns))
+        .groupBy("r", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .filter(F.col("c") != 0)
+    )
+
+
+def cms_estimate_keys(
+    keys_df: DataFrame,
+    cells: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point estimates for a key frame: est = min over the d rows of the
+    key's cell counters (absent cell = 0). The cells frame is fixed-size
+    (d·w rows) and is broadcast — the probe never shuffles keys_df."""
+    from pyspark.sql.functions import broadcast
+
+    from etl__project_spark.datapipe.sampling import hash_bucket
+
+    probes = keys_df.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("r"),
+                        hash_bucket(
+                            F.col(key_col), width, salt=f"{salt}{j}"
+                        ).alias("b"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("x"),
+    ).select(key_col, "x.r", "x.b")
+    return (
+        probes.join(broadcast(cells), ["r", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est_count"))
+    )

@@ -823,3 +823,82 @@ def maintain_agg_over_join_cdc(
             state = state.localCheckpoint(eager=True)
             state_b = state_b.localCheckpoint(eager=True)
     return state
+
+
+# --- semi/anti-join IVM: EXISTS via maintained support counts -----------------
+#
+# EXISTS / NOT EXISTS (semi/anti join) is non-monotone the same way the
+# left join's null-extension is: inserting a B row can RETRACT an
+# anti-join member, and deleting one can ASSERT it. But unlike the outer
+# join the view never carries B payload — membership is all that matters
+# — so the classical IVM state is one grain coarser than the join's:
+# a per-key SUPPORT COUNT of qualifying B rows. Transitions 0 ↔ >0 are
+# the only events that change the semi/anti view; everything in between
+# (support 3 → 2) is invisible to readers. This is the "count algorithm"
+# of Gupta–Mumick's duplicate-counting view maintenance, specialized to
+# projection-onto-keys.
+#
+# The support state absorbs signed deltas natively (counts are sums), so
+# unlike min/max/median there is NO base-state consultation: maintenance
+# is one filtered hash-agg of the delta plus a key-equi merge into the
+# bucketed support table — O(|Δ|), independent of both |A| and |B|.
+
+
+def maintain_semijoin_support_cdc(
+    initial_b: DataFrame,
+    cdc_batches_b: list[DataFrame],
+    on: list[str],
+    key_cols_b: list[str],
+    qualifies,
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maintain per-join-key support counts for EXISTS(B WHERE pred)
+    while B receives CDC batches. ``qualifies`` is a boolean Column over
+    B's columns; updates that move a row ACROSS the predicate are the
+    interesting case (old image qualified, post-image doesn't, or vice
+    versa) and fall out of the signed algebra for free: the retraction
+    and the insert are filtered independently.
+
+    Returns the live support state (join keys + ``n_support`` ≥ 1).
+    Semi view = A ⋉ state (key-equi join); anti view = A rows whose key
+    is absent — both reads are plain joins against a table that is
+    bucketed on the join key in production.
+
+    Per batch: one probe of B's key-bucketed state for old images, one
+    filtered hash-agg of the signed delta, one merge into the support
+    table. B's full state is kept (and checkpointed) only because CDC
+    old images must be fetched from somewhere — in production that is
+    the base table the CDC merge just wrote, not extra state.
+    """
+    sign1 = F.lit(1).cast("long").alias("sign")
+    state_b = initial_b.select("*", sign1)
+    support = (
+        state_b.filter(qualifies)
+        .groupBy(*on)
+        .agg(F.sum("sign").cast("long").alias("n_support"))
+    )
+    if checkpoint:
+        state_b = state_b.localCheckpoint(eager=True)
+        support = support.localCheckpoint(eager=True)
+    for batch in cdc_batches_b:
+        delta_b = cdc_to_signed_delta(
+            state_b, batch, key_cols_b, op_col=op_col, delete_op=delete_op
+        )
+        delta_support = (
+            delta_b.filter(qualifies)
+            .groupBy(*on)
+            .agg(F.sum("sign").cast("long").alias("n_support"))
+        )
+        support = (
+            support.unionByName(delta_support)
+            .groupBy(*on)
+            .agg(F.sum("n_support").cast("long").alias("n_support"))
+            .filter(F.col("n_support") != 0)
+        )
+        state_b = consolidate(state_b.unionByName(delta_b))
+        if checkpoint:
+            state_b = state_b.localCheckpoint(eager=True)
+            support = support.localCheckpoint(eager=True)
+    return support

@@ -319,3 +319,159 @@ def test_variance_moments_signed_match_recompute(spark):
         var = sum((c - mean) ** 2 for c in cs) / n
         want[k] = (n, math.floor(var + 0.5) / 10000.0)
     assert got == want
+
+
+def test_hist_quantile_read_is_bucket_lower_edge(spark):
+    """Quantile reads off the retractable histogram: p-th estimate is
+    the LOWER EDGE of the first bucket whose cumulative count reaches
+    ceil(p·N) — checked against a hand-computed fixture."""
+    from etl__project_spark.operators import hist_quantiles, partial_hist_signed
+
+    # group a: 5×1.0 (bucket 0), 4×25.0 (bucket 2), 1×99.0 (bucket 9)
+    rows = [("a", 1.0)] * 5 + [("a", 25.0)] * 4 + [("a", 99.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    state = partial_hist_signed(df.withColumn("sign", F.lit(1)), ["k"])
+    got = hist_quantiles(state, ["k"]).collect()[0]
+    assert got["n_events"] == 10
+    assert got["p50_lo"] == 0.0  # rank ceil(5.0)=5, bucket 0 cum=5
+    assert got["p90_lo"] == 20.0  # rank 9, bucket 2 cum=9
+
+
+def test_hist_rollup_random_churn_matches_recompute(spark):
+    """Randomized churn (deletes draining buckets to zero, updates that
+    cross bucket edges) folded through the signed histogram equals a
+    one-shot sketch of the replayed post state — including the
+    quantile reads."""
+    import random
+
+    from etl__project_spark.operators import (
+        hist_quantiles,
+        merge_hist_signed,
+        partial_hist_signed,
+    )
+
+    random.seed(31)
+    rows = [(f"g{i % 4}", random.randrange(1, 800) / 4.0) for i in range(120)]
+    state = {}
+    for k, v in rows:
+        state.setdefault(k, []).append(v)
+    deltas = []
+    for k, vs in state.items():
+        for _ in range(6):  # deletes
+            doom = random.choice(vs)
+            vs.remove(doom)
+            deltas.append((k, doom, -1))
+        for _ in range(4):  # updates that jump ~2 buckets
+            old = random.choice(vs)
+            vs.remove(old)
+            new = old + 21.5
+            vs.append(new)
+            deltas.append((k, old, -1))
+            deltas.append((k, new, 1))
+    base = spark.createDataFrame(rows, "k string, value double")
+    post = spark.createDataFrame(
+        [(k, v) for k, vs in state.items() for v in vs],
+        "k string, value double",
+    )
+    delta_df = spark.createDataFrame(deltas, "k string, value double, sign long")
+    merged = merge_hist_signed(
+        partial_hist_signed(base.withColumn("sign", F.lit(1)), ["k"]),
+        partial_hist_signed(delta_df, ["k"]),
+        ["k"],
+    )
+    oneshot = partial_hist_signed(post.withColumn("sign", F.lit(1)), ["k"])
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in oneshot.collect()
+    }
+    assert {tuple(r) for r in hist_quantiles(merged, ["k"]).collect()} == {
+        tuple(r) for r in hist_quantiles(oneshot, ["k"]).collect()
+    }
+
+
+def test_hist_bucket_drained_to_net_zero_vanishes(spark):
+    """A bucket whose count is retracted to zero leaves NO row in the
+    merged state (count is liveness — same contract as the signed
+    rollup)."""
+    from etl__project_spark.operators import merge_hist_signed, partial_hist_signed
+
+    base = spark.createDataFrame(
+        [("a", 5.0), ("a", 15.0)], "k string, value double"
+    )
+    kill = spark.createDataFrame(
+        [("a", 15.0, -1)], "k string, value double, sign long"
+    )
+    merged = merge_hist_signed(
+        partial_hist_signed(base.withColumn("sign", F.lit(1)), ["k"]),
+        partial_hist_signed(kill, ["k"]),
+        ["k"],
+    )
+    assert [(r["bucket"], r["n"]) for r in merged.collect()] == [(0, 1)]
+
+
+def test_cms_signed_churn_no_underestimate_and_prunes(spark):
+    """Turnstile CMS on a skewed fixture: after deletes and a key remap,
+    (a) every live key's estimate ≥ its exact count (no false
+    negatives at any threshold), (b) thresholding the sketch prunes
+    the candidate set well below the key count, and (c) exact-verify
+    over the candidates returns exactly the true heavy hitters."""
+    from etl__project_spark.datapipe.sketches import (
+        cms_cells_signed,
+        cms_estimate_keys,
+        cms_merge_signed,
+    )
+
+    hot = [("h1",)] * 200 + [("h2",)] * 200
+    cold = [(f"c{i}",) for i in range(300)]
+    base = spark.createDataFrame(hot + cold, "k string")
+    cells = cms_cells_signed(base.withColumn("sign", F.lit(1)), "k")
+    # churn: 150 of h2's rows deleted (drops below threshold), one cold
+    # key remapped onto another (mass moves between keys)
+    delta = spark.createDataFrame(
+        [("h2", -1)] * 150 + [("c0", -1), ("c1", 1)], "k string, sign long"
+    )
+    cells = cms_merge_signed(cells, cms_cells_signed(delta, "k"))
+    post = {"h1": 200, "h2": 50, "c1": 2}
+    post.update({f"c{i}": 1 for i in range(2, 300)})
+    keys = spark.createDataFrame([(k,) for k in post], "k string")
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate_keys(keys, cells, "k").collect()
+    }
+    assert all(est[k] >= n for k, n in post.items())  # (a)
+    threshold = 100
+    candidates = {k for k, e in est.items() if e >= threshold}
+    truth = {k for k, n in post.items() if n >= threshold}
+    assert truth <= candidates  # soundness
+    assert len(candidates) < len(post) // 2  # (b) pruning is real
+    exact_hh = {k: post[k] for k in candidates if post[k] >= threshold}
+    assert exact_hh == {"h1": 200}  # (c)
+
+
+def test_exact_quantile_2pass_matches_sorted_truth(spark):
+    """Two-pass refinement returns the exact ceil(q·N)-th smallest value
+    — including when the rank lands exactly on a bucket boundary, under
+    duplicate values, and for even/odd N and a non-median q."""
+    import random
+
+    from etl__project_spark.operators import exact_quantile_2pass
+
+    random.seed(7)
+    cases = {
+        # boundary: 10 values fill bucket 0 exactly, rank 5 is inside it
+        "edge": [float(i) for i in range(1, 11)],
+        # duplicates straddling the median rank
+        "dups": [5.0] * 4 + [15.0] * 4 + [15.0, 25.0],
+        "odd": [random.randrange(1, 4000) / 4.0 for _ in range(31)],
+        "even": [random.randrange(1, 4000) / 4.0 for _ in range(32)],
+    }
+    rows = [(k, v) for k, vs in cases.items() for v in vs]
+    df = spark.createDataFrame(rows, "k string, value double")
+    for num, den in ((1, 2), (9, 10)):
+        got = {
+            r["k"]: (r["n_events"], r["q_cents"])
+            for r in exact_quantile_2pass(df, ["k"], num=num, den=den).collect()
+        }
+        for k, vs in cases.items():
+            srt = sorted(round(v, 2) for v in vs)
+            rank = (num * len(vs) + den - 1) // den
+            assert got[k] == (len(vs), int(srt[rank - 1] * 100)), (k, num, den)

@@ -572,3 +572,92 @@ def test_fulljoin_bothsides_idle_side_batches(spark):
         (r["k"], r["av"], r["bv"], r["sign"]) for r in single.collect()
     )
     assert got == want
+
+
+def test_semijoin_support_enter_exit_transitions(spark):
+    """EXISTS maintenance: support counts must assert a key at 0→>0 and
+    retract it at >0→0 — driven through all three CDC verbs, including
+    an update whose old image qualified and whose post-image doesn't
+    (predicate-crossing, the case a naive filtered-insert feed misses)."""
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators import maintain_semijoin_support_cdc
+
+    # qualifying = q >= 10. k1: one qualifying row; k2: none; k3: two.
+    initial = spark.createDataFrame(
+        [("k1", 1, 12.0), ("k2", 1, 3.0), ("k3", 1, 11.0), ("k3", 2, 15.0)],
+        "k string, ln long, q double",
+    )
+    # batch1: k2 gains its first qualifying row (ENTER); k1's only
+    # qualifying row is updated BELOW the predicate (EXIT by update);
+    # k3 loses one of two (stays, support 2→1).
+    batch1 = spark.createDataFrame(
+        [
+            ("k2", 2, 10.0, "I"),
+            ("k1", 1, 4.0, "U"),
+            ("k3", 1, 11.0, "D"),
+        ],
+        "k string, ln long, q double, op string",
+    )
+    # batch2: k3's last qualifying row deleted (EXIT by delete).
+    batch2 = spark.createDataFrame(
+        [("k3", 2, 15.0, "D")], "k string, ln long, q double, op string"
+    )
+    support = maintain_semijoin_support_cdc(
+        initial,
+        [batch1, batch2],
+        on=["k"],
+        key_cols_b=["k", "ln"],
+        qualifies=F.col("q") >= 10,
+    )
+    got = {(r["k"], r["n_support"]) for r in support.collect()}
+    assert got == {("k2", 1)}
+
+
+def test_semijoin_support_random_churn_matches_recompute(spark):
+    """Randomized CDC churn over the support state equals the one-shot
+    EXISTS evaluation of the replayed post state."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators import maintain_semijoin_support_cdc
+
+    random.seed(47)
+    state = {
+        (f"k{i % 12}", ln): float(random.randrange(1, 20))
+        for i in range(40)
+        for ln in (1, 2)
+    }
+    initial = spark.createDataFrame(
+        [(k, ln, q) for (k, ln), q in state.items()],
+        "k string, ln long, q double",
+    )
+    batches = []
+    for _ in range(2):
+        ops = []
+        keys = list(state)
+        for key in random.sample(keys, 8):
+            verb = random.choice(["U", "D"])
+            if verb == "D":
+                state.pop(key)
+                ops.append((key[0], key[1], 0.0, "D"))
+            else:
+                state[key] = float(random.randrange(1, 20))
+                ops.append((key[0], key[1], state[key], "U"))
+        newkey = (f"k{random.randrange(12)}", random.randrange(100, 200))
+        state[newkey] = float(random.randrange(1, 20))
+        ops.append((newkey[0], newkey[1], state[newkey], "I"))
+        batches.append(
+            spark.createDataFrame(ops, "k string, ln long, q double, op string")
+        )
+    support = maintain_semijoin_support_cdc(
+        initial, batches, on=["k"], key_cols_b=["k", "ln"],
+        qualifies=F.col("q") >= 10,
+    )
+    got = {(r["k"], r["n_support"]) for r in support.collect()}
+    want = {}
+    for (k, _ln), q in state.items():
+        if q >= 10:
+            want[k] = want.get(k, 0) + 1
+    assert got == set(want.items())

@@ -875,3 +875,114 @@ def maintain_ivf_cells_cdc(
             cells = cells.localCheckpoint(eager=True)
             state = state.localCheckpoint(eager=True)
     return state, cells
+
+
+def signed_centroid_stats(
+    assigned: DataFrame, sign_col: str = "sign"
+) -> DataFrame:
+    """(centroid_id, dim, s, n) from signed assigned rows
+    (cand_vec, centroid_id, sign): s = Σ sign · round(x·1e6) in exact
+    integer micro-units per dimension, n = Σ sign. Integer sums make the
+    incremental fold bit-identical to a recompute (the house decimal
+    trick, applied per dimension)."""
+    q = (F.round(F.col("x") * 1000000).cast("long") * F.col(sign_col)).alias("q")
+    return (
+        assigned.select(
+            "centroid_id",
+            sign_col,
+            F.posexplode("cand_vec").alias("pos", "x"),
+        )
+        .select(
+            "centroid_id", (F.col("pos") + 1).alias("dim"), q, F.col(sign_col)
+        )
+        .groupBy("centroid_id", "dim")
+        .agg(
+            F.sum("q").cast("long").alias("s"),
+            F.sum(sign_col).cast("long").alias("n"),
+        )
+    )
+
+
+def merge_centroid_stats(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge signed centroid stats; centroids drained to net-zero
+    membership vanish."""
+    return (
+        existing.unionByName(delta.select(existing.columns))
+        .groupBy("centroid_id", "dim")
+        .agg(
+            F.sum("s").cast("long").alias("s"),
+            F.sum("n").cast("long").alias("n"),
+        )
+        .filter(F.col("n") != 0)
+    )
+
+
+def maintain_centroid_stats_cdc(
+    initial: DataFrame,
+    cdc_batches: list[DataFrame],
+    n_centroids: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maintain the Lloyd-update statistics (per-cluster per-dimension
+    sum and member count) while the vector corpus receives CDC — the
+    companion to :func:`maintain_ivf_cells_cdc`: that one maintains the
+    posting LISTS, this one maintains the centroid UPDATE STEP's
+    sufficient statistics, so a periodic retrain starts from
+    always-current sums instead of a corpus rescan. Centroids used for
+    ASSIGNMENT stay frozen from the initial state (ids <
+    ``n_centroids``), as between production retrains.
+
+    The statistics are LINEAR in the corpus (sums of signed per-dim
+    contributions), so maintenance needs no base consultation at all:
+    per batch, the signed delta's images (old −1 / new +1, each image
+    assigned independently against the broadcast seeds) explode into
+    integer micro-unit contributions and fold into the
+    (centroid, dim)-grain state — O(|Δ| · d) per batch, corpus never
+    re-scored. An updated vector that crosses cells moves its mass
+    between centroids through the two images' opposite signs.
+
+    Returns the consolidated stats (centroid_id, dim, s, n); the new
+    centroid value reads off as s/n at O(k·d)."""
+    from etl__project_spark.operators.ivm import cdc_to_signed_delta, consolidate
+
+    seeds = initial.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    if checkpoint:
+        seeds = seeds.localCheckpoint(eager=True)
+    sign1 = F.lit(1).cast("long").alias("sign")
+    state = initial.select(id_col, vec_col).select("*", sign1)
+    stats = signed_centroid_stats(
+        assign_cells(initial, seeds, vec_col, id_col).select("*", sign1)
+    )
+    if checkpoint:
+        state = state.localCheckpoint(eager=True)
+        stats = stats.localCheckpoint(eager=True)
+    for batch in cdc_batches:
+        delta = cdc_to_signed_delta(
+            state, batch, [id_col], op_col=op_col, delete_op=delete_op
+        )
+        if checkpoint:
+            delta = delta.localCheckpoint(eager=True)
+        # assign each image separately (an updated id carries TWO images
+        # with opposite signs — assign_cells ranks per id, so images of
+        # one id must not meet inside one assignment pass)
+        parts = []
+        for s in (1, -1):
+            img = delta.filter(F.col("sign") == s).select(id_col, vec_col)
+            parts.append(
+                assign_cells(img, seeds, vec_col, id_col).select(
+                    "*", F.lit(s).cast("long").alias("sign")
+                )
+            )
+        dstats = signed_centroid_stats(parts[0].unionByName(parts[1]))
+        stats = merge_centroid_stats(stats, dstats)
+        state = consolidate(state.unionByName(delta))
+        if checkpoint:
+            state = state.localCheckpoint(eager=True)
+            stats = stats.localCheckpoint(eager=True)
+    return stats

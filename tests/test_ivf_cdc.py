@@ -107,3 +107,83 @@ def test_ivf_cdc_random_property_vs_rebuild(spark):
         "cand_id", "centroid_id"
     )
     assert _cells(live) == _cells(want)
+
+
+def _stats(df):
+    return sorted(
+        (r["centroid_id"], r["dim"], r["s"], r["n"]) for r in df.collect()
+    )
+
+
+def test_centroid_stats_cell_move_transfers_mass(spark):
+    """A re-embedding that crosses cells must move the vector's sums AND
+    its membership count from the old centroid to the new one."""
+    from etl__project_spark.datapipe.similarity import (
+        maintain_centroid_stats_cdc,
+        signed_centroid_stats,
+    )
+
+    initial = _emb(
+        spark, [(0, [1, 0]), (1, [0, 1]), (5, [0.9, 0.1]), (6, [0.1, 0.9])]
+    )
+    got = maintain_centroid_stats_cdc(
+        initial,
+        [_batch(spark, [(5, [0.1, 0.9], "U")])],
+        n_centroids=2,
+    )
+    post = _emb(
+        spark, [(0, [1, 0]), (1, [0, 1]), (5, [0.1, 0.9]), (6, [0.1, 0.9])]
+    )
+    seeds = initial.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    want = signed_centroid_stats(
+        assign_cells(post, seeds).select("*", F.lit(1).cast("long").alias("sign"))
+    )
+    assert _stats(got) == _stats(want)
+    # centroid 1 now holds BOTH moved vectors plus its seed
+    n1 = {r["centroid_id"]: r["n"] for r in got.collect()}
+    assert n1[1] == 3 and n1[0] == 1
+
+
+def test_centroid_stats_random_churn_matches_recompute(spark):
+    """Random multi-batch churn (inserts, re-embeddings, takedowns)
+    folded through the signed stats equals the one-shot statistics of
+    the replayed corpus against the same frozen seeds — bit-exact,
+    thanks to integer micro-unit sums."""
+    from etl__project_spark.datapipe.similarity import (
+        maintain_centroid_stats_cdc,
+        signed_centroid_stats,
+    )
+
+    random.seed(67)
+
+    def vec():
+        return [random.uniform(-1, 1) for _ in range(4)]
+
+    state = {i: vec() for i in range(30)}
+    initial = _emb(spark, sorted(state.items()))
+    seeds = initial.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    ).localCheckpoint()
+    batches, next_id = [], 100
+    for _ in range(2):
+        ops = []
+        for i in random.sample(sorted(k for k in state if k >= 3), 6):
+            if random.random() < 0.4:
+                state.pop(i)
+                ops.append((i, None, "D"))
+            else:
+                state[i] = vec()
+                ops.append((i, state[i], "U"))
+        for _ in range(2):
+            state[next_id] = vec()
+            ops.append((next_id, state[next_id], "I"))
+            next_id += 1
+        batches.append(_batch(spark, ops))
+    got = maintain_centroid_stats_cdc(initial, batches, n_centroids=3)
+    post = _emb(spark, sorted(state.items()))
+    want = signed_centroid_stats(
+        assign_cells(post, seeds).select("*", F.lit(1).cast("long").alias("sign"))
+    )
+    assert _stats(got) == _stats(want)

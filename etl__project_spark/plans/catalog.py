@@ -14314,3 +14314,680 @@ def ev_funnel_cdc(spark, sf_dir):
     )
     batch2 = ev.filter(m10 == 7).withColumn("op", F.lit("D"))
     return maintain_funnel_cdc(initial, [batch1, batch2])
+
+
+@query(
+    "ev_quantile_cdc",
+    """WITH post AS (
+  SELECT event_type,
+         CASE WHEN event_id % 10 = 3 THEN round(value, 2) + 1.00
+              ELSE round(value, 2) END AS v
+  FROM events WHERE event_id % 10 <> 7
+),
+hist AS (
+  SELECT event_type,
+         (v::DECIMAL(18,2) * 100)::BIGINT // 1000 AS bucket,
+         count(*)::BIGINT AS n
+  FROM post GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS n_total
+  FROM hist
+)
+SELECT event_type,
+       max(n_total)::BIGINT AS n_events,
+       round(min(CASE WHEN cum >= (n_total + 1) // 2 THEN bucket END) * 10.0, 2)
+           AS p50_lo,
+       round(min(CASE WHEN cum >= (9 * n_total + 9) // 10 THEN bucket END) * 10.0,
+             2) AS p90_lo
+FROM cum GROUP BY event_type""",
+)
+def ev_quantile_cdc(spark, sf_dir):
+    """Percentiles under retraction via a RETRACTABLE histogram sketch —
+    the fourth non-self-maintainable read in the CDC-rollup family.
+    ``ev_rollup_cdc_median`` pays for exactness with value-grain state;
+    ``ev_quantile_digest``'s t-digest-style sketch is insert-only
+    (centroids cannot absorb a delete). The middle ground production IVM
+    engines ship is a fixed-width bucket histogram (``operators/
+    rollup.py:partial_hist_signed``): bucket counts are plain signed
+    sums, so CDC updates/deletes fold in through the same ±1 algebra as
+    count/sum — NO base-state consultation, unlike min/max — and any
+    quantile reads off the cumulative counts at read time, accurate to
+    one bucket width but bit-deterministic (integer bucket ids from
+    DECIMAL cents, integer ceil-division ranks), which is what lets the
+    oracle hash-match a one-shot recompute of the same sketch.
+
+    CDC script: the house churn (values of event_id%10==3 updated
+    +1.00 — shifts rows across bucket edges; %10==7 deleted — drains
+    buckets, some to net zero). State is O(buckets) per group, bucketed
+    on the group key at 100 TB; maintenance is O(|Δ|) per batch."""
+    from etl__project_spark.operators import (
+        hist_quantiles,
+        merge_hist_signed,
+        partial_hist_signed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    m10 = F.col("event_id") % 10
+    keys = ["event_type"]
+    state = partial_hist_signed(ev.withColumn("sign", F.lit(1)), keys)
+    upd = ev.filter(m10 == 3)
+    delta1 = upd.withColumn("sign", F.lit(-1)).unionByName(
+        upd.withColumn("value", F.round(F.col("value"), 2) + F.lit(1.0))
+        .withColumn("sign", F.lit(1))
+    )
+    delta2 = ev.filter(m10 == 7).withColumn("sign", F.lit(-1))
+    for d in (delta1, delta2):
+        state = merge_hist_signed(state, partial_hist_signed(d, keys), keys)
+    return hist_quantiles(state, keys)
+
+
+@query(
+    "ev_heavy_hitters_cdc",
+    """WITH post AS (
+  SELECT CASE WHEN event_id % 10 = 3 THEN user_id + 1000000
+              ELSE user_id END AS user_id
+  FROM events WHERE event_id % 10 <> 7
+)
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events
+FROM post GROUP BY user_id HAVING count(*) >= 60""",
+)
+def ev_heavy_hitters_cdc(spark, sf_dir):
+    """Heavy hitters under CDC churn via a count-min sketch maintained
+    in the TURNSTILE model (``datapipe/sketches.py:cms_cells_signed``):
+    deletes and update old-images decrement cells, post-images
+    increment — the CMS algebra absorbs signed updates natively, unlike
+    HLL's ratchet-only registers. With every key's true net count
+    non-negative, min-over-rows still never underestimates, so a
+    threshold scan over the sketch has NO FALSE NEGATIVES and the
+    maintained sketch is a sound PRUNING filter: broadcast the fixed
+    4×256-cell grid, keep only keys whose estimate clears the
+    threshold, and run the exact aggregate over the survivors' rows
+    only. The emitted result is EXACT (candidate false positives die in
+    the verify pass), so the oracle is the plain post-CDC
+    HAVING-count query — the hash match proves the sketch never dropped
+    a true heavy hitter across the churn. At 100 TB the exact pass
+    touches candidate keys' rows instead of every key; at sf0.01 the
+    collision noise (~9 k rows / 256 buckets) makes most keys
+    candidates — the pruning RATIO is a scale property, the SOUNDNESS
+    is what this query pins (pruning measured in
+    ``tests/test_fact.py``'s skewed fixture).
+
+    CDC script: events %10==3 re-attributed to user_id+1000000 (a key
+    REMAP — the hardest churn for a sketch: one key loses mass, a
+    brand-new key gains it), %10==7 deleted."""
+    from etl__project_spark.datapipe.sketches import (
+        cms_cells_signed,
+        cms_estimate_keys,
+        cms_merge_signed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    m10 = F.col("event_id") % 10
+    remapped = F.col("user_id") + F.lit(1000000)
+    cells = cms_cells_signed(ev.withColumn("sign", F.lit(1)), "user_id")
+    upd = ev.filter(m10 == 3)
+    delta1 = upd.withColumn("sign", F.lit(-1)).unionByName(
+        upd.withColumn("user_id", remapped).withColumn("sign", F.lit(1))
+    )
+    # %10==7 rows were never remapped (3 ≠ 7), so the delete retracts
+    # the original key.
+    delta2 = ev.filter(m10 == 7).withColumn("sign", F.lit(-1))
+    for d in (delta1, delta2):
+        cells = cms_merge_signed(cells, cms_cells_signed(d, "user_id"))
+    post = ev.filter(m10 != 7).withColumn(
+        "user_id", F.when(m10 == 3, remapped).otherwise(F.col("user_id"))
+    )
+    candidates = cms_estimate_keys(
+        post.select("user_id").distinct(), cells, "user_id"
+    ).filter(F.col("est_count") >= 60)
+    return (
+        post.join(F.broadcast(candidates.select("user_id")), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .filter(F.col("n_events") >= 60)
+    )
+
+
+@query(
+    "tpch_semijoin_cdc",
+    """WITH post AS (
+  SELECT l_orderkey,
+         CASE WHEN (l_orderkey + l_linenumber) % 10 = 3
+              THEN 51 - l_quantity ELSE l_quantity END AS qty
+  FROM lineitem WHERE (l_orderkey + l_linenumber) % 10 <> 7
+),
+sup AS (
+  SELECT l_orderkey FROM post WHERE qty >= 45 GROUP BY l_orderkey
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN s.l_orderkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_semi,
+       sum(CASE WHEN s.l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_anti
+FROM orders o LEFT JOIN sup s ON s.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority""",
+)
+def tpch_semijoin_cdc(spark, sf_dir):
+    """EXISTS / NOT EXISTS maintained under CDC — semi/anti join via
+    per-key SUPPORT COUNTS (``operators/ivm.py:
+    maintain_semijoin_support_cdc``), the Gupta–Mumick counting
+    algorithm specialized to projection-onto-keys. Anti-join membership
+    is anti-monotone (inserting a qualifying lineitem RETRACTS an order
+    from NOT EXISTS; deleting the last one ASSERTS it), but the support
+    count itself is a plain signed sum, so maintenance is O(|Δ|) with
+    no base consultation — cheaper state than the left join's
+    null-extension bookkeeping because no B payload survives
+    projection.
+
+    The CDC script is built to cross the predicate BOTH ways:
+    qualifying = quantity ≥ 45, and updates flip quantity → 51 −
+    quantity (old 45..50 exits the predicate, old 1..6 enters), so the
+    oracle hash-match proves the signed algebra handles
+    predicate-crossing updates, support-draining deletes, and the
+    0 ↔ >0 transitions that are the ONLY events semi/anti readers see.
+    Read shape: orders (bucketed on o_orderkey in production)
+    left-joins the support table; per-priority semi and anti counts."""
+    from etl__project_spark.operators import maintain_semijoin_support_cdc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    m10 = (F.col("l_orderkey") + F.col("l_linenumber")) % 10
+    batch1 = (
+        li.filter(m10 == 3)
+        .withColumn("l_quantity", F.lit(51.0) - F.col("l_quantity"))
+        .withColumn("op", F.lit("U"))
+    )
+    batch2 = li.filter(m10 == 7).withColumn("op", F.lit("D"))
+    support = maintain_semijoin_support_cdc(
+        li,
+        [batch1, batch2],
+        on=["l_orderkey"],
+        key_cols_b=["l_orderkey", "l_linenumber"],
+        qualifies=F.col("l_quantity") >= 45,
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    sup_keys = support.select(
+        F.col("l_orderkey").alias("o_orderkey"), F.lit(1).alias("has_match")
+    )
+    return (
+        orders.join(sup_keys, "o_orderkey", "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.coalesce("has_match", F.lit(0))).cast("long").alias("n_semi"),
+            F.sum(
+                F.when(F.col("has_match").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_anti"),
+        )
+    )
+
+
+@query(
+    "ev_median_2pass",
+    """WITH v AS (
+  SELECT event_type,
+         (round(value, 2)::DECIMAL(18,2) * 100)::BIGINT AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_total
+  FROM v
+)
+SELECT event_type, n_total::BIGINT AS n_events,
+       round(cents / 100.0, 2) AS median_value
+FROM r WHERE rn = (n_total + 1) // 2""",
+)
+def ev_median_2pass(spark, sf_dir):
+    """EXACT median per group with NO global sort — the two-pass
+    histogram refinement (``operators/rollup.py:exact_quantile_2pass``)
+    that replaces ORDER BY at 100 TB: pass 1 is one hash-agg histogram
+    whose cumulative counts pin the single bucket holding rank
+    ceil(N/2) (plus the residual rank inside it); pass 2 re-scans with
+    a BROADCAST probe that keeps only that bucket's rows per group —
+    a ~buckets-fold prune — and a row_number window over the surviving
+    sliver reads off the exact order statistic. The oracle sorts
+    everything (fine at sf0.01; the point of the operator is that the
+    engine never does): the hash match proves the refinement finds the
+    identical rank under duplicate values and residual-rank arithmetic.
+
+    Contrast: ``ev_group_quantiles`` stops at pass 1 (bucket-accurate
+    estimate, mergeable sketch); ``ev_rollup_cdc_median`` maintains the
+    value-grain state under CDC. This is the batch EXACT read."""
+    from etl__project_spark.operators import exact_quantile_2pass
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    out = exact_quantile_2pass(ev, ["event_type"], num=1, den=2)
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("q_cents").cast("double") / 100.0, 2).alias(
+            "median_value"
+        ),
+    )
+
+
+@query(
+    "ev_retention_cdc",
+    """WITH post AS (
+  SELECT user_id,
+         CASE WHEN event_id % 10 = 3 THEN ts + INTERVAL 21 DAY
+              ELSE ts END AS ts
+  FROM events WHERE event_id % 10 <> 7
+),
+first_seen AS (
+  SELECT user_id, min(ts) AS first_ts FROM post GROUP BY user_id
+)
+SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+       ((epoch_us(e.ts) - epoch_us(f.first_ts)) // 604800000000)::BIGINT
+           AS offset_weeks,
+       count(DISTINCT e.user_id)::BIGINT AS n_active_users
+FROM post e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY 1, 2""",
+)
+def ev_retention_cdc(spark, sf_dir):
+    """Cohort retention under CDC — the first maintained view whose
+    GROUP KEY is itself data-derived: a user's cohort is the week of
+    their min-timestamp event, so a late event that PREDATES everything
+    seen re-keys the user's every cell (new cohort_week, every
+    offset_weeks shifted), and deleting a user's first event does the
+    same in reverse. No signed algebra on the cells can express that;
+    ``operators/retention.py:maintain_retention_cdc`` re-derives the
+    CELL SET per touched user (the house per-touched-group pattern,
+    value = the set) into a one-row-per-(user, cell) membership table —
+    retractable COUNT(DISTINCT) held one grain finer, read as a row
+    count per cell.
+
+    CDC script built to force re-keying all three ways: events %10==4
+    are withheld then inserted late (some predate their user's current
+    first event → retroactive re-cohort), %10==3 shift +21 days (a
+    first event moving 3 weeks re-cohorts; a later one just changes
+    offsets), %10==7 deleted (losing a first event re-cohorts). Oracle
+    = one-shot retention over the replayed post-CDC log."""
+    from etl__project_spark.operators import maintain_retention_cdc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    m10 = F.col("event_id") % 10
+    initial = ev.filter(m10 != 4)
+    batch1 = (
+        ev.filter(m10 == 3)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 21 DAYS"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(ev.filter(m10 == 4).withColumn("op", F.lit("I")))
+    )
+    batch2 = ev.filter(m10 == 7).withColumn("op", F.lit("D"))
+    return maintain_retention_cdc(initial, [batch1, batch2])
+
+
+@query(
+    "emb_centroid_cdc",
+    """WITH post AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 10 = 3
+              THEN list_transform(embedding::DOUBLE[], x -> -x)
+              ELSE embedding::DOUBLE[] END AS emb
+  FROM embeddings WHERE vec_id % 10 <> 7
+),
+seeds AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT p.vec_id, s.centroid_id,
+         round(list_dot_product(p.emb, s.cv) /
+               (sqrt(list_dot_product(p.emb, p.emb)) *
+                sqrt(list_dot_product(s.cv, s.cv))), 4) AS sim
+  FROM post p CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+ex AS (
+  SELECT a.centroid_id,
+         generate_subscripts(p.emb, 1) AS dim,
+         round(unnest(p.emb) * 1000000)::BIGINT AS q
+  FROM post p JOIN assign a ON p.vec_id = a.vec_id
+)
+SELECT centroid_id, dim::BIGINT AS dim,
+       count(*)::BIGINT AS n_members,
+       (floor(sum(q) / count(*) / 100.0 + 0.5) / 10000.0) AS centroid_val
+FROM ex GROUP BY centroid_id, dim""",
+)
+def emb_centroid_cdc(spark, sf_dir):
+    """Lloyd-step sufficient statistics maintained under vector CDC —
+    the companion to ``emb_ivf_cdc``: that query maintains the IVF
+    posting LISTS, this one maintains the centroid UPDATE's per-cluster
+    per-dimension sums and counts (``datapipe/similarity.py:
+    maintain_centroid_stats_cdc``), so a periodic retrain starts from
+    always-current statistics instead of a corpus rescan. The stats are
+    LINEAR (signed integer micro-unit sums), so unlike min/max/funnel
+    there is no base consultation: only the delta's images score
+    against the frozen broadcast seeds (O(|Δ|·k·d) per batch), and a
+    re-embedded vector that crosses cells moves its mass between
+    centroids through its two opposite-signed images.
+
+    CDC script: embeddings %10==4 withheld then inserted late, %10==3
+    re-embedded as the NEGATED vector (guaranteed cell move: cosine
+    flips sign), %10==7 taken down. Oracle = one-shot assignment +
+    per-dimension mean over the post-CDC corpus (the
+    ``emb_kmeans_update`` shape with churn applied)."""
+    from etl__project_spark.datapipe.similarity import (
+        maintain_centroid_stats_cdc,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    m10 = F.col("vec_id") % 10
+    neg = F.transform("embedding", lambda x: -x)
+    initial = emb.filter(m10 != 4)
+    batch1 = (
+        emb.filter(m10 == 3)
+        .withColumn("embedding", neg)
+        .withColumn("op", F.lit("U"))
+        .unionByName(emb.filter(m10 == 4).withColumn("op", F.lit("I")))
+    )
+    batch2 = emb.filter(m10 == 7).withColumn("op", F.lit("D"))
+    stats = maintain_centroid_stats_cdc(initial, [batch1, batch2])
+    return stats.select(
+        "centroid_id",
+        "dim",
+        F.col("n").alias("n_members"),
+        (
+            F.floor(
+                F.col("s").cast("double") / F.col("n") / F.lit(100.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("centroid_val"),
+    )
+
+
+@query(
+    "doc_quality_gate_cdc",
+    """WITH post AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 3 THEN n_chars + 200
+              ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 10 <> 7
+),
+hist AS (
+  SELECT (n_chars * 100) // 1000 AS bucket, count(*)::BIGINT AS n
+  FROM post GROUP BY 1
+),
+cum AS (
+  SELECT bucket, n,
+         sum(n) OVER (ORDER BY bucket) AS cum,
+         sum(n) OVER () AS n_total
+  FROM hist
+),
+thr AS (
+  SELECT min(CASE WHEN cum >= (n_total + 3) // 4 THEN bucket END) * 10.0
+      AS cutoff
+  FROM cum
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_chars >= cutoff THEN 1 ELSE 0 END)::BIGINT AS n_pass
+FROM post, thr GROUP BY source""",
+)
+def doc_quality_gate_cdc(spark, sf_dir):
+    """Corpus-RELATIVE quality gate maintained under document CDC — the
+    training-data filter whose cutoff is a percentile of the corpus
+    itself ("drop the shortest quartile"), so the THRESHOLD is
+    data-derived and moves as the corpus churns: inserting long docs
+    raises the bar and can flip previously-passing docs to failing
+    without touching them. Composition of two maintained states over
+    one signed delta stream: the doc-grain base state (consolidate) and
+    the retractable n_chars histogram (``partial_hist_signed`` — the
+    ``ev_quantile_cdc`` sketch with global grain). The read derives the
+    p25 cutoff from the O(buckets) histogram (no sort, no corpus scan),
+    then gates the base state per source.
+
+    CDC script: docs %10==4 arrive late (raise/lower the quartile
+    edge), %10==3 grow +200 chars (cross the cutoff AND shift it),
+    %10==7 deleted. Oracle = one-shot histogram-quantile cutoff + gate
+    over the post-CDC corpus — the hash match proves both maintained
+    states agree with the replay, including the moved threshold."""
+    from etl__project_spark.operators import (
+        hist_quantiles,
+        merge_hist_signed,
+        partial_hist_signed,
+    )
+    from etl__project_spark.operators.ivm import cdc_to_signed_delta, consolidate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    m10 = F.col("doc_id") % 10
+    initial = docs.filter(m10 != 4)
+    batch1 = (
+        docs.filter(m10 == 3)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(200))
+        .withColumn("op", F.lit("U"))
+        .unionByName(docs.filter(m10 == 4).withColumn("op", F.lit("I")))
+    )
+    batch2 = docs.filter(m10 == 7).withColumn("op", F.lit("D"))
+
+    state = initial.select("*", F.lit(1).cast("long").alias("sign"))
+    hist = partial_hist_signed(state, [], value_col="n_chars")
+    for batch in (batch1, batch2):
+        delta = cdc_to_signed_delta(state, batch, ["doc_id"])
+        hist = merge_hist_signed(
+            hist, partial_hist_signed(delta, [], value_col="n_chars"), []
+        )
+        state = consolidate(state.unionByName(delta))
+    cutoff = hist_quantiles(hist, [], quantiles=[("p25_lo", 1, 4)]).select(
+        "p25_lo"
+    )
+    return (
+        state.crossJoin(F.broadcast(cutoff))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_chars") >= F.col("p25_lo"), 1).otherwise(0)
+            ).cast("long").alias("n_pass"),
+        )
+    )
+
+
+@query(
+    "ev_hll_sliding_window",
+    """WITH h AS (
+  SELECT dayofmonth(ts)::BIGINT AS day,
+         ('0x' || substr(md5(user_id::VARCHAR || 'hll'), 1, 15))::BIGINT AS h
+  FROM events
+),
+hr AS (SELECT day, h % 64 AS reg, h // 64 AS rem FROM h),
+day_regs AS (
+  SELECT day, reg,
+         max(CASE WHEN rem = 0 THEN 55 ELSE 55 - length(bin(rem)) END) AS rho
+  FROM hr GROUP BY day, reg
+),
+win AS (
+  SELECT reg, max(rho) AS rho FROM day_regs
+  WHERE day BETWEEN 20 AND 26 GROUP BY reg
+),
+spine AS (SELECT range AS reg FROM range(64)),
+sk AS (SELECT s.reg, coalesce(w.rho, 0) AS m FROM spine s LEFT JOIN win w USING (reg)),
+agg AS (
+  SELECT sum(1::BIGINT << (55 - m))::BIGINT AS s_scaled,
+         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+  FROM sk
+),
+ex AS (
+  SELECT count(*)::BIGINT AS n_events,
+         count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events WHERE dayofmonth(ts) BETWEEN 20 AND 26
+),
+est AS (
+  SELECT *,
+         CASE WHEN v_zero > 0
+                   AND (0.709::DOUBLE * 4096.0 * 36028797018963968.0 / s_scaled) <= 160.0
+              THEN 64.0::DOUBLE * ln(64.0::DOUBLE / v_zero)
+              ELSE 0.709::DOUBLE * 4096.0 * 36028797018963968.0 / s_scaled END AS e
+  FROM agg, ex
+)
+SELECT n_events, exact_distinct, s_scaled, v_zero,
+       floor(e * 100 + 0.5) / 100.0 AS est_distinct,
+       (abs(floor(e * 100 + 0.5) / 100.0 - exact_distinct)
+          <= greatest(0.4::DOUBLE * exact_distinct, 8.0::DOUBLE)) AS est_ok
+FROM est""",
+)
+def ev_hll_sliding_window(spark, sf_dir):
+    """Sliding-window distinct users via SLICED HLL — the production
+    answer to "distinct over the last 7 days" at 100 TB. HLL registers
+    cannot retract (they only ratchet up), so windowing by
+    retraction is impossible; the standard pattern is slice-and-merge:
+    maintain one 64-register sketch PER DAY (``datapipe/sketches.py:
+    hll_registers_keyed`` — each ingest day appends its own ≤64-row
+    slice, history never re-hashed), and ANY window reads as a
+    register-wise max over its slices — 7 days × 64 longs, O(1) in the
+    event count. Estimator discipline is ``ev_distinct_hll``'s exact-
+    integer form (scaled harmonic sum, linear-counting branch), so the
+    oracle hash-match proves slice-merge ≡ one-shot sketch of the
+    window AND pins the estimate within the sketch's error budget
+    against the window's exact count."""
+    from etl__project_spark.datapipe.sketches import hll_registers_keyed
+
+    m = 64
+    ev = load_table(spark, sf_dir, "events")
+    # the maintained slice table: one sketch per ingest day
+    day_regs = hll_registers_keyed(
+        ev.withColumn("day", F.dayofmonth("ts")), "day", "user_id", m=m
+    )
+    win = (
+        day_regs.filter(F.col("day").between(20, 26))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    spine = spark.range(m).select(F.col("id").alias("reg"))
+    sk = spine.join(win, "reg", "left").select(
+        F.coalesce(F.col("rho"), F.lit(0)).alias("m")
+    )
+    agg = sk.agg(
+        F.sum(F.expr("shiftleft(1L, 55 - m)")).alias("s_scaled"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias(
+            "v_zero"
+        ),
+    )
+    ex = ev.filter(F.dayofmonth("ts").between(20, 26)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    e_raw = (
+        F.lit(0.709) * F.lit(4096.0) * F.lit(36028797018963968.0)
+        / F.col("s_scaled")
+    )
+    e = F.when(
+        (F.col("v_zero") > 0) & (e_raw <= F.lit(160.0)),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero")),
+    ).otherwise(e_raw)
+    est2 = F.floor(e * 100 + F.lit(0.5)) / F.lit(100.0)
+    return agg.crossJoin(F.broadcast(ex)).select(
+        "n_events",
+        "exact_distinct",
+        "s_scaled",
+        "v_zero",
+        est2.alias("est_distinct"),
+        (
+            F.abs(est2 - F.col("exact_distinct"))
+            <= F.greatest(F.lit(0.4) * F.col("exact_distinct"), F.lit(8.0))
+        ).alias("est_ok"),
+    )
+
+
+@query(
+    "ev_rollup_cdc_grouping_sets",
+    """WITH post AS (
+  SELECT CASE WHEN event_id % 10 = 3 THEN ts + INTERVAL 1 DAY ELSE ts END AS ts,
+         event_type,
+         CASE WHEN event_id % 10 = 3 THEN round(value, 2) + 1.00
+              ELSE round(value, 2) END AS v
+  FROM events WHERE event_id % 10 <> 7
+),
+keyed AS (
+  SELECT event_type, (dayofweek(ts) + 1)::BIGINT AS weekday, v FROM post
+)
+SELECT coalesce(event_type, '(all)') AS etype,
+       coalesce(weekday, -1)::BIGINT AS weekday,
+       count(*)::BIGINT AS n_events,
+       round(sum(v::DECIMAL(18,2))::DOUBLE, 2) AS total_value
+FROM keyed
+GROUP BY GROUPING SETS ((event_type, weekday), (event_type), (weekday), ())""",
+)
+def ev_rollup_cdc_grouping_sets(spark, sf_dir):
+    """GROUPING SETS under retraction — the warehouse cube pattern
+    "maintain the FINEST grain, derive every coarser grain at read":
+    the signed algebra maintains only the (event_type, weekday) base
+    rollup (count + decimal sum, ``merge_rollups_signed``), and the
+    read CUBEs that O(groups)-row state — subtotal layers are sums of
+    maintained sums, never separate maintained views, so one CDC batch
+    costs one finest-grain merge no matter how many rollup layers
+    readers consume. The CDC script moves rows BETWEEN groups (updates
+    shift ts +1 day, rotating the weekday, while also changing the
+    value) so the oracle hash-match proves subtotals at every layer
+    re-balance from the finest grain alone. Decimal quantization keeps
+    the cube's re-summation bit-exact against the one-shot GROUPING
+    SETS (decimal addition is associative — the module-docstring
+    contract of ``operators/rollup.py``)."""
+    from etl__project_spark.operators import (
+        merge_rollups_signed,
+        partial_rollup_signed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    m10 = F.col("event_id") % 10
+    keys = ["event_type", "weekday"]
+
+    def keyed(df):
+        return df.select(
+            "event_type",
+            F.dayofweek("ts").cast("long").alias("weekday"),
+            "value",
+            "sign",
+        )
+
+    state = partial_rollup_signed(keyed(ev.withColumn("sign", F.lit(1))), keys)
+    upd = ev.filter(m10 == 3)
+    delta1 = upd.withColumn("sign", F.lit(-1)).unionByName(
+        upd.withColumn("value", F.round(F.col("value"), 2) + F.lit(1.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAYS"))
+        .withColumn("sign", F.lit(1))
+    )
+    delta2 = ev.filter(m10 == 7).withColumn("sign", F.lit(-1))
+    for d in (delta1, delta2):
+        state = merge_rollups_signed(
+            state, partial_rollup_signed(keyed(d), keys), keys
+        )
+    return (
+        state.cube("event_type", "weekday")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("total").cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("etype"),
+            F.coalesce("weekday", F.lit(-1)).cast("long").alias("weekday"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -360,6 +360,16 @@ SINGLE_PARTITION_CENSUS = {
     "ev_l_diversity": 1,  # 1-row release-gate finalize over the QI-group distinct aggregate (which stays parallel)
     "ev_forecast_backtest": 1,  # 1-row scorecard finalize; the lag join and error terms live on the <= |days|-row daily series
     "ev_power_mde": 1,  # 2-row arm-rollup finalize; the heavy work is the per-user conversion aggregate
+    # new in r8, the maintenance/refinement wave:
+    "ev_quantile_cdc": 0,  # hist windows PARTITION BY event_type
+    "ev_heavy_hitters_cdc": 0,  # the 4x256 CMS grid stays a broadcast
+    "tpch_semijoin_cdc": 0,
+    "ev_median_2pass": 0,  # both passes partition by group
+    "ev_retention_cdc": 0,
+    "emb_centroid_cdc": 0,  # seeds broadcast; stats stay (k x d)-keyed
+    "doc_quality_gate_cdc": 1,  # global bucket-CDF window + 1-row cutoff (O(live buckets), the ev_quantile_digest class)
+    "ev_hll_sliding_window": 2,  # 64-register estimator finalize + window exact-count finalize (the ev_distinct_hll class; the 1-row crossJoin rides them)
+    "ev_rollup_cdc_grouping_sets": 0,  # cube re-aggregates the O(groups) maintained state, key-partitioned
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

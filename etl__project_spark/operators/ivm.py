@@ -870,8 +870,17 @@ def maintain_semijoin_support_cdc(
     filtered hash-agg of the signed delta, one merge into the support
     table. B's full state is kept (and checkpointed) only because CDC
     old images must be fetched from somewhere — in production that is
-    the base table the CDC merge just wrote, not extra state.
+    the base table the CDC merge just wrote, not extra state. That
+    state is TABLE-SIZED, so its checkpoints are DISK_ONLY (the
+    SCALE.md §9m posture: the default MEMORY_AND_DISK level keeps
+    deserialized partitions heap-resident and OOMed the 8 g local heap
+    at the 100× fixture — caught by this round's sweep; on a cluster
+    this state lives in bucketed tables on disk anyway). The support
+    table itself is O(live keys) and stays at the default level.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    disk = StorageLevel.DISK_ONLY
     sign1 = F.lit(1).cast("long").alias("sign")
     state_b = initial_b.select("*", sign1)
     support = (
@@ -880,12 +889,15 @@ def maintain_semijoin_support_cdc(
         .agg(F.sum("sign").cast("long").alias("n_support"))
     )
     if checkpoint:
-        state_b = state_b.localCheckpoint(eager=True)
+        state_b = state_b.localCheckpoint(eager=True, storageLevel=disk)
         support = support.localCheckpoint(eager=True)
     for batch in cdc_batches_b:
         delta_b = cdc_to_signed_delta(
             state_b, batch, key_cols_b, op_col=op_col, delete_op=delete_op
         )
+        if checkpoint:
+            # deltas are churn-rate × table-sized too: disk-only
+            delta_b = delta_b.localCheckpoint(eager=True, storageLevel=disk)
         delta_support = (
             delta_b.filter(qualifies)
             .groupBy(*on)
@@ -899,6 +911,6 @@ def maintain_semijoin_support_cdc(
         )
         state_b = consolidate(state_b.unionByName(delta_b))
         if checkpoint:
-            state_b = state_b.localCheckpoint(eager=True)
+            state_b = state_b.localCheckpoint(eager=True, storageLevel=disk)
             support = support.localCheckpoint(eager=True)
     return support

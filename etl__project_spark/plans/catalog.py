@@ -14991,3 +14991,99 @@ def ev_rollup_cdc_grouping_sets(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "ev_triangles_cdc",
+    """WITH post AS (
+  SELECT event_id * 13 AS araw,
+         CASE WHEN event_id % 10 = 3 THEN event_id * 29 + user_id + 5
+              ELSE event_id * 29 + user_id END AS braw
+  FROM events WHERE event_id % 10 <> 7
+),
+pairs AS (SELECT araw % 211 AS a, braw % 211 AS b FROM post),
+edges AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM pairs WHERE a <> b
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT n_triangles, (SELECT count(*) FROM edges)::BIGINT AS n_edges
+FROM tri""",
+)
+def ev_triangles_cdc(spark, sf_dir):
+    """Triangle count maintained under edge CDC — the first DEGREE-3
+    polynomial view in the IVM family (join views and their aggregates
+    are bilinear, support counts linear). ``datapipe/graph.py:
+    triangle_delta_signed`` applies the trilinear expansion
+    6·ΔT = 3·ΣDAA + 3·ΣDDA + ΣDDD: every term is an equi-join chain
+    anchored on the batch (O(|Δ|·deg²), never a graph rescan), all
+    arithmetic exact integer sign products. Composed BELOW it is the
+    same two-level shape as ``tpch_semijoin_cdc``: event-grain churn
+    folds linearly into edge MULTIPLICITIES, and only 0↔>0 liveness
+    transitions (``edge_liveness_deltas``) surface to the polynomial
+    layer — an event delete that leaves its edge multiply-supported
+    costs the triangle layer nothing.
+
+    The graph: each event contributes the edge (13·e mod 211,
+    (29·e + u) mod 211); updates (%10==3) REMAP their edge (+5 shift —
+    old edge may die, new may be born), %10==4 arrive late, %10==7
+    deleted. Oracle = one-shot u<v<w triangle enumeration over the
+    post-CDC live edge set; the hash match proves both levels."""
+    from etl__project_spark.datapipe.graph import (
+        edge_liveness_deltas,
+        maintain_triangles_cdc,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    m10 = F.col("event_id") % 10
+
+    def edge_rows(df, shift, sign):
+        a = F.pmod(F.col("event_id") * 13, F.lit(211))
+        b = F.pmod(F.col("event_id") * 29 + F.col("user_id") + F.lit(shift),
+                   F.lit(211))
+        return (
+            df.select(a.alias("a"), b.alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"),
+                F.greatest("a", "b").alias("v"),
+                F.lit(sign).cast("long").alias("sign"),
+            )
+        )
+
+    initial = ev.filter(m10 != 4)
+    upd = ev.filter(m10 == 3)
+    batch_rows = [
+        edge_rows(upd, 0, -1)
+        .unionByName(edge_rows(upd, 5, 1))
+        .unionByName(edge_rows(ev.filter(m10 == 4), 0, 1)),
+        edge_rows(ev.filter(m10 == 7), 0, -1),
+    ]
+    mult = (
+        edge_rows(initial, 0, 1)
+        .groupBy("u", "v")
+        .agg(F.sum("sign").cast("long").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    live0 = mult.filter(F.col("m") > 0).select("u", "v")
+    liveness_batches = []
+    for rows in batch_rows:
+        delta_mult = rows.groupBy("u", "v").agg(
+            F.sum("sign").cast("long").alias("dm")
+        )
+        liveness_batches.append(
+            edge_liveness_deltas(mult, delta_mult).localCheckpoint(eager=True)
+        )
+        mult = (
+            mult.unionByName(delta_mult.select("u", "v", F.col("dm").alias("m")))
+            .groupBy("u", "v")
+            .agg(F.sum("m").cast("long").alias("m"))
+            .filter(F.col("m") != 0)
+            .localCheckpoint(eager=True)
+        )
+    return maintain_triangles_cdc(live0, liveness_batches)

@@ -1198,3 +1198,90 @@ def test_multimodal_real_decode_same_contract_when_pil_present(spark):
     assert feats[0]["feature"] == feats[1]["feature"]
     assert feats[0]["content_sha"] == feats[1]["content_sha"]
     assert feats[0]["feature"] != feats[2]["feature"]
+
+
+def test_triangle_delta_conformal_batches(spark):
+    """Trilinear triangle maintenance: an inserted edge closing a wedge
+    adds a triangle, a deleted edge removes every triangle through it,
+    and a batch mixing both (plus a D-D-D triangle born entirely inside
+    one batch) nets exactly."""
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.datapipe.graph import (
+        maintain_triangles_cdc,
+        triangle_delta_signed,
+    )
+
+    # square 1-2-3-4 plus chord (1,3): triangles {1,2,3} and {1,3,4}
+    adj = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], "u long, v long"
+    )
+    base = triangle_delta_signed(
+        spark.createDataFrame([], "u long, v long"),
+        adj.select("*", F.lit(1).cast("long").alias("sign")),
+    ).collect()[0]["d_triangles"]
+    assert base == 2
+    # delete chord (1,3): both triangles die; insert (2,4): two born;
+    # plus a fresh D-D-D triangle on new vertices 7-8-9
+    batch = spark.createDataFrame(
+        [(1, 3, -1), (2, 4, 1), (7, 8, 1), (8, 9, 1), (7, 9, 1)],
+        "u long, v long, sign long",
+    )
+    got = maintain_triangles_cdc(adj, [batch]).collect()[0]
+    assert (got["n_triangles"], got["n_edges"]) == (3, 8)
+
+
+def test_triangle_maintenance_random_churn_matches_recount(spark):
+    """Random multi-batch conformal churn: the maintained count equals a
+    from-scratch count of the final edge set."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.datapipe.graph import (
+        maintain_triangles_cdc,
+        triangle_delta_signed,
+    )
+
+    random.seed(71)
+    verts = list(range(12))
+    live = {e for e in itertools.combinations(verts, 2) if random.random() < 0.4}
+    initial = spark.createDataFrame(sorted(live), "u long, v long")
+    batches = []
+    for _ in range(3):
+        dels = random.sample(sorted(live), min(4, len(live)))
+        adds = random.sample(
+            sorted(set(itertools.combinations(verts, 2)) - live), 4
+        )
+        live -= set(dels)
+        live |= set(adds)
+        batches.append(
+            spark.createDataFrame(
+                [(u, v, -1) for u, v in dels] + [(u, v, 1) for u, v in adds],
+                "u long, v long, sign long",
+            )
+        )
+    got = maintain_triangles_cdc(initial, batches).collect()[0]
+    want = triangle_delta_signed(
+        spark.createDataFrame([], "u long, v long"),
+        spark.createDataFrame(sorted(live), "u long, v long").select(
+            "*", F.lit(1).cast("long").alias("sign")
+        ),
+    ).collect()[0]["d_triangles"]
+    assert (got["n_triangles"], got["n_edges"]) == (want, len(live))
+
+
+def test_edge_liveness_only_transitions_surface(spark):
+    """Multiplicity churn that never crosses zero emits NO deltas to the
+    triangle layer; 0->1 and 1->0 crossings emit exactly +/-1."""
+    from etl__project_spark.datapipe.graph import edge_liveness_deltas
+
+    mult = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1)], "u long, v long, m long"
+    )
+    delta = spark.createDataFrame(
+        [(1, 2, -2), (2, 3, -1), (3, 4, 2)], "u long, v long, dm long"
+    )
+    got = {(r["u"], r["v"]): r["sign"] for r in edge_liveness_deltas(mult, delta).collect()}
+    assert got == {(2, 3): -1, (3, 4): 1}  # (1,2) stays live at m=1

@@ -370,6 +370,7 @@ SINGLE_PARTITION_CENSUS = {
     "doc_quality_gate_cdc": 1,  # global bucket-CDF window + 1-row cutoff (O(live buckets), the ev_quantile_digest class)
     "ev_hll_sliding_window": 2,  # 64-register estimator finalize + window exact-count finalize (the ev_distinct_hll class; the 1-row crossJoin rides them)
     "ev_rollup_cdc_grouping_sets": 0,  # cube re-aggregates the O(groups) maintained state, key-partitioned
+    "ev_triangles_cdc": 2,  # the final 1-row count agg + 1-row n_edges finalize; the trilinear terms stay vertex-partitioned (per-batch term finalizes land behind checkpoints)
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

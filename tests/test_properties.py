@@ -1399,3 +1399,138 @@ def test_textrank_mass_bounds(spark, pairs):
     total = sum(r["rank_micro"] for r in rows)
     assert all(r["rank_micro"] >= 150000 for r in rows)
     assert 150000 * n <= total <= 1000000 * n
+
+
+# -- round-8 signed sketches vs pure-Python models ---------------------------
+
+_churn_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["I", "D", "U"]),
+        st.sampled_from(["a", "b", "c"]),          # group
+        st.integers(min_value=0, max_value=3999),  # value in cents/25
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _apply_churn(ops):
+    """Pure-Python model: multiset per group under I/D/U churn; returns
+    (initial_rows, delta_rows, post) with values in exact cents."""
+    import random
+
+    rng = random.Random(97)
+    state: dict[str, list[int]] = {}
+    initial, deltas = [], []
+    for verb, g, q in ops:
+        cents = q * 25  # exact quarter values, no float rounding noise
+        vals = state.setdefault(g, [])
+        if verb == "I":
+            vals.append(cents)
+            deltas.append((g, cents, 1))
+        elif verb == "D" and vals:
+            old = vals.pop(rng.randrange(len(vals)))
+            deltas.append((g, old, -1))
+        elif verb == "U" and vals:
+            old = vals.pop(rng.randrange(len(vals)))
+            vals.append(cents)
+            deltas.append((g, old, -1))
+            deltas.append((g, cents, 1))
+    # seed every group with a couple of base rows so deletes can land
+    return initial, deltas, state
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_churn_ops)
+def test_hist_quantiles_match_python_model(spark, ops):
+    """Retractable histogram + quantile read vs a pure-Python model of
+    the same bucket/rank arithmetic, under arbitrary I/D/U churn."""
+    from etl__project_spark.operators import (
+        hist_quantiles,
+        merge_hist_signed,
+        partial_hist_signed,
+    )
+
+    base_rows = [(g, v * 25) for g in ("a", "b") for v in (4, 80, 200, 350)]
+    _, deltas, state = _apply_churn(ops)
+    for g, cents in base_rows:
+        state.setdefault(g, []).append(cents)
+    df0 = spark.createDataFrame(
+        [(g, c / 100.0) for g, c in base_rows], "k string, value double"
+    )
+    hist = partial_hist_signed(df0.withColumn("sign", F.lit(1)), ["k"])
+    if deltas:
+        ddf = spark.createDataFrame(
+            [(g, c / 100.0, s) for g, c, s in deltas],
+            "k string, value double, sign long",
+        )
+        hist = merge_hist_signed(hist, partial_hist_signed(ddf, ["k"]), ["k"])
+    got = {
+        r["k"]: (r["n_events"], r["p50_lo"], r["p90_lo"])
+        for r in hist_quantiles(hist, ["k"]).collect()
+    }
+    want = {}
+    for g, vals in state.items():
+        if not vals:
+            continue
+        n = len(vals)
+        buckets = sorted(c // 1000 for c in vals)
+
+        def q_lo(num, den):
+            rank = (num * n + den - 1) // den
+            return buckets[rank - 1] * 10.0
+
+        want[g] = (n, q_lo(1, 2), q_lo(9, 10))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_churn_ops)
+def test_cms_never_underestimates_under_churn(spark, ops):
+    """Turnstile CMS invariant: after ANY churn leaving all net counts
+    non-negative, every live key's estimate >= its exact count."""
+    from etl__project_spark.datapipe.sketches import (
+        cms_cells_signed,
+        cms_estimate_keys,
+        cms_merge_signed,
+    )
+
+    _, deltas, state = _apply_churn(ops)
+    base = [(g, 100) for g in state for _ in range(2)]
+    for g, c in base:
+        state[g].append(c)
+    keys_of = lambda rows: [(f"{g}:{c}",) for g, c, *_ in rows]  # noqa: E731
+    cells = cms_cells_signed(
+        spark.createDataFrame(keys_of(base), "k string").withColumn(
+            "sign", F.lit(1)
+        ),
+        "k",
+        width=16,  # tiny grid => collisions guaranteed; the bound must hold anyway
+    )
+    if deltas:
+        cells = cms_merge_signed(
+            cells,
+            cms_cells_signed(
+                spark.createDataFrame(
+                    [(f"{g}:{c}", s) for g, c, s in deltas], "k string, sign long"
+                ),
+                "k",
+                width=16,
+            ),
+        )
+    exact: dict[str, int] = {}
+    for g, c in base:
+        exact[f"{g}:{c}"] = exact.get(f"{g}:{c}", 0) + 1
+    for g, c, s in deltas:
+        exact[f"{g}:{c}"] = exact.get(f"{g}:{c}", 0) + s
+    live = {k: n for k, n in exact.items() if n > 0}
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate_keys(
+            spark.createDataFrame([(k,) for k in live], "k string"),
+            cells,
+            "k",
+            width=16,
+        ).collect()
+    }
+    assert all(est[k] >= n for k, n in live.items())

@@ -416,3 +416,43 @@ def maintain_triangles_cdc(
         total.agg(F.sum("d_triangles").cast("long").alias("n_triangles"))
         .crossJoin(F.broadcast(n_edges))
     )
+
+
+def maintain_degrees_cdc(
+    initial_edges: DataFrame,
+    liveness_batches: list[DataFrame],
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maintain per-vertex degrees under the same conformal signed edge
+    batches :func:`maintain_triangles_cdc` consumes. Degrees are LINEAR
+    in the edge set (each edge contributes +1 to both endpoints), so
+    the fold is one bounded hash-agg per batch — no base consultation.
+    Returns (vertex, d) for live vertices. The O(V) degree state is
+    what read-time wedge counts (Σ d·(d−1)/2) derive from: wedges are
+    quadratic in degrees but a plain projection of this state, the
+    same maintain-finest/derive-at-read split as the grouping-sets
+    rollup."""
+    def sym_signed(df, has_sign):
+        s = F.col("sign") if has_sign else F.lit(1).cast("long")
+        return df.select(F.col("u").alias("vertex"), s.alias("ds")).unionByName(
+            df.select(F.col("v").alias("vertex"), s.alias("ds"))
+        )
+
+    deg = (
+        sym_signed(initial_edges, False)
+        .groupBy("vertex")
+        .agg(F.sum("ds").cast("long").alias("d"))
+    )
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=True)
+    for batch in liveness_batches:
+        deg = (
+            deg.select("vertex", F.col("d").alias("ds"))
+            .unionByName(sym_signed(batch, True))
+            .groupBy("vertex")
+            .agg(F.sum("ds").cast("long").alias("d"))
+            .filter(F.col("d") != 0)
+        )
+        if checkpoint:
+            deg = deg.localCheckpoint(eager=True)
+    return deg

@@ -15034,10 +15034,18 @@ def ev_triangles_cdc(spark, sf_dir):
     old edge may die, new may be born), %10==4 arrive late, %10==7
     deleted. Oracle = one-shot u<v<w triangle enumeration over the
     post-CDC live edge set; the hash match proves both levels."""
-    from etl__project_spark.datapipe.graph import (
-        edge_liveness_deltas,
-        maintain_triangles_cdc,
-    )
+    from etl__project_spark.datapipe.graph import maintain_triangles_cdc
+
+    live0, liveness_batches = _event_edge_liveness(spark, sf_dir)
+    return maintain_triangles_cdc(live0, liveness_batches)
+
+
+def _event_edge_liveness(spark, sf_dir):
+    """Shared derivation for the graph-CDC queries: the event-grain
+    churn script folded into edge multiplicities, surfacing only
+    0 ↔ >0 liveness transitions — (initial live edges, conformal
+    signed batches). See ``ev_triangles_cdc`` for the script."""
+    from etl__project_spark.datapipe.graph import edge_liveness_deltas
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     m10 = F.col("event_id") % 10
@@ -15086,4 +15094,77 @@ def ev_triangles_cdc(spark, sf_dir):
             .filter(F.col("m") != 0)
             .localCheckpoint(eager=True)
         )
-    return maintain_triangles_cdc(live0, liveness_batches)
+    return live0, liveness_batches
+
+
+@query(
+    "ev_clustering_cdc",
+    """WITH post AS (
+  SELECT event_id * 13 AS araw,
+         CASE WHEN event_id % 10 = 3 THEN event_id * 29 + user_id + 5
+              ELSE event_id * 29 + user_id END AS braw
+  FROM events WHERE event_id % 10 <> 7
+),
+pairs AS (SELECT araw % 211 AS a, braw % 211 AS b FROM post),
+edges AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM pairs WHERE a <> b
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+deg AS (
+  SELECT vertex, count(*)::BIGINT AS d FROM (
+    SELECT u AS vertex FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY vertex
+),
+wed AS (SELECT sum(d * (d - 1) // 2)::BIGINT AS n_wedges FROM deg)
+SELECT n_triangles, n_wedges,
+       CASE WHEN n_wedges = 0 THEN 0
+            ELSE floor(3.0 * n_triangles / n_wedges * 1000000 + 0.5) END::BIGINT
+           AS global_clustering_micro
+FROM tri, wed""",
+)
+def ev_clustering_cdc(spark, sf_dir):
+    """Global clustering coefficient maintained under edge CDC — the
+    composition that closes the graph-metrics story: triangles come
+    from the degree-3 polynomial layer (``maintain_triangles_cdc``),
+    wedges DERIVE at read time from the linearly-maintained O(V) degree
+    state (``maintain_degrees_cdc``; Σ d·(d−1)/2 is quadratic in
+    degrees but a plain projection of that state — the maintain-finest/
+    derive-at-read split again). One CDC batch costs the triangle
+    layer's batch-anchored joins plus one bounded degree hash-agg; the
+    coefficient itself is arithmetic over two one-row frames. Same
+    event-derived graph and churn script as ``ev_triangles_cdc``
+    (shared ``_event_edge_liveness`` derivation); micro-unit rounding
+    matches the batch ``doc_cooccur_triangles`` convention."""
+    from etl__project_spark.datapipe.graph import (
+        maintain_degrees_cdc,
+        maintain_triangles_cdc,
+    )
+
+    live0, liveness_batches = _event_edge_liveness(spark, sf_dir)
+    tri = maintain_triangles_cdc(live0, liveness_batches).select("n_triangles")
+    deg = maintain_degrees_cdc(live0, liveness_batches)
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(F.col("n_wedges") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+        .alias("global_clustering_micro"),
+    )

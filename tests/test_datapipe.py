@@ -1285,3 +1285,38 @@ def test_edge_liveness_only_transitions_surface(spark):
     )
     got = {(r["u"], r["v"]): r["sign"] for r in edge_liveness_deltas(mult, delta).collect()}
     assert got == {(2, 3): -1, (3, 4): 1}  # (1,2) stays live at m=1
+
+
+def test_degree_maintenance_random_churn_matches_recount(spark):
+    """Degrees fold linearly under conformal edge batches; vertices
+    drained to degree zero vanish from the state."""
+    import itertools
+    import random
+
+    from etl__project_spark.datapipe.graph import maintain_degrees_cdc
+
+    random.seed(83)
+    verts = list(range(10))
+    live = {e for e in itertools.combinations(verts, 2) if random.random() < 0.35}
+    initial = spark.createDataFrame(sorted(live), "u long, v long")
+    batches = []
+    for _ in range(2):
+        dels = random.sample(sorted(live), min(3, len(live)))
+        adds = random.sample(sorted(set(itertools.combinations(verts, 2)) - live), 3)
+        live -= set(dels)
+        live |= set(adds)
+        batches.append(
+            spark.createDataFrame(
+                [(u, v, -1) for u, v in dels] + [(u, v, 1) for u, v in adds],
+                "u long, v long, sign long",
+            )
+        )
+    got = {
+        r["vertex"]: r["d"]
+        for r in maintain_degrees_cdc(initial, batches).collect()
+    }
+    want: dict[int, int] = {}
+    for u, v in live:
+        want[u] = want.get(u, 0) + 1
+        want[v] = want.get(v, 0) + 1
+    assert got == want

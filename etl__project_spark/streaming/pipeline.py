@@ -1945,3 +1945,91 @@ def stream_value_histogram_cdc(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming turnstile-CMS maintenance --------------------------------------
+
+CMS_CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("r", T.IntegerType()),
+        T.StructField("b", T.LongType()),  # hash_bucket's pmod is LONG
+        T.StructField("c", T.LongType()),
+    ]
+)
+# Debezium-shaped key changelog: updates/deletes carry the BEFORE key
+# (old_key) — like the histogram, the CMS state is lossy, so
+# retractions ride the changelog's before-image.
+KEY_CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("old_key", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def read_cms_cells(wh: ParquetWarehouse) -> DataFrame:
+    """The maintained d×w count-min grid (fixed KB forever)."""
+    return wh.read("cms_cells", CMS_CELLS_SCHEMA)
+
+
+def read_cms_estimates(wh: ParquetWarehouse, keys_df: DataFrame, key_col: str) -> DataFrame:
+    """Point-estimate serve path over the maintained grid — the
+    streaming face of ``ev_heavy_hitters_cdc``'s pruning read, through
+    the same ``datapipe/sketches.py:cms_estimate_keys`` coded path
+    (broadcast grid, no shuffle of the probe side). Downstream exact
+    verification joins the surviving candidates against the base
+    table, exactly as the batch query does."""
+    from etl__project_spark.datapipe.sketches import cms_estimate_keys
+
+    return cms_estimate_keys(keys_df, read_cms_cells(wh), key_col)
+
+
+def stream_cms_cdc(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the turnstile count-min sketch from a JSON-lines key
+    changelog stream — the streaming face of ``ev_heavy_hitters_cdc``'s
+    maintenance. Like the histogram stream the sketch is LINEAR in the
+    changelog (cells are signed sums), so there is no compaction and no
+    state probe: before-images contribute −1 cells, after-images +1,
+    one bounded hash-agg per batch folded into the fixed d×w grid
+    through the exactly-once merged publish. The no-underestimate
+    pruning guarantee survives any prefix of the stream whose net
+    per-key counts are non-negative."""
+    from etl__project_spark.datapipe.sketches import (
+        cms_cells_signed,
+        cms_merge_signed,
+    )
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        retract = batch.filter(
+            F.col("op").isin("U", "D") & F.col("old_key").isNotNull()
+        ).select(F.col("old_key").alias("key"), F.lit(-1).cast("long").alias("sign"))
+        assert_ = batch.filter(F.col("op") != "D").select(
+            "key", F.lit(1).cast("long").alias("sign")
+        )
+        delta = cms_cells_signed(retract.unionByName(assert_), "key")
+
+        def merge(existing: DataFrame, delta_df: DataFrame) -> DataFrame:
+            return cms_merge_signed(existing, delta_df)
+
+        wh.publish_merged(
+            "cms_cells", delta, CMS_CELLS_SCHEMA, str(batch_id), merge
+        )
+
+    changes = spark.readStream.schema(KEY_CDC_SCHEMA).json(landing_dir)
+    writer = changes.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1709,3 +1709,81 @@ def test_streaming_value_histogram_matches_one_shot(spark, tmp_path):
     assert {tuple(r) for r in read_value_quantiles(wh).collect()} == {
         tuple(r) for r in hist_quantiles(want_hist, ["event_type"]).collect()
     }
+
+
+def test_streaming_cms_matches_one_shot_sketch(spark, tmp_path):
+    """Key changelog batches streamed through stream_cms_cdc yield a CMS
+    grid equal to a one-shot sketch of the replayed post state — key
+    remaps move mass via before-images, deletes drain cells, estimates
+    never underestimate, and a restarted stream must not double-apply."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.datapipe.sketches import cms_cells_signed
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_cms_cells,
+        read_cms_estimates,
+        stream_cms_cdc,
+    )
+
+    landing = str(tmp_path / "cms_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "cms_wh")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    # (event_id, key, old_key, op, seq)
+    batches = [
+        [(i, "hot", None, "I", 1) for i in range(6)]
+        + [(100, "cold1", None, "I", 1), (101, "cold2", None, "I", 1)],
+        # remap one hot row to cold2, delete cold1
+        [
+            (0, "cold2", "hot", "U", 2),
+            (100, None, "cold1", "D", 2),
+        ],
+    ]
+
+    def run_batch(i, rows):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for e, k, ok, op, seq in rows:
+                fh.write(
+                    json.dumps(
+                        {"event_id": e, "key": k, "old_key": ok, "op": op,
+                         "seq": seq}
+                    )
+                    + "\n"
+                )
+        q = stream_cms_cdc(spark, landing, wh_root, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run_batch(i, rows)
+    q = stream_cms_cdc(spark, landing, wh_root, ckpt)  # replay: no-op
+    q.awaitTermination(120)
+    q.stop()
+
+    wh = ParquetWarehouse(spark, wh_root)
+    post = {"hot": 5, "cold2": 2}
+    post_rows = spark.createDataFrame(
+        [(k,) for k, n in post.items() for _ in range(n)], "key string"
+    )
+    want = {
+        (r["r"], r["b"]): r["c"]
+        for r in cms_cells_signed(
+            post_rows.withColumn("sign", F.lit(1)), "key"
+        ).collect()
+    }
+    got = {
+        (r["r"], r["b"]): r["c"]
+        for r in read_cms_cells(wh).filter(F.col("c") != 0).collect()
+    }
+    assert got == want
+    est = {
+        r["key"]: r["est_count"]
+        for r in read_cms_estimates(
+            wh, spark.createDataFrame([(k,) for k in post], "key string"), "key"
+        ).collect()
+    }
+    assert all(est[k] >= n for k, n in post.items())

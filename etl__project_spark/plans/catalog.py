@@ -15168,3 +15168,153 @@ def ev_clustering_cdc(spark, sf_dir):
         .cast("long")
         .alias("global_clustering_micro"),
     )
+
+
+@query(
+    "doc_dsir_cdc",
+    r"""WITH post AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' alpha beta alpha'
+              ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 10 <> 7
+),
+toks AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+         unnest(string_split_regex(lower(text), '\s+')) AS word
+  FROM post
+),
+tk AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+  FROM toks
+),
+model AS (
+  SELECT b, count(*)::BIGINT AS c_r,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS c_t
+  FROM tk GROUP BY b
+),
+tot AS (SELECT sum(c_r)::BIGINT AS n_r, sum(c_t)::BIGINT AS n_t FROM model),
+lam AS (
+  SELECT b,
+         floor((ln((c_t + 1)::DOUBLE / (n_t + 1024)::DOUBLE)
+               - ln((c_r + 1)::DOUBLE / (n_r + 1024)::DOUBLE)) * 1000000
+               + 0.5)::BIGINT AS lm
+  FROM model CROSS JOIN tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       floor(sum(lm)::DOUBLE / count(*) / 100.0 + 0.5) / 10000.0
+           AS dsir_logratio
+FROM tk JOIN lam USING (b)
+GROUP BY doc_id""",
+)
+def doc_dsir_cdc(spark, sf_dir):
+    """DSIR importance weights maintained under corpus CDC — targeted
+    data selection whose MODEL tracks the churning corpus: inserting
+    target-like docs shifts the per-bucket log-ratios and re-scores
+    every document, the same global-coupling shape as the
+    corpus-relative quality gate. State is the doc-grain token-bucket
+    POSTINGS (doc_id, is_t, bucket, tf) as signed counts — the
+    ``doc_bm25_cdc`` discipline: only DELTA docs tokenize (old images
+    retract via the doc base state, post-images assert), history is
+    never re-split. Both hashed-unigram models and the per-doc scores
+    DERIVE at read time from that already-tokenized state: the model is
+    one bounded hash-agg to 1024 rows broadcast back onto the postings
+    — the read rescans the index, never the corpus (the trade
+    ``read_text_index`` documents). Integer micro-unit log-ratios keep
+    per-doc sums exact BIGINT arithmetic, so the oracle (the
+    ``doc_dsir_weights`` SQL over the post-CDC corpus) hash-matches.
+
+    CDC script: docs %10==4 arrive late, %10==3 get ' alpha beta
+    alpha' appended (injects mass into specific buckets on BOTH model
+    sides when the doc is a target doc), %10==7 deleted."""
+    from etl__project_spark.operators.ivm import cdc_to_signed_delta, consolidate
+
+    n_buckets = 1024
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    m10 = F.col("doc_id") % 10
+    initial = docs.filter(m10 != 4)
+    batch1 = (
+        docs.filter(m10 == 3)
+        .withColumn("text", F.concat("text", F.lit(" alpha beta alpha")))
+        .withColumn("op", F.lit("U"))
+        .unionByName(docs.filter(m10 == 4).withColumn("op", F.lit("I")))
+    )
+    batch2 = docs.filter(m10 == 7).withColumn("op", F.lit("D"))
+
+    def tok_signed(rows):
+        return (
+            rows.select(
+                "doc_id",
+                F.col("source").isin("src0", "src1").alias("is_t"),
+                F.col("sign"),
+                F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+            )
+            .select(
+                "doc_id",
+                "is_t",
+                "sign",
+                (
+                    F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+                    .cast("long")
+                    % n_buckets
+                ).alias("b"),
+            )
+            .groupBy("doc_id", "is_t", "b")
+            .agg(F.sum("sign").cast("long").alias("tf"))
+        )
+
+    state = initial.select("*", F.lit(1).cast("long").alias("sign"))
+    postings = tok_signed(state)
+    for batch in (batch1, batch2):
+        delta = cdc_to_signed_delta(state, batch, ["doc_id"])
+        postings = (
+            postings.unionByName(tok_signed(delta))
+            .groupBy("doc_id", "is_t", "b")
+            .agg(F.sum("tf").cast("long").alias("tf"))
+            .filter(F.col("tf") != 0)
+        )
+        state = consolidate(state.unionByName(delta))
+    postings = postings.localCheckpoint(eager=True)
+    model = postings.groupBy("b").agg(
+        F.sum("tf").cast("long").alias("c_r"),
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+    )
+    tot = model.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    lm = F.floor(
+        (
+            F.log(
+                (F.col("c_t") + 1).cast("double")
+                / (F.col("n_t") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("c_r") + 1).cast("double")
+                / (F.col("n_r") + n_buckets).cast("double")
+            )
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    lam = model.crossJoin(F.broadcast(tot)).select("b", lm.alias("lm"))
+    return (
+        postings.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(F.col("tf") * F.col("lm")).cast("double")
+                    / F.sum("tf")
+                    / F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("dsir_logratio"),
+        )
+    )

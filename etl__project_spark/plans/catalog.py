@@ -15318,3 +15318,109 @@ def doc_dsir_cdc(spark, sf_dir):
             ).alias("dsir_logratio"),
         )
     )
+
+
+@query(
+    "ev_join_size_cdc",
+    """WITH rows4 AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+post AS (
+  SELECT CASE WHEN event_id % 10 = 3 THEN user_id + 1000000
+              ELSE user_id END AS user_id,
+         event_type
+  FROM events WHERE event_id % 10 <> 7
+),
+a AS (SELECT user_id::VARCHAR AS uid FROM post WHERE event_type = 'click'),
+b AS (SELECT user_id::VARCHAR AS uid FROM post WHERE event_type = 'purchase'),
+sa AS (
+  SELECT r, ('0x' || substr(md5(uid || 'cms' || r), 1, 15))::BIGINT % 256 AS bk,
+         count(*)::BIGINT AS c
+  FROM a CROSS JOIN rows4 GROUP BY r, bk
+),
+sb AS (
+  SELECT r, ('0x' || substr(md5(uid || 'cms' || r), 1, 15))::BIGINT % 256 AS bk,
+         count(*)::BIGINT AS c
+  FROM b CROSS JOIN rows4 GROUP BY r, bk
+),
+ip AS (
+  SELECT sa.r, sum(sa.c * sb.c)::BIGINT AS ip
+  FROM sa JOIN sb ON sa.r = sb.r AND sa.bk = sb.bk GROUP BY sa.r
+),
+est AS (SELECT min(ip)::BIGINT AS est_size FROM ip),
+exact AS (
+  SELECT sum(ca.na * cb.nb)::BIGINT AS exact_size
+  FROM (SELECT user_id, count(*)::BIGINT AS na FROM post
+        WHERE event_type = 'click' GROUP BY user_id) ca
+  JOIN (SELECT user_id, count(*)::BIGINT AS nb FROM post
+        WHERE event_type = 'purchase' GROUP BY user_id) cb USING (user_id)
+)
+SELECT exact_size, est_size, est_size >= exact_size AS no_underestimate
+FROM exact CROSS JOIN est""",
+)
+def ev_join_size_cdc(spark, sf_dir):
+    """Join-cardinality estimation whose sketches are MAINTAINED under
+    CDC — the CBO statistic kept current instead of recomputed:
+    ``ev_join_size_est`` builds both count-min sketches from scratch;
+    here each side's 4×256 grid absorbs the signed churn through the
+    turnstile algebra (``cms_cells_signed``/``cms_merge_signed``, the
+    ``ev_heavy_hitters_cdc`` machinery — a key remap moves mass between
+    cells via its two opposite-signed images, a delete drains them),
+    and the estimate derives at read as the min-over-rows inner product
+    of two KB-sized broadcast grids. With non-negative net counts on
+    both sides every cell is exact-plus-collisions, so the inner
+    product never underestimates |A ⋈ B| — the optimizer's safe upper
+    bound stays safe under churn, pinned by the emitted
+    ``no_underestimate`` column and the exact post-CDC size in the
+    oracle. Per batch: one bounded hash-agg per side; the read touches
+    2·d·w cells, independent of corpus size.
+
+    CDC script: the house churn on the join key itself (events %10==3
+    re-attributed to user_id+1000000 on BOTH sides, %10==7 deleted)."""
+    from etl__project_spark.datapipe.sketches import (
+        cms_cells_signed,
+        cms_merge_signed,
+    )
+
+    w = 256
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    m10 = F.col("event_id") % 10
+    remapped = F.col("user_id") + F.lit(1000000)
+
+    def side(etype):
+        src = ev.filter(F.col("event_type") == etype)
+        cells = cms_cells_signed(
+            src.withColumn("sign", F.lit(1)), "user_id", width=w
+        )
+        upd = src.filter(m10 == 3)
+        delta1 = upd.withColumn("sign", F.lit(-1)).unionByName(
+            upd.withColumn("user_id", remapped).withColumn("sign", F.lit(1))
+        )
+        delta2 = src.filter(m10 == 7).withColumn("sign", F.lit(-1))
+        for d in (delta1, delta2):
+            cells = cms_merge_signed(cells, cms_cells_signed(d, "user_id", width=w))
+        post = src.filter(m10 != 7).withColumn(
+            "user_id", F.when(m10 == 3, remapped).otherwise(F.col("user_id"))
+        )
+        return cells, post
+
+    cells_a, post_a = side("click")
+    cells_b, post_b = side("purchase")
+    ip = (
+        cells_a.join(
+            cells_b.select("r", "b", F.col("c").alias("cb")), ["r", "b"]
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("cb")).cast("long").alias("ip"))
+    )
+    est = ip.agg(F.min("ip").cast("long").alias("est_size"))
+    ca = post_a.groupBy("user_id").agg(F.count(F.lit(1)).alias("na"))
+    cb = post_b.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb"))
+    exact = ca.join(cb, "user_id").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_size")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "est_size",
+        (F.col("est_size") >= F.col("exact_size")).alias("no_underestimate"),
+    )

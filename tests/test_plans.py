@@ -373,6 +373,7 @@ SINGLE_PARTITION_CENSUS = {
     "ev_triangles_cdc": 2,  # the final 1-row count agg + 1-row n_edges finalize; the trilinear terms stay vertex-partitioned (per-batch term finalizes land behind checkpoints)
     "ev_clustering_cdc": 3,  # triangle + n_edges finalizes plus the 1-row wedge sum over the O(V) degree state
     "doc_dsir_cdc": 1,  # the model-totals (n_r, n_t) 1-row agg finalize (doc_dsir_weights's class); postings/model/scores stay key-partitioned
+    "ev_join_size_cdc": 2,  # est-min + exact-size 1-row agg finalizes (ev_join_size_est's class); the maintained grids stay cell-keyed
     # vs_warehouse_load is excluded: calling it executes the load (side
     # effects); its dim paths are exactly vs_fact's, pinned above.
 }

@@ -151,11 +151,22 @@ def test_green_ledger_is_fresh_and_rotation_holds():
     from tools.green_ledger import build_ledger, stale_queries
 
     repo = pathlib.Path(__file__).resolve().parents[1]
-    rebuilt = build_ledger(str(repo), list(QUERIES))
     committed = json.loads(repo.joinpath("GREEN_LEDGER.json").read_text())
-    assert committed == rebuilt, (
+    # Compare against a rebuild capped at the committed ledger's own
+    # max_round: the driver drops CORRECTNESS_r{N}.json after the builder's
+    # final round-N commit, so at every round start the work tree holds one
+    # correctness file newer than anything the committed ledger could have
+    # seen (VERDICT r8 #2). Capping makes the comparison race-free while
+    # still catching a ledger that is stale vs the files it *did* see.
+    rebuilt_at_commit = build_ledger(
+        str(repo), list(QUERIES), max_round_cap=committed.get("max_round")
+    )
+    assert committed == rebuilt_at_commit, (
         "GREEN_LEDGER.json is stale — regenerate with tools/green_ledger.py"
     )
+    # The rotation gate runs on the FULL rebuild (including any untracked
+    # round-start correctness file) — staleness must reflect all evidence.
+    rebuilt = build_ledger(str(repo), list(QUERIES))
     stale = stale_queries(rebuilt)
     assert not stale, (
         f"driver-green rotation violated (age > {rebuilt['rotation_period']} "
@@ -169,8 +180,14 @@ def test_priority_window_head_is_live():
     typo'd priority entry silently wastes a driver slot."""
     from etl__project_spark.plans import QUERIES
 
-    unknown = [q for q in entrymod._PRIORITY_R8 if q not in QUERIES]
-    assert not unknown, f"_PRIORITY_R8 names not in catalog: {unknown}"
+    priority_attrs = sorted(
+        (name for name in vars(entrymod) if name.startswith("_PRIORITY_R")),
+        key=lambda n: int(n.rsplit("R", 1)[1]),
+    )
+    assert priority_attrs, "no _PRIORITY_R{N} window defined in __spark_entry__"
+    window = getattr(entrymod, priority_attrs[-1])
+    unknown = [q for q in window if q not in QUERIES]
+    assert not unknown, f"{priority_attrs[-1]} names not in catalog: {unknown}"
 
 
 def test_plans_census_query_list_is_fresh():

@@ -41,7 +41,16 @@ def is_green(res: object) -> bool:
     return res.get("hash_match") in (True, None)
 
 
-def build_ledger(repo: str, catalog: list[str]) -> dict:
+def build_ledger(repo: str, catalog: list[str], max_round_cap: int | None = None) -> dict:
+    """Merge CORRECTNESS_r*.json files into the ledger.
+
+    ``max_round_cap`` rebuilds the ledger as of a past round (rounds > cap
+    are ignored). The freshness gate uses this to compare the committed
+    artifact against a rebuild *at its own max_round*: the driver drops
+    CORRECTNESS_r{N}.json into the work tree AFTER the builder's final
+    round-N commit, so an uncapped rebuild is one round ahead of the
+    committed ledger at every round start by construction (VERDICT r8 #2).
+    """
     last_green: dict[str, int] = {}
     checked: dict[str, list[int]] = {}
     max_round = 0
@@ -50,6 +59,8 @@ def build_ledger(repo: str, catalog: list[str]) -> dict:
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round_cap is not None and rnd > max_round_cap:
+            continue
         max_round = max(max_round, rnd)
         with open(path) as fh:
             data = json.load(fh)

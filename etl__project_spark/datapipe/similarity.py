@@ -877,6 +877,32 @@ def maintain_ivf_cells_cdc(
     return state, cells
 
 
+def _assign_images_signed(
+    delta: DataFrame,
+    seeds: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`assign_cells` for a signed delta: nearest-centroid per
+    (id, sign) image, the signed multiplicity carried through untouched.
+    Ranking per (id, sign) keeps an update's old (−) and new (+) images in
+    separate row_number partitions; a consolidated delta has at most one
+    row per (id, sign), so the partition key is unique. Returns
+    (cand_vec, centroid_id, sign) ready for :func:`signed_centroid_stats`."""
+    from pyspark.sql import Window
+
+    sim = F.round(cosine_components(F.col(vec_col), F.col("cv")), 4)
+    scored = delta.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col), F.col(vec_col), F.col("sign"), F.col("centroid_id"), sim.alias("s")
+    )
+    w = Window.partitionBy(id_col, "sign").orderBy(F.desc("s"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(vec_col).alias("cand_vec"), "centroid_id", "sign")
+    )
+
+
 def signed_centroid_stats(
     assigned: DataFrame, sign_col: str = "sign"
 ) -> DataFrame:
@@ -968,18 +994,16 @@ def maintain_centroid_stats_cdc(
         )
         if checkpoint:
             delta = delta.localCheckpoint(eager=True)
-        # assign each image separately (an updated id carries TWO images
-        # with opposite signs — assign_cells ranks per id, so images of
-        # one id must not meet inside one assignment pass)
-        parts = []
-        for s in (1, -1):
-            img = delta.filter(F.col("sign") == s).select(id_col, vec_col)
-            parts.append(
-                assign_cells(img, seeds, vec_col, id_col).select(
-                    "*", F.lit(s).cast("long").alias("sign")
-                )
-            )
-        dstats = signed_centroid_stats(parts[0].unionByName(parts[1]))
+        # assign both images in ONE pass, ranking per (id, sign): an
+        # updated id carries TWO images with opposite signs that must not
+        # meet inside one row_number partition, and the ACTUAL signed
+        # multiplicity rides through to the stats fold —
+        # signed_centroid_stats weighs by it, so |sign| >= 2 rows (legal
+        # when consolidate nets identical rows) contribute full mass
+        # instead of being dropped by an == 1/-1 split (ADVICE r8).
+        dstats = signed_centroid_stats(
+            _assign_images_signed(delta, seeds, vec_col, id_col)
+        )
         stats = merge_centroid_stats(stats, dstats)
         state = consolidate(state.unionByName(delta))
         if checkpoint:

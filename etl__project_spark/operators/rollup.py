@@ -377,10 +377,14 @@ def partial_hist_signed(
     cents = (
         F.round(F.col(value_col), 2).cast("decimal(18,2)") * 100
     ).cast("long")
-    b = (
-        (cents - F.pmod(cents, F.lit(bucket_cents))) / F.lit(bucket_cents)
+    # Integer `div` end-to-end: (cents - pmod) is exactly divisible by the
+    # width, and BIGINT division stays bit-deterministic beyond 2^53 where a
+    # double quotient would silently round (module contract; ADVICE r8).
+    staged = df.select(*keys, cents.alias("__cents"), F.col(sign_col).alias(sign_col))
+    b = F.expr(
+        f"(__cents - pmod(__cents, {int(bucket_cents)}L)) div {int(bucket_cents)}L"
     ).cast("long")
-    return df.groupBy(*keys, b.alias("bucket")).agg(
+    return staged.groupBy(*keys, b.alias("bucket")).agg(
         F.sum(sign_col).cast("long").alias("n")
     )
 
@@ -461,10 +465,14 @@ def exact_quantile_2pass(
     cents = (
         F.round(F.col(value_col), 2).cast("decimal(18,2)") * 100
     ).cast("long")
-    b = (
-        (cents - F.pmod(cents, F.lit(bucket_cents))) / F.lit(bucket_cents)
-    ).cast("long")
-    rows = df.select(*keys, cents.alias("cents"), b.alias("bucket"))
+    # BIGINT `div`, not a double quotient — bit-deterministic past 2^53
+    # (module contract; ADVICE r8).
+    rows = df.select(*keys, cents.alias("cents")).withColumn(
+        "bucket",
+        F.expr(
+            f"(cents - pmod(cents, {int(bucket_cents)}L)) div {int(bucket_cents)}L"
+        ).cast("long"),
+    )
     hist = rows.groupBy(*keys, "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )

@@ -14810,7 +14810,7 @@ def doc_quality_gate_cdc(spark, sf_dir):
 @query(
     "ev_hll_sliding_window",
     """WITH h AS (
-  SELECT dayofmonth(ts)::BIGINT AS day,
+  SELECT ts::DATE AS day,
          ('0x' || substr(md5(user_id::VARCHAR || 'hll'), 1, 15))::BIGINT AS h
   FROM events
 ),
@@ -14822,7 +14822,7 @@ day_regs AS (
 ),
 win AS (
   SELECT reg, max(rho) AS rho FROM day_regs
-  WHERE day BETWEEN 20 AND 26 GROUP BY reg
+  WHERE day BETWEEN DATE '2024-01-20' AND DATE '2024-01-26' GROUP BY reg
 ),
 spine AS (SELECT range AS reg FROM range(64)),
 sk AS (SELECT s.reg, coalesce(w.rho, 0) AS m FROM spine s LEFT JOIN win w USING (reg)),
@@ -14834,7 +14834,7 @@ agg AS (
 ex AS (
   SELECT count(*)::BIGINT AS n_events,
          count(DISTINCT user_id)::BIGINT AS exact_distinct
-  FROM events WHERE dayofmonth(ts) BETWEEN 20 AND 26
+  FROM events WHERE ts::DATE BETWEEN DATE '2024-01-20' AND DATE '2024-01-26'
 ),
 est AS (
   SELECT *,
@@ -14868,12 +14868,15 @@ def ev_hll_sliding_window(spark, sf_dir):
 
     m = 64
     ev = load_table(spark, sf_dir, "events")
-    # the maintained slice table: one sketch per ingest day
+    # the maintained slice table: one sketch per ingest day, keyed by the
+    # FULL date (not dayofmonth) so slices from day N of different months
+    # never merge — the pattern is multi-month-correct as documented
+    # (ADVICE r8).
     day_regs = hll_registers_keyed(
-        ev.withColumn("day", F.dayofmonth("ts")), "day", "user_id", m=m
+        ev.withColumn("day", F.to_date("ts")), "day", "user_id", m=m
     )
     win = (
-        day_regs.filter(F.col("day").between(20, 26))
+        day_regs.filter(F.col("day").between("2024-01-20", "2024-01-26"))
         .groupBy("reg")
         .agg(F.max("rho").alias("rho"))
     )
@@ -14887,7 +14890,7 @@ def ev_hll_sliding_window(spark, sf_dir):
             "v_zero"
         ),
     )
-    ex = ev.filter(F.dayofmonth("ts").between(20, 26)).agg(
+    ex = ev.filter(F.to_date("ts").between("2024-01-20", "2024-01-26")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("exact_distinct"),
     )

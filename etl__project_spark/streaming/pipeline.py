@@ -1870,6 +1870,24 @@ VALUE_CDC_SCHEMA = T.StructType(
 )
 
 
+def _require_before_images(batch: DataFrame, before_col: str, state: str) -> None:
+    """Fail a changelog batch that carries U/D rows with a null before-image.
+
+    The sketch states these folds maintain (histogram buckets, CMS cells)
+    are lossy: a retraction that cannot be derived now can never be derived
+    later, so a malformed producer row would silently diverge the state
+    forever. Loud failure at the offending batch is the only recoverable
+    posture (ADVICE r8). One driver-side count on the (persisted) batch."""
+    bad = batch.filter(
+        F.col("op").isin("U", "D") & F.col(before_col).isNull()
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{state}: {bad} U/D changelog row(s) with null {before_col} — "
+            "cannot derive retractions; refusing to fold a lossy batch"
+        )
+
+
 def read_value_histogram(wh: ParquetWarehouse) -> DataFrame:
     """The maintained per-(event_type, bucket) signed count table."""
     return wh.read("value_hist", VALUE_HIST_SCHEMA)
@@ -1917,26 +1935,33 @@ def stream_value_histogram_cdc(
     wh = ParquetWarehouse(spark, warehouse_root)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        retract = batch.filter(
-            F.col("op").isin("U", "D") & F.col("old_value").isNotNull()
-        ).select(
-            "event_type",
-            F.col("old_value").alias("value"),
-            F.lit(-1).cast("long").alias("sign"),
-        )
-        assert_ = batch.filter(F.col("op") != "D").select(
-            "event_type", "value", F.lit(1).cast("long").alias("sign")
-        )
-        delta = partial_hist_signed(
-            retract.unionByName(assert_), ["event_type"]
-        )
+        batch = batch.persist()
+        try:
+            # The histogram is lossy state: a U/D row with a null
+            # before-image cannot be retracted later and the divergence is
+            # permanent, so fail the batch loudly rather than skip it
+            # (ADVICE r8 — silent drop made the state unhealable).
+            _require_before_images(batch, "old_value", "value_hist")
+            retract = batch.filter(F.col("op").isin("U", "D")).select(
+                "event_type",
+                F.col("old_value").alias("value"),
+                F.lit(-1).cast("long").alias("sign"),
+            )
+            assert_ = batch.filter(F.col("op") != "D").select(
+                "event_type", "value", F.lit(1).cast("long").alias("sign")
+            )
+            delta = partial_hist_signed(
+                retract.unionByName(assert_), ["event_type"]
+            )
 
-        def merge(existing: DataFrame, delta_df: DataFrame) -> DataFrame:
-            return merge_hist_signed(existing, delta_df, ["event_type"])
+            def merge(existing: DataFrame, delta_df: DataFrame) -> DataFrame:
+                return merge_hist_signed(existing, delta_df, ["event_type"])
 
-        wh.publish_merged(
-            "value_hist", delta, VALUE_HIST_SCHEMA, str(batch_id), merge
-        )
+            wh.publish_merged(
+                "value_hist", delta, VALUE_HIST_SCHEMA, str(batch_id), merge
+            )
+        finally:
+            batch.unpersist()
 
     changes = spark.readStream.schema(VALUE_CDC_SCHEMA).json(landing_dir)
     writer = changes.writeStream.foreachBatch(_apply).option(
@@ -2011,20 +2036,28 @@ def stream_cms_cdc(
     wh = ParquetWarehouse(spark, warehouse_root)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        retract = batch.filter(
-            F.col("op").isin("U", "D") & F.col("old_key").isNotNull()
-        ).select(F.col("old_key").alias("key"), F.lit(-1).cast("long").alias("sign"))
-        assert_ = batch.filter(F.col("op") != "D").select(
-            "key", F.lit(1).cast("long").alias("sign")
-        )
-        delta = cms_cells_signed(retract.unionByName(assert_), "key")
+        batch = batch.persist()
+        try:
+            # Same loud-failure posture as the histogram stream: the grid
+            # cannot self-heal a missed retraction (ADVICE r8).
+            _require_before_images(batch, "old_key", "cms_cells")
+            retract = batch.filter(F.col("op").isin("U", "D")).select(
+                F.col("old_key").alias("key"),
+                F.lit(-1).cast("long").alias("sign"),
+            )
+            assert_ = batch.filter(F.col("op") != "D").select(
+                "key", F.lit(1).cast("long").alias("sign")
+            )
+            delta = cms_cells_signed(retract.unionByName(assert_), "key")
 
-        def merge(existing: DataFrame, delta_df: DataFrame) -> DataFrame:
-            return cms_merge_signed(existing, delta_df)
+            def merge(existing: DataFrame, delta_df: DataFrame) -> DataFrame:
+                return cms_merge_signed(existing, delta_df)
 
-        wh.publish_merged(
-            "cms_cells", delta, CMS_CELLS_SCHEMA, str(batch_id), merge
-        )
+            wh.publish_merged(
+                "cms_cells", delta, CMS_CELLS_SCHEMA, str(batch_id), merge
+            )
+        finally:
+            batch.unpersist()
 
     changes = spark.readStream.schema(KEY_CDC_SCHEMA).json(landing_dir)
     writer = changes.writeStream.foreachBatch(_apply).option(

@@ -1787,3 +1787,50 @@ def test_streaming_cms_matches_one_shot_sketch(spark, tmp_path):
         ).collect()
     }
     assert all(est[k] >= n for k, n in post.items())
+
+
+def test_lossy_fold_fails_loudly_on_null_before_image(spark, tmp_path):
+    """A U/D changelog row with a null before-image must FAIL the batch,
+    not be silently skipped (ADVICE r8): histogram buckets and CMS cells
+    are lossy state, so a skipped retraction diverges the sketch forever.
+    The foreachBatch fold raises, the streaming query surfaces the error,
+    and the batch-id ledger records nothing — a corrected replay of the
+    same file then applies cleanly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_value_histogram,
+        stream_value_histogram_cdc,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    landing = str(tmp_path / "bad_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "bad_wh")
+    ckpt = str(tmp_path / "bad_ckpt")
+
+    with open(os.path.join(landing, "b0.jsonl"), "w") as fh:
+        for row in [
+            {"event_id": 1, "event_type": "a", "value": 5.0,
+             "old_value": None, "op": "I", "seq": 1},
+            # malformed: update with no before-image
+            {"event_id": 1, "event_type": "a", "value": 9.0,
+             "old_value": None, "op": "U", "seq": 2},
+        ]:
+            fh.write(json.dumps(row) + "\n")
+
+    q = stream_value_histogram_cdc(spark, landing, wh_root, ckpt)
+    try:
+        q.awaitTermination(120)
+        raised = None
+    except StreamingQueryException as exc:
+        raised = str(exc)
+    finally:
+        q.stop()
+    assert raised is not None and "null old_value" in raised
+    # nothing folded: the failed batch left no state behind
+    wh = ParquetWarehouse(spark, wh_root)
+    assert read_value_histogram(wh).count() == 0

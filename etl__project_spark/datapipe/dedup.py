@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl__project_spark.session import state_checkpoint
+
 # Universal-hash family for MinHash: h_j(x) = (a_j x + b_j) mod p over the
 # Mersenne prime p = 2^31 - 1. Coefficients are fixed (Weyl-sequence
 # derived, forced odd/nonzero) so signatures are reproducible across
@@ -867,8 +869,8 @@ def maintain_lsh_pairs_cdc(
         .filter(F.col("n") != 0)
     )
     if checkpoint:
-        bands = bands.localCheckpoint(eager=True)
-        pair_counts = pair_counts.localCheckpoint(eager=True)
+        bands = state_checkpoint(bands, table_sized=True)
+        pair_counts = state_checkpoint(pair_counts, table_sized=True)
     for batch in cdc_batches:
         touched = batch.select(id_col).distinct()
         retract = bands.join(touched, [id_col]).select(
@@ -882,7 +884,7 @@ def maintain_lsh_pairs_cdc(
         ).select("*", sign1)
         delta_b = retract.unionByName(assert_b)
         if checkpoint:
-            delta_b = delta_b.localCheckpoint(eager=True)
+            delta_b = state_checkpoint(delta_b, table_sized=False)
         d_counts = lsh_pair_count_delta(bands, delta_b, id_col)
         pair_counts = (
             pair_counts.unionByName(d_counts)
@@ -892,8 +894,8 @@ def maintain_lsh_pairs_cdc(
         )
         bands = consolidate(bands.unionByName(delta_b))
         if checkpoint:
-            bands = bands.localCheckpoint(eager=True)
-            pair_counts = pair_counts.localCheckpoint(eager=True)
+            bands = state_checkpoint(bands, table_sized=True)
+            pair_counts = state_checkpoint(pair_counts, table_sized=True)
     return pair_counts.filter(F.col("n") > 0).select("id_a", "id_b")
 
 

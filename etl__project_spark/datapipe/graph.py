@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl__project_spark.session import state_checkpoint
+
 
 def word_cooccur_edges(
     docs: DataFrame, text_col: str = "text", checkpoint: bool = True
@@ -50,7 +52,7 @@ def word_cooccur_edges(
         .union(pairs.select(F.col("w_b").alias("src"), F.col("w_a").alias("dst")))
         .distinct()
     )
-    return edges.localCheckpoint() if checkpoint else edges
+    return state_checkpoint(edges, table_sized=False) if checkpoint else edges
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -87,8 +89,8 @@ def _pagerank_rounds(edges, deg, scores, restart_of, n_iter):
                     + F.floor(F.lit(0.85) * F.col("m").cast("double"))
                 ).alias("s"),
             )
-            .localCheckpoint()
         )
+        scores = state_checkpoint(scores, table_sized=False)
     return scores
 
 
@@ -105,8 +107,8 @@ def textrank(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     ``localCheckpoint`` lineage truncation (loop shared with
     :func:`personalized_pagerank` via ``_pagerank_rounds``).
     """
-    edges = edges.localCheckpoint()
-    deg = degrees(edges).localCheckpoint()
+    edges = state_checkpoint(edges, table_sized=False)
+    deg = state_checkpoint(degrees(edges), table_sized=False)
     scores = deg.select(
         F.col("src").alias("word"), F.lit(1000000).cast("long").alias("s")
     )
@@ -125,7 +127,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     wedge self-join fans out by out-degree — O(sqrt(m))-bounded for any
     graph, the classic distributed triangle-count trick (Cohen 2009;
     Suri & Vassilvitskii WWW'11)."""
-    edges = edges.localCheckpoint()
+    edges = state_checkpoint(edges, table_sized=False)
     deg = degrees(edges)
     da = deg.select(F.col("src").alias("a_key"), F.col("d").alias("da"))
     db = deg.select(F.col("src").alias("b_key"), F.col("d").alias("db"))
@@ -137,8 +139,8 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             | ((F.col("da") == F.col("db")) & (F.col("src") < F.col("dst")))
         )
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .localCheckpoint()
     )
+    oriented = state_checkpoint(oriented, table_sized=False)
     e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges2 = oriented.join(e2, "b").select("a", "b", "c")
     closing = oriented.select(F.col("a"), F.col("b").alias("c"))
@@ -183,8 +185,8 @@ def kcore_hindex(edges: DataFrame, n_iter: int = 6) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    edges = edges.localCheckpoint()
-    deg = degrees(edges).localCheckpoint()
+    edges = state_checkpoint(edges, table_sized=False)
+    deg = state_checkpoint(degrees(edges), table_sized=False)
     vals = deg.select(F.col("src").alias("word"), F.col("d").alias("c"))
     for _ in range(n_iter):
         nb = edges.join(F.broadcast(vals), edges["src"] == vals["word"]).select(
@@ -197,8 +199,8 @@ def kcore_hindex(edges: DataFrame, n_iter: int = 6) -> DataFrame:
             .groupBy("dst")
             .agg(F.max(F.least(F.col("rn").cast("long"), F.col("c"))).alias("h"))
             .select(F.col("dst").alias("word"), F.col("h").alias("c"))
-            .localCheckpoint()
         )
+        vals = state_checkpoint(vals, table_sized=False)
     return vals.join(F.broadcast(deg), vals["word"] == deg["src"]).select(
         "word", F.col("c").alias("coreness_est"), F.col("d").alias("degree")
     )
@@ -221,8 +223,8 @@ def personalized_pagerank(
     only exist for nodes with a contributing neighbor, matching the
     SQL-oracle aggregation semantics. Returns (word, ppr_micro, degree)
     for reached nodes INCLUDING the seed (callers usually drop it)."""
-    edges = edges.localCheckpoint()
-    deg = degrees(edges).localCheckpoint()
+    edges = state_checkpoint(edges, table_sized=False)
+    deg = state_checkpoint(degrees(edges), table_sized=False)
     scores = deg.select(
         F.col("src").alias("word"),
         F.when(F.col("src") == seed, F.lit(1000000))
@@ -389,14 +391,14 @@ def maintain_triangles_cdc(
         )
     ]
     if checkpoint:
-        adj = adj.localCheckpoint(eager=True, storageLevel=disk)
-        counts[0] = counts[0].localCheckpoint(eager=True)
+        adj = state_checkpoint(adj, table_sized=True)
+        counts[0] = state_checkpoint(counts[0], table_sized=False)
     for batch in liveness_batches:
         if checkpoint:
-            batch = batch.localCheckpoint(eager=True)
+            batch = state_checkpoint(batch, table_sized=False)
         d = triangle_delta_signed(adj, batch)
         if checkpoint:
-            d = d.localCheckpoint(eager=True)
+            d = state_checkpoint(d, table_sized=False)
         counts.append(d)
         adj = (
             adj.select("*", F.lit(1).cast("long").alias("sign"))
@@ -407,7 +409,7 @@ def maintain_triangles_cdc(
             .select("u", "v")
         )
         if checkpoint:
-            adj = adj.localCheckpoint(eager=True, storageLevel=disk)
+            adj = state_checkpoint(adj, table_sized=True)
     total = counts[0]
     for c in counts[1:]:
         total = total.unionByName(c)
@@ -444,7 +446,7 @@ def maintain_degrees_cdc(
         .agg(F.sum("ds").cast("long").alias("d"))
     )
     if checkpoint:
-        deg = deg.localCheckpoint(eager=True)
+        deg = state_checkpoint(deg, table_sized=True)
     for batch in liveness_batches:
         deg = (
             deg.select("vertex", F.col("d").alias("ds"))
@@ -454,5 +456,5 @@ def maintain_degrees_cdc(
             .filter(F.col("d") != 0)
         )
         if checkpoint:
-            deg = deg.localCheckpoint(eager=True)
+            deg = state_checkpoint(deg, table_sized=True)
     return deg

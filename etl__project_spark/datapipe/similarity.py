@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl__project_spark.session import state_checkpoint
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -431,15 +433,14 @@ def pq_codebooks(
                 ).alias("val")
             )
         )
-        cents = (
-            cells.groupBy("s", "cw_id")
-            .agg(
+        cents = state_checkpoint(
+            cells.groupBy("s", "cw_id").agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("dim", "val"))),
                     lambda t: t.val,
                 ).alias("c")
-            )
-            .localCheckpoint(eager=True)
+            ),
+            table_sized=False,
         )
     return cents
 
@@ -676,8 +677,8 @@ def kmeans_iterate(
                     / F.lit(10000.0)
                 ).alias("centroid_val")
             )
-            .localCheckpoint(eager=True)
         )
+        newc = state_checkpoint(newc, table_sized=False)
         centroids = newc.groupBy("centroid_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "centroid_val"))),
@@ -843,20 +844,20 @@ def maintain_ivf_cells_cdc(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
     )
     if checkpoint:
-        seeds = seeds.localCheckpoint(eager=True)
+        seeds = state_checkpoint(seeds, table_sized=False)
     sign1 = F.lit(1).cast("long").alias("sign")
     state = initial.select(id_col, vec_col).select("*", sign1)
     cells = assign_cells(initial, seeds, vec_col, id_col).select("*", sign1)
     if checkpoint:
-        state = state.localCheckpoint(eager=True)
-        cells = cells.localCheckpoint(eager=True)
+        state = state_checkpoint(state, table_sized=True)
+        cells = state_checkpoint(cells, table_sized=True)
     for batch in cdc_batches:
         delta = cdc_to_signed_delta(
             state, batch.select(id_col, vec_col, op_col),
             [id_col], op_col=op_col, delete_op=delete_op,
         )
         if checkpoint:
-            delta = delta.localCheckpoint(eager=True)
+            delta = state_checkpoint(delta, table_sized=False)
         touched = batch.select(F.col(id_col).alias("cand_id")).distinct()
         retract = cells.join(touched, ["cand_id"]).select(
             "cand_id", "cand_vec", "centroid_id", (-F.col("sign")).alias("sign")
@@ -872,8 +873,8 @@ def maintain_ivf_cells_cdc(
         )
         state = consolidate(state.unionByName(delta))
         if checkpoint:
-            cells = cells.localCheckpoint(eager=True)
-            state = state.localCheckpoint(eager=True)
+            cells = state_checkpoint(cells, table_sized=True)
+            state = state_checkpoint(state, table_sized=True)
     return state, cells
 
 
@@ -979,21 +980,21 @@ def maintain_centroid_stats_cdc(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
     )
     if checkpoint:
-        seeds = seeds.localCheckpoint(eager=True)
+        seeds = state_checkpoint(seeds, table_sized=False)
     sign1 = F.lit(1).cast("long").alias("sign")
     state = initial.select(id_col, vec_col).select("*", sign1)
     stats = signed_centroid_stats(
         assign_cells(initial, seeds, vec_col, id_col).select("*", sign1)
     )
     if checkpoint:
-        state = state.localCheckpoint(eager=True)
-        stats = stats.localCheckpoint(eager=True)
+        state = state_checkpoint(state, table_sized=True)
+        stats = state_checkpoint(stats, table_sized=False)
     for batch in cdc_batches:
         delta = cdc_to_signed_delta(
             state, batch, [id_col], op_col=op_col, delete_op=delete_op
         )
         if checkpoint:
-            delta = delta.localCheckpoint(eager=True)
+            delta = state_checkpoint(delta, table_sized=False)
         # assign both images in ONE pass, ranking per (id, sign): an
         # updated id carries TWO images with opposite signs that must not
         # meet inside one row_number partition, and the ACTUAL signed
@@ -1007,6 +1008,6 @@ def maintain_centroid_stats_cdc(
         stats = merge_centroid_stats(stats, dstats)
         state = consolidate(state.unionByName(delta))
         if checkpoint:
-            state = state.localCheckpoint(eager=True)
-            stats = stats.localCheckpoint(eager=True)
+            state = state_checkpoint(state, table_sized=True)
+            stats = state_checkpoint(stats, table_sized=False)
     return stats

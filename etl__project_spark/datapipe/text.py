@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl__project_spark.session import state_checkpoint
+
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
 # Deliberately small and SQL-portable (the oracle uses the same lists).
 STOPWORDS = {
@@ -426,8 +428,8 @@ def _bpe_train(df: DataFrame, n_rounds: int, text_col: str = "text"):
             ).alias("syms"),
             "freq",
         )
-        .localCheckpoint(eager=True)
     )
+    words = state_checkpoint(words, table_sized=False)
     bests = []
     for _ in range(n_rounds):
         pairs = words.select(
@@ -443,18 +445,18 @@ def _bpe_train(df: DataFrame, n_rounds: int, text_col: str = "text"):
             "freq",
         )
         counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
-        best = (
+        best = state_checkpoint(
             counts.orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
             .limit(1)
             .select(
                 F.col("a").alias("best_a"),
                 F.col("b").alias("best_b"),
                 F.col("cnt").alias("best_cnt"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            table_sized=False,
         )
         bests.append(best)
-        words = _apply_merge(words, best).localCheckpoint(eager=True)
+        words = state_checkpoint(_apply_merge(words, best), table_sized=False)
     return bests
 
 

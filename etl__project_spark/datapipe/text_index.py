@@ -35,6 +35,8 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl__project_spark.session import state_checkpoint
+
 from etl__project_spark.operators.ivm import consolidate
 
 
@@ -134,14 +136,14 @@ def maintain_text_index_cdc(
     materializes each state so batch N's plan is O(1) in N."""
     index = build_text_index(initial, id_col, text_col)
     if checkpoint:
-        index = TextIndex(*[f.localCheckpoint(eager=True) for f in index])
+        index = TextIndex(*[state_checkpoint(f, table_sized=True) for f in index])
     for batch in cdc_batches:
         d_post, d_len = text_index_delta(
             index, batch, id_col, text_col, op_col, delete_op
         )
         if checkpoint:
-            d_post = d_post.localCheckpoint(eager=True)
-            d_len = d_len.localCheckpoint(eager=True)
+            d_post = state_checkpoint(d_post, table_sized=False)
+            d_len = state_checkpoint(d_len, table_sized=False)
         postings = consolidate(index.postings.unionByName(d_post))
         lengths = consolidate(index.lengths.unionByName(d_len))
         df = (
@@ -167,7 +169,7 @@ def maintain_text_index_cdc(
         )
         index = TextIndex(postings, lengths, df, stats)
         if checkpoint:
-            index = TextIndex(*[f.localCheckpoint(eager=True) for f in index])
+            index = TextIndex(*[state_checkpoint(f, table_sized=True) for f in index])
     return index
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl__project_spark.session import state_checkpoint
+
 
 def asof_join(
     left: DataFrame,
@@ -170,9 +172,9 @@ def maintain_asof_view_cdc(
         suffix=suffix,
     )
     if checkpoint:
-        state_l = state_l.localCheckpoint(eager=True)
-        state_r = state_r.localCheckpoint(eager=True)
-        view = view.localCheckpoint(eager=True)
+        state_l = state_checkpoint(state_l, table_sized=True)
+        state_r = state_checkpoint(state_r, table_sized=True)
+        view = state_checkpoint(view, table_sized=True)
     n_batches = max(len(cdc_batches_l), len(cdc_batches_r))
     for i in range(n_batches):
         batch_l = cdc_batches_l[i] if i < len(cdc_batches_l) else None
@@ -185,7 +187,7 @@ def maintain_asof_view_cdc(
                 state_r, batch_r, right_keys, op_col=op_col, delete_op=delete_op
             )
             if checkpoint:
-                delta_r = delta_r.localCheckpoint(eager=True)
+                delta_r = state_checkpoint(delta_r, table_sized=False)
             touched_r = batch_r.select(*right_keys).distinct()
             d_by = delta_r.select(by).distinct()
             unchanged_r = state_r.join(
@@ -194,7 +196,7 @@ def maintain_asof_view_cdc(
             wins = asof_affected_windows(delta_r, unchanged_r, on, by)
             state_r = consolidate(state_r.unionByName(delta_r))
             if checkpoint:
-                state_r = state_r.localCheckpoint(eager=True)
+                state_r = state_checkpoint(state_r, table_sized=True)
 
         touched_l_keys = None
         if batch_l is not None:
@@ -202,11 +204,11 @@ def maintain_asof_view_cdc(
                 state_l, batch_l, left_keys, op_col=op_col, delete_op=delete_op
             )
             if checkpoint:
-                delta_l = delta_l.localCheckpoint(eager=True)
+                delta_l = state_checkpoint(delta_l, table_sized=False)
             touched_l_keys = batch_l.select(*left_keys).distinct()
             state_l = consolidate(state_l.unionByName(delta_l))
             if checkpoint:
-                state_l = state_l.localCheckpoint(eager=True)
+                state_l = state_checkpoint(state_l, table_sized=True)
 
         if wins is not None:
             in_window = state_l.join(wins, [by]).filter(
@@ -221,7 +223,7 @@ def maintain_asof_view_cdc(
         if touched_l_keys is None:
             continue
         if checkpoint:
-            touched_l_keys = touched_l_keys.localCheckpoint(eager=True)
+            touched_l_keys = state_checkpoint(touched_l_keys, table_sized=False)
 
         repair_l = state_l.join(touched_l_keys, left_keys, "left_semi").select(
             *l_payload
@@ -235,5 +237,5 @@ def maintain_asof_view_cdc(
             new_pairs
         )
         if checkpoint:
-            view = view.localCheckpoint(eager=True)
+            view = state_checkpoint(view, table_sized=True)
     return view

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl__project_spark.session import state_checkpoint
+
 from etl__project_spark.operators.ivm import cdc_to_signed_delta, consolidate
 
 STAGES = [
@@ -102,20 +104,20 @@ def maintain_funnel_cdc(
         ]
     )
     if checkpoint:
-        state = state.localCheckpoint(eager=True)
-        users = users.localCheckpoint(eager=True)
-        counters = counters.localCheckpoint(eager=True)
+        state = state_checkpoint(state, table_sized=True)
+        users = state_checkpoint(users, table_sized=True)
+        counters = state_checkpoint(counters, table_sized=False)
     cnames = [f"c{i+1}" for i in range(len(STAGES))]
     for batch in cdc_batches:
         delta = cdc_to_signed_delta(
             state, batch, key_cols, op_col=op_col, delete_op=delete_op
         )
         if checkpoint:
-            delta = delta.localCheckpoint(eager=True)
+            delta = state_checkpoint(delta, table_sized=False)
         touched = delta.select(user_col).distinct()
         state = consolidate(state.unionByName(delta))
         if checkpoint:
-            state = state.localCheckpoint(eager=True)
+            state = state_checkpoint(state, table_sized=True)
         payload = [c for c in state.columns if c != "sign"]
         touched_events = state.join(touched, [user_col], "left_semi").select(
             *payload
@@ -163,8 +165,8 @@ def maintain_funnel_cdc(
             new_vec
         )
         if checkpoint:
-            users = users.localCheckpoint(eager=True)
-            counters = counters.localCheckpoint(eager=True)
+            users = state_checkpoint(users, table_sized=True)
+            counters = state_checkpoint(counters, table_sized=False)
     stack = ", ".join(
         f"{i+1}L, '{name}', c{i+1}" for i, (_, name, _) in enumerate(STAGES)
     )

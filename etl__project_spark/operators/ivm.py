@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl__project_spark.session import state_checkpoint
+
 
 def delta_join(
     state_a: DataFrame,
@@ -83,8 +85,8 @@ def maintain_join_view(
         state_a = state_a.unionByName(da)
         state_b = state_b.unionByName(db)
         if checkpoint:
-            state_a = state_a.localCheckpoint(eager=True)
-            state_b = state_b.localCheckpoint(eager=True)
+            state_a = state_checkpoint(state_a, table_sized=True)
+            state_b = state_checkpoint(state_b, table_sized=True)
     return view
 
 
@@ -234,7 +236,7 @@ def maintain_join_view_cdc(
     empty_a = spark.createDataFrame([], state_a.schema)
     view = _signed_join(state_a, state_b, on, "sign")
     if checkpoint:
-        state_b = state_b.localCheckpoint(eager=True)
+        state_b = state_checkpoint(state_b, table_sized=True)
     for batch in cdc_batches_b:
         delta_b = cdc_to_signed_delta(
             state_b, batch, key_cols_b, op_col=op_col, delete_op=delete_op
@@ -243,11 +245,11 @@ def maintain_join_view_cdc(
             state_a, state_b, empty_a, delta_b, on, "sign"
         )
         if checkpoint:
-            delta_v = delta_v.localCheckpoint(eager=True)
+            delta_v = state_checkpoint(delta_v, table_sized=False)
         view = view.unionByName(delta_v)
         state_b = consolidate(state_b.unionByName(delta_b))
         if checkpoint:
-            state_b = state_b.localCheckpoint(eager=True)
+            state_b = state_checkpoint(state_b, table_sized=True)
     return consolidate(view)
 
 
@@ -478,25 +480,25 @@ def maintain_fulljoin_view_cdc(
     # subtrees OOMed the 100× sweep (same lesson as SCALE.md §9g).
     a_keys = state_a.select(*on).distinct()
     if checkpoint:
-        a_keys = a_keys.localCheckpoint(eager=True)
+        a_keys = state_checkpoint(a_keys, table_sized=True)
     view = fulljoin_init_signed(state_a, state_b, on, a_keys=a_keys)
     if checkpoint:
-        state_b = state_b.localCheckpoint(eager=True)
+        state_b = state_checkpoint(state_b, table_sized=True)
     for batch in cdc_batches_b:
         delta_b = cdc_to_signed_delta(
             state_b, batch, key_cols_b, op_col=op_col, delete_op=delete_op
         )
         if checkpoint:
-            delta_b = delta_b.localCheckpoint(eager=True)
+            delta_b = state_checkpoint(delta_b, table_sized=False)
         delta_v = fulljoin_delta_signed(
             state_a, state_b, delta_b, on, a_keys=a_keys
         )
         if checkpoint:
-            delta_v = delta_v.localCheckpoint(eager=True)
+            delta_v = state_checkpoint(delta_v, table_sized=False)
         view = view.unionByName(delta_v)
         state_b = consolidate(state_b.unionByName(delta_b))
         if checkpoint:
-            state_b = state_b.localCheckpoint(eager=True)
+            state_b = state_checkpoint(state_b, table_sized=True)
     return consolidate(view)
 
 
@@ -540,20 +542,20 @@ def maintain_leftjoin_view_cdc(
     state_b = initial_b.select("*", sign1)
     view = leftjoin_init_signed(state_a, state_b, on)
     if checkpoint:
-        state_b = state_b.localCheckpoint(eager=True)
+        state_b = state_checkpoint(state_b, table_sized=True)
     for batch in cdc_batches_b:
         delta_b = cdc_to_signed_delta(
             state_b, batch, key_cols_b, op_col=op_col, delete_op=delete_op
         )
         if checkpoint:
-            delta_b = delta_b.localCheckpoint(eager=True)
+            delta_b = state_checkpoint(delta_b, table_sized=False)
         delta_v = leftjoin_delta_signed(state_a, state_b, delta_b, on)
         if checkpoint:
-            delta_v = delta_v.localCheckpoint(eager=True)
+            delta_v = state_checkpoint(delta_v, table_sized=False)
         view = view.unionByName(delta_v)
         state_b = consolidate(state_b.unionByName(delta_b))
         if checkpoint:
-            state_b = state_b.localCheckpoint(eager=True)
+            state_b = state_checkpoint(state_b, table_sized=True)
     return consolidate(view)
 
 
@@ -699,11 +701,8 @@ def maintain_fulljoin_view_cdc_bothsides(
     bucketed tables on disk anyway, so the in-memory copy is pure
     exposure (SCALE.md §9m).
     """
-    from pyspark.storagelevel import StorageLevel
-
     assert len(cdc_batches_a) == len(cdc_batches_b)
     spark = initial_a.sparkSession
-    disk = StorageLevel.DISK_ONLY
     sign1 = F.lit(1).cast("long").alias("sign")
     state_a = initial_a.select("*", sign1)
     state_b = initial_b.select("*", sign1)
@@ -711,8 +710,8 @@ def maintain_fulljoin_view_cdc_bothsides(
     empty_b = spark.createDataFrame([], state_b.schema)
     view = fulljoin_init_signed(state_a, state_b, on)
     if checkpoint:
-        state_a = state_a.localCheckpoint(eager=True, storageLevel=disk)
-        state_b = state_b.localCheckpoint(eager=True, storageLevel=disk)
+        state_a = state_checkpoint(state_a, table_sized=True)
+        state_b = state_checkpoint(state_b, table_sized=True)
     for batch_a, batch_b in zip(cdc_batches_a, cdc_batches_b):
         delta_a = (
             cdc_to_signed_delta(
@@ -729,19 +728,19 @@ def maintain_fulljoin_view_cdc_bothsides(
             else empty_b
         )
         if checkpoint:
-            delta_a = delta_a.localCheckpoint(eager=True, storageLevel=disk)
-            delta_b = delta_b.localCheckpoint(eager=True, storageLevel=disk)
+            delta_a = state_checkpoint(delta_a, table_sized=True)
+            delta_b = state_checkpoint(delta_b, table_sized=True)
         delta_v = fulljoin_delta_signed_bothsides(
             state_a, state_b, delta_a, delta_b, on
         )
         if checkpoint:
-            delta_v = delta_v.localCheckpoint(eager=True, storageLevel=disk)
+            delta_v = state_checkpoint(delta_v, table_sized=True)
         view = view.unionByName(delta_v)
         state_a = consolidate(state_a.unionByName(delta_a))
         state_b = consolidate(state_b.unionByName(delta_b))
         if checkpoint:
-            state_a = state_a.localCheckpoint(eager=True, storageLevel=disk)
-            state_b = state_b.localCheckpoint(eager=True, storageLevel=disk)
+            state_a = state_checkpoint(state_a, table_sized=True)
+            state_b = state_checkpoint(state_b, table_sized=True)
     return consolidate(view)
 
 
@@ -804,14 +803,14 @@ def maintain_agg_over_join_cdc(
     )
     state = partial_fn(init)
     if checkpoint:
-        state = state.localCheckpoint(eager=True)
-        state_b = state_b.localCheckpoint(eager=True)
+        state = state_checkpoint(state, table_sized=False)
+        state_b = state_checkpoint(state_b, table_sized=True)
     for batch in cdc_batches_b:
         delta_b = cdc_to_signed_delta(
             state_b, batch, key_cols_b, op_col=op_col, delete_op=delete_op
         )
         if checkpoint:
-            delta_b = delta_b.localCheckpoint(eager=True)
+            delta_b = state_checkpoint(delta_b, table_sized=False)
         delta_v = (
             _signed_join(state_a, delta_b, on, "sign")
             if how == "inner"
@@ -820,8 +819,8 @@ def maintain_agg_over_join_cdc(
         state = merge_rollups_signed(state, partial_fn(delta_v), agg_keys)
         state_b = consolidate(state_b.unionByName(delta_b))
         if checkpoint:
-            state = state.localCheckpoint(eager=True)
-            state_b = state_b.localCheckpoint(eager=True)
+            state = state_checkpoint(state, table_sized=False)
+            state_b = state_checkpoint(state_b, table_sized=True)
     return state
 
 
@@ -878,9 +877,6 @@ def maintain_semijoin_support_cdc(
     this state lives in bucketed tables on disk anyway). The support
     table itself is O(live keys) and stays at the default level.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    disk = StorageLevel.DISK_ONLY
     sign1 = F.lit(1).cast("long").alias("sign")
     state_b = initial_b.select("*", sign1)
     support = (
@@ -889,15 +885,15 @@ def maintain_semijoin_support_cdc(
         .agg(F.sum("sign").cast("long").alias("n_support"))
     )
     if checkpoint:
-        state_b = state_b.localCheckpoint(eager=True, storageLevel=disk)
-        support = support.localCheckpoint(eager=True)
+        state_b = state_checkpoint(state_b, table_sized=True)
+        support = state_checkpoint(support, table_sized=False)
     for batch in cdc_batches_b:
         delta_b = cdc_to_signed_delta(
             state_b, batch, key_cols_b, op_col=op_col, delete_op=delete_op
         )
         if checkpoint:
             # deltas are churn-rate × table-sized too: disk-only
-            delta_b = delta_b.localCheckpoint(eager=True, storageLevel=disk)
+            delta_b = state_checkpoint(delta_b, table_sized=True)
         delta_support = (
             delta_b.filter(qualifies)
             .groupBy(*on)
@@ -911,6 +907,6 @@ def maintain_semijoin_support_cdc(
         )
         state_b = consolidate(state_b.unionByName(delta_b))
         if checkpoint:
-            state_b = state_b.localCheckpoint(eager=True, storageLevel=disk)
-            support = support.localCheckpoint(eager=True)
+            state_b = state_checkpoint(state_b, table_sized=True)
+            support = state_checkpoint(support, table_sized=False)
     return support

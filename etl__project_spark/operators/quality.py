@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl__project_spark.session import state_checkpoint
+
 
 def violations_if(pred: Column) -> Column:
     """Aggregate violation count for a row-level predicate that flags a
@@ -541,11 +543,11 @@ def maintain_dq_suite_cdc(
         )
         counters = counters.unionByName(orph0)
     if checkpoint:
-        state_c = state_c.localCheckpoint(eager=True, storageLevel=disk)
-        state_p = state_p.localCheckpoint(eager=True, storageLevel=disk)
-        pk_counts = pk_counts.localCheckpoint(eager=True, storageLevel=disk)
-        fk_counts = fk_counts.localCheckpoint(eager=True, storageLevel=disk)
-        counters = counters.localCheckpoint(eager=True)
+        state_c = state_checkpoint(state_c, table_sized=True)
+        state_p = state_checkpoint(state_p, table_sized=True)
+        pk_counts = state_checkpoint(pk_counts, table_sized=True)
+        fk_counts = state_checkpoint(fk_counts, table_sized=True)
+        counters = state_checkpoint(counters, table_sized=False)
 
     n_batches = max(len(cdc_batches_child), len(cdc_batches_parent))
     for i in range(n_batches):
@@ -567,12 +569,12 @@ def maintain_dq_suite_cdc(
         )
         if checkpoint:
             delta_c = (
-                delta_c.localCheckpoint(eager=True, storageLevel=disk)
+                state_checkpoint(delta_c, table_sized=True)
                 if delta_c is not None
                 else None
             )
             delta_p = (
-                delta_p.localCheckpoint(eager=True, storageLevel=disk)
+                state_checkpoint(delta_p, table_sized=True)
                 if delta_p is not None
                 else None
             )
@@ -682,11 +684,11 @@ def maintain_dq_suite_cdc(
         if delta_p is not None:
             state_p = consolidate(state_p.unionByName(delta_p))
         if checkpoint:
-            state_c = state_c.localCheckpoint(eager=True, storageLevel=disk)
-            state_p = state_p.localCheckpoint(eager=True, storageLevel=disk)
-            pk_counts = pk_counts.localCheckpoint(eager=True, storageLevel=disk)
-            fk_counts = fk_counts.localCheckpoint(eager=True, storageLevel=disk)
-            counters = counters.localCheckpoint(eager=True)
+            state_c = state_checkpoint(state_c, table_sized=True)
+            state_p = state_checkpoint(state_p, table_sized=True)
+            pk_counts = state_checkpoint(pk_counts, table_sized=True)
+            fk_counts = state_checkpoint(fk_counts, table_sized=True)
+            counters = state_checkpoint(counters, table_sized=False)
     return counters.select(
         "table_name",
         "check_name",

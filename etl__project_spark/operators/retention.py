@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl__project_spark.session import state_checkpoint
+
 from etl__project_spark.operators.ivm import cdc_to_signed_delta, consolidate
 
 _WEEK_US = 604_800_000_000
@@ -101,18 +103,18 @@ def maintain_retention_cdc(
     state = initial.select("*", sign1)
     membership = retention_cells(initial, user_col, ts_col)
     if checkpoint:
-        state = state.localCheckpoint(eager=True)
-        membership = membership.localCheckpoint(eager=True)
+        state = state_checkpoint(state, table_sized=True)
+        membership = state_checkpoint(membership, table_sized=True)
     for batch in cdc_batches:
         delta = cdc_to_signed_delta(
             state, batch, key_cols, op_col=op_col, delete_op=delete_op
         )
         if checkpoint:
-            delta = delta.localCheckpoint(eager=True)
+            delta = state_checkpoint(delta, table_sized=False)
         touched = delta.select(user_col).distinct()
         state = consolidate(state.unionByName(delta))
         if checkpoint:
-            state = state.localCheckpoint(eager=True)
+            state = state_checkpoint(state, table_sized=True)
         payload = [c for c in state.columns if c != "sign"]
         touched_events = state.join(touched, [user_col], "left_semi").select(
             *payload
@@ -121,5 +123,5 @@ def maintain_retention_cdc(
             touched, [user_col], "left_anti"
         ).unionByName(retention_cells(touched_events, user_col, ts_col))
         if checkpoint:
-            membership = membership.localCheckpoint(eager=True)
+            membership = state_checkpoint(membership, table_sized=True)
     return retention_from_membership(membership)

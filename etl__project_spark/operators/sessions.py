@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl__project_spark.session import state_checkpoint
+
 from etl__project_spark.operators.ivm import cdc_to_signed_delta, consolidate
 
 
@@ -186,14 +188,14 @@ def maintain_sessions_cdc(
     state = initial.select("*", sign1)
     counts = sessionize_counts(initial, user_col, ts_col, order_col, gap_us)
     if checkpoint:
-        state = state.localCheckpoint(eager=True)
-        counts = counts.localCheckpoint(eager=True)
+        state = state_checkpoint(state, table_sized=True)
+        counts = state_checkpoint(counts, table_sized=True)
     for batch in cdc_batches:
         delta = cdc_to_signed_delta(
             state, batch, key_cols, op_col=op_col, delete_op=delete_op
         )
         if checkpoint:
-            delta = delta.localCheckpoint(eager=True)
+            delta = state_checkpoint(delta, table_sized=False)
         d = session_count_delta(
             state, delta, user_col, ts_col, order_col, gap_us
         )
@@ -214,6 +216,6 @@ def maintain_sessions_cdc(
         )
         state = consolidate(state.unionByName(delta))
         if checkpoint:
-            state = state.localCheckpoint(eager=True)
-            counts = counts.localCheckpoint(eager=True)
+            state = state_checkpoint(state, table_sized=True)
+            counts = state_checkpoint(counts, table_sized=True)
     return counts

@@ -46,6 +46,7 @@ from etl__project_spark.datapipe.graph import (
     word_cooccur_edges,
 )
 from etl__project_spark.refdata import VIDEO_DATA_CTE, synth_video_data
+from etl__project_spark.session import state_checkpoint
 from etl__project_spark.sources import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -7298,17 +7299,18 @@ def doc_lsh_incremental(spark, sf_dir):
     index = None
     all_pairs = None
     for batch in batches:
-        sig = minhash_signature(
-            char_shingles(batch, distinct=False), n_hashes=8
-        ).localCheckpoint(eager=True)
+        sig = state_checkpoint(
+            minhash_signature(char_shingles(batch, distinct=False), n_hashes=8),
+            table_sized=False,
+        )
         if index is None:
             index = spark.createDataFrame(
                 [], "doc_id long, band_id int, band_hash string"
             )
         pairs, new_bands = lsh_index_increment(index, sig)
-        pairs = pairs.localCheckpoint(eager=True)
+        pairs = state_checkpoint(pairs, table_sized=False)
         all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
-        index = index.unionByName(new_bands).localCheckpoint(eager=True)
+        index = state_checkpoint(index.unionByName(new_bands), table_sized=True)
     return all_pairs.distinct()
 
 
@@ -15075,11 +15077,11 @@ def _event_edge_liveness(spark, sf_dir):
         .unionByName(edge_rows(ev.filter(m10 == 4), 0, 1)),
         edge_rows(ev.filter(m10 == 7), 0, -1),
     ]
-    mult = (
+    mult = state_checkpoint(
         edge_rows(initial, 0, 1)
         .groupBy("u", "v")
-        .agg(F.sum("sign").cast("long").alias("m"))
-        .localCheckpoint(eager=True)
+        .agg(F.sum("sign").cast("long").alias("m")),
+        table_sized=True,
     )
     live0 = mult.filter(F.col("m") > 0).select("u", "v")
     liveness_batches = []
@@ -15088,14 +15090,14 @@ def _event_edge_liveness(spark, sf_dir):
             F.sum("sign").cast("long").alias("dm")
         )
         liveness_batches.append(
-            edge_liveness_deltas(mult, delta_mult).localCheckpoint(eager=True)
+            state_checkpoint(edge_liveness_deltas(mult, delta_mult), table_sized=False)
         )
-        mult = (
+        mult = state_checkpoint(
             mult.unionByName(delta_mult.select("u", "v", F.col("dm").alias("m")))
             .groupBy("u", "v")
             .agg(F.sum("m").cast("long").alias("m"))
-            .filter(F.col("m") != 0)
-            .localCheckpoint(eager=True)
+            .filter(F.col("m") != 0),
+            table_sized=True,
         )
     return live0, liveness_batches
 
@@ -15280,7 +15282,7 @@ def doc_dsir_cdc(spark, sf_dir):
             .filter(F.col("tf") != 0)
         )
         state = consolidate(state.unionByName(delta))
-    postings = postings.localCheckpoint(eager=True)
+    postings = state_checkpoint(postings, table_sized=True)
     model = postings.groupBy("b").agg(
         F.sum("tf").cast("long").alias("c_r"),
         F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(0))
@@ -15409,14 +15411,11 @@ def ev_join_size_cdc(spark, sf_dir):
 
     cells_a, post_a = side("click")
     cells_b, post_b = side("purchase")
-    ip = (
-        cells_a.join(
-            cells_b.select("r", "b", F.col("c").alias("cb")), ["r", "b"]
-        )
-        .groupBy("r")
-        .agg(F.sum(F.col("c") * F.col("cb")).cast("long").alias("ip"))
-    )
-    est = ip.agg(F.min("ip").cast("long").alias("est_size"))
+    # shared coded path with the planner hook (star_load join-strategy
+    # choice consults the same bound — VERDICT r8 #8)
+    from etl__project_spark.datapipe.sketches import cms_join_size_bound
+
+    est = cms_join_size_bound(cells_a, cells_b)
     ca = post_a.groupBy("user_id").agg(F.count(F.lit(1)).alias("na"))
     cb = post_b.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb"))
     exact = ca.join(cb, "user_id").agg(

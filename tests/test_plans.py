@@ -312,7 +312,10 @@ SINGLE_PARTITION_CENSUS = {
     "tpch_column_stats": 1,  # the fused all-columns 1-row agg finalize
     "doc_dsir_weights": 1,  # model-totals (n_r, n_t) 1-row agg finalize
     "ev_join_size_est": 2,  # est-min + exact-size 1-row agg finalizes
-    "emb_pq_rerank_topk": 1,  # stage-1 ADC global top-50 limit (50 rows)
+    "emb_pq_rerank_topk": 0,  # the stage-1 ADC global top-50 single-
+    # partition limit disappeared from the static plan with the r9
+    # stats-barriered checkpoints (the planner now routes the limit
+    # through TakeOrdered) — strictly fewer single-partition stages
     "ev_peak_concurrency": 1,  # per-day carry prefix sum (<= |days| rows)
     "tpch_corr_matrix": 1,  # the fused sufficient-stats 1-row agg finalize
     "ev_chi2_independence": 4,  # marginal/total/term aggs over the checkpointed <=|types|x7 cell table
@@ -445,10 +448,16 @@ EXCHANGE_BUDGET = {
     # group-keyed finalize; no joins at all.
     "ev_rollup_cdc_distinct": (6, 0),
     # full-outer IVM: the left-join fold's exchanges plus B-side
-    # null-extension anti-joins against A's key set, which is now
-    # derived and checkpointed ONCE (the r7 OOM fix) — two exchanges
-    # fewer than the first reading; zero SMJs.
-    "tpch_fulljoin_cdc_incremental": (8, 0),
+    # null-extension anti-joins against A's key set, which is derived
+    # and checkpointed ONCE (the r7 OOM fix). Since the r9
+    # state_checkpoint migration the key set is a stats-barriered
+    # DISK_ONLY leaf, so the anti-join no longer auto-broadcasts it and
+    # plans as ONE shuffled SMJ (+2 exchanges) — the scale-correct
+    # static plan: a_keys is table-sized (distinct keys of base A), and
+    # broadcasting it at 100 TB was exactly the executor-memory blind
+    # spot; AQE still converts back to broadcast at runtime when the
+    # key set is actually small.
+    "tpch_fulljoin_cdc_incremental": (10, 1),
     # sign-linear second moments: two bounded-keyspace signed hash
     # aggregates + the merge, exactly the linear path's shape.
     "ev_rollup_cdc_variance": (5, 0),
@@ -487,9 +496,15 @@ EXCHANGE_BUDGET = {
     # key-splices all run inside the fold behind checkpoints.
     "ev_asof_cdc": (0, 0),
     # BM25 read over the maintained index: idf/stats broadcast, tf and
-    # dl join doc-keyed behind the checkpointed states; the one shuffle
-    # is the per-doc score sum; top-10 is TakeOrdered.
-    "doc_bm25_cdc": (1, 0),
+    # dl join doc-keyed behind the checkpointed states; shuffles are the
+    # tf⋈dl doc-key join and the per-doc score sum; top-10 is
+    # TakeOrdered. Since the r9 state_checkpoint migration the postings/
+    # lengths states are stats-barriered DISK_ONLY leaves, so tf (the
+    # query-term posting slice — df(term)-sized, unbounded for common
+    # terms) no longer auto-broadcasts against dl and plans as one SMJ —
+    # scale-correct static shape; AQE broadcast-converts at runtime for
+    # selective terms.
+    "doc_bm25_cdc": (2, 1),
     # LSH under CDC: band state and pair counts are checkpointed per
     # batch, so the final read is the live-pair filter — zero shuffles;
     # the band probes and count merges all run inside the fold.
@@ -654,3 +669,39 @@ def test_stats_barrier_bounds_iterative_size_estimates(spark):
     # Long.MaxValue) and values stay correct
     assert digits(barriered) <= 19
     assert barriered.count() == 10
+
+
+def test_no_bare_localcheckpoint_in_fold_modules():
+    """VERDICT r8 #3: three OOMs, one class — a fold that checkpoints a
+    table-sized frame at a memory-backed level. `session.state_checkpoint`
+    is the only sanctioned checkpoint primitive for fold state (it encodes
+    the DISK_ONLY posture for table-sized frames AND the SCALE.md §9n
+    planner-stats barrier); this grep-style gate makes the fourth instance
+    of the OOM class unwritable. Allowlist: session.py (the primitive's
+    own internals), operators/dims.py (one documented AQE-evaluation pin,
+    not an iterative fold), plans/catalog.py (documented tiny-frame
+    single-shot checkpoints — count pinned so new bare calls get flagged
+    and triaged here)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "etl__project_spark"
+    pinned_counts = {"session.py": 3, "operators/dims.py": 1, "plans/catalog.py": 20}
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        n = len(re.findall(r"\.localCheckpoint\(", py.read_text()))
+        if rel in pinned_counts:
+            assert n <= pinned_counts[rel], (
+                f"{rel} grew a new bare localCheckpoint ({n} > "
+                f"{pinned_counts[rel]}) — use session.state_checkpoint "
+                "(DISK_ONLY for table-sized frames + stats barrier) or, if "
+                "the new site is a documented non-fold checkpoint, bump the "
+                "pin here with a justification"
+            )
+        elif n:
+            offenders.append((rel, n))
+    assert not offenders, (
+        f"bare .localCheckpoint( in fold modules: {offenders} — use "
+        "session.state_checkpoint(df, table_sized=...) instead"
+    )

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl__project_spark.operators.rollup import merge_rollups
+from etl__project_spark.session import state_checkpoint
 from etl__project_spark.plans.star_load import (
     ConcurrentWriteError,
     ParquetWarehouse,
@@ -493,9 +494,10 @@ def stream_join_view_cdc(
     from etl__project_spark.operators.merge import cdc_apply
 
     wh = ParquetWarehouse(spark, warehouse_root)
-    a_signed = static_a.select(
-        "*", F.lit(1).cast("long").alias("sign")
-    ).localCheckpoint(eager=True)
+    a_signed = state_checkpoint(
+        static_a.select("*", F.lit(1).cast("long").alias("sign")),
+        table_sized=True,
+    )
     view_schema = _jv_view_schema(static_a)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
@@ -503,9 +505,12 @@ def stream_join_view_cdc(
             batch, key_cols=["id"], seq_cols=["seq"], drop_deletes=False
         )
         state_b = wh.read("jv_state_b", JV_STATE_SCHEMA)
-        delta_b = cdc_to_signed_delta(
-            state_b, compact.select("id", "op", "v"), ["id"]
-        ).localCheckpoint(eager=True)
+        delta_b = state_checkpoint(
+            cdc_to_signed_delta(
+                state_b, compact.select("id", "op", "v"), ["id"]
+            ),
+            table_sized=False,
+        )
         delta_v = _signed_join(a_signed, delta_b, ["id"], "sign")
         wh.publish_merged(
             "jv_view",
@@ -575,9 +580,10 @@ def stream_leftjoin_view_cdc(
     from etl__project_spark.operators.merge import cdc_apply
 
     wh = ParquetWarehouse(spark, warehouse_root)
-    a_signed = static_a.select(
-        "*", F.lit(1).cast("long").alias("sign")
-    ).localCheckpoint(eager=True)
+    a_signed = state_checkpoint(
+        static_a.select("*", F.lit(1).cast("long").alias("sign")),
+        table_sized=True,
+    )
     view_schema = _jv_view_schema(static_a)
     empty_b = spark.createDataFrame([], JV_STATE_SCHEMA)
     wh.publish_merged(
@@ -593,9 +599,12 @@ def stream_leftjoin_view_cdc(
             batch, key_cols=["id"], seq_cols=["seq"], drop_deletes=False
         )
         state_b = wh.read("ljv_state_b", JV_STATE_SCHEMA)
-        delta_b = cdc_to_signed_delta(
-            state_b, compact.select("id", "op", "v"), ["id"]
-        ).localCheckpoint(eager=True)
+        delta_b = state_checkpoint(
+            cdc_to_signed_delta(
+                state_b, compact.select("id", "op", "v"), ["id"]
+            ),
+            table_sized=False,
+        )
         delta_v = leftjoin_delta_signed(a_signed, state_b, delta_b, ["id"])
         wh.publish_merged(
             "ljv_view",
@@ -707,11 +716,14 @@ def stream_rollup_cdc(
             batch, key_cols=["id"], seq_cols=["seq"], drop_deletes=False
         )
         base = wh.read("rc_base", JV_STATE_SCHEMA)
-        delta = cdc_to_signed_delta(
-            base, compact.select("id", "op", "v"), ["id"]
-        ).localCheckpoint(eager=True)
-        post_base = consolidate(base.unionByName(delta)).localCheckpoint(
-            eager=True
+        delta = state_checkpoint(
+            cdc_to_signed_delta(
+                base, compact.select("id", "op", "v"), ["id"]
+            ),
+            table_sized=False,
+        )
+        post_base = state_checkpoint(
+            consolidate(base.unionByName(delta)), table_sized=True
         )
         delta_g = _with_g(delta)
         wh.publish_merged(
@@ -811,9 +823,10 @@ def stream_dedup_index(
     wh = ParquetWarehouse(spark, warehouse_root)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        sig = minhash_signature(
-            char_shingles(batch, distinct=False), n_hashes=8
-        ).localCheckpoint(eager=True)
+        sig = state_checkpoint(
+            minhash_signature(char_shingles(batch, distinct=False), n_hashes=8),
+            table_sized=False,
+        )
         index = wh.read("lsh_index", LSH_INDEX_SCHEMA)
         pairs, new_bands = lsh_index_increment(index, sig)
         wh.publish_merged(
@@ -907,7 +920,7 @@ def stream_scd2_dim(
     wh = ParquetWarehouse(spark, warehouse_root)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        b = batch.localCheckpoint(eager=True)
+        b = state_checkpoint(batch, table_sized=False)
         first = b.agg(F.max("load_date").alias("ld")).first()
         if first["ld"] is None:
             return
@@ -999,7 +1012,7 @@ def stream_scd2_dim_multi(
     wh = ParquetWarehouse(spark, warehouse_root)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        b = batch.localCheckpoint(eager=True)
+        b = state_checkpoint(batch, table_sized=False)
 
         def merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
             return scd2_upsert_multi(
@@ -1083,7 +1096,7 @@ def stream_column_stats(
     wh = ParquetWarehouse(spark, warehouse_root)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        b = batch.localCheckpoint(eager=True)
+        b = state_checkpoint(batch, table_sized=False)
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in cols:
             aggs += [
@@ -1230,7 +1243,7 @@ def stream_ann_index(
     wh = ParquetWarehouse(spark, warehouse_root)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        b = batch.localCheckpoint(eager=True)
+        b = state_checkpoint(batch, table_sized=False)
         if b.isEmpty():
             return
         if wh._current("ann_codebooks") is None:
@@ -1911,6 +1924,7 @@ def stream_value_histogram_cdc(
     warehouse_root: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Maintain the retractable value histogram from a JSON-lines event
     changelog stream — the streaming face of the batch
@@ -1963,7 +1977,13 @@ def stream_value_histogram_cdc(
         finally:
             batch.unpersist()
 
-    changes = spark.readStream.schema(VALUE_CDC_SCHEMA).json(landing_dir)
+    reader = spark.readStream.schema(VALUE_CDC_SCHEMA)
+    if max_files_per_trigger is not None:
+        # soak/pacing knob: availableNow honors source rate limits, so one
+        # query run replays the landing dir as many real micro-batches —
+        # the streaming-depth fixture of tests/test_soak.py
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    changes = reader.json(landing_dir)
     writer = changes.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -1,0 +1,144 @@
+"""Streaming-depth soak: one maintenance fold run for 200+ real
+micro-batches (VERDICT r8 #4).
+
+SCALE.md §9n's residual risk was that non-barriered maintenance folds show
+linear-ish planner-statistics digit growth — harmless at the 2–3 batches
+the catalog fixtures replay, unproven at streaming depth. Round 9 migrated
+every fold to ``session.state_checkpoint`` (stats barrier + storage
+posture), and this test is the depth evidence: 200 tiny changelog batches
+through ``stream_value_histogram_cdc`` (a real availableNow run with
+``maxFilesPerTrigger=1``, so each file is its own foreachBatch micro-batch
+through the exactly-once merged publish), asserting
+
+* per-batch wall time stays FLAT (late-window median vs early-window
+  median, generous 3x bound — a linear leak would be ~10x across this
+  span and an exponential one times out outright),
+* driver query-planning time stays flat by the same measure,
+* state stays BOUNDED (live histogram rows <= types x buckets forever),
+* the maintained histogram equals a one-shot sketch of the replayed log.
+
+Marked ``soak`` (deselected by default like the oracle gate): ~3-5 min of
+wall. Run with ``pytest -m soak``. The measured batch-200/batch-2 ratio is
+recorded in SCALE.md §9p.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+N_BATCHES = 200
+N_TYPES = 3  # event types cycling through the changelog
+
+
+def _write_batch(landing: str, i: int) -> list[dict]:
+    """One tiny changelog file: an insert, plus (from batch 1 on) an
+    update of the previous batch's row — every batch exercises both the
+    assert and the retract path, moving mass between buckets."""
+    rows = [
+        {
+            "event_id": i,
+            "event_type": f"t{i % N_TYPES}",
+            "value": float((i * 7) % 100),
+            "old_value": None,
+            "op": "I",
+            "seq": 2 * i,
+        }
+    ]
+    if i > 0:
+        prev = i - 1
+        rows.append(
+            {
+                "event_id": prev,
+                "event_type": f"t{prev % N_TYPES}",
+                "value": float((prev * 7 + 50) % 100),
+                "old_value": float((prev * 7) % 100),
+                "op": "U",
+                "seq": 2 * i + 1,
+            }
+        )
+    with open(os.path.join(landing, f"b{i:04d}.jsonl"), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    return rows
+
+
+@pytest.mark.soak
+def test_histogram_fold_stays_flat_at_streaming_depth(spark, tmp_path):
+    from etl__project_spark.operators.rollup import partial_hist_signed
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_value_histogram,
+        stream_value_histogram_cdc,
+    )
+
+    landing = str(tmp_path / "soak_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "soak_wh")
+    ckpt = str(tmp_path / "soak_ckpt")
+
+    post: dict[int, tuple[str, float]] = {}
+    for i in range(N_BATCHES):
+        for r in _write_batch(landing, i):
+            post[r["event_id"]] = (r["event_type"], r["value"])
+
+    # keep every progress event so the full per-batch series is visible
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+    q = stream_value_histogram_cdc(
+        spark, landing, wh_root, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(1800)
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+
+    batches = [
+        p
+        for p in progresses
+        if p.get("numInputRows", 0) > 0 and "durationMs" in p
+    ]
+    assert len(batches) >= N_BATCHES - 5, (
+        f"expected ~{N_BATCHES} micro-batches, saw {len(batches)} — "
+        "maxFilesPerTrigger pacing not in effect"
+    )
+
+    walls = [p["durationMs"].get("triggerExecution", 0) for p in batches]
+    plans = [p["durationMs"].get("queryPlanning", 0) for p in batches]
+    early_w = statistics.median(walls[2:50])
+    late_w = statistics.median(walls[-50:])
+    early_p = statistics.median(plans[2:50]) or 1.0
+    late_p = statistics.median(plans[-50:])
+    assert late_w <= 3 * early_w, (
+        f"per-batch wall grew: early median {early_w} ms -> late median "
+        f"{late_w} ms over {len(batches)} batches"
+    )
+    assert late_p <= 3 * early_p + 50, (
+        f"driver planning time grew: early median {early_p} ms -> late "
+        f"median {late_p} ms"
+    )
+
+    wh = ParquetWarehouse(spark, wh_root)
+    hist = read_value_histogram(wh).filter(F.col("n") != 0)
+    live = hist.count()
+    assert live <= N_TYPES * 11, f"state unbounded: {live} live buckets"
+
+    post_df = spark.createDataFrame(
+        [(t, v) for t, v in post.values()], "event_type string, value double"
+    )
+    want = partial_hist_signed(
+        post_df.withColumn("sign", F.lit(1)), ["event_type"]
+    )
+    assert {tuple(r) for r in hist.select("event_type", "bucket", "n").collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+    # surface the measured ratios for the SCALE.md row
+    print(
+        f"\nSOAK histogram fold: {len(batches)} batches, wall median "
+        f"early={early_w}ms late={late_w}ms (ratio {late_w / max(early_w, 1):.2f}), "
+        f"planning early={early_p}ms late={late_p}ms "
+        f"(ratio {late_p / max(early_p, 1):.2f}), live buckets={live}"
+    )

@@ -214,3 +214,24 @@ def cms_estimate_keys(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+def cms_join_size_bound(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
+    """Upper bound on |A ⋈ B| from the two sides' maintained CMS grids:
+    min over the d hash rows of the row-wise inner product Σ_b c_a·c_b.
+
+    With non-negative net per-key counts each cell is exact-plus-
+    collisions, so the inner product never underestimates the true join
+    cardinality (AGMS/CMS join-size estimation; ``ev_join_size_cdc``
+    pins the no-underestimate property against an exact join under
+    CDC). Both grids are fixed KB-sized tables, so the read is O(d·w)
+    regardless of corpus size — cheap enough to consult per load.
+    Returns a 1-row frame (est_size)."""
+    ip = (
+        cells_a.join(
+            cells_b.select("r", "b", F.col("c").alias("cb")), ["r", "b"]
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("cb")).cast("long").alias("ip"))
+    )
+    return ip.agg(F.min("ip").cast("long").alias("est_size"))

@@ -480,9 +480,19 @@ FACT_SCHEMA = T.StructType(
 
 
 def load_batch(
-    raw: DataFrame, wh: ParquetWarehouse, batch_id: str, spark: SparkSession
+    raw: DataFrame,
+    wh: ParquetWarehouse,
+    batch_id: str,
+    spark: SparkSession,
+    join_stats: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """One load cycle: parse → SCD1-upsert 4 dims → star-join fact append.
+
+    ``join_stats`` (optional): maintained {skey_col: join-size bound}
+    from :func:`join_stats_from_cms` — a dim whose bound exceeds the
+    broadcast limit flips to the salted-shuffle plan in
+    ``operators/fact.py:build_fact`` instead of an executor-memory-
+    blind broadcast (VERDICT r8 #8).
 
     Mirrors lambda_function_redishift.py:56-169 (DDL/COPY/upserts/fact/
     truncate) with per-batch frames playing the staging-table role.
@@ -531,10 +541,42 @@ def load_batch(
             for skey, df, nk in pool.map(_upsert_dim, DIM_SPECS)
         }
 
-    fact = build_fact(parsed, dims)
+    fact = build_fact(parsed, dims, join_stats=join_stats)
     appended = wh.fact_append("factvideostart", fact, batch_id)
     parsed.unpersist()
     return {"n_staged": n_staged, "fact_appended": int(appended)}
+
+
+def join_stats_from_cms(
+    wh: ParquetWarehouse, grids: dict[str, tuple[str, str]]
+) -> dict[str, int]:
+    """Maintained join-size statistics for :func:`load_batch`'s strategy
+    choice (VERDICT r8 #8) — the ``ev_join_size_cdc`` bound promoted from
+    a catalog query into the planner loop.
+
+    ``grids`` maps skey column → (fact-side grid table, dim-side grid
+    table): two turnstile-CMS cell tables maintained in the warehouse by
+    ``streaming/pipeline.py:stream_cms_cdc``-shaped folds (each absorbs
+    its side's churn as signed cells; a missing/empty table means "no
+    statistic" and the dim keeps the default broadcast plan). The
+    estimate per dim is the min-over-rows inner product of the two KB
+    grids (``datapipe/sketches.py:cms_join_size_bound``) — a
+    no-underestimate upper bound on the join cardinality, so a dim that
+    quietly grew past the broadcast limit can only be flagged, never
+    missed. BOUNDED driver collect: one 1-row frame per dim (d·w = 1024
+    cells per grid scanned executor-side), independent of corpus size.
+    """
+    from etl__project_spark.datapipe.sketches import cms_join_size_bound
+    from etl__project_spark.streaming.pipeline import CMS_CELLS_SCHEMA
+
+    out: dict[str, int] = {}
+    for skey_col, (grid_fact, grid_dim) in grids.items():
+        cells_a = wh.read(grid_fact, CMS_CELLS_SCHEMA)
+        cells_b = wh.read(grid_dim, CMS_CELLS_SCHEMA)
+        row = cms_join_size_bound(cells_a, cells_b).first()
+        if row is not None and row["est_size"] is not None:
+            out[skey_col] = int(row["est_size"])
+    return out
 
 
 def audit(wh: ParquetWarehouse) -> dict[str, int]:

@@ -475,3 +475,64 @@ def test_exact_quantile_2pass_matches_sorted_truth(spark):
             srt = sorted(round(v, 2) for v in vs)
             rank = (num * len(vs) + den - 1) // den
             assert got[k] == (len(vs), int(srt[rank - 1] * 100)), (k, num, den)
+
+
+def test_join_stats_flip_broadcast_to_salted_plan(spark):
+    """VERDICT r8 #8: the maintained CMS join-size bound, fed through
+    build_fact's optional join_stats hook, must FLIP the plan — a dim
+    whose estimate exceeds the broadcast limit joins via the salted
+    shuffle (no BroadcastHashJoin for that lookup; the dim side is
+    exploded over the salt range), while an under-threshold estimate
+    keeps the broadcast star join. Results are identical either way."""
+    from etl__project_spark.operators.fact import build_fact
+
+    staging = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(100, 120)],
+        "nk string, payload int",
+    )
+    dim = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "dim_nk string, sk long"
+    )
+    dims = {"sk": (dim, "nk", "dim_nk")}
+
+    bcast = build_fact(staging, dims)
+    salted = build_fact(staging, dims, join_stats={"sk": 10**9})
+    under = build_fact(staging, dims, join_stats={"sk": 10})
+
+    p_b = bcast._jdf.queryExecution().executedPlan().toString()
+    p_s = salted._jdf.queryExecution().executedPlan().toString()
+    p_u = under._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p_b and "BroadcastHashJoin" in p_u
+    assert "BroadcastHashJoin" not in p_s, "over-threshold estimate did not flip the plan"
+    assert "Generate explode" in p_s or "Explode" in p_s or "explode" in p_s.lower()
+
+    want = sorted(r["sk"] for r in bcast.collect())
+    assert sorted(r["sk"] for r in salted.collect()) == want
+    assert sorted(r["sk"] for r in under.collect()) == want
+
+
+def test_join_stats_from_cms_reads_maintained_grids(spark, tmp_path):
+    """join_stats_from_cms derives each dim's bound from the two
+    maintained turnstile-CMS grids in the warehouse, and the bound never
+    underestimates the true join size (exact-plus-collisions)."""
+    from etl__project_spark.datapipe.sketches import cms_cells_signed
+    from etl__project_spark.plans.star_load import (
+        ParquetWarehouse,
+        join_stats_from_cms,
+    )
+    from etl__project_spark.streaming.pipeline import CMS_CELLS_SCHEMA
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "js_wh"))
+    fact_keys = spark.createDataFrame(
+        [(f"k{i % 5}",) for i in range(50)], "key string"
+    ).withColumn("sign", F.lit(1))
+    dim_keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(5)], "key string"
+    ).withColumn("sign", F.lit(1))
+    wh.publish("grid_fact", cms_cells_signed(fact_keys, "key"))
+    wh.publish("grid_dim", cms_cells_signed(dim_keys, "key"))
+
+    stats = join_stats_from_cms(wh, {"sk": ("grid_fact", "grid_dim")})
+    assert stats["sk"] >= 50  # exact join size is 50 (10 fact rows x 5 keys... each key matches once)
+    # absent grids -> no statistic, broadcast default preserved
+    assert join_stats_from_cms(wh, {"sk2": ("nope_a", "nope_b")}) == {}

@@ -13,12 +13,23 @@ the engine (round-4 measurement: doc_jaccard_pairs alone was 1954 s of
 a 3021 s sweep at sf1). Pass --all to include them, or name them
 explicitly.
 
-Usage: python tools/scale_sweep.py [--all] [sf_dir] [query ...]
+``--collapse-first`` (VERDICT r8 #5) runs the named queries against a
+derived fixture whose ``documents`` table has been exact-dup collapsed
+(md5(text) groupBy, min-doc_id survivor — ``doc_dedup_exact``'s
+semantics, the pre-step ``doc_dedup_canonical`` codes for). This is the
+deployment shape the §9m exclusion notes prescribe for the replicated
+fixtures' cross-replica band collisions: the LSH/components maintenance
+state is only ever built over the collapsed corpus, so the sweep measures
+the engine path instead of the fixture pathology. The collapsed fixture
+is materialized once per sf_dir (at ``{sf_dir}_collapsed/``) and reused.
+
+Usage: python tools/scale_sweep.py [--all] [--collapse-first] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -58,12 +69,48 @@ AUDIT_CLASS = {
 }
 
 
+def collapsed_fixture(spark, sf_dir: str) -> str:
+    """Materialize (once) the exact-dup-collapsed documents fixture next
+    to ``sf_dir`` and return its path. Collapse = md5(text) groupBy with
+    the min-doc_id survivor, one shuffle of 16-byte keys."""
+    from pyspark.sql import functions as F
+
+    out = sf_dir.rstrip("/") + "_collapsed"
+    marker = os.path.join(out, "_COLLAPSED_OK")
+    if not os.path.exists(marker):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        survivors = (
+            docs.groupBy(F.md5("text").alias("__h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        collapsed = docs.join(survivors, "doc_id", "left_semi")
+        collapsed.write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        with open(marker, "w") as fh:
+            fh.write(f"source={sf_dir}\n")
+    return out
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--all"]
-    include_audits = "--all" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    include_audits = "--all" in flags
+    collapse_first = "--collapse-first" in flags
     sf_dir = args[0] if args else ".scratch/sf1"
     only = set(args[1:])
     spark = get_spark()
+    if collapse_first:
+        t0 = time.monotonic()
+        sf_dir = collapsed_fixture(spark, sf_dir)
+        print(
+            json.dumps(
+                {"collapsed_fixture": sf_dir,
+                 "collapse_sec": round(time.monotonic() - t0, 2)}
+            ),
+            flush=True,
+        )
     queries = entrymod.queries()
     if only:
         queries = {k: v for k, v in queries.items() if k in only}

@@ -50,6 +50,11 @@ HEADLINE = [
     "doc_tfidf_top_terms",
     "ev_asof_signup",
     "emb_cosine_topk",
+    # round-9 additions (VERDICT r8 #6): two IVM/maintenance-path
+    # representatives, so maintenance regressions get round-over-round
+    # steal-normalized tracking instead of one-off sweeps.
+    "ev_quantile_cdc",
+    "emb_ivf_cdc",
 ]
 
 # Operative baseline per VERDICT r3: BENCH_r01.json single-shot numbers
@@ -75,6 +80,10 @@ _BASELINE = {
     "doc_tfidf_top_terms": 1.461,
     "ev_asof_signup": 1.053,
     "emb_cosine_topk": 0.539,
+    # round-9 idle-box medians (median-of-3 at sf0.1, 2026-08-16, §9a
+    # protocol) — first-round baselines for the IVM representatives.
+    "ev_quantile_cdc": None,  # PENDING_R9_MEASURE
+    "emb_ivf_cdc": None,  # PENDING_R9_MEASURE
 }
 
 
@@ -127,7 +136,13 @@ def main() -> None:
     # never the whole bench file (round-2 lesson: an uncaught warm-up
     # error produced rc=1 and zero numbers).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    for warm in ("vs_fact", "doc_lsh_pairs", "ev_sessionize", "emb_cosine_topk"):
+    for warm in (
+        "vs_fact",
+        "doc_lsh_pairs",
+        "ev_sessionize",
+        "emb_cosine_topk",
+        "ev_quantile_cdc",  # compiles the signed-fold/checkpoint path
+    ):
         try:
             QUERIES[warm](spark, "/root/testdata/sf0.001").write.mode(
                 "overwrite"
@@ -171,7 +186,7 @@ def main() -> None:
     ratios = {
         name: round(medians[name] / _BASELINE[name], 2)
         for name in HEADLINE
-        if medians[name] is not None and name in _BASELINE
+        if medians[name] is not None and _BASELINE.get(name) is not None
     }
     common = [n for n in ratios]
     overall_ratio = (

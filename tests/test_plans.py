@@ -147,7 +147,7 @@ def test_unbounded_dims_avoid_single_partition_window(spark):
     row_number window over an unbounded dim is a one-task bottleneck at
     scale. Tiny enumerated dims (platform, site) may stay small=True."""
     from etl__project_spark.operators import derive_dim, with_dense_ids
-    from etl__project_spark.plans.catalog import _parsed
+    from etl__project_spark.plans.catalog import _parsed  # re-exported by the package
 
     parsed = _parsed(spark, SF_DIR)
     # checkpoint=False exposes the pre-checkpoint lineage (production
@@ -686,7 +686,17 @@ def test_no_bare_localcheckpoint_in_fold_modules():
     import re
 
     pkg = pathlib.Path(__file__).resolve().parents[1] / "etl__project_spark"
-    pinned_counts = {"session.py": 3, "operators/dims.py": 1, "plans/catalog.py": 20}
+    pinned_counts = {
+        "session.py": 3,
+        "operators/dims.py": 1,
+        # documented tiny-frame single-shot checkpoints inside catalog
+        # query bodies (catalog.py's 20, redistributed by the r9 family
+        # split)
+        "plans/catalog/doc.py": 4,
+        "plans/catalog/emb.py": 2,
+        "plans/catalog/ev.py": 12,
+        "plans/catalog/tpch.py": 2,
+    }
     offenders = []
     for py in sorted(pkg.rglob("*.py")):
         rel = str(py.relative_to(pkg))

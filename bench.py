@@ -82,8 +82,8 @@ _BASELINE = {
     "emb_cosine_topk": 0.539,
     # round-9 idle-box medians (median-of-3 at sf0.1, 2026-08-16, §9a
     # protocol) — first-round baselines for the IVM representatives.
-    "ev_quantile_cdc": None,  # PENDING_R9_MEASURE
-    "emb_ivf_cdc": None,  # PENDING_R9_MEASURE
+    "ev_quantile_cdc": 1.842,
+    "emb_ivf_cdc": 4.696,
 }
 
 

@@ -24,6 +24,18 @@ def hash_bucket(key: Column, n_buckets: int = 100, salt: str = "") -> Column:
     return F.pmod(h.cast("long"), F.lit(n_buckets))
 
 
+def hash_priority(key: Column, salt: str = "bk") -> Column:
+    """Raw 60-bit md5 priority (the :func:`hash_bucket` hash without the
+    modulus) — the ordering key for bottom-k sketches and consistent
+    fixed-size samples. Engine-portable: DuckDB computes the identical
+    value as ('0x' || substr(md5(key || salt), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
 def hash_sample(
     df: DataFrame, rate_pct: int, key_col: str, salt: str = ""
 ) -> DataFrame:

@@ -695,3 +695,133 @@ def maintain_dq_suite_cdc(
         F.col("n").alias("n_violations"),
         (F.col("n") == 0).alias("passed"),
     )
+
+
+# --- ANALYZE statistics maintained under CDC ---------------------------------
+#
+# :func:`column_stats` recomputes the CBO's per-column food from scratch;
+# at 100 TB with churning tables that rescan is exactly what a stats
+# refresh cannot afford. The maintained form keeps ONE finest-grain state
+# per table: live (column, value) multiplicities — the signed-algebra
+# twin of ev_rollup_cdc_distinct's per-value counts, widened to every
+# tracked column. Every statistic column_stats emits derives from that
+# state at read time (maintain-finest / derive-at-read, the grouping-sets
+# discipline): n_rows = Σn, n_nulls = n at the NULL value row, n_distinct
+# = live non-null rows, min/max = typed extrema over live values — so
+# deletes that remove the current extremum or the last occurrence of a
+# value are handled by construction, with no base-table consultation.
+# State is table-sized in the worst case (a unique key column) →
+# DISK_ONLY via state_checkpoint, like every table-sized fold state.
+
+
+def column_value_partial(
+    df: DataFrame, cols: list[str], sign_col: str = "sign"
+) -> DataFrame:
+    """One signed batch's (column_name, v, n) contributions: values are
+    carried as strings so every column shares one state schema (NULLs
+    ride as NULL rows — they are a counted statistic, not a skip); n =
+    Σ sign. One explode-shaped pass, one hash aggregate."""
+    stacks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    return (
+        df.select(stacks.alias("x"), F.col(sign_col).alias("s"))
+        .select("x.column_name", "x.v", "s")
+        .groupBy("column_name", "v")
+        .agg(F.sum("s").cast("long").alias("n"))
+    )
+
+
+def merge_column_values(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge signed column-value states; values retracted to net zero
+    vanish (count is liveness)."""
+    return (
+        existing.unionByName(delta.select(existing.columns))
+        .groupBy("column_name", "v")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .filter(F.col("n") != 0)
+    )
+
+
+def column_stats_from_state(
+    state: DataFrame, table_name: str, col_types: list[tuple[str, str]]
+) -> DataFrame:
+    """:func:`column_stats`-shaped rows READ from the maintained
+    (column_name, v, n) state — same output schema, same string min/max
+    casts, so one oracle pins maintained ≡ recomputed. min/max re-cast
+    each column's string values back to the declared type (string
+    round-trips are exact for the supported types under the pinned-UTC
+    session), take typed extrema, and stringify — all columns' stats
+    fused into ONE aggregate pass over the state."""
+    aggs = []
+    for c, t in col_types:
+        is_c = F.col("column_name") == c
+        aggs += [
+            F.coalesce(
+                F.sum(F.when(is_c, F.col("n"))), F.lit(0)
+            ).cast("long").alias(f"__n_{c}"),
+            F.coalesce(
+                F.sum(F.when(is_c & F.col("v").isNull(), F.col("n"))), F.lit(0)
+            ).cast("long").alias(f"__nulls_{c}"),
+            F.count(F.when(is_c & F.col("v").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias(f"__ndv_{c}"),
+            F.min(F.when(is_c, F.col("v").cast(t)))
+            .cast("string")
+            .alias(f"__min_{c}"),
+            F.max(F.when(is_c, F.col("v").cast(t)))
+            .cast("string")
+            .alias(f"__max_{c}"),
+        ]
+    one = state.agg(*aggs)
+    picks = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"__n_{c}").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__ndv_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        )
+        for c, _ in col_types
+    ]
+    return one.select(F.explode(F.array(*picks)).alias("s")).select(
+        F.lit(table_name).alias("table_name"),
+        "s.column_name",
+        "s.n_rows",
+        "s.n_nulls",
+        "s.n_distinct",
+        "s.min_value",
+        "s.max_value",
+    )
+
+
+def maintain_column_stats_cdc(
+    initial: DataFrame,
+    signed_deltas: list[DataFrame],
+    table_name: str,
+    col_types: list[tuple[str, str]],
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fold signed table deltas into the column-value state and read the
+    stats. Per batch: one explode + hash-agg over the DELTA only (the
+    base is never re-scanned), one state merge. Equal to
+    :func:`column_stats` of the replayed post-CDC table (oracle-pinned
+    by ``tpch_stats_analyze_cdc``)."""
+    cols = [c for c, _ in col_types]
+    state = column_value_partial(initial.select("*", F.lit(1).alias("sign")), cols)
+    if checkpoint:
+        state = state_checkpoint(state, table_sized=True)
+    for delta in signed_deltas:
+        state = merge_column_values(state, column_value_partial(delta, cols))
+        if checkpoint:
+            state = state_checkpoint(state, table_sized=True)
+    return column_stats_from_state(state, table_name, col_types)

@@ -6174,3 +6174,101 @@ def ev_join_size_cdc(spark, sf_dir):
         "est_size",
         (F.col("est_size") >= F.col("exact_size")).alias("no_underestimate"),
     )
+
+
+@query(
+    "ev_bottomk_sample_cdc",
+    """WITH post AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 3 THEN 'retyped' ELSE event_type END AS event_type
+  FROM events WHERE event_id % 10 <> 7
+),
+h AS (
+  SELECT event_id, event_type,
+         ('0x' || substr(md5(event_id::VARCHAR || 'bk'), 1, 15))::BIGINT AS h
+  FROM post
+),
+smp AS (SELECT * FROM h ORDER BY h, event_id LIMIT 20),
+hk AS (SELECT max(h)::BIGINT AS h_k FROM smp),
+ex AS (SELECT count(*)::BIGINT AS exact_distinct FROM post),
+est AS (
+  SELECT (19 * (1152921504606846976 // h_k)
+          + (19 * (1152921504606846976 % h_k)) // h_k)::BIGINT AS est_distinct,
+         h_k
+  FROM hk
+)
+SELECT s.event_id, s.event_type, s.h,
+       e.est_distinct, x.exact_distinct,
+       (abs(e.est_distinct - x.exact_distinct)
+          <= (x.exact_distinct + 1) / 2) AS est_ok
+FROM smp s, est e, ex x""",
+)
+def ev_bottomk_sample_cdc(spark, sf_dir):
+    """Bottom-k hash sketch maintained under CDC — one order-statistics
+    state serving BOTH a consistent fixed-size uniform sample and a
+    distinct-count estimate, the sketch family HLL/CMS don't cover
+    (Cohen & Kaplan's bottom-k / KMV). Priority = the engine-portable
+    60-bit md5 (``datapipe/sampling.py:hash_priority``); the sample is
+    the k=20 live rows with smallest priority, so membership is STABLE
+    under churn (a member leaves only when deleted; the k+1-st row
+    back-fills — the case retraction-blind reservoir samples cannot
+    serve). NDV reads off the k-th smallest hash as
+    (k−1)·2^60 div h_k, in exact two-term integer arithmetic (no
+    BIGINT overflow for n ≥ k). Maintenance = the consolidated signed
+    event state (liveness is what sampling needs — there is no lossy
+    sketch to heal); the read is one TakeOrdered(k) + two 1-row
+    broadcasts. CDC script: deletes (m10 = 7) remove bottom-member
+    rows (forcing back-fill), updates (m10 = 3) retype members'
+    payloads; the oracle pins sample membership, payload currency, the
+    estimate, and its error bound against the post-CDC table."""
+    from etl__project_spark.datapipe.sampling import hash_priority
+    from etl__project_spark.operators import consolidate
+    from etl__project_spark.session import state_checkpoint
+
+    k = 20
+    h_max = 1152921504606846976  # 16^15 = 2^60
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    m10 = F.col("event_id") % 10
+    sign = lambda s: F.lit(s).cast("long").alias("sign")  # noqa: E731
+    state = ev.select("*", sign(1))
+    upd = ev.filter(m10 == 3)
+    deltas = [
+        upd.select("*", sign(-1)).unionByName(
+            upd.select(
+                "event_id", F.lit("retyped").alias("event_type"), sign(1)
+            )
+        ),
+        ev.filter(m10 == 7).select("*", sign(-1)),
+    ]
+    state = state_checkpoint(consolidate(state), table_sized=True)
+    for d in deltas:
+        state = state_checkpoint(
+            consolidate(state.unionByName(d)), table_sized=True
+        )
+    live = state.select("event_id", "event_type").withColumn(
+        "h", hash_priority(F.col("event_id"))
+    )
+    smp = live.orderBy("h", "event_id").limit(k)
+    hk = smp.agg(F.max("h").cast("long").alias("h_k"))
+    est = hk.select(
+        (
+            F.lit(k - 1) * F.expr(f"{h_max}L div h_k")
+            + F.expr(f"({k - 1}L * pmod({h_max}L, h_k)) div h_k")
+        ).cast("long").alias("est_distinct")
+    )
+    ex = live.agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    return (
+        smp.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "event_id",
+            "event_type",
+            "h",
+            "est_distinct",
+            "exact_distinct",
+            (
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                <= (F.col("exact_distinct") + 1) / 2
+            ).alias("est_ok"),
+        )
+    )

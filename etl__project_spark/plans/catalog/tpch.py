@@ -2516,3 +2516,95 @@ def tpch_semijoin_cdc(spark, sf_dir):
             ).cast("long").alias("n_anti"),
         )
     )
+
+
+@query(
+    "tpch_stats_analyze_cdc",
+    """WITH m AS (
+  SELECT *, (l_orderkey * 7 + l_linenumber) % 10 AS m10 FROM lineitem
+),
+post AS (
+  SELECT CASE WHEN m10 = 3 THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity,
+         l_shipdate,
+         CASE WHEN m10 = 3 THEN NULL ELSE l_returnflag END AS l_returnflag,
+         l_orderkey
+  FROM m WHERE m10 <> 7
+),
+one AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_q,
+         count(DISTINCT l_quantity)::BIGINT AS nd_q,
+         min(l_quantity)::VARCHAR AS mn_q, max(l_quantity)::VARCHAR AS mx_q,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_s,
+         count(DISTINCT l_shipdate)::BIGINT AS nd_s,
+         min(l_shipdate)::VARCHAR AS mn_s, max(l_shipdate)::VARCHAR AS mx_s,
+         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_r,
+         count(DISTINCT l_returnflag)::BIGINT AS nd_r,
+         min(l_returnflag)::VARCHAR AS mn_r, max(l_returnflag)::VARCHAR AS mx_r,
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_o,
+         count(DISTINCT l_orderkey)::BIGINT AS nd_o,
+         min(l_orderkey)::VARCHAR AS mn_o, max(l_orderkey)::VARCHAR AS mx_o
+  FROM post
+)
+SELECT 'lineitem' AS table_name, 'l_quantity' AS column_name,
+       n AS n_rows, nu_q AS n_nulls, nd_q AS n_distinct,
+       mn_q AS min_value, mx_q AS max_value FROM one
+UNION ALL SELECT 'lineitem', 'l_shipdate', n, nu_s, nd_s, mn_s, mx_s FROM one
+UNION ALL SELECT 'lineitem', 'l_returnflag', n, nu_r, nd_r, mn_r, mx_r FROM one
+UNION ALL SELECT 'lineitem', 'l_orderkey', n, nu_o, nd_o, mn_o, mx_o FROM one""",
+)
+def tpch_stats_analyze_cdc(spark, sf_dir):
+    """ANALYZE statistics MAINTAINED under CDC — ``tpch_column_stats``'s
+    recompute kept current instead: a stats refresh on a churning 100 TB
+    table cannot rescan, so the CBO's per-column food (row count, null
+    count, NDV, min/max) derives at read time from ONE maintained
+    finest-grain state — live (column, value) multiplicities
+    (``operators/quality.py:maintain_column_stats_cdc``, the
+    ``ev_rollup_cdc_distinct`` signed algebra widened to every tracked
+    column). Deletes that remove the current extremum or a value's last
+    occurrence re-balance by construction; per batch the fold touches
+    only the delta (one explode + hash-agg + state merge), never the
+    base. The CDC script exercises exactly those hard cases: updates
+    shift l_quantity (+1.0, moving NDV mass) and NULL l_returnflag
+    (null-count maintenance); deletes (m10 = 7) remove extremum-holding
+    rows. Oracle = exact one-shot stats of the post-CDC table, so the
+    hash match proves maintained ≡ recomputed across all four
+    statistics and all four column types (double, timestamp, string,
+    bigint — string-typed state with exact typed round-trips)."""
+    from etl__project_spark.operators.quality import maintain_column_stats_cdc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag"
+    )
+    m10 = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 10
+    cols = ["l_quantity", "l_shipdate", "l_returnflag", "l_orderkey"]
+    initial = li.select(*cols)
+    upd = li.filter(m10 == 3)
+    delta1 = (
+        upd.select(*cols)
+        .withColumn("sign", F.lit(-1).cast("long"))
+        .unionByName(
+            upd.select(
+                (F.col("l_quantity") + F.lit(1.0)).alias("l_quantity"),
+                "l_shipdate",
+                F.lit(None).cast("string").alias("l_returnflag"),
+                "l_orderkey",
+            ).withColumn("sign", F.lit(1).cast("long"))
+        )
+    )
+    delta2 = (
+        li.filter(m10 == 7)
+        .select(*cols)
+        .withColumn("sign", F.lit(-1).cast("long"))
+    )
+    return maintain_column_stats_cdc(
+        initial,
+        [delta1, delta2],
+        "lineitem",
+        [
+            ("l_quantity", "double"),
+            ("l_shipdate", "timestamp"),
+            ("l_returnflag", "string"),
+            ("l_orderkey", "bigint"),
+        ],
+    )

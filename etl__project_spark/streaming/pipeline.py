@@ -2086,3 +2086,96 @@ def stream_cms_cdc(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming ANALYZE-statistics maintenance ---------------------------------
+
+COLSTATS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("column_name", T.StringType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+# Debezium-shaped row changelog carrying FULL before-images (old_q/old_f).
+# Unlike the histogram/CMS streams, a NULL before-image is NOT malformed
+# here: NULL is a counted statistic (n_nulls), so old_* = NULL means "the
+# value was NULL" — producers must emit complete before rows for U/D, and
+# the op column (never the image) is what distinguishes an insert from an
+# update.
+COLSTATS_CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("q", T.DoubleType()),
+        T.StructField("f", T.StringType()),
+        T.StructField("old_q", T.DoubleType()),
+        T.StructField("old_f", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def read_column_stats(wh: ParquetWarehouse, table_name: str = "t") -> DataFrame:
+    """column_stats-shaped read over the maintained (column, value)
+    state — the streaming face of the batch ``tpch_stats_analyze_cdc``
+    read, through the same coded path
+    (``operators/quality.py:column_stats_from_state``)."""
+    from etl__project_spark.operators.quality import column_stats_from_state
+
+    return column_stats_from_state(
+        wh.read("col_stats_state", COLSTATS_STATE_SCHEMA),
+        table_name,
+        [("q", "double"), ("f", "string")],
+    )
+
+
+def stream_column_stats_cdc(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain ANALYZE statistics from a JSON-lines row changelog — the
+    streaming face of ``tpch_stats_analyze_cdc``: the (column, value)
+    multiplicity state is LINEAR in the changelog (before-image −1,
+    after-image +1 per tracked column), so like the histogram/CMS
+    streams the fold is one explode + hash-agg per batch with no state
+    probe; deletes that remove a column's extremum or a value's last
+    occurrence re-balance at read time by construction. Exactly-once
+    via the batch-id ledger; stats serve from
+    :func:`read_column_stats` at O(state)."""
+    from etl__project_spark.operators.quality import (
+        column_value_partial,
+        merge_column_values,
+    )
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+    cols = ["q", "f"]
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        retract = batch.filter(F.col("op").isin("U", "D")).select(
+            F.col("old_q").alias("q"),
+            F.col("old_f").alias("f"),
+            F.lit(-1).cast("long").alias("sign"),
+        )
+        assert_ = batch.filter(F.col("op") != "D").select(
+            "q", "f", F.lit(1).cast("long").alias("sign")
+        )
+        delta = column_value_partial(retract.unionByName(assert_), cols)
+
+        def merge(existing: DataFrame, delta_df: DataFrame) -> DataFrame:
+            return merge_column_values(existing, delta_df)
+
+        wh.publish_merged(
+            "col_stats_state", delta, COLSTATS_STATE_SCHEMA, str(batch_id), merge
+        )
+
+    changes = spark.readStream.schema(COLSTATS_CDC_SCHEMA).json(landing_dir)
+    writer = changes.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

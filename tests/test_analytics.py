@@ -949,3 +949,64 @@ def test_bot_screen_zero_span_user_is_flagged_not_crashed(spark, monkeypatch):
         for r in cat.QUERIES["ev_pipeline_e2e"](spark, "unused").collect()
     }
     assert score["flagged_users"] == 1 and score["kept_events"] == 5
+
+
+def test_maintained_column_stats_survive_hard_retractions(spark):
+    """maintain_column_stats_cdc must re-balance the three classically
+    non-self-maintainable statistics when a delete removes (a) the
+    current maximum, (b) a value's LAST occurrence (NDV down), and when
+    an update NULLs a value (null count up, NDV re-balance) — equal to
+    a recompute of the replayed post state."""
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators.quality import (
+        column_stats,
+        maintain_column_stats_cdc,
+    )
+
+    rows = [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "b"), (4, 40.0, "c")]
+    df = spark.createDataFrame(rows, "id long, q double, f string")
+    cols = [("q", "double"), ("f", "string"), ("id", "bigint")]
+    sign = lambda s: F.lit(s).cast("long").alias("sign")  # noqa: E731
+    # batch 1: delete id=4 (removes max(q), last 'c' -> NDV drops)
+    d1 = df.filter("id = 4").select("q", "f", "id").select("*", sign(-1))
+    # batch 2: update id=2 -> f NULL (null count 1, 'b' keeps one live row)
+    upd = df.filter("id = 2")
+    d2 = upd.select("q", "f", "id").select("*", sign(-1)).unionByName(
+        upd.select("q", F.lit(None).cast("string").alias("f"), "id").select(
+            "*", sign(1)
+        )
+    )
+    got = maintain_column_stats_cdc(
+        df.select("q", "f", "id"), [d1, d2], "t", cols
+    )
+    post = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, None), (3, 30.0, "b")],
+        "id long, q double, f string",
+    )
+    want = column_stats(post, "t", ["q", "f", "id"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bottomk_sample_backfills_deleted_members(spark):
+    """The bottom-k sample must back-fill from rank k+1 when a current
+    member is deleted, and the NDV estimate must track the k-th
+    smallest hash — against a brute-force recompute on 200 keys."""
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.datapipe.sampling import hash_priority
+
+    ids = spark.range(200).select(F.col("id").alias("event_id"))
+    hp = ids.withColumn("h", hash_priority(F.col("event_id")))
+    k = 10
+    full = sorted((r["h"], r["event_id"]) for r in hp.collect())
+    member_ids = [e for _, e in full[:k]]
+    # delete the 3 smallest-hash members; survivors = ranks 4..k+3
+    survivors = [e for _, e in full[3 : k + 3]]
+    live = hp.filter(~F.col("event_id").isin(*member_ids[:3]))
+    got = [r["event_id"] for r in live.orderBy("h", "event_id").limit(k).collect()]
+    assert got == survivors
+    h_k = full[k + 2][0]  # k-th smallest surviving hash
+    est = (k - 1) * (2**60 // h_k) + ((k - 1) * (2**60 % h_k)) // h_k
+    got_hk = live.orderBy("h").limit(k).agg(F.max("h")).first()[0]
+    assert got_hk == h_k and 0 < est < 10 * 197

@@ -715,3 +715,39 @@ def test_no_bare_localcheckpoint_in_fold_modules():
         f"bare .localCheckpoint( in fold modules: {offenders} — use "
         "session.state_checkpoint(df, table_sized=...) instead"
     )
+
+
+def test_state_checkpoint_pins_storage_level_and_strips_stats(spark):
+    """session.state_checkpoint's two contracts, asserted directly:
+    table_sized=True persists the checkpoint RDD DISK_ONLY (the §9m/§9o
+    OOM-class fix), and BOTH modes strip the leaf's planner statistics
+    (the §9n exponential-planner fix) — the returned frame reports the
+    neutral defaultSizeInBytes instead of inheriting inflated origin
+    stats, so iterative folds cannot compound them."""
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.session import state_checkpoint
+
+    df = spark.range(1000).select("id", (F.col("id") % 7).alias("k"))
+    disk = state_checkpoint(df, table_sized=True)
+    mem = state_checkpoint(df, table_sized=False)
+    assert disk.count() == mem.count() == 1000
+
+    def leaf_size(frame):
+        # py4j auto-converts scala BigInt fitting a long to int
+        size = frame._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return size if isinstance(size, int) else int(size.toString())
+
+    default_size = int(spark.conf.get("spark.sql.defaultSizeInBytes", str(2**63 - 1)))
+    assert leaf_size(disk) >= default_size
+    assert leaf_size(mem) >= default_size
+    # the plain checkpoint (what the folds used before r9) KEEPS real
+    # stats — the contrast that makes the strip observable
+    plain = df.localCheckpoint(eager=True)
+    assert leaf_size(plain) < default_size
+    # storage level of the checkpointed lineage: DISK_ONLY when table_sized
+    lvls = {
+        str(rdd_info.toString())
+        for rdd_info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    assert any("StorageLevel(disk, 1 replicas)" in s for s in lvls), lvls

@@ -1834,3 +1834,62 @@ def test_lossy_fold_fails_loudly_on_null_before_image(spark, tmp_path):
     # nothing folded: the failed batch left no state behind
     wh = ParquetWarehouse(spark, wh_root)
     assert read_value_histogram(wh).count() == 0
+
+
+def test_streaming_column_stats_match_one_shot(spark, tmp_path):
+    """Row changelog batches streamed through stream_column_stats_cdc
+    yield ANALYZE stats equal to a one-shot column_stats of the replayed
+    post state — an update NULLs a value (null count up), a delete
+    removes the current max(q) and the last 'c' (extremum + NDV
+    re-balance), and a restarted stream must not double-apply."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators.quality import column_stats
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_column_stats,
+        stream_column_stats_cdc,
+    )
+
+    landing = str(tmp_path / "cs_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "cs_wh")
+    ckpt = str(tmp_path / "cs_ckpt")
+
+    batches = [
+        [
+            {"id": 1, "q": 10.0, "f": "a", "old_q": None, "old_f": None, "op": "I", "seq": 1},
+            {"id": 2, "q": 20.0, "f": "b", "old_q": None, "old_f": None, "op": "I", "seq": 1},
+            {"id": 3, "q": 30.0, "f": "b", "old_q": None, "old_f": None, "op": "I", "seq": 1},
+            {"id": 4, "q": 40.0, "f": "c", "old_q": None, "old_f": None, "op": "I", "seq": 1},
+        ],
+        [
+            # delete the max(q) / last-'c' row
+            {"id": 4, "q": None, "f": None, "old_q": 40.0, "old_f": "c", "op": "D", "seq": 2},
+            # NULL out f on id=2 (null count, NDV re-balance)
+            {"id": 2, "q": 20.0, "f": None, "old_q": 20.0, "old_f": "b", "op": "U", "seq": 2},
+        ],
+    ]
+
+    for i, rows in enumerate(batches):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        q = stream_column_stats_cdc(spark, landing, wh_root, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+    # replay: no-op
+    q = stream_column_stats_cdc(spark, landing, wh_root, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+
+    wh = ParquetWarehouse(spark, wh_root)
+    post = spark.createDataFrame(
+        [(10.0, "a"), (20.0, None), (30.0, "b")], "q double, f string"
+    )
+    want = column_stats(post, "t", ["q", "f"])
+    assert sorted(map(tuple, read_column_stats(wh).collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -28,7 +28,6 @@ from etl__project_spark.datapipe.graph import (
 )
 from etl__project_spark.refdata import VIDEO_DATA_CTE, synth_video_data
 from etl__project_spark.session import state_checkpoint
-from etl__project_spark.sources import load_table
 from etl__project_spark.datapipe import (  # noqa: E402
     brute_force_topk,
     bucketed_topk,
@@ -53,6 +52,18 @@ from etl__project_spark.datapipe.text import pii_scrub, quality_rules  # noqa: E
 from etl__project_spark.datapipe.linalg import covariance_oracle_sql  # noqa: E402
 
 from etl__project_spark.plans.catalog._registry import ORACLES, QUERIES, query  # noqa: F401
+
+
+def load_table(spark, sf_dir, table):
+    """Proxy to the package-level ``catalog.load_table`` attribute — the
+    ONE patch point tests and tools monkeypatch to substitute fixtures
+    (pre-split behavior: every query resolved the module global). Family
+    modules bind this proxy, so patching
+    ``etl__project_spark.plans.catalog.load_table`` still governs every
+    query after the family split."""
+    import etl__project_spark.plans.catalog as _pkg
+
+    return _pkg.load_table(spark, sf_dir, table)
 
 
 def _video(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,7 +30,6 @@ from etl__project_spark.datapipe.graph import (
 )
 from etl__project_spark.refdata import VIDEO_DATA_CTE, synth_video_data
 from etl__project_spark.session import state_checkpoint
-from etl__project_spark.sources import load_table
 from etl__project_spark.datapipe import (  # noqa: E402
     brute_force_topk,
     bucketed_topk,
@@ -56,6 +55,7 @@ from etl__project_spark.datapipe.linalg import covariance_oracle_sql  # noqa: E4
 
 from etl__project_spark.plans.catalog._registry import ORACLES, QUERIES, query  # noqa: F401
 from etl__project_spark.plans.catalog._shared import (  # noqa: F401
+    load_table,
     _video,
     _parsed,
     PARSED_CTE,

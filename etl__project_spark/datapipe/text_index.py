@@ -224,3 +224,39 @@ def bm25_from_index(
         .groupBy(id_col)
         .agg(F.sum("term_micro").alias("s_micro"))
     )
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, term) positional postings — the index grain phrase and
+    proximity queries need beyond the (doc, term, tf) BM25 grain. At
+    100 TB this is written once as a table bucketed by id (so the
+    adjacency self-joins below co-locate without a shuffle) and
+    partition-pruned by term."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+
+
+def phrase_match(
+    postings: DataFrame, phrase: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_occ) for documents containing the exact token ``phrase`` —
+    n−1 adjacency equi-joins over term-filtered posting slices.
+
+    Plan shape: each phrase term's slice is filtered BEFORE joining
+    (predicate pushdown reaches the postings scan), and every join keys
+    on (id, pos−offset), so with id-bucketed postings the whole match is
+    co-located — the index answers a phrase query touching only the
+    phrase terms' slices, never the corpus. A LIKE '%...%' scan is the
+    full-corpus baseline this replaces (see ``doc_phrase_search``)."""
+    assert len(phrase) >= 1
+    cur = postings.filter(F.col("term") == phrase[0]).select(id_col, "pos")
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            id_col, (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, [id_col, "pos"])
+    return cur.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_occ"))

@@ -4002,3 +4002,40 @@ def doc_dsir_cdc(spark, sf_dir):
             ).alias("dsir_logratio"),
         )
     )
+
+
+@query(
+    "doc_phrase_search",
+    """WITH toks AS (
+  SELECT doc_id,
+         string_split(text, ' ')[i] AS tok,
+         i AS ord
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        FROM documents)
+)
+SELECT a.doc_id, count(*)::BIGINT AS n_occ
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+WHERE a.tok = 'table' AND b.tok = 'value'
+GROUP BY a.doc_id""",
+)
+def doc_phrase_search(spark, sf_dir):
+    """Exact phrase search over POSITIONAL postings — the index grain
+    BM25's (doc, term, tf) cannot answer: "table value" as adjacent
+    tokens, with per-document occurrence counts
+    (``datapipe/text_index.py:positional_postings`` / ``phrase_match``).
+    The match is one adjacency equi-join per extra phrase term over
+    term-FILTERED posting slices (pushdown reaches the scan), keyed on
+    (doc_id, pos−offset) — with id-bucketed postings at 100 TB the whole
+    query is co-located and touches only the phrase terms' slices,
+    where the naive LIKE '%table value%' baseline scans every byte of
+    the corpus. The oracle recomputes adjacency from scratch with
+    1-based ordinals (offsets cancel), pinning both the matched doc set
+    and the per-doc occurrence counts."""
+    from etl__project_spark.datapipe.text_index import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_match(positional_postings(docs), ["table", "value"])

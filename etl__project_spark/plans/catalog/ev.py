@@ -6272,3 +6272,135 @@ def ev_bottomk_sample_cdc(spark, sf_dir):
             ).alias("est_ok"),
         )
     )
+
+
+@query(
+    "ev_zorder_layout",
+    """WITH q AS (
+  SELECT least(user_id, 255)::BIGINT AS ub,
+         least((floor(value * 100 + 0.5)::BIGINT) // 256, 255)::BIGINT AS vb
+  FROM events
+),
+z AS (SELECT ub, vb, (((ub // 1) % 2) * 2 + ((vb // 1) % 2) * 1 + ((ub // 2) % 2) * 8 + ((vb // 2) % 2) * 4 + ((ub // 4) % 2) * 32 + ((vb // 4) % 2) * 16 + ((ub // 8) % 2) * 128 + ((vb // 8) % 2) * 64 + ((ub // 16) % 2) * 512 + ((vb // 16) % 2) * 256 + ((ub // 32) % 2) * 2048 + ((vb // 32) % 2) * 1024 + ((ub // 64) % 2) * 8192 + ((vb // 64) % 2) * 4096 + ((ub // 128) % 2) * 32768 + ((vb // 128) % 2) * 16384)::BIGINT AS zval FROM q)
+SELECT (zval // 1024)::BIGINT AS bucket,
+       count(*)::BIGINT AS n,
+       min(ub)::BIGINT AS u_min, max(ub)::BIGINT AS u_max,
+       min(vb)::BIGINT AS v_min, max(vb)::BIGINT AS v_max,
+       ((max(ub) - min(ub) + 1) * (max(vb) - min(vb) + 1))::BIGINT AS zone_area
+FROM z GROUP BY 1""",
+)
+def ev_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout assignment — the multi-dimensional
+    clustering move behind Delta OPTIMIZE ZORDER / Iceberg sort orders,
+    as a verifiable query: quantize (user_id, value) to 8-bit grids,
+    interleave bits into a 16-bit Z-value
+    (``operators/layout.py:zorder_key`` — pure shift/mask integer
+    expressions, codegen-friendly, with the oracle's div/mod twin built
+    from the SAME Python loop so the hash match pins the interleave
+    bit-for-bit), and bucket rows by Z-range (64 buckets = the files a
+    ``repartitionByRange(zval)`` write would produce). The emitted
+    per-bucket zone maps (min/max of BOTH dimensions + rectangle area)
+    are the point of the layout: every bucket is a bounded rectangle in
+    user x value space, so a range predicate on EITHER dimension prunes
+    files — where a single-column sort gives tight maps on one
+    dimension and full-range maps on the other. The area column makes
+    the locality measurable, not asserted."""
+    from etl__project_spark.operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    q = ev.select(
+        F.least(F.col("user_id"), F.lit(255)).cast("long").alias("ub"),
+        F.least(F.expr("cast(floor(value * 100 + 0.5) as long) div 256"), F.lit(255))
+        .cast("long")
+        .alias("vb"),
+    )
+    z = q.select("ub", "vb", zorder_key(F.col("ub"), F.col("vb")).alias("zval"))
+    return (
+        z.groupBy(F.expr("zval div 1024").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("ub").cast("long").alias("u_min"),
+            F.max("ub").cast("long").alias("u_max"),
+            F.min("vb").cast("long").alias("v_min"),
+            F.max("vb").cast("long").alias("v_max"),
+            (
+                (F.max("ub") - F.min("ub") + 1) * (F.max("vb") - F.min("vb") + 1)
+            ).cast("long").alias("zone_area"),
+        )
+    )
+
+
+@query(
+    "ev_zorder_prune_audit",
+    """WITH q AS (
+  SELECT least(user_id, 255)::BIGINT AS ub,
+         least((floor(value * 100 + 0.5)::BIGINT) // 256, 255)::BIGINT AS vb
+  FROM events
+),
+z AS (SELECT ub, vb, (((ub // 1) % 2) * 2 + ((vb // 1) % 2) * 1 + ((ub // 2) % 2) * 8 + ((vb // 2) % 2) * 4 + ((ub // 4) % 2) * 32 + ((vb // 4) % 2) * 16 + ((ub // 8) % 2) * 128 + ((vb // 8) % 2) * 64 + ((ub // 16) % 2) * 512 + ((vb // 16) % 2) * 256 + ((ub // 32) % 2) * 2048 + ((vb // 32) % 2) * 1024 + ((ub // 64) % 2) * 8192 + ((vb // 64) % 2) * 4096 + ((ub // 128) % 2) * 32768 + ((vb // 128) % 2) * 16384)::BIGINT AS zval FROM q),
+zorder_files AS (
+  SELECT (zval // 1024)::BIGINT AS f, min(ub) AS u_min, max(ub) AS u_max
+  FROM z GROUP BY 1
+),
+valsort_files AS (
+  SELECT (vb // 4)::BIGINT AS f, min(ub) AS u_min, max(ub) AS u_max
+  FROM q GROUP BY 1
+)
+SELECT 'zorder' AS layout,
+       count(*)::BIGINT AS n_files,
+       sum(CASE WHEN u_max >= 8 AND u_min <= 15 THEN 1 ELSE 0 END)::BIGINT AS n_read,
+       round(1.0 - sum(CASE WHEN u_max >= 8 AND u_min <= 15 THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 4) AS skip_ratio
+FROM zorder_files
+UNION ALL
+SELECT 'value_sorted',
+       count(*)::BIGINT,
+       sum(CASE WHEN u_max >= 8 AND u_min <= 15 THEN 1 ELSE 0 END)::BIGINT,
+       round(1.0 - sum(CASE WHEN u_max >= 8 AND u_min <= 15 THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 4)
+FROM valsort_files""",
+)
+def ev_zorder_prune_audit(spark, sf_dir):
+    """The MEASURED benefit of the Z-order layout (``ev_zorder_layout``):
+    for the user-range predicate ub BETWEEN 8 AND 15, count how many of
+    64 files each layout's zone maps force a reader to open. The
+    value-sorted layout (single-column sort — the default anyone picks
+    for value-range queries) has full-range user zone maps in every
+    file, so the user predicate prunes ~nothing; the Z-ordered layout
+    bounds every file's user rectangle, so most files skip. Both
+    layouts' zone maps and the resulting read/skip counts are computed
+    exactly and oracle-pinned — the layout claim is a number, not an
+    assertion. At 100 TB these "files" are parquet files written by
+    repartitionByRange(zval), and n_read/n_files IS the scan-cost
+    ratio for the predicate."""
+    from etl__project_spark.operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    q = ev.select(
+        F.least(F.col("user_id"), F.lit(255)).cast("long").alias("ub"),
+        F.least(F.expr("cast(floor(value * 100 + 0.5) as long) div 256"), F.lit(255))
+        .cast("long")
+        .alias("vb"),
+    )
+    z = q.select("ub", "vb", zorder_key(F.col("ub"), F.col("vb")).alias("zval"))
+
+    def zone_audit(files_df, layout):
+        overlap = (F.col("u_max") >= 8) & (F.col("u_min") <= 15)
+        per_file = files_df.groupBy("f").agg(
+            F.min("ub").alias("u_min"), F.max("ub").alias("u_max")
+        )
+        return per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(overlap, 1).otherwise(0)).cast("long").alias("n_read"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.when(overlap, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("skip_ratio"),
+        ).select("layout", "n_files", "n_read", "skip_ratio")
+
+    zf = z.select(F.expr("zval div 1024").cast("long").alias("f"), "ub")
+    vf = q.select(F.expr("vb div 4").cast("long").alias("f"), "ub")
+    return zone_audit(zf, "zorder").unionByName(zone_audit(vf, "value_sorted"))

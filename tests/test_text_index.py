@@ -98,3 +98,76 @@ def test_text_index_random_property_vs_replay(spark):
         for r in bm25_from_index(want, ["spark", "merge"]).collect()
     )
     assert g == w
+
+
+def test_phrase_match_adjacency_and_overlaps(spark):
+    """phrase_match must require strict adjacency (not mere co-occurrence),
+    count multiple and OVERLAPPING occurrences, and handle 3-term
+    phrases — the cases a (doc, term, tf) index cannot answer."""
+    from etl__project_spark.datapipe.text_index import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),        # one "a b"
+            (2, "a x b"),        # co-occurrence, NOT adjacent
+            (3, "a b a b"),      # two occurrences
+            (4, "a a a"),        # overlapping "a a" twice
+            (5, "b a"),          # wrong order
+        ],
+        "doc_id long, text string",
+    )
+    post = positional_postings(docs)
+    got = {r["doc_id"]: r["n_occ"] for r in phrase_match(post, ["a", "b"]).collect()}
+    assert got == {1: 1, 3: 2}
+    got3 = {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_match(post, ["a", "b", "a"]).collect()
+    }
+    assert got3 == {3: 1}
+    gotaa = {r["doc_id"]: r["n_occ"] for r in phrase_match(post, ["a", "a"]).collect()}
+    assert gotaa == {4: 2}
+
+
+def test_zorder_key_interleaves_and_bounds_rectangles(spark):
+    """zorder_key must place a's bit i at 2i+1 and b's at 2i (checked
+    against a Python reference on exhaustive 4-bit inputs), agree with
+    the SQL twin via DuckDB, and Z-range buckets must bound BOTH
+    dimensions (the layout property a single-column sort lacks)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators.layout import zorder_key, zorder_key_sql
+
+    def ref(a, b, bits=4):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b"), bits=4).alias("z")
+        ).collect()
+    }
+    assert got == {(a, b): ref(a, b) for a, b in rows}
+    sql = zorder_key_sql("a", "b", bits=4)
+    duck = duckdb.sql(
+        f"SELECT a, b, {sql} AS z FROM (SELECT unnest(range(16)) a), "
+        "(SELECT unnest(range(16)) b)"
+    ).fetchall()
+    assert {(a, b): z for a, b, z in duck} == got
+    # bucket (top 4 z-bits) bounds both dims within a 4x4 rectangle
+    by_bucket = {}
+    for (a, b), z in got.items():
+        by_bucket.setdefault(z >> 4, []).append((a, b))
+    for pts in by_bucket.values():
+        aa = [p[0] for p in pts]
+        bb = [p[1] for p in pts]
+        assert max(aa) - min(aa) <= 3 and max(bb) - min(bb) <= 3

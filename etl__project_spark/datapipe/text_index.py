@@ -260,3 +260,65 @@ def phrase_match(
         )
         cur = cur.join(nxt, [id_col, "pos"])
     return cur.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+
+
+def positional_index_delta(
+    postings: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Signed positional-posting delta for one CDC batch against the
+    PRE-batch index: retract every touched doc's stored (pos, term)
+    rows (doc-key probe — unchanged docs are never re-tokenized),
+    assert the tokenization of the batch's post-images."""
+    touched = batch.select(id_col).distinct()
+    d_old = postings.join(touched, [id_col]).select(
+        id_col, "pos", "term", (-F.col("sign")).alias("sign")
+    )
+    d_new = positional_postings(
+        batch.filter(F.col(op_col) != delete_op), id_col, text_col
+    ).select(id_col, "pos", "term", F.lit(1).cast("long").alias("sign"))
+    return d_old.unionByName(d_new)
+
+
+def maintain_positional_postings_cdc(
+    initial: DataFrame,
+    cdc_batches: list[DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Advance the positional index through CDC batches (text rewrites,
+    takedown deletes) — the phrase-query face of
+    :func:`maintain_text_index_cdc`: same probe-and-retract fold, at
+    the (id, pos, term) grain phrase adjacency needs. Returns the live
+    postings (net multiplicity collapsed out — a position holds one
+    term); equal to :func:`positional_postings` of the replayed
+    post-CDC corpus (pinned by the ``doc_phrase_cdc`` oracle). Per
+    batch: one doc-key probe + |Δ| docs tokenized; the corpus is never
+    re-scanned. The index state is corpus-sized → DISK_ONLY."""
+    from etl__project_spark.session import state_checkpoint
+
+    post = positional_postings(initial, id_col, text_col).select(
+        "*", F.lit(1).cast("long").alias("sign")
+    )
+    if checkpoint:
+        post = state_checkpoint(post, table_sized=True)
+    for batch in cdc_batches:
+        delta = positional_index_delta(
+            post, batch, id_col, text_col, op_col, delete_op
+        )
+        post = (
+            post.unionByName(delta)
+            .groupBy(id_col, "pos", "term")
+            .agg(F.sum("sign").cast("long").alias("sign"))
+            .filter(F.col("sign") != 0)
+        )
+        if checkpoint:
+            post = state_checkpoint(post, table_sized=True)
+    return post.select(id_col, "pos", "term")

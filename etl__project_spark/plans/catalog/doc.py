@@ -4039,3 +4039,57 @@ def doc_phrase_search(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return phrase_match(positional_postings(docs), ["table", "value"])
+
+
+@query(
+    "doc_phrase_cdc",
+    """WITH post AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' table value' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 7
+),
+toks AS (
+  SELECT doc_id,
+         string_split(text, ' ')[i] AS tok,
+         i AS ord
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        FROM post)
+)
+SELECT a.doc_id, count(*)::BIGINT AS n_occ
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+WHERE a.tok = 'table' AND b.tok = 'value'
+GROUP BY a.doc_id""",
+)
+def doc_phrase_cdc(spark, sf_dir):
+    """Phrase search whose POSITIONAL index is MAINTAINED under document
+    CDC (``datapipe/text_index.py:maintain_positional_postings_cdc``) —
+    the BM25-index maintenance fold at the (doc, pos, term) grain
+    adjacency needs: per batch one doc-key probe retracts touched docs'
+    stored rows and only the |Δ| post-images re-tokenize, the corpus is
+    never re-scanned. The CDC script makes phrase membership itself
+    churn: updates APPEND the searched phrase to their docs (every
+    updated doc must newly match, and its old positional rows must not
+    ghost-match), deletes (doc_id % 10 = 7) remove previously-matching
+    docs. Read = the same ``phrase_match`` adjacency join as
+    ``doc_phrase_search``, over the maintained live postings; oracle =
+    adjacency recompute over the replayed post-CDC corpus."""
+    from etl__project_spark.datapipe.text_index import (
+        maintain_positional_postings_cdc,
+        phrase_match,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m10 = F.col("doc_id") % 10
+    batches = [
+        docs.filter(m10 == 3).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" table value")).alias("text"),
+            F.lit("U").alias("op"),
+        ),
+        docs.filter(m10 == 7).select(
+            "doc_id", F.lit(None).cast("string").alias("text"), F.lit("D").alias("op")
+        ),
+    ]
+    live = maintain_positional_postings_cdc(docs, batches)
+    return phrase_match(live, ["table", "value"])

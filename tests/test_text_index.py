@@ -171,3 +171,36 @@ def test_zorder_key_interleaves_and_bounds_rectangles(spark):
         aa = [p[0] for p in pts]
         bb = [p[1] for p in pts]
         assert max(aa) - min(aa) <= 3 and max(bb) - min(bb) <= 3
+
+
+def test_positional_index_maintenance_matches_replay(spark):
+    """maintain_positional_postings_cdc must equal positional_postings of
+    the replayed post state when a rewrite SHORTENS a doc (stale tail
+    positions must retract), another rewrite creates a new phrase match,
+    and a delete removes a doc entirely."""
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.datapipe.text_index import (
+        maintain_positional_postings_cdc,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "p q r")],
+        "doc_id long, text string",
+    )
+    batches = [
+        spark.createDataFrame(
+            [(1, "a b", "U"), (2, "x a b y", "U")],
+            "doc_id long, text string, op string",
+        ),
+        spark.createDataFrame(
+            [(3, None, "D")], "doc_id long, text string, op string"
+        ),
+    ]
+    got = maintain_positional_postings_cdc(docs, batches)
+    post = spark.createDataFrame(
+        [(1, "a b"), (2, "x a b y")], "doc_id long, text string"
+    )
+    want = positional_postings(post)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

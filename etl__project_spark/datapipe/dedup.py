@@ -1032,3 +1032,130 @@ def maintain_components_incremental(
         if checkpoint:
             labels = stats_barrier(labels)
     return labels
+
+
+# --- decontamination maintained under eval-set CDC ----------------------------
+
+
+def shingle_liveness_deltas(mult: DataFrame, delta_mult: DataFrame) -> DataFrame:
+    """(sh, t) liveness transitions of the eval shingle set under a
+    signed multiplicity delta: t = +1 where net count crosses 0 → >0
+    (shingle newly in SOME eval doc), t = −1 where it crosses >0 → 0
+    (last eval occurrence retracted). The same two-level split as the
+    triangle fold's edge liveness: multiplicity churn folds linearly,
+    and only LIVENESS transitions reach the expensive probe."""
+    m = mult.select("sh", F.col("m").alias("m_old"))
+    joined = delta_mult.join(m, "sh", "left").select(
+        "sh",
+        F.coalesce(F.col("m_old"), F.lit(0)).alias("m_old"),
+        (F.coalesce(F.col("m_old"), F.lit(0)) + F.col("dm")).alias("m_new"),
+    )
+    return joined.select(
+        "sh",
+        F.when((F.col("m_old") <= 0) & (F.col("m_new") > 0), 1)
+        .when((F.col("m_old") > 0) & (F.col("m_new") <= 0), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("t"),
+    ).filter(F.col("t") != 0)
+
+
+def maintain_decontamination_cdc(
+    train: DataFrame,
+    eval_initial: DataFrame,
+    eval_batches: list[DataFrame],
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """:func:`contamination_check` maintained while the EVAL side churns —
+    the production shape of decontamination: benchmarks keep arriving
+    (and occasionally get retracted) long after the training corpus is
+    shingled, and re-screening 100 TB of train text per new benchmark is
+    the rescan this fold avoids.
+
+    State: (1) the train shingle postings (doc-distinct (doc, sh) rows)
+    — corpus-sized, computed ONCE, DISK_ONLY; (2) the eval shingle
+    multiplicity table (sh, m); (3) the per-train-doc shared-shingle
+    counts. Per eval batch ('I'/'D' doc rows): the batch's shingles fold
+    into (2) linearly, only the 0 ↔ >0 LIVENESS transitions probe the
+    train postings (one equi-join on sh), and the resulting per-doc ±
+    deltas merge into (3) — so a new benchmark costs O(its shingles ×
+    matching postings), never a corpus re-shingle. Read: train docs
+    left-joined to (3), same (doc_id, n_shared_shingles, contaminated)
+    contract as the one-shot check (oracle-pinned by
+    ``doc_decontaminate_cdc``)."""
+    from etl__project_spark.session import state_checkpoint
+
+    train_post = char_shingles(train, k=k, text_col=text_col, id_col=id_col)
+    train_post = train_post.select(F.col(id_col), F.col("shingle").alias("sh"))
+    if checkpoint:
+        train_post = state_checkpoint(train_post, table_sized=True)
+    mult = (
+        char_shingles(eval_initial, k=k, text_col=text_col, id_col=id_col)
+        .groupBy(F.col("shingle").alias("sh"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    counts = (
+        train_post.join(mult.filter(F.col("m") > 0).select("sh"), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    if checkpoint:
+        mult = state_checkpoint(mult, table_sized=False)
+        counts = state_checkpoint(counts, table_sized=True)
+    for batch in eval_batches:
+        # lossy-state discipline (ADVICE r8): a D row must carry the full
+        # text — its shingles ARE the retraction, and a silently-empty
+        # shingle set diverges mult/counts forever.
+        bad = batch.filter(
+            (F.col("op") == "D") & F.col(text_col).isNull()
+        ).count()
+        if bad:
+            raise ValueError(
+                f"decontamination CDC: {bad} delete row(s) with null "
+                f"{text_col} — cannot derive shingle retractions"
+            )
+        signed = batch.select(
+            id_col,
+            text_col,
+            F.when(F.col("op") == "D", -1).otherwise(1).cast("long").alias("s"),
+        )
+        delta_mult = (
+            char_shingles(signed, k=k, text_col=text_col, id_col=id_col)
+            .join(signed.select(id_col, "s"), id_col)
+            .groupBy(F.col("shingle").alias("sh"))
+            .agg(F.sum("s").cast("long").alias("dm"))
+            .filter(F.col("dm") != 0)
+        )
+        trans = shingle_liveness_deltas(mult, delta_mult)
+        counts_delta = (
+            train_post.join(trans, "sh")
+            .groupBy(id_col)
+            .agg(F.sum("t").cast("long").alias("n"))
+        )
+        counts = (
+            counts.unionByName(counts_delta)
+            .groupBy(id_col)
+            .agg(F.sum("n").cast("long").alias("n"))
+            .filter(F.col("n") != 0)
+        )
+        mult = (
+            mult.unionByName(delta_mult.select("sh", F.col("dm").alias("m")))
+            .groupBy("sh")
+            .agg(F.sum("m").cast("long").alias("m"))
+            .filter(F.col("m") != 0)
+        )
+        if checkpoint:
+            mult = state_checkpoint(mult, table_sized=False)
+            counts = state_checkpoint(counts, table_sized=True)
+    return (
+        train.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_shared_shingles"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

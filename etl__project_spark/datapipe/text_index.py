@@ -322,3 +322,26 @@ def maintain_positional_postings_cdc(
         if checkpoint:
             post = state_checkpoint(post, table_sized=True)
     return post.select(id_col, "pos", "term")
+
+
+def proximity_match(
+    postings: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_pairs) for documents where ``term_b`` follows ``term_a``
+    within ``slop`` token positions (ordered proximity, Lucene slop
+    semantics) — the positional-index read between exact phrase (slop=1)
+    and bag-of-words co-occurrence (slop=∞). Same plan shape as
+    :func:`phrase_match`: two term-filtered slices, one id-keyed join,
+    the range predicate applied post-join on co-located rows."""
+    a = postings.filter(F.col("term") == term_a).select(id_col, F.col("pos").alias("pa"))
+    b = postings.filter(F.col("term") == term_b).select(id_col, F.col("pos").alias("pb"))
+    return (
+        a.join(b, id_col)
+        .filter((F.col("pb") > F.col("pa")) & (F.col("pb") - F.col("pa") <= slop))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -4093,3 +4093,84 @@ def doc_phrase_cdc(spark, sf_dir):
     ]
     live = maintain_positional_postings_cdc(docs, batches)
     return phrase_match(live, ["table", "value"])
+
+
+@query(
+    "doc_decontaminate_cdc",
+    f"""WITH ev AS (
+  SELECT DISTINCT unnest({_SHINGLE13}) AS sh
+  FROM documents WHERE doc_id % 50 = 1 OR doc_id % 100 = 50
+),
+tr AS (
+  SELECT doc_id, unnest({_SHINGLE13}) AS sh
+  FROM documents WHERE doc_id % 50 NOT IN (0, 1)
+),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM tr JOIN ev USING (sh) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_shared_shingles,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 50 NOT IN (0, 1)""",
+)
+def doc_decontaminate_cdc(spark, sf_dir):
+    """Decontamination maintained while the EVAL side churns
+    (``datapipe/dedup.py:maintain_decontamination_cdc``) — the
+    production shape: benchmarks keep arriving long after the corpus is
+    shingled, and a new benchmark must not cost a 100 TB re-shingle.
+    The corpus postings shingle ONCE; per eval batch only the batch's
+    shingles fold into the eval multiplicity table, only 0 ↔ >0
+    LIVENESS transitions probe the postings (the triangle fold's
+    two-level split applied to n-gram screening), and per-doc ± deltas
+    merge into the maintained shared-counts. CDC script: the %50==1
+    slice ARRIVES as a new benchmark, then the %100==0 half of the
+    original eval set is RETRACTED — so the oracle (one-shot
+    contamination against the post-CDC eval set) pins both that new
+    benchmarks flag new docs and that retracted benchmarks UNFLAG docs
+    whose only overlap was with them."""
+    from etl__project_spark.datapipe.dedup import maintain_decontamination_cdc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m50 = F.col("doc_id") % 50
+    train = docs.filter(~m50.isin(0, 1))
+    eval0 = docs.filter(m50 == 0)
+    batches = [
+        docs.filter(m50 == 1).select("doc_id", "text", F.lit("I").alias("op")),
+        docs.filter(F.col("doc_id") % 100 == 0).select(
+            "doc_id", "text", F.lit("D").alias("op")
+        ),
+    ]
+    return maintain_decontamination_cdc(train, eval0, batches, k=13)
+
+
+@query(
+    "doc_proximity_search",
+    """WITH toks AS (
+  SELECT doc_id,
+         string_split(text, ' ')[i] AS tok,
+         i AS ord
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        FROM documents)
+)
+SELECT a.doc_id, count(*)::BIGINT AS n_pairs
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.ord > a.ord AND b.ord - a.ord <= 3
+WHERE a.tok = 'table' AND b.tok = 'value'
+GROUP BY a.doc_id""",
+)
+def doc_proximity_search(spark, sf_dir):
+    """Ordered proximity search ("value" within 3 tokens after "table")
+    over the positional postings — Lucene slop semantics, the read
+    between exact phrase (slop=1, ``doc_phrase_search``) and
+    co-occurrence. Same co-located plan: two term-filtered posting
+    slices join on doc_id with the position-range predicate applied
+    post-join, so the corpus never shuffles and cost is bounded by the
+    two terms' posting sizes."""
+    from etl__project_spark.datapipe.text_index import (
+        positional_postings,
+        proximity_match,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return proximity_match(positional_postings(docs), "table", "value", slop=3)

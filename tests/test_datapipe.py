@@ -1320,3 +1320,58 @@ def test_degree_maintenance_random_churn_matches_recount(spark):
         want[u] = want.get(u, 0) + 1
         want[v] = want.get(v, 0) + 1
     assert got == want
+
+
+def test_decontamination_cdc_unflags_on_benchmark_retraction(spark):
+    """maintain_decontamination_cdc must (a) flag a train doc when a NEW
+    benchmark sharing its shingles arrives, (b) UNFLAG a doc whose only
+    overlap was with a retracted benchmark, (c) keep a doc flagged when
+    one of two overlapping benchmarks retracts, and (d) fail loudly on a
+    D row with null text (lossy retraction)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.datapipe.dedup import (
+        contamination_check,
+        maintain_decontamination_cdc,
+    )
+
+    k = 5
+    train = spark.createDataFrame(
+        [
+            (10, "aaaaa bbbbb"),   # overlaps eval doc 1 only
+            (11, "ccccc ddddd"),   # overlaps eval docs 2 AND 3
+            (12, "eeeee fffff"),   # overlaps the late benchmark 4 only
+            (13, "zzzzz yyyyy"),   # never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    eval0 = spark.createDataFrame(
+        [(1, "aaaaa"), (2, "ccccc"), (3, "ddddd")], "doc_id long, text string"
+    )
+    batches = [
+        spark.createDataFrame([(4, "eeeee", "I")], "doc_id long, text string, op string"),
+        spark.createDataFrame(
+            [(1, "aaaaa", "D"), (2, "ccccc", "D")],
+            "doc_id long, text string, op string",
+        ),
+    ]
+    got = {
+        r["doc_id"]: (r["n_shared_shingles"], r["contaminated"])
+        for r in maintain_decontamination_cdc(train, eval0, batches, k=k).collect()
+    }
+    post_eval = spark.createDataFrame(
+        [(3, "ddddd"), (4, "eeeee")], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: (r["n_shared_shingles"], r["contaminated"])
+        for r in contamination_check(train, post_eval, k=k).collect()
+    }
+    assert got == want
+    assert got[10][1] is False      # unflagged after benchmark 1 retracted
+    assert got[11] == (1, True)     # still flagged via surviving doc 3
+    assert got[12][1] is True       # flagged by the late benchmark
+
+    bad = [spark.createDataFrame([(9, None, "D")], "doc_id long, text string, op string")]
+    with pytest.raises(ValueError, match="null text"):
+        maintain_decontamination_cdc(train, eval0, bad, k=k)

@@ -204,3 +204,28 @@ def test_positional_index_maintenance_matches_replay(spark):
     )
     want = positional_postings(post)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_proximity_match_window_and_order(spark):
+    """proximity_match must enforce ORDER (b after a) and the slop
+    window, counting all qualifying pairs."""
+    from etl__project_spark.datapipe.text_index import (
+        positional_postings,
+        proximity_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x x b"),    # distance 3: inside slop=3
+            (2, "a x x x b"),  # distance 4: outside
+            (3, "b x a"),      # wrong order
+            (4, "a b x a x b"),  # pairs: (0,1), (3,5); (0,5) is dist 5
+        ],
+        "doc_id long, text string",
+    )
+    post = positional_postings(docs)
+    got = {
+        r["doc_id"]: r["n_pairs"]
+        for r in proximity_match(post, "a", "b", slop=3).collect()
+    }
+    assert got == {1: 1, 4: 2}

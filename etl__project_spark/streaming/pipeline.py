@@ -2038,6 +2038,7 @@ def stream_cms_cdc(
     warehouse_root: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Maintain the turnstile count-min sketch from a JSON-lines key
     changelog stream — the streaming face of ``ev_heavy_hitters_cdc``'s
@@ -2079,7 +2080,10 @@ def stream_cms_cdc(
         finally:
             batch.unpersist()
 
-    changes = spark.readStream.schema(KEY_CDC_SCHEMA).json(landing_dir)
+    reader = spark.readStream.schema(KEY_CDC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    changes = reader.json(landing_dir)
     writer = changes.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
     )

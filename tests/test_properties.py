@@ -1534,3 +1534,71 @@ def test_cms_never_underestimates_under_churn(spark, ops):
         ).collect()
     }
     assert all(est[k] >= n for k, n in live.items())
+
+
+def test_maintained_column_stats_match_recompute_under_random_churn(spark):
+    """Property: maintain_column_stats_cdc equals column_stats of the
+    replayed post state under randomized CDC scripts (seeded) — inserts,
+    value updates, NULL-ing updates, and deletes in arbitrary per-batch
+    mixes, including deletes of extremum rows and last-occurrence
+    values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.operators.quality import (
+        column_stats,
+        maintain_column_stats_cdc,
+    )
+
+    rng = random.Random(20260816)
+    cols = [("q", "double"), ("f", "string")]
+    sign = lambda s: F.lit(s).cast("long").alias("sign")  # noqa: E731
+
+    for trial in range(3):
+        state = {
+            i: (float(rng.randrange(1, 8)), rng.choice(["a", "b", "c"]))
+            for i in range(12)
+        }
+        initial = spark.createDataFrame(
+            [(q, f) for q, f in state.values()], "q double, f string"
+        )
+        deltas = []
+        next_id = 12
+        for _ in range(3):
+            rows = []
+            for _ in range(rng.randrange(2, 6)):
+                op = rng.choice(["I", "U", "UN", "D"])
+                if op == "I" or not state:
+                    q, f = float(rng.randrange(1, 8)), rng.choice(["a", "b", "c"])
+                    state[next_id] = (q, f)
+                    rows.append((q, f, 1))
+                    next_id += 1
+                else:
+                    key = rng.choice(list(state))
+                    old_q, old_f = state[key]
+                    rows.append((old_q, old_f, -1))
+                    if op == "D":
+                        del state[key]
+                    else:
+                        new = (
+                            (float(rng.randrange(1, 8)), old_f)
+                            if op == "U"
+                            else (old_q, None)
+                        )
+                        state[key] = new
+                        rows.append((new[0], new[1], 1))
+            deltas.append(
+                spark.createDataFrame(rows, "q double, f string, sign long")
+            )
+        got = maintain_column_stats_cdc(initial, deltas, "t", cols)
+        post = spark.createDataFrame(
+            [(q, f) for q, f in state.values()] or [(None, None)],
+            "q double, f string",
+        )
+        if not state:
+            post = post.filter(F.lit(False))
+        want = column_stats(post, "t", ["q", "f"])
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"trial {trial} diverged"

@@ -142,3 +142,87 @@ def test_histogram_fold_stays_flat_at_streaming_depth(spark, tmp_path):
         f"planning early={early_p}ms late={late_p}ms "
         f"(ratio {late_p / max(early_p, 1):.2f}), live buckets={live}"
     )
+
+
+@pytest.mark.soak
+def test_cms_fold_stays_flat_at_streaming_depth(spark, tmp_path):
+    """Second fold at streaming depth: the turnstile CMS through 200
+    one-file micro-batches (key remaps + deletes every batch). Same
+    flatness gates as the histogram soak, plus the no-underestimate
+    bound on the final grid, plus grid-size boundedness (d x w cells
+    FOREVER, whatever the churn)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_cms_cells,
+        read_cms_estimates,
+        stream_cms_cdc,
+    )
+
+    landing = str(tmp_path / "cms_soak_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "cms_soak_wh")
+    ckpt = str(tmp_path / "cms_soak_ckpt")
+
+    live: dict[int, str] = {}
+    for i in range(N_BATCHES):
+        rows = [
+            {"event_id": i, "key": f"k{i % 7}", "old_key": None, "op": "I",
+             "seq": 2 * i}
+        ]
+        live[i] = f"k{i % 7}"
+        if i > 0 and i % 3 == 0:
+            prev = i - 1
+            rows.append(
+                {"event_id": prev, "key": f"k{(prev + 1) % 7}",
+                 "old_key": live[prev], "op": "U", "seq": 2 * i + 1}
+            )
+            live[prev] = f"k{(prev + 1) % 7}"
+        if i > 1 and i % 5 == 0:
+            gone = i - 2
+            if gone in live:
+                rows.append(
+                    {"event_id": gone, "key": None, "old_key": live[gone],
+                     "op": "D", "seq": 2 * i + 2}
+                )
+                del live[gone]
+        with open(os.path.join(landing, f"b{i:04d}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+    q = stream_cms_cdc(spark, landing, wh_root, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(1800)
+    progresses = [_json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+
+    batches = [
+        p for p in progresses if p.get("numInputRows", 0) > 0 and "durationMs" in p
+    ]
+    assert len(batches) >= N_BATCHES - 5
+    walls = [p["durationMs"].get("triggerExecution", 0) for p in batches]
+    early_w = statistics.median(walls[2:50])
+    late_w = statistics.median(walls[-50:])
+    assert late_w <= 3 * early_w, (early_w, late_w)
+
+    wh = ParquetWarehouse(spark, wh_root)
+    cells = read_cms_cells(wh)
+    assert cells.count() <= 4 * 256  # d x w bound, forever
+    # no-underestimate on every live key's exact net count
+    import collections
+
+    exact = collections.Counter(live.values())
+    keys_df = spark.createDataFrame([(k,) for k in exact], "key string")
+    est = {
+        r["key"]: r["est_count"]
+        for r in read_cms_estimates(wh, keys_df, "key").collect()
+    }
+    assert all(est[k] >= n for k, n in exact.items()), (est, dict(exact))
+    print(
+        f"\nSOAK cms fold: {len(batches)} batches, wall early={early_w}ms "
+        f"late={late_w}ms (ratio {late_w / max(early_w, 1):.2f}), "
+        f"cells={cells.count()}"
+    )

@@ -57,14 +57,25 @@ HEADLINE = [
     "emb_ivf_cdc",
 ]
 
-# Operative baseline per VERDICT r3: BENCH_r01.json single-shot numbers
-# (sf0.1, idle box) for the 13 round-1 queries. vs_warehouse_load joined
-# HEADLINE in round 4; its entry is the round-5 idle-box median measured
-# by THIS harness (median-of-3 at sf0.1, 2026-08-14 — ADVICE r4: the
-# prior 7.0 was a same-round hand projection the harness never
-# reproduced, while BENCH_r04's 9.245 s on the shared judge box read as
-# a standing 1.32x regression; the idle re-measure confirms that was
-# contention, not code).
+# Operative baseline — per-query provenance (VERDICT r9 #7: the dict
+# mixes measurement rounds and protocols; record them here so ratio
+# archaeology never needs git):
+#
+# * 14 round-1 entries (vs_fact .. emb_cosine_topk, except
+#   vs_warehouse_load): BENCH_r01.json single-shot numbers, sf0.1,
+#   round-1 box. Pre-dates the median-of-3 protocol AND the
+#   host_factor instrumentation — no steal reading exists for them;
+#   VERDICT r3 designated them the operative baseline.
+# * vs_warehouse_load: round-5 idle re-measure, median-of-3 at sf0.1
+#   by THIS harness, 2026-08-14 (§9a protocol, idle box). ADVICE r4:
+#   the prior 7.0 was a same-round hand projection the harness never
+#   reproduced, while BENCH_r04's 9.245 s on the shared judge box read
+#   as a standing 1.32x regression; the idle re-measure confirmed
+#   contention, not code.
+# * ev_quantile_cdc, emb_ivf_cdc: round-9 idle-box medians
+#   (median-of-3 at sf0.1, 2026-08-16, §9a protocol — sequential
+#   runs, nothing else on the box) — first-round baselines for the
+#   IVM/maintenance representatives added to HEADLINE in round 9.
 _BASELINE = {
     "vs_fact": 2.943,
     "vs_fact_rollup": 0.925,
@@ -80,8 +91,6 @@ _BASELINE = {
     "doc_tfidf_top_terms": 1.461,
     "ev_asof_signup": 1.053,
     "emb_cosine_topk": 0.539,
-    # round-9 idle-box medians (median-of-3 at sf0.1, 2026-08-16, §9a
-    # protocol) — first-round baselines for the IVM representatives.
     "ev_quantile_cdc": 1.842,
     "emb_ivf_cdc": 4.696,
 }

@@ -17,7 +17,10 @@ covers the interleave itself, not a float approximation of it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -44,3 +47,119 @@ def zorder_key_sql(a: str, b: str, bits: int = 8) -> str:
         terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
         terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i)}")
     return "(" + " + ".join(terms) + ")"
+
+
+ZBUCKET_COL = "_zbucket"  # layout helper column; stripped on warehouse reads
+
+
+@dataclass(frozen=True)
+class ZOrderLayout:
+    """Physical write layout for ``ParquetWarehouse`` publishes/appends
+    (VERDICT r9 #3 — the ``ev_zorder_layout`` model promoted into the
+    actual write path): rows land in files bounded in BOTH interleaved
+    dimensions, so the written parquet files' zone maps (footer min/max,
+    what a reader's row-group pruning consults) prune range predicates
+    on either dimension.
+
+    ``dim_a`` / ``dim_b``: SQL expressions producing ALREADY-QUANTIZED
+    non-negative ints of ``bits`` bits each — quantization is the
+    caller's (range-to-grid is data-dependent; the engine interleaves).
+
+    Two file-assignment modes:
+
+    * ``equal_width=False`` (default — the production layout):
+      ``repartitionByRange(n_files, zvalue)`` + sort-within. Equal-COUNT
+      files via range quantiles, so a skewed dim can never produce a
+      monster file; boundaries are sampled, so file rectangles are
+      data-dependent. This is what Delta OPTIMIZE ZORDER does.
+    * ``equal_width=True`` — fixed-width Z-buckets (``zvalue div
+      (2^(2·bits)/n_files)``), one file per non-empty bucket via a
+      bucket shuffle + directory ``partitionBy``. Exactly the zone
+      model ``ev_zorder_prune_audit`` scores, so the measured
+      files-read count matches the modeled audit bit-for-bit
+      (pinned by ``tests/test_layout.py``). Equal-width buckets can
+      skew with the data; prefer the default off the audit path.
+    """
+
+    dim_a: str
+    dim_b: str
+    bits: int = 8
+    n_files: int = 64
+    equal_width: bool = False
+
+    def apply(self, df: DataFrame) -> tuple[DataFrame, str | None]:
+        """Partition ``df`` for writing. Returns ``(frame,
+        partition_col)`` — the writer must ``partitionBy(partition_col)``
+        when it is not None (equal-width mode)."""
+        z = zorder_key(F.expr(self.dim_a), F.expr(self.dim_b), self.bits)
+        if self.equal_width:
+            span = 1 << (2 * self.bits)
+            if span % self.n_files:
+                raise ValueError(
+                    f"n_files={self.n_files} must divide 2^(2*bits)={span} "
+                    "for fixed-width Z-buckets"
+                )
+            width = span // self.n_files
+            bucket = F.floor(z / F.lit(width)).cast("long")
+            out = df.withColumn(ZBUCKET_COL, bucket).repartition(
+                self.n_files, ZBUCKET_COL
+            )
+            return out, ZBUCKET_COL
+        out = (
+            df.withColumn(ZBUCKET_COL, z)
+            .repartitionByRange(self.n_files, ZBUCKET_COL)
+            .sortWithinPartitions(ZBUCKET_COL)
+            .drop(ZBUCKET_COL)
+        )
+        return out, None
+
+
+def parquet_file_zone_maps(path: str, column: str) -> list[tuple[str, int, int]]:
+    """Read back the ACTUAL per-file zone maps for ``column`` from the
+    parquet footers under ``path`` (recursive): [(file, min, max)].
+
+    Metadata-only — pyarrow reads each file's KB footer, no data scan;
+    this is precisely the statistic a reader's file/row-group pruning
+    consults, which makes it the honest measurement of what a layout
+    bought (vs ``ev_zorder_prune_audit``'s modeled buckets). Driver-side
+    loop bounded by the file count, i.e. by the audit's own subject."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            md = pq.ParquetFile(fp).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    if col.path_in_schema != column:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                out.append((fp, lo, hi))
+    return out
+
+
+def files_read_under_range(
+    path: str, column: str, lo: int, hi: int
+) -> dict[str, float]:
+    """How many of the files under ``path`` a zone-map-pruning reader
+    must open for ``column BETWEEN lo AND hi`` — the physical twin of
+    ``ev_zorder_prune_audit``'s modeled (n_files, n_read, skip_ratio)."""
+    zones = parquet_file_zone_maps(path, column)
+    n_files = len(zones)
+    n_read = sum(1 for _f, mn, mx in zones if mx >= lo and mn <= hi)
+    return {
+        "n_files": n_files,
+        "n_read": n_read,
+        "skip_ratio": round(1.0 - n_read / n_files, 4) if n_files else 0.0,
+    }

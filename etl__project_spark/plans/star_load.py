@@ -100,7 +100,16 @@ class ParquetWarehouse:
         path = os.path.join(self._tdir(table), f"v{v}")
         if version is not None and not os.path.isdir(path):
             raise ValueError(f"{table} has no retained version {version}")
-        return self.spark.read.parquet(path)
+        return self._strip_layout_cols(self.spark.read.parquet(path))
+
+    @staticmethod
+    def _strip_layout_cols(df: DataFrame) -> DataFrame:
+        """Drop layout helper columns a partitioned Z-order write leaves
+        as directory-partition columns, so a table's read schema is
+        stable whether or not it was written under a layout."""
+        from etl__project_spark.operators.layout import ZBUCKET_COL
+
+        return df.drop(ZBUCKET_COL) if ZBUCKET_COL in df.columns else df
 
     def versions(self, table: str) -> list[int]:
         """Retained snapshot versions, oldest first (current = last)."""
@@ -165,16 +174,32 @@ class ParquetWarehouse:
         except FileNotFoundError:
             pass
 
-    def publish(self, table: str, df: DataFrame) -> int:
+    @staticmethod
+    def _layout_write(df: DataFrame, layout, path: str) -> None:
+        """Write ``df`` to ``path``, optionally under a physical layout
+        (``operators/layout.py:ZOrderLayout`` — VERDICT r9 #3). The
+        layout decides partitioning; equal-width mode adds a directory
+        partition column that :meth:`read` / :meth:`read_fact` strip."""
+        if layout is None:
+            df.write.mode("overwrite").parquet(path)
+            return
+        frame, pcol = layout.apply(df)
+        writer = frame.write.mode("overwrite")
+        if pcol is not None:
+            writer = writer.partitionBy(pcol)
+        writer.parquet(path)
+
+    def publish(self, table: str, df: DataFrame, layout=None) -> int:
         """Write a new full snapshot, then atomically swap the pointer.
         Optimistic CAS via the version claim: concurrent publishes of
         the same table raise ConcurrentWriteError instead of silently
-        last-writer-wins."""
+        last-writer-wins. ``layout``: optional ZOrderLayout applied to
+        the snapshot files (multi-dimensional data skipping on read)."""
         base = self._current(table)
         v = (base or 0) + 1
         self._claim_version(table, v, base)
         path = os.path.join(self._tdir(table), f"v{v}")
-        df.write.mode("overwrite").parquet(path)
+        self._layout_write(df, layout, path)
         tmp = os.path.join(self._tdir(table), "CURRENT.tmp")
         with open(tmp, "w") as fh:
             fh.write(str(v))
@@ -290,17 +315,22 @@ class ParquetWarehouse:
         # batch dirs appended after the last compaction are live too
         return sorted(set(dirs) | set(self._live_batch_dirs(table)))
 
-    def fact_append(self, table: str, df: DataFrame, batch_id: str) -> bool:
+    def fact_append(
+        self, table: str, df: DataFrame, batch_id: str, layout=None
+    ) -> bool:
         """Append one batch; returns False if the batch already landed —
         as a live directory OR absorbed into a compaction (idempotent
-        replay across compactions)."""
+        replay across compactions). ``layout``: optional ZOrderLayout —
+        the batch's files come out bounded in both interleaved
+        dimensions, so range predicates on either prune files at read
+        (measured by ``operators/layout.py:files_read_under_range``)."""
         path = self.fact_batch_dir(table, batch_id)
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             return False
         m = self._manifest(table)
         if m is not None and batch_id in m["absorbed"]:
             return False
-        df.write.mode("overwrite").parquet(path)
+        self._layout_write(df, layout, path)
         return True
 
     def replace_batch(self, table: str, batch_id: str, df: DataFrame) -> None:
@@ -351,9 +381,11 @@ class ParquetWarehouse:
         dirs = self._live_dirs(table)
         if not dirs:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*dirs)
+        return self._strip_layout_cols(self.spark.read.parquet(*dirs))
 
-    def compact_fact(self, table: str, num_files: int = 1) -> int:
+    def compact_fact(
+        self, table: str, num_files: int = 1, layout=None
+    ) -> int:
         """Merge all live batch directories into one compacted directory.
         Returns the number of directories absorbed (0 = nothing to do).
 
@@ -374,9 +406,15 @@ class ParquetWarehouse:
         n = m["n"] + 1
         tmp = os.path.join(self._tdir(table), f"compacting-{n}")
         final = os.path.join(self._tdir(table), f"compact-{n}")
-        self.spark.read.parquet(*sources).coalesce(num_files).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        merged = self._strip_layout_cols(self.spark.read.parquet(*sources))
+        if layout is not None:
+            # compaction is where a table gets (re-)clustered: many
+            # append-ordered batch dirs merge into one Z-ordered dir
+            # (Delta OPTIMIZE ZORDER's moment), layout.n_files governs
+            # the output file count instead of coalesce.
+            self._layout_write(merged, layout, tmp)
+        else:
+            merged.coalesce(num_files).write.mode("overwrite").parquet(tmp)
         self._compact_sidecars(sources, tmp)
         os.replace(tmp, final)
         absorbed_ids = [
@@ -488,11 +526,12 @@ def load_batch(
 ) -> dict[str, int]:
     """One load cycle: parse → SCD1-upsert 4 dims → star-join fact append.
 
-    ``join_stats`` (optional): maintained {skey_col: join-size bound}
-    from :func:`join_stats_from_cms` — a dim whose bound exceeds the
-    broadcast limit flips to the salted-shuffle plan in
-    ``operators/fact.py:build_fact`` instead of an executor-memory-
-    blind broadcast (VERDICT r8 #8).
+    ``join_stats`` (optional): maintained {skey_col: size estimate}
+    from :func:`join_stats_from_warehouse` (the unified interface over
+    the CMS join-size bounds and the ANALYZE NDV state) — a dim whose
+    estimate exceeds the broadcast limit flips to the salted-shuffle
+    plan in ``operators/fact.py:build_fact`` instead of an
+    executor-memory-blind broadcast (VERDICT r8 #8, r9 #6).
 
     Mirrors lambda_function_redishift.py:56-169 (DDL/COPY/upserts/fact/
     truncate) with per-batch frames playing the staging-table role.
@@ -576,6 +615,58 @@ def join_stats_from_cms(
         row = cms_join_size_bound(cells_a, cells_b).first()
         if row is not None and row["est_size"] is not None:
             out[skey_col] = int(row["est_size"])
+    return out
+
+
+def join_stats_from_analyze(
+    wh: ParquetWarehouse, ndv_sources: dict[str, tuple[str, str]]
+) -> dict[str, int]:
+    """Join statistics from the maintained ANALYZE state (VERDICT r9 #6
+    — ``tpch_stats_analyze_cdc`` / ``stream_column_stats_cdc`` promoted
+    from a catalog query into the planner loop, like the CMS grids
+    before it).
+
+    ``ndv_sources`` maps skey column → (col_stats state table, tracked
+    column name). The maintained (column_name, v, n) state holds one
+    live row per distinct value, so the dim natural-key column's NDV —
+    one filtered COUNT over the state — is a LOWER bound on the dim's
+    row count (every distinct live key is at least one row). A dim
+    whose key NDV alone exceeds the broadcast row limit has provably
+    outgrown the broadcast, whatever the per-key fan-out. Missing/empty
+    state means "no statistic" (broadcast default preserved). BOUNDED
+    read: one 1-row aggregate per dim over the KB-to-MB stats state."""
+    from etl__project_spark.streaming.pipeline import COLSTATS_STATE_SCHEMA
+
+    out: dict[str, int] = {}
+    for skey_col, (state_table, column_name) in ndv_sources.items():
+        state = wh.read(state_table, COLSTATS_STATE_SCHEMA)
+        row = state.filter(
+            (F.col("column_name") == column_name)
+            & F.col("v").isNotNull()
+            & (F.col("n") > 0)
+        ).agg(F.count(F.lit(1)).cast("long").alias("ndv")).first()
+        if row is not None and row["ndv"]:
+            out[skey_col] = int(row["ndv"])
+    return out
+
+
+def join_stats_from_warehouse(
+    wh: ParquetWarehouse,
+    cms_grids: dict[str, tuple[str, str]] | None = None,
+    analyze_ndv: dict[str, tuple[str, str]] | None = None,
+) -> dict[str, int]:
+    """ONE maintained-statistics interface for :func:`load_batch`'s
+    join-strategy choice (VERDICT r9 #6), fed by two maintained
+    producers: the turnstile-CMS join-size bounds
+    (:func:`join_stats_from_cms`) and the ANALYZE column-NDV state
+    (:func:`join_stats_from_analyze`). Per skey the producers combine
+    by MAX — the decision this feeds is OOM avoidance (don't broadcast
+    a dim that outgrew executor memory), so any producer flagging a dim
+    as big must win; a dim neither producer tracks keeps the default
+    broadcast plan."""
+    out = join_stats_from_cms(wh, cms_grids or {})
+    for skey_col, ndv in join_stats_from_analyze(wh, analyze_ndv or {}).items():
+        out[skey_col] = max(out.get(skey_col, 0), ndv)
     return out
 
 

@@ -1806,6 +1806,7 @@ def stream_text_index_cdc(
     warehouse_root: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Maintain the BM25 postings index from a JSON-lines document
     changelog stream — the streaming face of
@@ -1818,7 +1819,15 @@ def stream_text_index_cdc(
     pre-state, so a replayed batch either no-ops (already merged) or
     recomputes the identical delta — there is no cross-table partial
     state to resurrect (the dl/df/stats views derive at read time,
-    :func:`read_text_index`)."""
+    :func:`read_text_index`).
+
+    ORDERED-TRANSPORT contract: because retractions derive from the
+    pre-batch state (not from before-images), cross-batch delivery must
+    follow changelog order — Kafka gives this per partition-key; the
+    file source orders by mtime, so producers must not tie (see the
+    text-index soak). The per-doc ``seq`` resolves order only WITHIN a
+    micro-batch. The commutative sketch folds below have no such
+    requirement."""
     from etl__project_spark.datapipe.text_index import _doc_parts
     from etl__project_spark.operators.ivm import consolidate
     from etl__project_spark.operators.merge import cdc_apply
@@ -1849,7 +1858,104 @@ def stream_text_index_cdc(
             _merge,
         )
 
-    changes = spark.readStream.schema(TEXT_CDC_SCHEMA).json(landing_dir)
+    reader = spark.readStream.schema(TEXT_CDC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    changes = reader.json(landing_dir)
+    writer = changes.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- streaming positional phrase-index maintenance ----------------------------
+
+POSITIONAL_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("sign", T.LongType()),
+    ]
+)
+
+
+def read_positional_postings(wh: ParquetWarehouse):
+    """The live (doc_id, pos, term) positional index maintained by
+    :func:`stream_phrase_index_cdc` — net multiplicity collapsed out (a
+    position holds one term), ready for
+    ``datapipe/text_index.py:phrase_match`` / ``proximity_match``."""
+    return (
+        wh.read("positional_postings", POSITIONAL_POSTINGS_SCHEMA)
+        .filter(F.col("sign") > 0)
+        .select("doc_id", "pos", "term")
+    )
+
+
+def stream_phrase_index_cdc(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain the POSITIONAL phrase index from a JSON-lines document
+    changelog stream — the streaming face of
+    ``datapipe/text_index.py:maintain_positional_postings_cdc``
+    (VERDICT r9 #4), mirroring :func:`stream_text_index_cdc` over the
+    same changelog contract at the (doc_id, pos, term) grain phrase
+    adjacency needs. Per micro-batch: latest-wins compaction by doc
+    (tombstones kept), then a ``publish_merged`` whose merge callback
+    derives the signed positional delta against the PRE-batch stored
+    state (one doc-key probe retracts the touched docs' rows; ONLY the
+    batch's post-images re-tokenize) and consolidates. Exactly-once:
+    the delta is derived INSIDE the merge from that table's own
+    pre-state, so a replayed batch either no-ops (already merged) or
+    recomputes the identical delta. Same ordered-transport contract as
+    :func:`stream_text_index_cdc` (retractions derive from pre-state,
+    so cross-batch delivery must follow changelog order). State is the
+    versioned warehouse parquet table itself — durable on disk, never
+    driver memory; at 100 TB it is a table bucketed by doc_id
+    (co-locating ``phrase_match``'s adjacency joins) and
+    partition-pruned by term."""
+    from etl__project_spark.datapipe.text_index import positional_postings
+    from etl__project_spark.operators.ivm import consolidate
+    from etl__project_spark.operators.merge import cdc_apply
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _merge(existing: DataFrame, batch: DataFrame) -> DataFrame:
+        touched = batch.select("doc_id").distinct()
+        retract = existing.join(touched, ["doc_id"]).select(
+            "doc_id", "pos", "term", (-F.col("sign")).alias("sign")
+        )
+        post = batch.filter(F.col("op") != "D").select("doc_id", "text")
+        new_post = positional_postings(post).select(
+            "*", F.lit(1).cast("long").alias("sign")
+        )
+        return consolidate(
+            existing.unionByName(retract).unionByName(new_post)
+        )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        compact = cdc_apply(
+            batch, key_cols=["doc_id"], seq_cols=["seq"], drop_deletes=False
+        )
+        wh.publish_merged(
+            "positional_postings",
+            compact,
+            POSITIONAL_POSTINGS_SCHEMA,
+            str(batch_id),
+            _merge,
+        )
+
+    reader = spark.readStream.schema(TEXT_CDC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    changes = reader.json(landing_dir)
     writer = changes.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -536,3 +536,57 @@ def test_join_stats_from_cms_reads_maintained_grids(spark, tmp_path):
     assert stats["sk"] >= 50  # exact join size is 50 (10 fact rows x 5 keys... each key matches once)
     # absent grids -> no statistic, broadcast default preserved
     assert join_stats_from_cms(wh, {"sk2": ("nope_a", "nope_b")}) == {}
+
+
+def test_analyze_ndv_stat_flips_plan_through_unified_interface(spark, tmp_path):
+    """VERDICT r9 #6: the maintained ANALYZE (column, value) state is a
+    second producer behind ONE stats interface
+    (join_stats_from_warehouse) — a dim key column whose maintained NDV
+    exceeds the broadcast row limit must flip build_fact to the salted
+    shuffle, exactly as a CMS join-size bound does; producers combine
+    by MAX (OOM avoidance: any flag wins)."""
+    from etl__project_spark.operators.fact import build_fact
+    from etl__project_spark.operators.quality import column_value_partial
+    from etl__project_spark.plans.star_load import (
+        ParquetWarehouse,
+        join_stats_from_analyze,
+        join_stats_from_warehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "ndv_wh"))
+    # maintained stats state over a dim whose natural key has 4000
+    # distinct live values (NDV > the 2000-row broadcast limit used
+    # below), plus a small second column that must NOT flag
+    big_dim_rows = spark.createDataFrame(
+        [(f"k{i}", f"t{i % 3}") for i in range(4000)], "nk string, tier string"
+    ).withColumn("sign", F.lit(1))
+    wh.publish("dim_stats_state", column_value_partial(big_dim_rows, ["nk", "tier"]))
+
+    ndv = join_stats_from_analyze(
+        wh, {"sk": ("dim_stats_state", "nk"), "tier_sk": ("dim_stats_state", "tier")}
+    )
+    assert ndv["sk"] == 4000 and ndv["tier_sk"] == 3
+    # absent state table -> no statistic
+    assert join_stats_from_analyze(wh, {"sk2": ("nope", "nk")}) == {}
+
+    stats = join_stats_from_warehouse(
+        wh, analyze_ndv={"sk": ("dim_stats_state", "nk")}
+    )
+    assert stats == {"sk": 4000}
+
+    staging = spark.createDataFrame(
+        [(f"k{i % 10}", i) for i in range(100)], "nk string, payload int"
+    )
+    dim = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(10)], "dim_nk string, sk long"
+    )
+    dims = {"sk": (dim, "nk", "dim_nk")}
+    flipped = build_fact(staging, dims, join_stats=stats, broadcast_row_limit=2000)
+    kept = build_fact(staging, dims, join_stats={}, broadcast_row_limit=2000)
+    p_f = flipped._jdf.queryExecution().executedPlan().toString()
+    p_k = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in p_f, "high maintained NDV did not flip the plan"
+    assert "BroadcastHashJoin" in p_k
+    assert sorted(r["sk"] for r in flipped.collect()) == sorted(
+        r["sk"] for r in kept.collect()
+    )

@@ -226,3 +226,128 @@ def test_cms_fold_stays_flat_at_streaming_depth(spark, tmp_path):
         f"late={late_w}ms (ratio {late_w / max(early_w, 1):.2f}), "
         f"cells={cells.count()}"
     )
+
+
+@pytest.mark.soak
+def test_text_index_fold_stays_flat_at_streaming_depth(spark, tmp_path):
+    """Third fold at streaming depth, and the first with TABLE-SIZED
+    state (VERDICT r9 #5): the BM25 postings index through 200 one-file
+    micro-batches. The histogram/CMS soaks prove the KB-bounded-state
+    folds flat; the risky class is the folds whose state is proportional
+    to a base table — here the postings state GROWS with the live corpus
+    (every batch inserts a doc and rewrites the previous one), so this
+    soak separates healthy linear state growth from unhealthy per-batch
+    wall/planning growth. Gates: flat per-batch wall and planning time
+    (late/early window medians), state row count TRACKING the live
+    relation (postings rows == exact posting count of the replayed
+    corpus, no retraction residue), and the final index equal to a
+    one-shot build. Measured ratios recorded in SCALE.md §9p."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from etl__project_spark.datapipe.text_index import build_text_index
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_text_index,
+        stream_text_index_cdc,
+    )
+
+    landing = str(tmp_path / "tx_soak_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "tx_soak_wh")
+    ckpt = str(tmp_path / "tx_soak_ckpt")
+
+    words = ["spark", "merge", "window", "delta", "index", "soak", "batch"]
+
+    def text_for(doc_id: int, rev: int) -> str:
+        return " ".join(
+            words[(doc_id + rev + j) % len(words)] for j in range(3 + doc_id % 3)
+        )
+
+    live: dict[int, str] = {}
+    for i in range(N_BATCHES):
+        rows = [
+            {"doc_id": i, "text": text_for(i, 0), "op": "I", "seq": 2 * i}
+        ]
+        live[i] = text_for(i, 0)
+        if i > 0:
+            prev = i - 1
+            rows.append(
+                {"doc_id": prev, "text": text_for(prev, 1), "op": "U",
+                 "seq": 2 * i + 1}
+            )
+            live[prev] = text_for(prev, 1)
+        if i > 1 and i % 5 == 0:
+            gone = i - 2
+            if gone in live:
+                rows.append(
+                    {"doc_id": gone, "text": None, "op": "D", "seq": 2 * i + 2}
+                )
+                del live[gone]
+        fp = os.path.join(landing, f"b{i:04d}.jsonl")
+        with open(fp, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        # The file source orders micro-batches by MODIFICATION TIME; a
+        # fast write loop produces ties, which scramble delivery order.
+        # The sketch folds (histogram/CMS soaks above) are commutative
+        # signed sums and survive that; the postings fold derives
+        # retractions from pre-state, so it requires the ordered
+        # transport a real changelog (Kafka offsets) provides — model
+        # it with strictly increasing mtimes.
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+    q = stream_text_index_cdc(
+        spark, landing, wh_root, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(1800)
+    progresses = [_json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+
+    batches = [
+        p for p in progresses if p.get("numInputRows", 0) > 0 and "durationMs" in p
+    ]
+    assert len(batches) >= N_BATCHES - 5, (
+        f"expected ~{N_BATCHES} micro-batches, saw {len(batches)}"
+    )
+    walls = [p["durationMs"].get("triggerExecution", 0) for p in batches]
+    plans = [p["durationMs"].get("queryPlanning", 0) for p in batches]
+    early_w = statistics.median(walls[2:50])
+    late_w = statistics.median(walls[-50:])
+    early_p = statistics.median(plans[2:50]) or 1.0
+    late_p = statistics.median(plans[-50:])
+    assert late_w <= 3 * early_w, (
+        f"per-batch wall grew: early median {early_w} ms -> late median "
+        f"{late_w} ms over {len(batches)} batches"
+    )
+    assert late_p <= 3 * early_p + 50, (
+        f"driver planning time grew: early median {early_p} ms -> late "
+        f"median {late_p} ms"
+    )
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got_index = read_text_index(wh)
+    final = spark.createDataFrame(
+        sorted(live.items()), "doc_id long, text string"
+    )
+    want_index = build_text_index(final)
+    # state tracks the live relation exactly: same (doc, term, tf) rows,
+    # every sign +1 (no retraction residue left in the stored table)
+    got_rows = sorted(
+        map(tuple, got_index.postings.select("doc_id", "term", "tf", "sign").collect())
+    )
+    want_rows = sorted(
+        map(tuple, want_index.postings.select("doc_id", "term", "tf", "sign").collect())
+    )
+    assert got_rows == want_rows
+    assert len(got_rows) > 0 and len(live) > 100  # the state really is table-sized
+
+    print(
+        f"\nSOAK text-index fold: {len(batches)} batches, wall median "
+        f"early={early_w}ms late={late_w}ms (ratio {late_w / max(early_w, 1):.2f}), "
+        f"planning early={early_p}ms late={late_p}ms "
+        f"(ratio {late_p / max(early_p, 1):.2f}), "
+        f"postings rows={len(got_rows)}, live docs={len(live)}"
+    )

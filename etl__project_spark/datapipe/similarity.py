@@ -848,16 +848,53 @@ def maintain_ivf_cells_cdc(
     sign1 = F.lit(1).cast("long").alias("sign")
     state = initial.select(id_col, vec_col).select("*", sign1)
     cells = assign_cells(initial, seeds, vec_col, id_col).select("*", sign1)
-    if checkpoint:
-        state = state_checkpoint(state, table_sized=True)
-        cells = state_checkpoint(cells, table_sized=True)
+
+    # The two states checkpoint as ONE materialization per step (VERDICT
+    # r9 #2): each eager checkpoint is a full Spark job whose fixed
+    # overhead — not the KB-to-table data — dominated the emb_ivf_cdc
+    # bench (2 batches x 2 table-sized checkpoints + the delta's). The
+    # tagged union halves the job count; consumers read their half back
+    # with a filter over the shared DISK_ONLY frame.
+    def _ckpt_pair(state_df, cells_df):
+        if not checkpoint:
+            return state_df, cells_df
+        both = state_df.select(
+            F.lit(0).alias("_half"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.lit(None).cast("long").alias("centroid_id"),
+            "sign",
+        ).unionByName(
+            cells_df.select(
+                F.lit(1).alias("_half"),
+                F.col("cand_id").alias("_id"),
+                F.col("cand_vec").alias("_vec"),
+                F.col("centroid_id").cast("long"),
+                "sign",
+            )
+        )
+        both = state_checkpoint(both, table_sized=True)
+        return (
+            both.filter(F.col("_half") == 0).select(
+                F.col("_id").alias(id_col), F.col("_vec").alias(vec_col), "sign"
+            ),
+            both.filter(F.col("_half") == 1).select(
+                F.col("_id").alias("cand_id"),
+                F.col("_vec").alias("cand_vec"),
+                "centroid_id",
+                "sign",
+            ),
+        )
+
+    state, cells = _ckpt_pair(state, cells)
     for batch in cdc_batches:
+        # the delta is consumed exactly once (the state consolidate) and
+        # derives from the already-checkpointed state, so it needs no
+        # materialization of its own
         delta = cdc_to_signed_delta(
             state, batch.select(id_col, vec_col, op_col),
             [id_col], op_col=op_col, delete_op=delete_op,
         )
-        if checkpoint:
-            delta = state_checkpoint(delta, table_sized=False)
         touched = batch.select(F.col(id_col).alias("cand_id")).distinct()
         retract = cells.join(touched, ["cand_id"]).select(
             "cand_id", "cand_vec", "centroid_id", (-F.col("sign")).alias("sign")
@@ -872,9 +909,7 @@ def maintain_ivf_cells_cdc(
             cells.unionByName(retract).unionByName(assert_c)
         )
         state = consolidate(state.unionByName(delta))
-        if checkpoint:
-            cells = state_checkpoint(cells, table_sized=True)
-            state = state_checkpoint(state, table_sized=True)
+        state, cells = _ckpt_pair(state, cells)
     return state, cells
 
 

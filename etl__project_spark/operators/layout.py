@@ -24,29 +24,53 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def zorder_key(a: Column, b: Column, bits: int = 8) -> Column:
-    """Morton-interleave two already-quantized non-negative ints of
-    ``bits`` bits each into a 2·bits-bit Z-value: a's bit i lands at
-    output bit 2i+1, b's at 2i. Pure shift/mask column expression —
-    whole-stage-codegen friendly, no UDF."""
+def _interleave_positions(n_dims: int, bits: int):
+    """Bit placement shared by the Spark and SQL builders: bit ``i`` of
+    dimension ``j`` lands at output bit ``i·n_dims + (n_dims − 1 − j)``
+    (round-robin, dimension 0 most significant within each round). For
+    two dims this is the classic Morton layout (a→2i+1, b→2i)."""
+    for j in range(n_dims):
+        for i in range(bits):
+            yield j, i, i * n_dims + (n_dims - 1 - j)
+
+
+def zorder_key_n(cols: list[Column], bits: int = 8) -> Column:
+    """Morton-interleave N already-quantized non-negative ints of
+    ``bits`` bits each into an N·bits-bit Z-value. Pure shift/mask
+    column expression — whole-stage-codegen friendly, no UDF. N·bits
+    must fit a signed long (≤ 62)."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} dims x {bits} bits exceeds a signed long")
     z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
-            + F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+    for j, i, out in _interleave_positions(n, bits):
+        z = z + F.shiftleft(
+            F.shiftright(cols[j].cast("long"), i).bitwiseAND(F.lit(1)), out
         )
     return z
 
 
-def zorder_key_sql(a: str, b: str, bits: int = 8) -> str:
-    """The DuckDB/ANSI twin of :func:`zorder_key`, built from the same
-    loop: div/mod in place of shift/mask, identical bit placement."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
-        terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i)}")
+def zorder_key(a: Column, b: Column, bits: int = 8) -> Column:
+    """Two-dimensional :func:`zorder_key_n`: a's bit i lands at output
+    bit 2i+1, b's at 2i."""
+    return zorder_key_n([a, b], bits)
+
+
+def zorder_key_n_sql(cols: list[str], bits: int = 8) -> str:
+    """The DuckDB/ANSI twin of :func:`zorder_key_n`, built from the
+    SAME bit-placement loop: div/mod in place of shift/mask, identical
+    bit positions — so an oracle hash match pins the interleave itself,
+    not a float approximation of it."""
+    terms = [
+        f"(({cols[j]} // {1 << i}) % 2) * {1 << out}"
+        for j, i, out in _interleave_positions(len(cols), bits)
+    ]
     return "(" + " + ".join(terms) + ")"
+
+
+def zorder_key_sql(a: str, b: str, bits: int = 8) -> str:
+    """Two-dimensional :func:`zorder_key_n_sql`."""
+    return zorder_key_n_sql([a, b], bits)
 
 
 ZBUCKET_COL = "_zbucket"  # layout helper column; stripped on warehouse reads
@@ -73,12 +97,15 @@ class ZOrderLayout:
       monster file; boundaries are sampled, so file rectangles are
       data-dependent. This is what Delta OPTIMIZE ZORDER does.
     * ``equal_width=True`` — fixed-width Z-buckets (``zvalue div
-      (2^(2·bits)/n_files)``), one file per non-empty bucket via a
+      (2^(n_dims·bits)/n_files)``), one file per non-empty bucket via a
       bucket shuffle + directory ``partitionBy``. Exactly the zone
       model ``ev_zorder_prune_audit`` scores, so the measured
       files-read count matches the modeled audit bit-for-bit
       (pinned by ``tests/test_layout.py``). Equal-width buckets can
       skew with the data; prefer the default off the audit path.
+
+    The standalone path-writer twin (auto min/max quantization, no
+    warehouse) is ``sources/connectors.py:write_zordered``.
     """
 
     dim_a: str
@@ -86,14 +113,21 @@ class ZOrderLayout:
     bits: int = 8
     n_files: int = 64
     equal_width: bool = False
+    # beyond two dimensions: quantized int expressions interleaved after
+    # dim_a/dim_b (Delta OPTIMIZE ZORDER takes N columns; so does this)
+    extra_dims: tuple = ()
+
+    @property
+    def _dims(self) -> list:
+        return [self.dim_a, self.dim_b, *self.extra_dims]
 
     def apply(self, df: DataFrame) -> tuple[DataFrame, str | None]:
         """Partition ``df`` for writing. Returns ``(frame,
         partition_col)`` — the writer must ``partitionBy(partition_col)``
         when it is not None (equal-width mode)."""
-        z = zorder_key(F.expr(self.dim_a), F.expr(self.dim_b), self.bits)
+        z = zorder_key_n([F.expr(d) for d in self._dims], self.bits)
         if self.equal_width:
-            span = 1 << (2 * self.bits)
+            span = 1 << (len(self._dims) * self.bits)
             if span % self.n_files:
                 raise ValueError(
                     f"n_files={self.n_files} must divide 2^(2*bits)={span} "

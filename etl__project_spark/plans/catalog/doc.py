@@ -4174,3 +4174,95 @@ def doc_proximity_search(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return proximity_match(positional_postings(docs), "table", "value", slop=3)
+
+
+@query(
+    "doc_repetition_filter",
+    r"""WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+wc AS (
+  SELECT doc_id, word, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(t) AS word FROM toks) GROUP BY doc_id, word
+),
+uni AS (
+  SELECT doc_id, max(c)::BIGINT AS top_word_n, sum(c)::BIGINT AS n_words
+  FROM wc GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, count(*)::BIGINT AS c
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY doc_id, bg
+),
+bi AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n FROM bc GROUP BY doc_id)
+SELECT u.doc_id, u.n_words, u.top_word_n,
+       coalesce(b.top_bigram_n, 0)::BIGINT AS top_bigram_n,
+       (u.top_word_n * 8 <= u.n_words
+        AND coalesce(b.top_bigram_n, 0) * 20 <= u.n_words - 1) AS keep
+FROM uni u LEFT JOIN bi b USING (doc_id)""",
+)
+def doc_repetition_filter(spark, sf_dir):
+    """Intra-document repetition gate, BIGRAM grain — the Gopher-rules
+    (Rae et al. 2021 §A1.1) n-gram repetition family:
+    ``doc_repetition_ratio`` covers the unigram signals with per-row
+    array expressions (an O(len²)-per-row shape, right for short docs);
+    this query adds the most-frequent-BIGRAM rule and computes BOTH
+    signals as doc-grain hash AGGREGATES — O(len) per doc — the shape
+    that holds for 100 k-token documents. A doc whose top word exceeds
+    1/8 of its tokens or whose top bigram exceeds 1/20 of its token
+    transitions is template/boilerplate-shaped and gets keep=false.
+    Degenerate-repetition docs survive every corpus-LEVEL dedup (they
+    are not duplicates of anything) — this per-doc gate is the standard
+    companion filter in a training-data pipeline.
+
+    Distributed shape: both signals are doc-grain two-level hash
+    aggregates — (doc, word) counts then per-doc max, (doc, bigram)
+    counts then per-doc max — with bigrams zipped map-side from each
+    token array's own tail (``arrays_zip`` of two slices, fused into
+    the scan; no position self-join). The two per-doc profiles join
+    doc-keyed. Nothing is corpus-global: state and shuffles stay at
+    (doc x distinct-terms-in-doc) grain, embarrassingly scalable at
+    100 TB. Thresholds are exact integer multiplies (no fractions), so
+    the gate hashes bit-identically across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t")
+    )
+    uni = (
+        toks.select("doc_id", F.explode("t").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("top_word_n"),
+            F.sum("c").cast("long").alias("n_words"),
+        )
+    )
+    bi = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w_a"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w_b"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.concat_ws(" ", "p.w_a", "p.w_b").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_bigram_n"))
+    )
+    out = uni.join(bi, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "top_word_n",
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long").alias(
+            "top_bigram_n"
+        ),
+    )
+    keep = (F.col("top_word_n") * 8 <= F.col("n_words")) & (
+        F.col("top_bigram_n") * 20 <= F.col("n_words") - 1
+    )
+    return out.select("*", keep.alias("keep"))

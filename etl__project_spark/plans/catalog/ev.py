@@ -6404,3 +6404,67 @@ def ev_zorder_prune_audit(spark, sf_dir):
     zf = z.select(F.expr("zval div 1024").cast("long").alias("f"), "ub")
     vf = q.select(F.expr("vb div 4").cast("long").alias("f"), "ub")
     return zone_audit(zf, "zorder").unionByName(zone_audit(vf, "value_sorted"))
+
+
+from etl__project_spark.operators.layout import zorder_key_n_sql  # noqa: E402
+
+_Z3_SQL = zorder_key_n_sql(["ub", "vb", "tb"], 8)
+
+
+@query(
+    "ev_zorder3_layout",
+    f"""WITH q AS (
+  SELECT least(user_id, 255)::BIGINT AS ub,
+         least((floor(value * 100 + 0.5)::BIGINT) // 256, 255)::BIGINT AS vb,
+         hour(ts)::BIGINT AS tb
+  FROM events
+),
+z AS (SELECT ub, vb, tb, ({_Z3_SQL})::BIGINT AS zval FROM q)
+SELECT (zval // {1 << 18})::BIGINT AS bucket,
+       count(*)::BIGINT AS n,
+       min(ub)::BIGINT AS u_min, max(ub)::BIGINT AS u_max,
+       min(vb)::BIGINT AS v_min, max(vb)::BIGINT AS v_max,
+       min(tb)::BIGINT AS t_min, max(tb)::BIGINT AS t_max
+FROM z GROUP BY 1""",
+)
+def ev_zorder3_layout(spark, sf_dir):
+    """N-dimensional Z-order — the 3-column interleave (user, value,
+    hour-of-day) Delta OPTIMIZE ZORDER users actually run, through the
+    generalized ``operators/layout.py:zorder_key_n`` (round-robin bit
+    placement; the 2-dim ``zorder_key`` is its N=2 case, bit-for-bit).
+    The oracle's div/mod twin is emitted by ``zorder_key_n_sql`` from
+    the SAME placement loop at registration time, so the hash match
+    pins the 24-bit interleave itself. Per 64-file bucket the emitted
+    zone maps bound ALL THREE dimensions — a range predicate on any one
+    prunes files, the property no single- or two-column sort gives.
+    Same write path as the 2-dim layout: ``ZOrderLayout(...,
+    extra_dims=("tb",))`` on any warehouse publish/append/compaction.
+
+    Plan: quantize + interleave is one codegen'd projection fused into
+    the scan; the aggregate has a 64-value keyspace."""
+    from etl__project_spark.operators.layout import zorder_key_n
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    q = ev.select(
+        F.least(F.col("user_id"), F.lit(255)).cast("long").alias("ub"),
+        F.least(F.expr("cast(floor(value * 100 + 0.5) as long) div 256"), F.lit(255))
+        .cast("long")
+        .alias("vb"),
+        F.hour("ts").cast("long").alias("tb"),
+    )
+    z = q.select(
+        "ub", "vb", "tb",
+        zorder_key_n([F.col("ub"), F.col("vb"), F.col("tb")], 8).alias("zval"),
+    )
+    return (
+        z.groupBy(F.expr(f"zval div {1 << 18}").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("ub").cast("long").alias("u_min"),
+            F.max("ub").cast("long").alias("u_max"),
+            F.min("vb").cast("long").alias("v_min"),
+            F.max("vb").cast("long").alias("v_max"),
+            F.min("tb").cast("long").alias("t_min"),
+            F.max("tb").cast("long").alias("t_max"),
+        )
+    )

@@ -146,3 +146,48 @@ def test_publish_with_layout_roundtrips(spark, tmp_path):
     got = wh.read("ev_snap", q.schema)
     assert got.columns == ["ub", "vb"]
     assert got.count() == q.count()
+
+
+def test_three_dim_layout_bounds_all_dimensions(spark, tmp_path):
+    """N-dim generalization (extra_dims): a 3-column Z-order write
+    produces files whose footer zone maps are bounded in ALL THREE
+    dimensions, and the per-file rectangles match the modeled
+    ev_zorder3_layout buckets exactly in equal-width mode."""
+    modeled = {
+        r["bucket"]: (r["u_min"], r["u_max"], r["t_min"], r["t_max"])
+        for r in QUERIES["ev_zorder3_layout"](spark, SF).collect()
+    }
+
+    ev = load_table(spark, SF, "events").select("user_id", "value", "ts")
+    q = ev.select(
+        F.least(F.col("user_id"), F.lit(255)).cast("long").alias("ub"),
+        F.least(
+            F.expr("cast(floor(value * 100 + 0.5) as long) div 256"), F.lit(255)
+        )
+        .cast("long")
+        .alias("vb"),
+        F.hour("ts").cast("long").alias("tb"),
+    )
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    layout = ZOrderLayout(
+        dim_a="ub", dim_b="vb", bits=8, n_files=64, equal_width=True,
+        extra_dims=("tb",),
+    )
+    assert wh.fact_append("ev_z3", q, "b0", layout=layout)
+    path = wh.fact_batch_dir("ev_z3", "b0")
+
+    u_zones = {f: (lo, hi) for f, lo, hi in parquet_file_zone_maps(path, "ub")}
+    t_zones = {f: (lo, hi) for f, lo, hi in parquet_file_zone_maps(path, "tb")}
+    assert len(u_zones) == len(modeled)
+    # one file per fixed-width bucket: its (u, t) rectangle equals the model's
+    got = sorted(
+        (u_zones[f][0], u_zones[f][1], t_zones[f][0], t_zones[f][1])
+        for f in u_zones
+    )
+    want = sorted(modeled.values())
+    assert got == want
+
+    # round-trip: stable schema, same rows
+    back = wh.read_fact("ev_z3", q.schema)
+    assert back.columns == ["ub", "vb", "tb"]
+    assert back.count() == q.count()

@@ -1964,6 +1964,110 @@ def stream_phrase_index_cdc(
     return writer.start()
 
 
+# --- streaming IVF posting maintenance -----------------------------------------
+
+EMB_CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+IVF_SEEDS_SCHEMA = T.StructType(
+    [
+        T.StructField("centroid_id", T.LongType()),
+        T.StructField("cv", T.ArrayType(T.DoubleType())),
+    ]
+)
+IVF_CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("cand_id", T.LongType()),
+        T.StructField("cand_vec", T.ArrayType(T.DoubleType())),
+        T.StructField("centroid_id", T.LongType()),
+        T.StructField("sign", T.LongType()),
+    ]
+)
+
+
+def read_ivf_cells(wh: ParquetWarehouse) -> DataFrame:
+    """The live IVF posting lists maintained by :func:`stream_ivf_cdc` —
+    (cand_id, cand_vec, centroid_id), ready for ``ivf_topk``-shaped
+    probe/score/rank reads."""
+    return (
+        wh.read("ivf_cells", IVF_CELLS_SCHEMA)
+        .filter(F.col("sign") > 0)
+        .select("cand_id", "cand_vec", "centroid_id")
+    )
+
+
+def stream_ivf_cdc(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain IVF posting lists from a JSON-lines embedding changelog
+    stream — the streaming face of
+    ``datapipe/similarity.py:maintain_ivf_cells_cdc``, extending the
+    index-stream family (text, phrase) to the similarity surface.
+    Centroids are a FROZEN trained artifact read from the warehouse
+    (``ivf_seeds``, published once per retrain; KB-sized, broadcast) —
+    exactly how production IVF behaves between retrains. Per
+    micro-batch: latest-wins compaction by vec, then a
+    ``publish_merged`` whose merge callback retracts the touched
+    vectors' postings from the PRE-batch state (one id probe) and
+    scores ONLY the batch's post-images against the broadcast
+    centroids; unchanged vectors are never re-scored. Exactly-once via
+    the merged-batch ledger; same ordered-transport contract as
+    :func:`stream_text_index_cdc` (retractions derive from pre-state).
+    At 100 TB the cells table is bucketed by centroid_id so a top-k
+    probe reads only the probed cells' buckets."""
+    from etl__project_spark.datapipe.similarity import assign_cells
+    from etl__project_spark.operators.ivm import consolidate
+    from etl__project_spark.operators.merge import cdc_apply
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def _merge(existing: DataFrame, batch: DataFrame) -> DataFrame:
+        seeds = wh.read("ivf_seeds", IVF_SEEDS_SCHEMA)
+        touched = batch.select(F.col("vec_id").alias("cand_id")).distinct()
+        retract = existing.join(touched, ["cand_id"]).select(
+            "cand_id", "cand_vec", "centroid_id", (-F.col("sign")).alias("sign")
+        )
+        post = batch.filter(F.col("op") != "D").select("vec_id", "embedding")
+        assert_c = assign_cells(post, seeds).select(
+            "cand_id",
+            "cand_vec",
+            F.col("centroid_id").cast("long"),
+            F.lit(1).cast("long").alias("sign"),
+        )
+        return consolidate(
+            existing.unionByName(retract).unionByName(assert_c)
+        )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        compact = cdc_apply(
+            batch, key_cols=["vec_id"], seq_cols=["seq"], drop_deletes=False
+        )
+        wh.publish_merged(
+            "ivf_cells", compact, IVF_CELLS_SCHEMA, str(batch_id), _merge
+        )
+
+    reader = spark.readStream.schema(EMB_CDC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    changes = reader.json(landing_dir)
+    writer = changes.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --- streaming retractable-histogram maintenance ------------------------------
 
 VALUE_HIST_SCHEMA = T.StructType(
@@ -2226,11 +2330,17 @@ COLSTATS_CDC_SCHEMA = T.StructType(
 )
 
 
-def read_column_stats(wh: ParquetWarehouse, table_name: str = "t") -> DataFrame:
+def read_column_stats_cdc(wh: ParquetWarehouse, table_name: str = "t") -> DataFrame:
     """column_stats-shaped read over the maintained (column, value)
     state — the streaming face of the batch ``tpch_stats_analyze_cdc``
     read, through the same coded path
-    (``operators/quality.py:column_stats_from_state``)."""
+    (``operators/quality.py:column_stats_from_state``).
+
+    (Renamed from ``read_column_stats`` in round 10: it silently
+    SHADOWED the earlier scalar-stats reader of the same name — a
+    same-file redefinition pytest could not see because the test that
+    covered the old reader was itself shadowed by a same-name test.
+    Both collisions are now resolved and both tests run.)"""
     from etl__project_spark.operators.quality import column_stats_from_state
 
     return column_stats_from_state(
@@ -2255,7 +2365,7 @@ def stream_column_stats_cdc(
     probe; deletes that remove a column's extremum or a value's last
     occurrence re-balance at read time by construction. Exactly-once
     via the batch-id ledger; stats serve from
-    :func:`read_column_stats` at O(state)."""
+    :func:`read_column_stats_cdc` at O(state)."""
     from etl__project_spark.operators.quality import (
         column_value_partial,
         merge_column_values,

@@ -751,3 +751,30 @@ def test_state_checkpoint_pins_storage_level_and_strips_stats(spark):
         for rdd_info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
     }
     assert any("StorageLevel(disk, 1 replicas)" in s for s in lvls), lvls
+
+
+def test_no_duplicate_top_level_definitions():
+    """A same-file redefinition silently shadows the earlier function —
+    round 10 found TWO stacked instances: a second read_column_stats in
+    streaming/pipeline.py shadowed the scalar-stats reader, and the test
+    covering the old reader was itself shadowed by a same-name test, so
+    nothing failed. AST-walk every source and test file; any duplicate
+    top-level def/class fails here before it can hide behavior."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    offenders = []
+    for f in [*root.joinpath("etl__project_spark").rglob("*.py"),
+              *root.joinpath("tests").rglob("*.py"),
+              *root.joinpath("tools").rglob("*.py")]:
+        seen: dict[str, int] = {}
+        for node in ast.parse(f.read_text()).body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                if node.name in seen:
+                    offenders.append(
+                        f"{f}:{node.lineno} duplicate top-level {node.name} "
+                        f"(first at line {seen[node.name]})"
+                    )
+                seen[node.name] = node.lineno
+    assert not offenders, "\n".join(offenders)

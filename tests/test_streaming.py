@@ -1701,6 +1701,86 @@ def test_streaming_phrase_index_matches_one_shot_build(spark, tmp_path):
     assert got == [(1, 1), (2, 3), (4, 1)]
 
 
+def test_streaming_ivf_cells_match_one_shot_assignment(spark, tmp_path):
+    """Embedding changelog batches streamed through stream_ivf_cdc yield
+    posting lists equal to assign_cells() of the replayed corpus against
+    the same frozen seeds — re-embeddings (negated vectors) provably
+    move cells, deletes drop postings — and a restarted stream on the
+    same checkpoint+landing must not double-apply."""
+    import json
+
+    from etl__project_spark.datapipe.similarity import assign_cells
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        IVF_SEEDS_SCHEMA,
+        read_ivf_cells,
+        stream_ivf_cdc,
+    )
+
+    landing = str(tmp_path / "ivf_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "ivf_wh")
+    ckpt = str(tmp_path / "ivf_ckpt")
+
+    # frozen quantizer: two well-separated centroids, published once
+    wh = ParquetWarehouse(spark, wh_root)
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], IVF_SEEDS_SCHEMA
+    )
+    wh.publish("ivf_seeds", seeds)
+
+    batches = [
+        [
+            (10, [0.9, 0.1], "I", 1),
+            (11, [0.2, 0.8], "I", 1),
+            (12, [0.7, 0.3], "I", 1),
+        ],
+        # re-embed 10 to its negation (cosine flips -> moves cell),
+        # delete 12, insert 13
+        [
+            (10, [-0.9, -0.1], "U", 2),
+            (12, None, "D", 2),
+            (13, [0.1, 0.9], "I", 2),
+        ],
+    ]
+
+    def run_batch(i, rows):
+        with open(os.path.join(landing, f"b{i}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps(
+                        {"vec_id": r[0], "embedding": r[1], "op": r[2], "seq": r[3]}
+                    )
+                    + "\n"
+                )
+        q = stream_ivf_cdc(spark, landing, wh_root, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    for i, rows in enumerate(batches):
+        run_batch(i, rows)
+    # restart with no new files: must no-op (exactly-once)
+    q = stream_ivf_cdc(spark, landing, wh_root, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+
+    got = sorted(
+        (r["cand_id"], r["centroid_id"])
+        for r in read_ivf_cells(wh).collect()
+    )
+    final = spark.createDataFrame(
+        [(10, [-0.9, -0.1]), (11, [0.2, 0.8]), (13, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    want = sorted(
+        (r["cand_id"], r["centroid_id"])
+        for r in assign_cells(final, seeds).collect()
+    )
+    assert got == want and len(got) == 3
+    # the re-embedding provably moved vec 10 out of centroid 0
+    assert (10, 0) not in got
+
+
 def test_streaming_value_histogram_matches_one_shot(spark, tmp_path):
     """Event changelog batches streamed through stream_value_histogram_cdc
     yield a histogram (and quantile reads) equal to a one-shot sketch of
@@ -1917,7 +1997,7 @@ def test_lossy_fold_fails_loudly_on_null_before_image(spark, tmp_path):
     assert read_value_histogram(wh).count() == 0
 
 
-def test_streaming_column_stats_match_one_shot(spark, tmp_path):
+def test_streaming_column_stats_cdc_match_one_shot(spark, tmp_path):
     """Row changelog batches streamed through stream_column_stats_cdc
     yield ANALYZE stats equal to a one-shot column_stats of the replayed
     post state — an update NULLs a value (null count up), a delete
@@ -1930,7 +2010,7 @@ def test_streaming_column_stats_match_one_shot(spark, tmp_path):
     from etl__project_spark.operators.quality import column_stats
     from etl__project_spark.plans.star_load import ParquetWarehouse
     from etl__project_spark.streaming.pipeline import (
-        read_column_stats,
+        read_column_stats_cdc,
         stream_column_stats_cdc,
     )
 
@@ -1971,6 +2051,29 @@ def test_streaming_column_stats_match_one_shot(spark, tmp_path):
         [(10.0, "a"), (20.0, None), (30.0, "b")], "q double, f string"
     )
     want = column_stats(post, "t", ["q", "f"])
-    assert sorted(map(tuple, read_column_stats(wh).collect())) == sorted(
+    assert sorted(map(tuple, read_column_stats_cdc(wh).collect())) == sorted(
         map(tuple, want.collect())
+    )
+
+    # END-TO-END planner loop (VERDICT r9 #6): the STREAMED ANALYZE state
+    # feeds join_stats_from_warehouse, and the maintained NDV flips
+    # build_fact's plan — producer to plan with no hand-built state.
+    from etl__project_spark.operators.fact import build_fact
+    from etl__project_spark.plans.star_load import join_stats_from_warehouse
+
+    stats = join_stats_from_warehouse(
+        wh, analyze_ndv={"sk": ("col_stats_state", "q")}
+    )
+    assert stats["sk"] == 3  # three live distinct q values maintained above
+    staging = spark.createDataFrame(
+        [(f"k{i % 3}", i) for i in range(20)], "nk string, payload int"
+    )
+    dim = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(3)], "dim_nk string, sk long"
+    )
+    dims = {"sk": (dim, "nk", "dim_nk")}
+    flipped = build_fact(staging, dims, join_stats=stats, broadcast_row_limit=2)
+    p = flipped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in p, (
+        "streamed NDV stat above the limit did not flip the plan"
     )

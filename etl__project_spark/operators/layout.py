@@ -183,6 +183,40 @@ def parquet_file_zone_maps(path: str, column: str) -> list[tuple[str, int, int]]
     return out
 
 
+def zone_read_amplification(
+    paths: str | list[str], column: str, n_probes: int = 64
+) -> dict[str, float]:
+    """Clustering-health statistic from footer zone maps alone: probe
+    ``n_probes`` evenly spaced points across the column's global
+    [min, max] and average the fraction of files whose zone covers each
+    point. A perfectly clustered layout reads ~1/n_files per point
+    (fraction → 1/n); fully overlapping zones (append-ordered batches)
+    read everything (fraction → 1.0). This is the number a lakehouse
+    OPTIMIZE scheduler watches: appends degrade it monotonically, a
+    re-cluster compaction restores it — see
+    ``plans/star_load.py:should_recluster`` for the trigger and
+    ``tests/test_layout.py`` for the measured degrade/restore cycle.
+    Metadata-only (pyarrow footers), driver cost O(files · probes)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    zones: list[tuple[str, int, int]] = []
+    for p in paths:
+        zones.extend(parquet_file_zone_maps(p, column))
+    if not zones:
+        return {"n_files": 0, "mean_read_fraction": 0.0}
+    lo = min(mn for _f, mn, _mx in zones)
+    hi = max(mx for _f, _mn, mx in zones)
+    span = max(hi - lo, 1)
+    total = 0
+    for k in range(n_probes):
+        point = lo + (span * k) // max(n_probes - 1, 1)
+        total += sum(1 for _f, mn, mx in zones if mn <= point <= mx)
+    return {
+        "n_files": len(zones),
+        "mean_read_fraction": round(total / (n_probes * len(zones)), 4),
+    }
+
+
 def files_read_under_range(
     path: str, column: str, lo: int, hi: int
 ) -> dict[str, float]:

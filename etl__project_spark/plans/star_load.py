@@ -618,6 +618,34 @@ def join_stats_from_cms(
     return out
 
 
+def should_recluster(
+    wh: ParquetWarehouse,
+    table: str,
+    column: str,
+    threshold: float = 0.5,
+    n_probes: int = 64,
+) -> tuple[bool, dict[str, float]]:
+    """The OPTIMIZE-scheduling trigger that closes the layout loop:
+    Z-ordered writes give pruned reads (``ZOrderLayout``), appends
+    erode the clustering (each new append-ordered batch dir overlaps
+    the whole key domain), and this statistic decides when
+    ``compact_fact(table, layout=...)`` should pay the re-cluster.
+    Reads ONLY parquet footers over the fact's live dirs
+    (``operators/layout.py:zone_read_amplification``): a
+    mean_read_fraction above ``threshold`` means a typical point
+    predicate on ``column`` opens more than that fraction of files —
+    re-cluster; a fresh Z-ordered table sits near 1/n_files. Returns
+    (trigger, measured stats); a table with no live files never
+    triggers."""
+    from etl__project_spark.operators.layout import zone_read_amplification
+
+    dirs = wh._live_dirs(table)
+    if not dirs:
+        return False, {"n_files": 0, "mean_read_fraction": 0.0}
+    stats = zone_read_amplification(dirs, column, n_probes)
+    return stats["n_files"] > 1 and stats["mean_read_fraction"] > threshold, stats
+
+
 def join_stats_from_analyze(
     wh: ParquetWarehouse, ndv_sources: dict[str, tuple[str, str]]
 ) -> dict[str, int]:

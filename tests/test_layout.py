@@ -191,3 +191,45 @@ def test_three_dim_layout_bounds_all_dimensions(spark, tmp_path):
     back = wh.read_fact("ev_z3", q.schema)
     assert back.columns == ["ub", "vb", "tb"]
     assert back.count() == q.count()
+
+
+def test_recluster_trigger_degrades_with_appends_and_restores_on_compaction(
+    spark, tmp_path
+):
+    """The full layout MAINTENANCE loop: a Z-ordered table reads pruned;
+    append-ordered batches (the streaming hot path) erode the measured
+    clustering health monotonically until should_recluster trips; a
+    layout compaction restores both the health statistic and the
+    trigger. All measurements are parquet-footer-only. Probes run on vb
+    (the fixture's wide-domain dimension: sf0.001 has only 15 distinct
+    user ids, so ub cannot differentiate 64 files); the production
+    equal-count layout keeps every file populated at 1 000 rows where
+    fixed-width Z-buckets would collapse to 4."""
+    from etl__project_spark.plans.star_load import should_recluster
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    layout = ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64)
+
+    # clustered start: near the 1/n_files floor (measured 0.058 at 64 files)
+    wh.fact_append("ev_z", q, "b0", layout=layout)
+    trig0, stats0 = should_recluster(wh, "ev_z", "vb", threshold=0.2)
+    assert not trig0 and stats0["mean_read_fraction"] < 0.1
+
+    # append-ordered churn: each batch dir spans the whole vb domain
+    h = F.crc32(F.concat_ws("|", "ub", "vb"))
+    frac = stats0["mean_read_fraction"]
+    for i in range(1, 4):
+        wh.fact_append("ev_z", q.filter(h % 3 == i % 3), f"b{i}")
+        _, stats_i = should_recluster(wh, "ev_z", "vb", threshold=0.2)
+        assert stats_i["mean_read_fraction"] >= frac  # monotone erosion
+        frac = stats_i["mean_read_fraction"]
+    trig1, stats1 = should_recluster(wh, "ev_z", "vb", threshold=0.2)
+    assert trig1, stats1
+
+    # the re-cluster moment: compact under the layout, health restored
+    assert wh.compact_fact("ev_z", layout=layout) == 4
+    trig2, stats2 = should_recluster(wh, "ev_z", "vb", threshold=0.2)
+    assert not trig2 and stats2["mean_read_fraction"] < 0.1
+    # and the data survived intact
+    assert wh.read_fact("ev_z", q.schema).count() == q.count() * 2

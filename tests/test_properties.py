@@ -1602,3 +1602,60 @@ def test_maintained_column_stats_match_recompute_under_random_churn(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), f"trial {trial} diverged"
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_dims=st.integers(2, 3),
+    bits=st.sampled_from([4, 8]),
+)
+def test_zorder_interleave_agrees_across_three_engines(spark, rows, n_dims, bits):
+    """zorder_key_n (Spark shift/mask exprs), zorder_key_n_sql (DuckDB
+    div/mod twin), and a direct Python bit-interleave must agree
+    bit-for-bit on random inputs — the property the layout's oracle
+    parity and physical file assignment both rest on."""
+    import duckdb
+
+    from etl__project_spark.operators.layout import (
+        _interleave_positions,
+        zorder_key_n,
+        zorder_key_n_sql,
+    )
+
+    cols = ["a", "b", "c"][:n_dims]
+    vals = [r[:n_dims] for r in rows]
+    mask = (1 << bits) - 1
+    want = [
+        sum(
+            (((r[j] & mask) >> i) & 1) << out
+            for j, i, out in _interleave_positions(n_dims, bits)
+        )
+        for r in vals
+    ]
+
+    df = spark.createDataFrame(vals, ", ".join(f"{c} long" for c in cols))
+    got_spark = [
+        r["z"]
+        for r in df.select(
+            zorder_key_n([F.col(c).bitwiseAND(F.lit(mask)) for c in cols], bits).alias("z")
+        ).collect()
+    ]
+    assert sorted(got_spark) == sorted(want)
+
+    con = duckdb.connect()
+    expr = zorder_key_n_sql([f"({c} % {mask + 1})" for c in cols], bits)
+    rows_sql = ", ".join(f"({', '.join(map(str, r))})" for r in vals)
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {expr} FROM (VALUES {rows_sql}) AS t({', '.join(cols)})"
+        ).fetchall()
+    ]
+    assert sorted(got_duck) == sorted(want)

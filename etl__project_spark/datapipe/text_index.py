@@ -251,7 +251,13 @@ def phrase_match(
     on (id, pos−offset), so with id-bucketed postings the whole match is
     co-located — the index answers a phrase query touching only the
     phrase terms' slices, never the corpus. A LIKE '%...%' scan is the
-    full-corpus baseline this replaces (see ``doc_phrase_search``)."""
+    full-corpus baseline this replaces (see ``doc_phrase_search``).
+    The co-location is a PINNED plan shape, not an aspiration: over a
+    doc_id-bucketed postings table the adjacency self-join is a
+    zero-shuffle SortMergeJoin (tests/test_connectors.py) — it needs
+    ``spark.sql.requireAllClusterKeysForCoPartition=false`` (the engine
+    session default) because the join keys are a superset of the bucket
+    key."""
     assert len(phrase) >= 1
     cur = postings.filter(F.col("term") == phrase[0]).select(id_col, "pos")
     for i, t in enumerate(phrase[1:], start=1):

@@ -56,6 +56,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Exploit subset co-partitioning: a join whose keys are a
+        # SUPERSET of a bucketed/partitioned child's keys (e.g. the
+        # positional index's (doc_id, pos−i) adjacency join over
+        # doc_id-bucketed postings) runs shuffle-free; Spark's
+        # conservative default reshuffles both sides (measured: 3
+        # exchanges vs 0 — pinned in tests/test_connectors.py). Skewed
+        # subset keys are AQE skew-join's job, enabled above.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # events.parquet stores TIMESTAMP(NANOS) which the Spark reader
         # rejects; read as long and convert in sources.tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -180,6 +180,48 @@ def test_bucketed_join_has_no_shuffle(spark, sample):
         spark.sql("DROP TABLE t_right")
 
 
+def test_bucketed_phrase_adjacency_join_has_no_shuffle(spark):
+    """The positional index's standing 100 TB claim — "id-bucketed
+    postings co-locate the whole phrase match, the corpus never
+    shuffles" — as a pinned plan shape: phrase_match's adjacency
+    self-join over a doc_id-bucketed postings table is a SortMergeJoin
+    with ZERO shuffle exchanges, because hash(doc_id) co-partitions the
+    (doc_id, pos−i) join keys' superset. Requires
+    spark.sql.requireAllClusterKeysForCoPartition=false (the engine
+    session default, session.py): with Spark's conservative default the
+    subset partitioning is ignored and BOTH term slices reshuffle
+    (measured: 3 exchanges). Broadcast is disabled so the strategy
+    question is the at-scale one. Results are bucketing-invariant."""
+    from etl__project_spark.datapipe.text_index import (
+        phrase_match,
+        positional_postings,
+    )
+    from etl__project_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    spark.sql("DROP TABLE IF EXISTS t_postings")
+    write_bucketed(positional_postings(docs), "t_postings", "doc_id", 4)
+    prev_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_k = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        matched = phrase_match(spark.table("t_postings"), ["big", "data"])
+        plan = matched._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        want = sorted(
+            map(tuple, phrase_match(positional_postings(docs), ["big", "data"]).collect())
+        )
+        assert sorted(map(tuple, matched.collect())) == want and want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prev_k)
+        spark.sql("DROP TABLE t_postings")
+
+
 def test_bucketed_groupby_has_no_shuffle(spark, sample):
     """Aggregation on the bucket column must reuse the storage layout:
     HashAggregate directly over the bucketed scan, no exchange — the

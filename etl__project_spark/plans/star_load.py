@@ -378,10 +378,20 @@ class ParquetWarehouse:
         shutil.rmtree(old, ignore_errors=True)
 
     def read_fact(self, table: str, schema: T.StructType) -> DataFrame:
+        """Read all live fact rows as ``schema``. The schema is passed
+        to the reader EXPLICITLY, which makes it the evolution contract:
+        a batch directory written before a column existed null-fills it,
+        and a directory carrying columns the caller doesn't know yet
+        neither breaks the read nor silently leaks — where first-file
+        schema inference DROPPED new columns whenever an old directory
+        was listed first (order-dependent data loss on read, caught in
+        round 10; pinned by ``tests/test_star_load.py``)."""
         dirs = self._live_dirs(table)
         if not dirs:
             return self.spark.createDataFrame([], schema)
-        return self._strip_layout_cols(self.spark.read.parquet(*dirs))
+        return self._strip_layout_cols(
+            self.spark.read.schema(schema).parquet(*dirs)
+        )
 
     def compact_fact(
         self, table: str, num_files: int = 1, layout=None
@@ -406,7 +416,14 @@ class ParquetWarehouse:
         n = m["n"] + 1
         tmp = os.path.join(self._tdir(table), f"compacting-{n}")
         final = os.path.join(self._tdir(table), f"compact-{n}")
-        merged = self._strip_layout_cols(self.spark.read.parquet(*sources))
+        # mergeSchema: a compaction over batch dirs written before and
+        # after a column was added must union the shapes (null-filling
+        # the old rows), not inherit whichever file is listed first —
+        # the same evolution contract read_fact pins with its explicit
+        # schema.
+        merged = self._strip_layout_cols(
+            self.spark.read.option("mergeSchema", "true").parquet(*sources)
+        )
         if layout is not None:
             # compaction is where a table gets (re-)clustered: many
             # append-ordered batch dirs merge into one Z-ordered dir

@@ -668,3 +668,32 @@ def test_reader_never_returns_partial_data_after_file_loss(spark, tmp_path):
         os.remove(path)
     with pytest.raises(Exception, match="(?i)file|exist|path"):
         reader.count()
+
+
+def test_fact_schema_evolution_null_fills_and_never_drops(spark, tmp_path):
+    """Schema evolution on the append-only fact: a column added mid-
+    stream null-fills for pre-existing batches instead of being DROPPED
+    by first-file schema inference (the order-dependent data loss
+    read_fact now guards against), and readers pinned to the OLD schema
+    keep working against new-schema directories."""
+    from pyspark.sql import types as T
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "evo_wh"))
+    wh.fact_append("f", spark.createDataFrame([(1, 10)], "a long, b long"), "b0")
+    wh.fact_append(
+        "f", spark.createDataFrame([(2, 20, 99)], "a long, b long, c long"), "b1"
+    )
+
+    wide = T.StructType([T.StructField(c, T.LongType()) for c in ("a", "b", "c")])
+    got = {r["a"]: (r["b"], r["c"]) for r in wh.read_fact("f", wide).collect()}
+    assert got == {1: (10, None), 2: (20, 99)}
+
+    narrow = T.StructType([T.StructField(c, T.LongType()) for c in ("a", "b")])
+    old_reader = wh.read_fact("f", narrow)
+    assert old_reader.columns == ["a", "b"]
+    assert {r["a"] for r in old_reader.collect()} == {1, 2}
+
+    # evolution survives compaction (the compacted dir unions both shapes)
+    assert wh.compact_fact("f") == 2
+    got2 = {r["a"]: (r["b"], r["c"]) for r in wh.read_fact("f", wide).collect()}
+    assert got2 == got

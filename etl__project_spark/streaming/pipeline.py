@@ -119,6 +119,7 @@ def _process_batch(
     spark: SparkSession,
     compact_every: int | None = None,
     quality_checks: dict | None = None,
+    recluster: tuple | None = None,
 ) -> None:
     # T5: dedup within the batch, then against every already-landed row
     # (re-delivered files insert nothing the second time). The landed
@@ -162,6 +163,20 @@ def _process_batch(
     if compact_every and (batch_id + 1) % compact_every == 0:
         wh.compact_fact("credit")
         wh.compact_fact("factvideostart")
+    # MEASURED maintenance (round 10): instead of a blind cadence, probe
+    # the fact's clustering health from parquet footers and re-cluster
+    # only when a typical point predicate would open more than the
+    # threshold fraction of files — the lakehouse OPTIMIZE scheduler as
+    # a streaming callback. Footer-only, O(files) per batch.
+    if recluster is not None:
+        from etl__project_spark.plans.star_load import should_recluster
+
+        probe_col, layout, threshold = recluster
+        trig, _stats = should_recluster(
+            wh, "factvideostart", probe_col, threshold
+        )
+        if trig:
+            wh.compact_fact("factvideostart", layout=layout)
 
 
 def stream_star_load(
@@ -174,6 +189,7 @@ def stream_star_load(
     compact_every: int | None = None,
     max_files_per_trigger: int | None = None,
     quality_checks: dict | None = None,
+    recluster: tuple | None = None,
 ):
     """Start the streaming star load over a CSV landing directory.
 
@@ -190,6 +206,11 @@ def stream_star_load(
     batches to do it). ``quality_checks`` (name → violation-count
     aggregate, see ``operators/quality.py``) gates every micro-batch:
     a batch failing any check is quarantined instead of loaded.
+    ``recluster=(probe_col, ZOrderLayout, threshold)`` replaces the
+    blind compaction cadence with the MEASURED trigger: after each
+    batch, ``should_recluster`` probes the fact's parquet footers and a
+    Z-ordered compaction runs only when clustering health has actually
+    eroded past ``threshold``.
     """
     wh = ParquetWarehouse(spark, warehouse_root)
     reader = (
@@ -203,7 +224,7 @@ def stream_star_load(
     raw = reader.csv(landing_dir)
     writer = raw.writeStream.foreachBatch(
         lambda df, bid: _process_batch(
-            df, bid, wh, spark, compact_every, quality_checks
+            df, bid, wh, spark, compact_every, quality_checks, recluster
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

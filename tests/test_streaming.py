@@ -2077,3 +2077,75 @@ def test_streaming_column_stats_cdc_match_one_shot(spark, tmp_path):
     assert "BroadcastHashJoin" not in p, (
         "streamed NDV stat above the limit did not flip the plan"
     )
+
+
+def test_streaming_recluster_trigger_maintains_fact_layout(spark, tmp_path):
+    """The measured-maintenance composition (round 10): stream_star_load
+    with recluster=(probe_col, layout, threshold) watches the fact's
+    parquet-footer clustering health after every micro-batch and runs a
+    Z-ordered compaction only when a typical point predicate would open
+    more than the threshold fraction of files. Wide-title batches write
+    overlapping files (health ~1), the trigger fires, and the table
+    ends compacted with per-file title zones tight enough to read
+    pruned — with exactly-once row counts preserved through the
+    maintenance."""
+    import os as _os
+
+    from etl__project_spark.operators.layout import ZOrderLayout
+    from etl__project_spark.plans.star_load import should_recluster
+
+    landing = str(tmp_path / "rc_landing")
+    _os.makedirs(landing)
+    wh_root = str(tmp_path / "rc_wh")
+    ckpt = str(tmp_path / "rc_ckpt")
+
+    # two files x 64 rows spanning 8 titles each -> every written fact
+    # file covers most of the title domain (health ~1.0)
+    for f in range(2):
+        _write_csv(
+            _os.path.join(landing, f"f{f}.csv"),
+            [
+                f"2017-01-1{1 + f}T{i % 24:02d}:{i % 60:02d}:31.000Z,"
+                f"Android App|video {i % 8},206"
+                for i in range(64)
+            ],
+        )
+
+    layout = ZOrderLayout(
+        dim_a="title_skey", dim_b="platform_skey", bits=8, n_files=8
+    )
+    q = stream_star_load(
+        spark,
+        landing,
+        wh_root,
+        ckpt,
+        available_now=True,
+        max_files_per_trigger=1,
+        recluster=("title_skey", layout, 0.5),
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    wh = ParquetWarehouse(spark, wh_root)
+    # the trigger fired: batch dirs were absorbed into a layout compaction
+    tdir = _os.path.join(wh_root, "factvideostart")
+    assert [d for d in _os.listdir(tdir) if d.startswith("compact-")]
+    # post-maintenance health is below the trigger threshold
+    trig, stats = should_recluster(wh, "factvideostart", "title_skey", 0.5)
+    assert not trig and stats["mean_read_fraction"] < 0.5, stats
+    # and the maintenance lost/duplicated nothing
+    assert audit(wh)["factvideostart"] == 128
+
+    # replay on a fresh checkpoint: exactly-once holds through absorbed ids
+    q = stream_star_load(
+        spark,
+        landing,
+        wh_root,
+        str(tmp_path / "rc_ckpt2"),
+        available_now=True,
+        max_files_per_trigger=1,
+        recluster=("title_skey", layout, 0.5),
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert audit(wh)["factvideostart"] == 128

@@ -202,3 +202,73 @@ def sample_frames(
     return media.select("media_id", "duration_ms", "payload").mapInPandas(
         run, FRAME_SCHEMA
     )
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_start_ms", T.LongType(), False),
+        T.StructField("win_end_ms", T.LongType(), False),
+        T.StructField("energy_micro", T.LongType(), False),
+    ]
+)
+
+
+def window_audio_batch(
+    pdf: pd.DataFrame, window_ms: int, hop_ms: int, fake: bool
+) -> pd.DataFrame:
+    """Per-batch audio windowing: one input blob row → one output row per
+    (possibly OVERLAPPING) analysis window [start, min(start+window,
+    duration)) at hop ``hop_ms`` — the 1→N shape audio feature pipelines
+    (VAD, language-ID, loudness gating) need, with overlap the video
+    frame sampler's disjoint stride doesn't exercise. Real decode needs
+    librosa/soundfile (not in this container); ``fake=True`` substitutes
+    a deterministic per-window energy: the first 8 hex digits of
+    sha256(payload + b":" + start) as an int, modulo 1e6 — micro-unit
+    integers, engine-reproducible (the DuckDB oracle computes the same
+    hex arithmetic)."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires librosa/soundfile, not installed in "
+            "this container; pass fake=True for the deterministic stub"
+        )
+    ids, starts, ends, energies = [], [], [], []
+    for _, row in pdf.iterrows():
+        dur = int(row["duration_ms"] or 0)
+        payload = bytes(row["payload"] or b"")
+        start = 0
+        while start < dur:
+            h = hashlib.sha256(payload + b":" + str(start).encode()).hexdigest()
+            ids.append(int(row["media_id"]))
+            starts.append(start)
+            ends.append(min(start + window_ms, dur))
+            energies.append(int(h[:8], 16) % 1_000_000)
+            start += hop_ms
+    return pd.DataFrame(
+        {
+            "media_id": pd.Series(ids, dtype="int64"),
+            "win_start_ms": pd.Series(starts, dtype="int64"),
+            "win_end_ms": pd.Series(ends, dtype="int64"),
+            "energy_micro": pd.Series(energies, dtype="int64"),
+        }
+    )
+
+
+def window_audio(
+    media: DataFrame,
+    window_ms: int = 8000,
+    hop_ms: int = 5000,
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched audio windowing over (media_id, duration_ms,
+    payload) — same bounded-memory ``mapInPandas`` contract as
+    :func:`sample_frames`; windows are signatures + scalars, never
+    decoded samples, so output stays KBs per input MB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield window_audio_batch(pdf, window_ms, hop_ms, fake)
+
+    return media.select("media_id", "duration_ms", "payload").mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA
+    )

@@ -4266,3 +4266,42 @@ def doc_repetition_filter(spark, sf_dir):
         F.col("top_bigram_n") * 20 <= F.col("n_words") - 1
     )
     return out.select("*", keep.alias("keep"))
+
+
+@query(
+    "doc_media_audio_windows",
+    """SELECT media_id, s AS win_start_ms,
+       least(s + 8000, dur) AS win_end_ms,
+       (('0x' || substr(sha256(text || ':' || s::VARCHAR), 1, 8))::UBIGINT
+        % 1000000)::BIGINT AS energy_micro
+FROM (
+  SELECT doc_id AS media_id, text, (n_chars * 40)::BIGINT AS dur,
+         unnest(range(0, (n_chars * 40)::BIGINT, 5000)) AS s
+  FROM documents
+)""",
+)
+def doc_media_audio_windows(spark, sf_dir):
+    """Multimodal audio windowing: every audio blob yields one row per
+    OVERLAPPING analysis window (8 s window, 5 s hop) with a
+    deterministic per-window energy — the third multimodal fan-out
+    shape after 1→1 featurize (``doc_media_features``) and disjoint
+    frame striding (``doc_media_frame_sample``): overlap means a
+    timestamp can belong to two windows, the pattern VAD/loudness
+    pipelines cut on. Decode is env-stubbed like the rest of the family
+    (``multimodal.py:window_audio_batch`` raises without
+    librosa/soundfile); the tested fake derives each window's
+    energy_micro from sha256(payload + ':' + start) hex arithmetic the
+    oracle reproduces exactly, so the hash match pins the overlap
+    fan-out, the duration clipping, AND the per-window values. Duration
+    synthesizes from the fixture as in the frame sampler (n_chars × 40
+    ms). Scale: output is (corpus duration / hop) rows of scalars; the
+    blob column streams once through bounded Arrow batches."""
+    from etl__project_spark.datapipe.multimodal import window_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return window_audio(media, window_ms=8000, hop_ms=5000, fake=True)

@@ -214,6 +214,43 @@ def test_multimodal_frame_sampling_fanout(docs, spark):
         sample_frames(media, fake=False).collect()
 
 
+def test_multimodal_audio_windows_overlap_and_clip(docs, spark):
+    """1→N audio windowing with OVERLAP: each blob yields
+    ceil(duration/hop) windows of [start, min(start+window, duration)),
+    adjacent windows overlap by (window − hop), per-window energies are
+    deterministic hex arithmetic over (payload, start), and the real
+    decoder stays env-stubbed."""
+    import hashlib
+
+    from etl__project_spark.datapipe.multimodal import synth_media, window_audio
+
+    media = synth_media(docs).drop("duration_ms").withColumn(
+        "duration_ms", (F.length("payload") * 100).cast("long")
+    )
+    wins = window_audio(media, window_ms=400, hop_ms=250, fake=True).collect()
+    by_media = {}
+    for r in wins:
+        by_media.setdefault(r["media_id"], []).append(r)
+    rows = {
+        r["media_id"]: (r["duration_ms"], bytes(r["payload"]))
+        for r in media.select("media_id", "duration_ms", "payload").collect()
+    }
+    for mid, (dur, payload) in rows.items():
+        got = sorted(by_media.get(mid, []), key=lambda r: r["win_start_ms"])
+        assert len(got) == (dur + 249) // 250
+        for r in got:
+            assert r["win_end_ms"] == min(r["win_start_ms"] + 400, dur)
+            h = hashlib.sha256(
+                payload + b":" + str(r["win_start_ms"]).encode()
+            ).hexdigest()
+            assert r["energy_micro"] == int(h[:8], 16) % 1_000_000
+        # overlap: window > hop → consecutive windows share 150 ms
+        if len(got) >= 2 and got[0]["win_end_ms"] == 400:
+            assert got[1]["win_start_ms"] < got[0]["win_end_ms"]
+    with pytest.raises(Exception, match="NotImplementedError|librosa"):
+        window_audio(media, fake=False).collect()
+
+
 def test_connected_components_chain_and_pair(spark):
     from etl__project_spark.datapipe.dedup import connected_components
 

@@ -6468,3 +6468,106 @@ def ev_zorder3_layout(spark, sf_dir):
             F.max("tb").cast("long").alias("t_max"),
         )
     )
+
+
+@query(
+    "ev_zorder_health",
+    """WITH q AS (
+  SELECT least(user_id, 255)::BIGINT AS ub,
+         least((floor(value * 100 + 0.5)::BIGINT) // 256, 255)::BIGINT AS vb
+  FROM events
+),
+z AS (SELECT ub, vb, (((ub // 1) % 2) * 2 + ((vb // 1) % 2) * 1 + ((ub // 2) % 2) * 8 + ((vb // 2) % 2) * 4 + ((ub // 4) % 2) * 32 + ((vb // 4) % 2) * 16 + ((ub // 8) % 2) * 128 + ((vb // 8) % 2) * 64 + ((ub // 16) % 2) * 512 + ((vb // 16) % 2) * 256 + ((ub // 32) % 2) * 2048 + ((vb // 32) % 2) * 1024 + ((ub // 64) % 2) * 8192 + ((vb // 64) % 2) * 4096 + ((ub // 128) % 2) * 32768 + ((vb // 128) % 2) * 16384)::BIGINT AS zval FROM q),
+zones AS (
+  SELECT 'zorder' AS layout, (zval // 1024)::BIGINT AS f,
+         min(ub) AS u_min, max(ub) AS u_max
+  FROM z GROUP BY 2
+  UNION ALL
+  SELECT 'value_sorted', (vb // 4)::BIGINT,
+         min(ub), max(ub)
+  FROM q GROUP BY 2
+),
+bounds AS (SELECT min(ub)::BIGINT AS lo, max(ub)::BIGINT AS hi FROM q),
+probes AS (
+  SELECT (lo + (greatest(hi - lo, 1) * k) // 63)::BIGINT AS p
+  FROM bounds, unnest(generate_series(0, 63)) AS u(k)
+)
+SELECT layout,
+       count(DISTINCT f)::BIGINT AS n_files,
+       sum(CASE WHEN u_min <= p AND p <= u_max THEN 1 ELSE 0 END)::BIGINT
+         AS n_covered,
+       (floor(sum(CASE WHEN u_min <= p AND p <= u_max THEN 1 ELSE 0 END)
+              / (64.0 * count(DISTINCT f)) * 10000 + 0.5) / 10000.0)
+         AS mean_read_fraction
+FROM zones CROSS JOIN probes
+GROUP BY layout""",
+)
+def ev_zorder_health(spark, sf_dir):
+    """Clustering health as an ORACLE-PINNED model — the read-
+    amplification statistic ``operators/layout.py:
+    zone_read_amplification`` measures from parquet footers, computed
+    here over the MODELED zone maps of both layouts with the identical
+    probe formula (64 points at lo + (max(hi−lo,1)·k) div 63): per
+    layout, the mean fraction of files a point predicate on the user
+    dimension must open. Z-order bounds every bucket's user rectangle →
+    low fraction; the value-sorted layout's buckets all span the full
+    user domain → fraction ≈ 1. The model and the physical measurement
+    agree exactly on an equal-width Z-ordered write (same buckets, same
+    probes — pinned in ``tests/test_layout.py``), which is what lets
+    ``should_recluster`` trust footer probes as the OPTIMIZE trigger.
+
+    Plan: two 64-row zone-map aggregates, a broadcast of the 64 probes,
+    one bounded aggregate — O(buckets · probes) whatever the row
+    count."""
+    from etl__project_spark.operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    q = ev.select(
+        F.least(F.col("user_id"), F.lit(255)).cast("long").alias("ub"),
+        F.least(F.expr("cast(floor(value * 100 + 0.5) as long) div 256"), F.lit(255))
+        .cast("long")
+        .alias("vb"),
+    )
+    z = q.select("ub", "vb", zorder_key(F.col("ub"), F.col("vb")).alias("zval"))
+    zones = (
+        z.groupBy(F.expr("zval div 1024").cast("long").alias("f"))
+        .agg(F.min("ub").alias("u_min"), F.max("ub").alias("u_max"))
+        .select(F.lit("zorder").alias("layout"), "f", "u_min", "u_max")
+        .unionByName(
+            q.groupBy(F.expr("vb div 4").cast("long").alias("f"))
+            .agg(F.min("ub").alias("u_min"), F.max("ub").alias("u_max"))
+            .select(F.lit("value_sorted").alias("layout"), "f", "u_min", "u_max")
+        )
+    )
+    bounds = q.agg(
+        F.min("ub").cast("long").alias("lo"), F.max("ub").cast("long").alias("hi")
+    )
+    probes = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"), "lo", "hi"
+    ).select(
+        (
+            F.col("lo")
+            + F.expr("(greatest(hi - lo, 1L) * k) div 63L")
+        ).cast("long").alias("p")
+    )
+    covered = F.sum(
+        F.when((F.col("u_min") <= F.col("p")) & (F.col("p") <= F.col("u_max")), 1)
+        .otherwise(0)
+    ).cast("long")
+    return (
+        zones.crossJoin(F.broadcast(probes))
+        .groupBy("layout")
+        .agg(
+            F.countDistinct("f").cast("long").alias("n_files"),
+            covered.alias("n_covered"),
+            (
+                F.floor(
+                    covered.cast("double")
+                    / (F.lit(64.0) * F.countDistinct("f"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("mean_read_fraction"),
+        )
+    )

@@ -233,3 +233,35 @@ def test_recluster_trigger_degrades_with_appends_and_restores_on_compaction(
     assert not trig2 and stats2["mean_read_fraction"] < 0.1
     # and the data survived intact
     assert wh.read_fact("ev_z", q.schema).count() == q.count() * 2
+
+
+def test_modeled_health_equals_physical_footer_health(spark, tmp_path):
+    """The capstone parity: ev_zorder_health's ORACLE-PINNED model of
+    read amplification equals zone_read_amplification's pyarrow-footer
+    measurement of an actual equal-width Z-ordered write — same
+    buckets, same probe formula, same number. This equality is what
+    lets should_recluster trust footer probes as the OPTIMIZE trigger:
+    the statistic it acts on is the one the oracle verifies."""
+    from etl__project_spark.operators.layout import zone_read_amplification
+
+    modeled = {
+        r["layout"]: r for r in QUERIES["ev_zorder_health"](spark, SF).collect()
+    }
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    layout = ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64, equal_width=True)
+    wh.fact_append("ev_z", q, "b0", layout=layout)
+    physical = zone_read_amplification(
+        wh.fact_batch_dir("ev_z", "b0"), "ub", n_probes=64
+    )
+
+    assert physical["n_files"] == modeled["zorder"]["n_files"]
+    assert (
+        abs(physical["mean_read_fraction"] - modeled["zorder"]["mean_read_fraction"])
+        < 1e-4
+    )
+    # (No cross-layout assertion here: sf0.001's user domain is 15
+    # values over 4 non-empty Z-buckets — degenerate for a health
+    # comparison. The layout's benefit is pinned by the prune-audit
+    # tests above and the sf10 sweep; THIS test pins model ≡ physical.)

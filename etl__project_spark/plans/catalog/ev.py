@@ -9,6 +9,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from etl__project_spark.operators import (
     build_fact,
     derive_dim,
@@ -6570,4 +6571,60 @@ def ev_zorder_health(spark, sf_dir):
                 / 10000.0
             ).alias("mean_read_fraction"),
         )
+    )
+
+
+@query(
+    "ev_zorder_range_read",
+    """WITH q AS (
+  SELECT least(user_id, 255)::BIGINT AS ub,
+         least((floor(value * 100 + 0.5)::BIGINT) // 256, 255)::BIGINT AS vb
+  FROM events
+)
+SELECT ub, count(*)::BIGINT AS n, sum(vb)::BIGINT AS sum_vb
+FROM q WHERE ub BETWEEN 8 AND 15 GROUP BY ub""",
+)
+def ev_zorder_range_read(spark, sf_dir):
+    """The zone-map range-prune READ path, end to end (VERDICT r10 #2 —
+    the read-side twin of the Z-order write): the quantized events land
+    in the REAL ``ParquetWarehouse`` under the production equal-count
+    ``ZOrderLayout``, and the range query goes through
+    ``plans/star_load.py:read_fact_range``, which prunes the file
+    LISTING from parquet footer zone maps before Spark ever schedules a
+    scan — on this layout most files' [u_min, u_max] rectangles miss
+    [8, 15] entirely and are never opened (the measured skip is pinned
+    physically in ``tests/test_layout.py``: files actually opened ==
+    the footer audit's n_read). The oracle computes the same aggregate
+    over ALL rows with a plain WHERE — a hash match proves the pruned
+    listing lost no rows, the one thing file skipping must never do.
+    The file-count benefit is deliberately NOT in the result schema
+    (equal-count boundaries are sample-dependent); correctness is
+    pinned here, the skip is pinned by the physical test and timed in
+    SCALE.md."""
+    import tempfile
+
+    from etl__project_spark.operators.layout import ZOrderLayout
+    from etl__project_spark.plans.star_load import (
+        ParquetWarehouse,
+        read_fact_range,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    q = ev.select(
+        F.least(F.col("user_id"), F.lit(255)).cast("long").alias("ub"),
+        F.least(F.expr("cast(floor(value * 100 + 0.5) as long) div 256"), F.lit(255))
+        .cast("long")
+        .alias("vb"),
+    )
+    schema = T.StructType(
+        [T.StructField("ub", T.LongType()), T.StructField("vb", T.LongType())]
+    )
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="ev_zrange_"))
+    wh.fact_append(
+        "events_z", q, "b1", layout=ZOrderLayout("ub", "vb", bits=8, n_files=32)
+    )
+    pruned = read_fact_range(wh, "events_z", schema, "ub", 8, 15)
+    return pruned.groupBy("ub").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vb").cast("long").alias("sum_vb"),
     )

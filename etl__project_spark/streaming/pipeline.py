@@ -120,6 +120,8 @@ def _process_batch(
     compact_every: int | None = None,
     quality_checks: dict | None = None,
     recluster: tuple | None = None,
+    join_stats_sources: tuple[dict, dict] | None = None,
+    broadcast_row_limit: int | None = None,
 ) -> None:
     # T5: dedup within the batch, then against every already-landed row
     # (re-delivered files insert nothing the second time). The landed
@@ -144,7 +146,31 @@ def _process_batch(
                 fresh.unpersist()
                 return
         wh.fact_append("credit", fresh, batch_id=str(batch_id))
-        load_batch(fresh, wh, batch_id=str(batch_id), spark=spark)
+        # Maintained planner statistics (VERDICT r10 #4): the batch path
+        # (load_batch callers) already consults join_stats_from_warehouse;
+        # the streaming star load must too, re-reading the maintained
+        # state EVERY micro-batch — a dim that outgrows broadcast
+        # mid-stream flips the very next batch's fact plan to the salted
+        # shuffle instead of OOMing a hardcoded broadcast. Bounded cost:
+        # one 1-row aggregate per tracked dim over KB-to-MB stats state.
+        join_stats = None
+        if join_stats_sources is not None:
+            from etl__project_spark.plans.star_load import (
+                join_stats_from_warehouse,
+            )
+
+            cms_grids, analyze_ndv = join_stats_sources
+            join_stats = join_stats_from_warehouse(
+                wh, cms_grids=cms_grids, analyze_ndv=analyze_ndv
+            )
+        load_batch(
+            fresh,
+            wh,
+            batch_id=str(batch_id),
+            spark=spark,
+            join_stats=join_stats,
+            broadcast_row_limit=broadcast_row_limit,
+        )
         # bloom-index the landed raw batch at ingest (point-lookup file
         # skipping: "which batch dirs hold VideoTitle X" without reading
         # them). Advisory by design — if the process dies between the
@@ -190,6 +216,8 @@ def stream_star_load(
     max_files_per_trigger: int | None = None,
     quality_checks: dict | None = None,
     recluster: tuple | None = None,
+    join_stats_sources: tuple[dict, dict] | None = None,
+    broadcast_row_limit: int | None = None,
 ):
     """Start the streaming star load over a CSV landing directory.
 
@@ -211,6 +239,14 @@ def stream_star_load(
     batch, ``should_recluster`` probes the fact's parquet footers and a
     Z-ordered compaction runs only when clustering health has actually
     eroded past ``threshold``.
+    ``join_stats_sources=(cms_grids, analyze_ndv)`` (VERDICT r10 #4)
+    feeds the maintained planner statistics
+    (``plans/star_load.py:join_stats_from_warehouse`` — CMS join-size
+    bounds max-combined with ANALYZE NDV state) into every
+    micro-batch's fact build, so a dim growing past
+    ``broadcast_row_limit`` mid-stream flips that batch's plan from
+    broadcast to the salted shuffle, exactly as the batch path does
+    (pinned by ``tests/test_streaming.py``).
     """
     wh = ParquetWarehouse(spark, warehouse_root)
     reader = (
@@ -224,7 +260,15 @@ def stream_star_load(
     raw = reader.csv(landing_dir)
     writer = raw.writeStream.foreachBatch(
         lambda df, bid: _process_batch(
-            df, bid, wh, spark, compact_every, quality_checks, recluster
+            df,
+            bid,
+            wh,
+            spark,
+            compact_every,
+            quality_checks,
+            recluster,
+            join_stats_sources,
+            broadcast_row_limit,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
@@ -2054,6 +2098,20 @@ def stream_ivf_cdc(
 
     def _merge(existing: DataFrame, batch: DataFrame) -> DataFrame:
         seeds = wh.read("ivf_seeds", IVF_SEEDS_SCHEMA)
+        # The quantizer is a REQUIRED trained artifact: with no seeds,
+        # assign_cells drops every post-image row, yet publish_merged
+        # would still record the batch as merged — a replay then no-ops
+        # and the batch's postings are silently and permanently lost
+        # (round-11 advisory). Raise BEFORE the merge commits so the
+        # batch stays unmarked: the stream fails loudly, and a restart
+        # after the seeds are published replays it in full. The check
+        # is one job over a KB-sized table (count bounded at 1 row).
+        if wh._current("ivf_seeds") is None or seeds.limit(1).count() == 0:
+            raise RuntimeError(
+                "stream_ivf_cdc: ivf_seeds is missing or empty — publish "
+                "the trained quantizer before starting the posting stream "
+                "(merging now would silently drop this batch's postings)"
+            )
         touched = batch.select(F.col("vec_id").alias("cand_id")).distinct()
         retract = existing.join(touched, ["cand_id"]).select(
             "cand_id", "cand_vec", "centroid_id", (-F.col("sign")).alias("sign")

@@ -265,3 +265,133 @@ def test_modeled_health_equals_physical_footer_health(spark, tmp_path):
     # values over 4 non-empty Z-buckets — degenerate for a health
     # comparison. The layout's benefit is pinned by the prune-audit
     # tests above and the sf10 sweep; THIS test pins model ≡ physical.)
+
+
+def test_mixed_layout_dirs_stay_readable(spark, tmp_path):
+    """One equal-width (directory-partitioned) append alongside plain
+    appends must leave the table readable AND compactable: Spark's
+    one-shot multi-path partition discovery throws
+    CONFLICTING_DIRECTORY_STRUCTURES on that mix, which previously made
+    the table unreadable and unrepairable through the API (round-11
+    advisory — the streaming recluster hook hits exactly this on the
+    first plain append after an equal-width compaction). read_fact and
+    compact_fact now go per-directory when any live dir is partitioned."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    n = q.count()
+    ew = ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64, equal_width=True)
+    assert wh.fact_append("ev_z", q, "b0", layout=ew)
+    assert wh.fact_append("ev_z", q, "b1")  # plain append — the hazard
+    got = wh.read_fact("ev_z", q.schema)
+    assert got.columns == ["ub", "vb"]
+    assert got.count() == 2 * n
+    # compaction (the "unrepairable" half): absorbs both, stays correct
+    assert wh.compact_fact("ev_z") == 2
+    assert wh.read_fact("ev_z", q.schema).count() == 2 * n
+    # and the equal-width dir + plain mix works for snapshots' read too
+    # (publish path shares _strip_layout_cols; nothing more to pin here)
+
+
+def test_read_fact_range_opens_exactly_the_audit_files(spark, tmp_path):
+    """The read-side half of the Z-order feature (VERDICT r10 #2):
+    read_fact_range's pruned file listing IS the footer audit —
+    df.inputFiles() == prune_files_for_range's survivors, and their
+    count equals files_read_under_range's modeled n_read. And the
+    pruned read returns exactly the rows the unpruned read + filter
+    returns (the oracle twin of ev_zorder_range_read, pinned physically
+    here)."""
+    from etl__project_spark.operators.layout import prune_files_for_range
+    from etl__project_spark.plans.star_load import read_fact_range
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    layout = ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64)
+    assert wh.fact_append("ev_z", q, "b0", layout=layout)
+    bdir = wh.fact_batch_dir("ev_z", "b0")
+
+    # probe on vb (the fixture's wide-domain dimension; see the
+    # recluster test's note on sf0.001's 15-value user domain)
+    lo, hi = 32, 63
+    audit = files_read_under_range(bdir, "vb", lo, hi)
+    must, skipped = prune_files_for_range([bdir], "vb", lo, hi)
+    assert audit["n_files"] == len(must) + len(skipped)
+    assert audit["n_read"] == len(must)
+    assert audit["skip_ratio"] > 0  # the layout actually prunes here
+
+    pruned = read_fact_range(wh, "ev_z", q.schema, "vb", lo, hi)
+    opened = {f.removeprefix("file://") for f in pruned.inputFiles()}
+    assert opened == set(must)  # files actually scheduled == the audit
+
+    want = sorted(
+        map(str, wh.read_fact("ev_z", q.schema)
+            .filter(F.col("vb").between(lo, hi)).collect())
+    )
+    got = sorted(map(str, pruned.collect()))
+    assert got == want
+
+
+def test_read_fact_range_handles_empty_and_missing(spark, tmp_path):
+    """No live dirs → empty frame with the contract schema; a range
+    beyond every zone → empty frame without scheduling any scan."""
+    from etl__project_spark.plans.star_load import read_fact_range
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    empty = read_fact_range(wh, "absent", q.schema, "ub", 0, 10)
+    assert empty.columns == ["ub", "vb"] and empty.count() == 0
+
+    wh.fact_append("ev_z", q, "b0",
+                   layout=ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64))
+    beyond = read_fact_range(wh, "ev_z", q.schema, "vb", 10_000, 20_000)
+    assert beyond.count() == 0
+
+
+def test_equal_count_recluster_trigger_parity(spark, tmp_path):
+    """VERDICT r10 #5: the production (equal-count) layout's
+    should_recluster semantics, pinned against an INDEPENDENT model of
+    the probe formula computed from the written footers themselves —
+    the sampled-quantile file rectangles are data-dependent, but once
+    written their zone maps are facts, so the trigger statistic must
+    equal floor-rounded mean coverage over the 64-probe grid exactly,
+    and the trigger must be (n_files > 1) AND (fraction > threshold) in
+    BOTH the fresh and the eroded state — same threshold meaning as the
+    audited equal-width mode."""
+    import math
+
+    from etl__project_spark.plans.star_load import should_recluster
+
+    def model_fraction(dirs):
+        zones = []
+        for d in dirs:
+            zones.extend(parquet_file_zone_maps(d, "vb"))
+        lo = min(mn for _f, mn, _mx in zones)
+        hi = max(mx for _f, _mn, mx in zones)
+        span = max(hi - lo, 1)
+        total = 0
+        for k in range(64):
+            p = lo + (span * k) // 63
+            total += sum(1 for _f, mn, mx in zones if mn <= p <= mx)
+        return len(zones), math.floor(total / (64 * len(zones)) * 10000 + 0.5) / 10000
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    layout = ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64)  # equal-count
+
+    wh.fact_append("ev_z", q, "b0", layout=layout)
+    n0, frac0 = model_fraction(wh._live_dirs("ev_z"))
+    trig0, stats0 = should_recluster(wh, "ev_z", "vb", threshold=0.2)
+    assert stats0["n_files"] == n0
+    assert stats0["mean_read_fraction"] == frac0  # exact parity, floor-rounded
+    assert trig0 == (n0 > 1 and frac0 > 0.2)
+    assert not trig0  # fresh equal-count layout sits near 1/n_files
+
+    # erode with append-ordered churn, then re-check the same contract
+    h = F.crc32(F.concat_ws("|", "ub", "vb"))
+    for i in range(1, 4):
+        wh.fact_append("ev_z", q.filter(h % 3 == i % 3), f"b{i}")
+    n1, frac1 = model_fraction(wh._live_dirs("ev_z"))
+    trig1, stats1 = should_recluster(wh, "ev_z", "vb", threshold=0.2)
+    assert stats1["n_files"] == n1
+    assert stats1["mean_read_fraction"] == frac1
+    assert trig1 == (n1 > 1 and frac1 > 0.2)
+    assert trig1  # erosion past the threshold actually trips it

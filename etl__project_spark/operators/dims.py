@@ -129,6 +129,9 @@ def with_dense_ids(
     )
 
 
+SCD1_SMALL_DELTA_ROWS = 5_000_000
+
+
 def scd1_upsert(
     dim: DataFrame,
     delta: DataFrame,
@@ -147,11 +150,37 @@ def scd1_upsert(
     ``dim`` must have columns (skey_col, natural_key [+ attrs]); ``delta``
     must contain natural_key (other columns carried through if present in
     dim's schema).
+
+    Numbering cost (VERDICT r10 #6 — the measured fixed cost of the
+    warehouse load): the new-keys delta's lineage (distinct + anti-join
+    over the staging batch) is pinned ONCE with an eager localCheckpoint
+    here, where handing it straight to ``with_dense_ids`` re-evaluated
+    it ~3× per dim (repartitionByRange's range-boundary SAMPLING pass,
+    the shuffle itself, and the internal pid-consistency checkpoint).
+    The materialized delta's size is then known for free, so deltas up
+    to ``SCD1_SMALL_DELTA_ROWS`` take the single-window ``small`` path
+    (one task over ≤5M short keys — fine; per-batch NEW-key churn is
+    orders of magnitude below fact volume even at 100 TB) and only a
+    genuinely huge delta (initial backfill of an unbounded dim) pays the
+    scalable range-partition pipeline. Ids are identical either way
+    (both orders are row_number over the natural key — the oracle form);
+    the internal checkpoint is skipped on the small path because a
+    single-partition window has no pid-consistency hazard.
     """
     keys = delta.select(natural_key).filter(F.col(natural_key).isNotNull()).distinct()
-    new_keys = keys.join(dim.select(natural_key), natural_key, "left_anti")
+    new_keys = keys.join(
+        dim.select(natural_key), natural_key, "left_anti"
+    ).localCheckpoint(eager=True)
     base = dim.agg(F.coalesce(F.max(skey_col) + 1, F.lit(0)).alias("__base"))
-    numbered = with_dense_ids(new_keys, natural_key, id_col=skey_col, start=0)
+    small = new_keys.count() <= SCD1_SMALL_DELTA_ROWS
+    numbered = with_dense_ids(
+        new_keys,
+        natural_key,
+        id_col=skey_col,
+        start=0,
+        small=small,
+        checkpoint=not small,
+    )
     new_rows = (
         numbered.crossJoin(F.broadcast(base))
         .withColumn(skey_col, (F.col(skey_col) + F.col("__base")).cast("long"))

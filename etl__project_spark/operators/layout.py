@@ -222,6 +222,57 @@ def zone_read_amplification(
     return {"n_files": len(zones), "mean_read_fraction": frac}
 
 
+def _dir_zone_maps_cached(d: str, column: str) -> list[tuple[str, object, object]]:
+    """Per-file zone maps for one data directory, cached in a
+    ``_ZONEMAP_<column>.json`` sidecar (underscore prefix = invisible to
+    parquet listings, like ``_SUCCESS``/``_BLOOM_*``).
+
+    Why a cache is SOUND here: warehouse data directories are immutable
+    after commit (batch dirs never change once ``_SUCCESS`` lands;
+    compaction/replacement write NEW directories), so footer statistics
+    can never go stale — the sidecar is validated against the current
+    file listing anyway and recomputed on any mismatch. Why it matters:
+    without it every range read pays one serial pyarrow footer open per
+    file on the DRIVER — measured 0.5 s over a 184-file table, i.e. the
+    prune could cost more than it saved; at 100 TB (ms-latency object
+    store, 10^5 files) it would dominate outright. With it the read
+    path costs one tiny JSON per directory — exactly the shape of
+    Delta/Iceberg keeping file stats in the commit log rather than in
+    the files. Entries are [file, min, max] with min/max null for files
+    lacking stats on ``column`` (those are always read). Cache writes
+    are advisory (atomic tmp+rename; failures fall back to direct
+    footer reads)."""
+    import json as _json
+
+    listing = []
+    for root, _dirs, files in os.walk(d):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                listing.append(os.path.join(root, f))
+    sidecar = os.path.join(d, f"_ZONEMAP_{column}.json")
+    try:
+        with open(sidecar) as fh:
+            cached = _json.load(fh)
+        if sorted(e[0] for e in cached["zones"]) == sorted(listing):
+            return [tuple(e) for e in cached["zones"]]
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
+    with_stats = dict()
+    for fp, mn, mx in parquet_file_zone_maps(d, column):
+        with_stats[fp] = (mn, mx)
+    zones = [
+        (fp, *with_stats.get(fp, (None, None))) for fp in listing
+    ]
+    try:
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"column": column, "zones": zones}, fh)
+        os.replace(tmp, sidecar)
+    except OSError:
+        pass  # read-only dir: serve uncached
+    return zones
+
+
 def prune_files_for_range(
     paths: str | list[str], column: str, lo, hi
 ) -> tuple[list[str], list[str]]:
@@ -235,37 +286,19 @@ def prune_files_for_range(
     always read (advisory pruning — false positives cost a read that
     the pushed-down predicate then empties; false negatives are
     impossible by construction, the same contract as the bloom
-    sidecars). Metadata-only: one KB footer read per file, driver cost
-    O(files)."""
-    import pyarrow.parquet as pq
-
+    sidecars). Zone maps come from the per-directory sidecar cache
+    (:func:`_dir_zone_maps_cached`) — first touch reads each file's KB
+    footer once, every later range read costs one JSON per directory."""
     if isinstance(paths, str):
         paths = [paths]
     must_read: list[str] = []
     skipped: list[str] = []
     for p in paths:
-        for root, _dirs, files in os.walk(p):
-            for f in sorted(files):
-                if not f.endswith(".parquet"):
-                    continue
-                fp = os.path.join(root, f)
-                md = pq.ParquetFile(fp).metadata
-                mn = mx = None
-                for rg in range(md.num_row_groups):
-                    row_group = md.row_group(rg)
-                    for ci in range(row_group.num_columns):
-                        col = row_group.column(ci)
-                        if col.path_in_schema != column:
-                            continue
-                        st = col.statistics
-                        if st is None or not st.has_min_max:
-                            continue
-                        mn = st.min if mn is None else min(mn, st.min)
-                        mx = st.max if mx is None else max(mx, st.max)
-                if mn is None or (mx >= lo and mn <= hi):
-                    must_read.append(fp)
-                else:
-                    skipped.append(fp)
+        for fp, mn, mx in _dir_zone_maps_cached(p, column):
+            if mn is None or (mx >= lo and mn <= hi):
+                must_read.append(fp)
+            else:
+                skipped.append(fp)
     return must_read, skipped
 
 

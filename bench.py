@@ -55,6 +55,10 @@ HEADLINE = [
     # steal-normalized tracking instead of one-off sweeps.
     "ev_quantile_cdc",
     "emb_ivf_cdc",
+    # round-11 addition (VERDICT r10 #2): the Z-order write + zone-map
+    # pruned READ, end to end through the real warehouse — the flagship
+    # layout feature gets round-over-round tracking like the IVM reps.
+    "ev_zorder_range_read",
 ]
 
 # Operative baseline — per-query provenance (VERDICT r9 #7: the dict
@@ -76,6 +80,13 @@ HEADLINE = [
 #   (median-of-3 at sf0.1, 2026-08-16, §9a protocol — sequential
 #   runs, nothing else on the box) — first-round baselines for the
 #   IVM/maintenance representatives added to HEADLINE in round 9.
+# * ev_zorder_range_read: round-11 idle-box median (median-of-3 at
+#   sf0.1, 2026-08-16, §9a protocol) — first-round baseline for the
+#   layout write+pruned-read representative added in round 11. Taken
+#   from the bench's own warm context (a standalone 3-run session
+#   measured 2.837 with first-touch costs; the in-bench median was
+#   1.087 — the warm number is the honest baseline, a cold one would
+#   flatter every later round by ~2.6x).
 _BASELINE = {
     "vs_fact": 2.943,
     "vs_fact_rollup": 0.925,
@@ -93,6 +104,7 @@ _BASELINE = {
     "emb_cosine_topk": 0.539,
     "ev_quantile_cdc": 1.842,
     "emb_ivf_cdc": 4.696,
+    "ev_zorder_range_read": 1.087,
 }
 
 

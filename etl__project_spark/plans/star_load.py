@@ -482,6 +482,7 @@ class ParquetWarehouse:
         else:
             merged.coalesce(num_files).write.mode("overwrite").parquet(tmp)
         self._compact_sidecars(sources, tmp)
+        self._compact_zone_maps(sources, tmp)
         os.replace(tmp, final)
         absorbed_ids = [
             os.path.basename(d).split("=", 1)[1] for d in batch_dirs
@@ -499,6 +500,26 @@ class ParquetWarehouse:
         for d in sources:
             shutil.rmtree(d, ignore_errors=True)
         return len(sources)
+
+    @staticmethod
+    def _compact_zone_maps(sources: list[str], tmp: str) -> None:
+        """Re-derive zone-map sidecars for a compaction output INSIDE
+        the same commit: any column some source kept a ``_ZONEMAP_``
+        sidecar for gets one on the compacted directory too, computed
+        from the new files' footers BEFORE the atomic rename — so the
+        range-read path never pays a first-touch footer scan over a
+        fresh compaction, and the cache commits atomically with the
+        data it describes (the same discipline as the bloom sidecars).
+        Cost: one KB footer read per output file, once per compaction."""
+        from etl__project_spark.operators.layout import _dir_zone_maps_cached
+
+        cols: set[str] = set()
+        for d in sources:
+            for f in os.listdir(d):
+                if f.startswith("_ZONEMAP_") and f.endswith(".json"):
+                    cols.add(f[len("_ZONEMAP_") : -len(".json")])
+        for col in sorted(cols):
+            _dir_zone_maps_cached(tmp, col)
 
     def _compact_sidecars(self, sources: list[str], tmp: str) -> None:
         """Rebuild bloom data-skipping sidecars for a compaction output
@@ -560,6 +581,36 @@ class ParquetWarehouse:
                     fh,
                 )
             os.replace(tmp_f, os.path.join(tmp, f"_BLOOM_{key}.json"))
+
+
+def read_range(
+    wh: ParquetWarehouse,
+    table: str,
+    schema: T.StructType,
+    column: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Zone-map pruned range scan over a VERSIONED snapshot table — the
+    :func:`read_fact_range` twin for pointer-swapped tables
+    (``ParquetWarehouse.read``'s current version). Version directories
+    are immutable once published, so the per-directory sidecar cache is
+    coherent here for the same reason it is on fact dirs. Returns rows
+    of the CURRENT snapshot with ``column BETWEEN lo AND hi``, reading
+    only the files whose footer rectangle intersects the range."""
+    v = wh._current(table)
+    if v is None:
+        return wh.spark.createDataFrame([], schema)
+    vdir = os.path.join(wh._tdir(table), f"v{v}")
+    files, _skipped = prune_files_for_range([vdir], column, lo, hi)
+    if not files:
+        return wh.spark.createDataFrame([], schema)
+    return (
+        ParquetWarehouse._strip_layout_cols(
+            wh.spark.read.schema(schema).parquet(*files)
+        )
+        .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
+    )
 
 
 def check_manifest(paths: list[str]) -> list[str]:

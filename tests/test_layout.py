@@ -395,3 +395,78 @@ def test_equal_count_recluster_trigger_parity(spark, tmp_path):
     assert stats1["mean_read_fraction"] == frac1
     assert trig1 == (n1 > 1 and frac1 > 0.2)
     assert trig1  # erosion past the threshold actually trips it
+
+
+def test_compaction_rebuilds_zone_map_sidecars_in_commit(spark, tmp_path):
+    """A compaction over range-read-indexed dirs must carry the zone-map
+    sidecar cache forward INSIDE its commit (like the bloom sidecars):
+    the compacted directory has the _ZONEMAP_ file the moment it becomes
+    visible, so the first range read after a compaction never pays a
+    footer scan — and the pruned read over the compacted table is still
+    exactly the filtered read."""
+    import os
+
+    from etl__project_spark.plans.star_load import read_fact_range
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    layout = ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64)
+    wh.fact_append("ev_z", q, "b0", layout=layout)
+    wh.fact_append("ev_z", q, "b1", layout=layout)
+    # first range read builds the per-dir sidecars
+    read_fact_range(wh, "ev_z", q.schema, "vb", 32, 63).count()
+    for b in ("b0", "b1"):
+        assert os.path.exists(
+            os.path.join(wh.fact_batch_dir("ev_z", b), "_ZONEMAP_vb.json")
+        )
+
+    assert wh.compact_fact("ev_z", layout=layout) == 2
+    tdir = wh._tdir("ev_z")
+    compacts = [d for d in os.listdir(tdir) if d.startswith("compact-")]
+    assert len(compacts) == 1
+    # the sidecar is already there — committed with the data
+    assert os.path.exists(os.path.join(tdir, compacts[0], "_ZONEMAP_vb.json"))
+
+    got = sorted(
+        map(str, read_fact_range(wh, "ev_z", q.schema, "vb", 32, 63).collect())
+    )
+    want = sorted(
+        map(
+            str,
+            wh.read_fact("ev_z", q.schema)
+            .filter(F.col("vb").between(32, 63))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_read_range_on_versioned_snapshot(spark, tmp_path):
+    """read_range — the read_fact_range twin for pointer-swapped
+    snapshot tables: prunes the CURRENT version's file listing from
+    footer zone maps, returns exactly the filtered snapshot; absent
+    table and out-of-domain ranges return empty frames with the
+    contract schema."""
+    from etl__project_spark.plans.star_load import read_range
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    layout = ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64)
+
+    empty = read_range(wh, "absent", q.schema, "vb", 0, 10)
+    assert empty.columns == ["ub", "vb"] and empty.count() == 0
+
+    wh.publish("ev_snap", q, layout=layout)
+    got = sorted(
+        map(str, read_range(wh, "ev_snap", q.schema, "vb", 32, 63).collect())
+    )
+    want = sorted(
+        map(
+            str,
+            wh.read("ev_snap", q.schema)
+            .filter(F.col("vb").between(32, 63))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert read_range(wh, "ev_snap", q.schema, "vb", 10_000, 20_000).count() == 0

@@ -302,6 +302,40 @@ def prune_files_for_range(
     return must_read, skipped
 
 
+def prune_files_for_rect(
+    paths: str | list[str], ranges: dict[str, tuple]
+) -> tuple[list[str], list[str]]:
+    """Multi-column file pruning — the conjunction of
+    :func:`prune_files_for_range` over several ``column: (lo, hi)``
+    predicates: a file is skipped when ANY column's zone provably
+    misses its range (a conjunctive predicate fails if one conjunct
+    fails), read otherwise. This is where the Z-order layout pays
+    twice: every file is a bounded rectangle in ALL interleaved
+    dimensions, so a 2-dim rectangle predicate multiplies the skips
+    where a single-column sort gives pruning on one axis only. Same
+    advisory contract per column (missing stats → that conjunct can't
+    exclude); same per-directory sidecar cache, one JSON per column."""
+    if isinstance(paths, str):
+        paths = [paths]
+    must_read: list[str] = []
+    skipped: list[str] = []
+    for p in paths:
+        per_col = {
+            col: {fp: (mn, mx) for fp, mn, mx in _dir_zone_maps_cached(p, col)}
+            for col in ranges
+        }
+        listing = next(iter(per_col.values())) if per_col else {}
+        for fp in listing:
+            excluded = False
+            for col, (lo, hi) in ranges.items():
+                mn, mx = per_col[col].get(fp, (None, None))
+                if mn is not None and (mx < lo or mn > hi):
+                    excluded = True
+                    break
+            (skipped if excluded else must_read).append(fp)
+    return must_read, skipped
+
+
 def files_read_under_range(
     path: str, column: str, lo: int, hi: int
 ) -> dict[str, float]:

@@ -6628,3 +6628,56 @@ def ev_zorder_range_read(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("vb").cast("long").alias("sum_vb"),
     )
+
+
+@query(
+    "ev_zorder_rect_read",
+    """WITH q AS (
+  SELECT least(user_id, 255)::BIGINT AS ub,
+         least((floor(value * 100 + 0.5)::BIGINT) // 256, 255)::BIGINT AS vb
+  FROM events
+)
+SELECT ub, vb, count(*)::BIGINT AS n
+FROM q WHERE ub BETWEEN 8 AND 15 AND vb BETWEEN 32 AND 95 GROUP BY ub, vb""",
+)
+def ev_zorder_rect_read(spark, sf_dir):
+    """Multi-column zone-map pruning, end to end: the rectangle
+    predicate (ub range AND vb range) goes through
+    ``plans/star_load.py:read_fact_rect``, which skips a file when ANY
+    dimension's footer zone provably misses its range — on the
+    Z-ordered layout every file is bounded in BOTH interleaved
+    dimensions, so the two conjuncts' skips multiply (the payoff a
+    single-column sort cannot give: its second dimension's zones span
+    the whole domain and eliminate nothing). Oracle = the same
+    aggregate over all rows with a plain conjunctive WHERE; the hash
+    match proves the conjunction of advisory prunes lost no rows.
+    Physical files-opened == the per-dimension audits' intersection is
+    pinned in ``tests/test_layout.py``."""
+    import tempfile
+
+    from etl__project_spark.operators.layout import ZOrderLayout
+    from etl__project_spark.plans.star_load import (
+        ParquetWarehouse,
+        read_fact_rect,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    q = ev.select(
+        F.least(F.col("user_id"), F.lit(255)).cast("long").alias("ub"),
+        F.least(F.expr("cast(floor(value * 100 + 0.5) as long) div 256"), F.lit(255))
+        .cast("long")
+        .alias("vb"),
+    )
+    schema = T.StructType(
+        [T.StructField("ub", T.LongType()), T.StructField("vb", T.LongType())]
+    )
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="ev_zrect_"))
+    wh.fact_append(
+        "events_z", q, "b1", layout=ZOrderLayout("ub", "vb", bits=8, n_files=32)
+    )
+    pruned = read_fact_rect(
+        wh, "events_z", schema, {"ub": (8, 15), "vb": (32, 95)}
+    )
+    return pruned.groupBy("ub", "vb").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

@@ -1067,6 +1067,38 @@ def read_fact_range(
     )
 
 
+def read_fact_rect(
+    wh: ParquetWarehouse,
+    table: str,
+    schema: T.StructType,
+    ranges: dict[str, tuple],
+) -> DataFrame:
+    """Rectangle scan over the fact table with multi-column zone-map
+    file pruning — :func:`read_fact_range` generalized to a CONJUNCTION
+    of range predicates (``{column: (lo, hi), ...}``). On a Z-ordered
+    table every file is bounded in all interleaved dimensions, so each
+    conjunct independently eliminates files and the skips multiply —
+    the payoff a 2-dim predicate gets from the layout that a
+    single-column sort cannot give (oracle-paired by
+    ``ev_zorder_rect_read``; physical files-opened == audit pinned in
+    ``tests/test_layout.py``). All predicates are also pushed to the
+    surviving files' scans."""
+    from etl__project_spark.operators.layout import prune_files_for_rect
+
+    dirs = wh._live_dirs(table)
+    if not dirs:
+        return wh.spark.createDataFrame([], schema)
+    files, _skipped = prune_files_for_rect(dirs, ranges)
+    if not files:
+        return wh.spark.createDataFrame([], schema)
+    out = ParquetWarehouse._strip_layout_cols(
+        wh.spark.read.schema(schema).parquet(*files)
+    )
+    for col, (lo, hi) in ranges.items():
+        out = out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return out
+
+
 def read_fact_point(
     wh: ParquetWarehouse, table: str, schema: T.StructType, key_col: str, value
 ) -> DataFrame:

@@ -470,3 +470,91 @@ def test_read_range_on_versioned_snapshot(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert read_range(wh, "ev_snap", q.schema, "vb", 10_000, 20_000).count() == 0
+
+
+def test_read_fact_rect_multiplies_the_skips(spark, tmp_path):
+    """The rectangle read's pruned set is exactly the INTERSECTION of
+    the per-dimension audits' survivors (a conjunct excludes a file
+    when its zone provably misses), it opens exactly those files, and
+    it returns exactly the doubly-filtered unpruned rows. On the
+    Z-layout the rectangle prunes at least as hard as either dimension
+    alone."""
+    from etl__project_spark.operators.layout import (
+        prune_files_for_range,
+        prune_files_for_rect,
+    )
+    from etl__project_spark.plans.star_load import read_fact_rect
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    layout = ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64)
+    wh.fact_append("ev_z", q, "b0", layout=layout)
+    dirs = wh._live_dirs("ev_z")
+    ranges = {"ub": (4, 11), "vb": (32, 95)}
+
+    must_u, _ = prune_files_for_range(dirs, "ub", *ranges["ub"])
+    must_v, _ = prune_files_for_range(dirs, "vb", *ranges["vb"])
+    must_rect, skipped_rect = prune_files_for_rect(dirs, ranges)
+    assert set(must_rect) == set(must_u) & set(must_v)
+    assert len(must_rect) <= min(len(must_u), len(must_v))
+    assert len(skipped_rect) > 0
+
+    rect = read_fact_rect(wh, "ev_z", q.schema, ranges)
+    opened = {f.removeprefix("file://") for f in rect.inputFiles()}
+    assert opened == set(must_rect)
+
+    want = sorted(
+        map(
+            str,
+            wh.read_fact("ev_z", q.schema)
+            .filter(F.col("ub").between(4, 11) & F.col("vb").between(32, 95))
+            .collect(),
+        )
+    )
+    assert sorted(map(str, rect.collect())) == want
+
+
+def test_range_prune_is_safe_under_schema_evolution(spark, tmp_path):
+    """The no-false-negative contract under evolution: a batch written
+    BEFORE the probe column existed has no zone maps for it, so the
+    pruner must always read it (its rows surface null-filled through
+    the explicit schema and are then dropped by the pushed filter —
+    never silently excluded by a stats-less prune). And a batch that
+    HAS the column still prunes normally alongside it."""
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import read_fact_range
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    # pre-evolution batch: ub only
+    wh.fact_append("ev_z", q.select("ub"), "old")
+    # post-evolution batch: (ub, vb), Z-ordered
+    wh.fact_append(
+        "ev_z", q, "new",
+        layout=ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64),
+    )
+    schema = T.StructType(
+        [T.StructField("ub", T.LongType()), T.StructField("vb", T.LongType())]
+    )
+    got = read_fact_range(wh, "ev_z", schema, "vb", 32, 63)
+    # every old-batch file was opened (no stats -> must read)...
+    old_files = {
+        f.removeprefix("file://") for f in got.inputFiles()
+        if "batch=old" in f
+    }
+    import os
+
+    old_dir = wh.fact_batch_dir("ev_z", "old")
+    n_old = sum(1 for f in os.listdir(old_dir) if f.endswith(".parquet"))
+    assert len(old_files) == n_old and n_old > 0
+    # ...and the result equals the evolved unpruned read + filter
+    want = sorted(
+        map(
+            str,
+            wh.read_fact("ev_z", schema)
+            .filter(F.col("vb").between(32, 63))
+            .collect(),
+        )
+    )
+    assert sorted(map(str, got.collect())) == want

@@ -558,3 +558,23 @@ def test_range_prune_is_safe_under_schema_evolution(spark, tmp_path):
         )
     )
     assert sorted(map(str, got.collect())) == want
+
+
+def test_layout_write_primes_zone_map_sidecars(spark, tmp_path):
+    """A layouted write primes the zone-map sidecar for each plain-
+    column layout dimension at WRITE time — the stats land with the
+    data, so the first range read pays one JSON per directory instead
+    of one footer per file."""
+    import os
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    layout = ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64)
+    wh.fact_append("ev_z", q, "b0", layout=layout)
+    bdir = wh.fact_batch_dir("ev_z", "b0")
+    for col in ("ub", "vb"):
+        assert os.path.exists(os.path.join(bdir, f"_ZONEMAP_{col}.json"))
+    # plain (un-layouted) appends prime nothing
+    wh.fact_append("ev_z", q, "b1")
+    b1 = wh.fact_batch_dir("ev_z", "b1")
+    assert not any(f.startswith("_ZONEMAP_") for f in os.listdir(b1))

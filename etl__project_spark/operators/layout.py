@@ -249,24 +249,35 @@ def _dir_zone_maps_cached(d: str, column: str) -> list[tuple[str, object, object
         for f in sorted(files):
             if f.endswith(".parquet"):
                 listing.append(os.path.join(root, f))
+    # Entries are stored DIRECTORY-RELATIVE: the compaction protocol
+    # primes the sidecar inside the `compacting-N` staging dir and then
+    # renames it into place, and absolute paths would self-invalidate at
+    # that rename (the priming pass wasted); relative paths also make a
+    # warehouse directory relocatable without losing its caches.
+    rel = {fp: os.path.relpath(fp, d) for fp in listing}
     sidecar = os.path.join(d, f"_ZONEMAP_{column}.json")
     try:
         with open(sidecar) as fh:
             cached = _json.load(fh)
-        if sorted(e[0] for e in cached["zones"]) == sorted(listing):
-            return [tuple(e) for e in cached["zones"]]
+        if sorted(e[0] for e in cached["zones"]) == sorted(rel.values()):
+            back = {r: fp for fp, r in rel.items()}
+            return [(back[e[0]], e[1], e[2]) for e in cached["zones"]]
     except (FileNotFoundError, KeyError, ValueError):
         pass
     with_stats = dict()
     for fp, mn, mx in parquet_file_zone_maps(d, column):
         with_stats[fp] = (mn, mx)
-    zones = [
-        (fp, *with_stats.get(fp, (None, None))) for fp in listing
-    ]
+    zones = [(fp, *with_stats.get(fp, (None, None))) for fp in listing]
     try:
         tmp = sidecar + ".tmp"
         with open(tmp, "w") as fh:
-            _json.dump({"column": column, "zones": zones}, fh)
+            _json.dump(
+                {
+                    "column": column,
+                    "zones": [(rel[fp], mn, mx) for fp, mn, mx in zones],
+                },
+                fh,
+            )
         os.replace(tmp, sidecar)
     except OSError:
         pass  # read-only dir: serve uncached

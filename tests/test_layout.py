@@ -578,3 +578,37 @@ def test_layout_write_primes_zone_map_sidecars(spark, tmp_path):
     wh.fact_append("ev_z", q, "b1")
     b1 = wh.fact_batch_dir("ev_z", "b1")
     assert not any(f.startswith("_ZONEMAP_") for f in os.listdir(b1))
+
+
+def test_compaction_primed_sidecar_survives_the_rename(spark, tmp_path):
+    """The compaction protocol primes zone-map sidecars inside the
+    `compacting-N` staging dir, then renames it into place — the
+    sidecar's entries are stored directory-RELATIVE precisely so that
+    rename does not self-invalidate the cache. Pin it: after
+    compaction, a range read must SERVE the primed sidecar (its bytes
+    untouched), not silently recompute and rewrite it."""
+    import os
+
+    from etl__project_spark.plans.star_load import read_fact_range
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    layout = ZOrderLayout(dim_a="ub", dim_b="vb", bits=8, n_files=64)
+    wh.fact_append("ev_z", q, "b0", layout=layout)
+    wh.fact_append("ev_z", q, "b1", layout=layout)
+    assert wh.compact_fact("ev_z", layout=layout) == 2
+
+    tdir = wh._tdir("ev_z")
+    compacts = [d for d in os.listdir(tdir) if d.startswith("compact-")]
+    sidecar = os.path.join(tdir, compacts[0], "_ZONEMAP_vb.json")
+    assert os.path.exists(sidecar)
+    before = (os.stat(sidecar).st_mtime_ns, open(sidecar).read())
+
+    got = read_fact_range(wh, "ev_z", q.schema, "vb", 32, 63)
+    n = got.count()
+    after = (os.stat(sidecar).st_mtime_ns, open(sidecar).read())
+    assert after == before, "primed sidecar was recomputed after the rename"
+    want = (
+        wh.read_fact("ev_z", q.schema).filter(F.col("vb").between(32, 63)).count()
+    )
+    assert n == want

@@ -1102,6 +1102,12 @@ def read_fact_rect(
     surviving files' scans."""
     from etl__project_spark.operators.layout import prune_files_for_rect
 
+    if not ranges:
+        # an empty conjunction would otherwise prune EVERY file (the
+        # rect pruner derives its listing from the predicate columns) —
+        # silently returning nothing for "no predicate" is the one
+        # wrong answer; make the caller bug loud instead
+        raise ValueError("read_fact_rect requires at least one column range")
     dirs = wh._live_dirs(table)
     if not dirs:
         return wh.spark.createDataFrame([], schema)

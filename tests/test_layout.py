@@ -612,3 +612,18 @@ def test_compaction_primed_sidecar_survives_the_rename(spark, tmp_path):
         wh.read_fact("ev_z", q.schema).filter(F.col("vb").between(32, 63)).count()
     )
     assert n == want
+
+
+def test_read_fact_rect_rejects_empty_ranges(spark, tmp_path):
+    """An empty conjunction must fail loudly, not silently return zero
+    rows (the rect pruner derives its file listing from the predicate
+    columns, so {} would prune everything)."""
+    import pytest
+
+    from etl__project_spark.plans.star_load import read_fact_rect
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    q = _quantized_events(spark)
+    wh.fact_append("ev_z", q, "b0")
+    with pytest.raises(ValueError, match="at least one column range"):
+        read_fact_rect(wh, "ev_z", q.schema, {})

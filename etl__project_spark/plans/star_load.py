@@ -908,6 +908,55 @@ def snapshot_diff(
     )
 
 
+def gc_fact(wh: ParquetWarehouse, table: str) -> list[str]:
+    """Reclaim crash garbage under an append-only fact table — the
+    companion to :func:`vacuum` (which handles versioned snapshots).
+    The compaction/replacement protocols are crash-safe BECAUSE their
+    deletes are best-effort after the manifest commit: a crash
+    mid-delete leaves directories that readers already ignore but disk
+    still pays for. Removable, by the manifests' own rules:
+
+    * ``compacting-*`` / ``rewriting-*`` staging dirs — never listed by
+      readers; a live writer would still be mid-job, so run this only
+      with no writer active (same single-writer assumption the append
+      path already makes);
+    * ``batch=<id>`` dirs whose id the manifest marks ABSORBED — their
+      rows live on in a compaction output; the directory is dead weight
+      and `_live_batch_dirs` already excludes it;
+    * ``compact-*`` / ``rebatch-*`` dirs NOT referenced by the current
+      manifest — superseded by a later compaction that absorbed them.
+
+    Never touches live batch dirs, manifest-referenced dirs, sidecars,
+    or the MANIFEST itself. Returns the directory names removed.
+    Idempotent; safe to run on a cadence (the lakehouse VACUUM moment
+    for the plain-parquet warehouse)."""
+    import shutil
+
+    tdir = wh._tdir(table)
+    if not os.path.isdir(tdir):
+        return []
+    m = wh._manifest(table)
+    absorbed = set() if m is None else set(m["absorbed"])
+    referenced = set() if m is None else set(m["dirs"])
+    removed: list[str] = []
+    for d in sorted(os.listdir(tdir)):
+        full = os.path.join(tdir, d)
+        if not os.path.isdir(full):
+            continue
+        dead = (
+            d.startswith(("compacting-", "rewriting-"))
+            or (d.startswith("batch=") and d.split("=", 1)[1] in absorbed)
+            or (
+                d.startswith(("compact-", "rebatch-"))
+                and d not in referenced
+            )
+        )
+        if dead:
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
 def vacuum(wh: ParquetWarehouse, table: str, keep_last: int = 2) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` snapshot versions
     of a versioned table (the Delta VACUUM analog for time travel).

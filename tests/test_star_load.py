@@ -697,3 +697,54 @@ def test_fact_schema_evolution_null_fills_and_never_drops(spark, tmp_path):
     assert wh.compact_fact("f") == 2
     got2 = {r["a"]: (r["b"], r["c"]) for r in wh.read_fact("f", wide).collect()}
     assert got2 == got
+
+
+def test_gc_fact_reclaims_crash_garbage_only(spark, tmp_path):
+    """gc_fact removes exactly the three dead classes — staging dirs a
+    crash orphaned, absorbed batch dirs whose best-effort delete never
+    ran, and superseded compaction outputs — and nothing else; reads
+    are identical before and after."""
+    import os
+    import shutil
+
+    from etl__project_spark.plans.star_load import (
+        ParquetWarehouse,
+        gc_fact,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(100).select(F.col("id").alias("v"))
+    wh.fact_append("t", df, "b0")
+    wh.fact_append("t", df, "b1")
+    assert wh.compact_fact("t") == 2
+    wh.fact_append("t", df, "b2")  # live post-compaction batch
+
+    tdir = wh._tdir("t")
+    # simulate the crash modes: an orphaned staging dir, and an
+    # absorbed batch dir whose delete never happened (recreate b0 —
+    # the manifest already marks it absorbed, so readers ignore it)
+    os.makedirs(os.path.join(tdir, "compacting-99"))
+    absorbed_dir = wh.fact_batch_dir("t", "b0")
+    os.makedirs(absorbed_dir, exist_ok=True)
+    with open(os.path.join(absorbed_dir, "_SUCCESS"), "w"):
+        pass
+
+    before = wh.read_fact("t", schema).count()
+    assert before == 300  # 2 compacted batches + the live one
+
+    removed = gc_fact(wh, "t")
+    assert sorted(removed) == ["batch=b0", "compacting-99"]
+    assert wh.read_fact("t", schema).count() == before
+    # live batch + referenced compaction output untouched
+    assert os.path.exists(os.path.join(wh.fact_batch_dir("t", "b2"), "_SUCCESS"))
+    m = wh._manifest("t")
+    for d in m["dirs"]:
+        assert os.path.isdir(os.path.join(tdir, d))
+    # idempotent
+    assert gc_fact(wh, "t") == []
+    # replay of the absorbed batch stays a no-op after gc (exactly-once
+    # survives garbage collection — the manifest, not the dir, is truth)
+    assert wh.fact_append("t", df, "b0") is False

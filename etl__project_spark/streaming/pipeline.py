@@ -185,10 +185,17 @@ def _process_batch(
     _maintain_rollup(wh, spark, str(batch_id))
     _maintain_hll(wh, spark, str(batch_id))
     # periodic small-files maintenance: fold accumulated batch dirs into
-    # one compacted dir (manifest-committed; absorbed ids stay idempotent)
+    # one compacted dir (manifest-committed; absorbed ids stay idempotent),
+    # then reclaim any crash garbage a previous cycle's best-effort
+    # deletes left behind (gc_fact — safe here precisely because
+    # foreachBatch serializes micro-batches: no concurrent writer).
     if compact_every and (batch_id + 1) % compact_every == 0:
+        from etl__project_spark.plans.star_load import gc_fact
+
         wh.compact_fact("credit")
         wh.compact_fact("factvideostart")
+        gc_fact(wh, "credit")
+        gc_fact(wh, "factvideostart")
     # MEASURED maintenance (round 10): instead of a blind cadence, probe
     # the fact's clustering health from parquet footers and re-cluster
     # only when a typical point predicate would open more than the

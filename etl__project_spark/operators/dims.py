@@ -52,6 +52,9 @@ def derive_dim_time(parsed: DataFrame, dt_col: str = "datetime") -> DataFrame:
     )
 
 
+DENSE_ID_SMALL_ROWS = 5_000_000
+
+
 def with_dense_ids(
     df: DataFrame,
     order_col: str,
@@ -60,6 +63,7 @@ def with_dense_ids(
     num_partitions: int | None = None,
     small: bool = False,
     checkpoint: bool = True,
+    small_row_limit: int = DENSE_ID_SMALL_ROWS,
 ) -> DataFrame:
     """I1 — assign dense, insertion-ordered int64 ids ``start, start+1, …``
     ordered by ``order_col``.
@@ -67,8 +71,22 @@ def with_dense_ids(
     ``small=True`` short-circuits to a single-partition global
     ``row_number`` — the right plan for dimensions known to be tiny
     (platform=4, site≈dozens): one task instead of a 4-stage
-    range-partition pipeline. Use the default path for unbounded
-    dimensions (dates, titles).
+    range-partition pipeline, with NO materialization (callers vouch for
+    the size, so no count is needed).
+
+    Default path (round-11 optimization, guide §1.2/§2.4): SIZE-ADAPTIVE.
+    The input is pinned once with an eager ``localCheckpoint`` (also
+    required for AQE partitioning consistency, see below) and counted —
+    a cheap job over the already-materialized rows. At or below
+    ``small_row_limit`` the ids come from one single-partition window
+    over the pinned frame (≤5M short keys in one task — the same
+    bounded-window judgement call as ``scd1_upsert``'s r10
+    SCD1_SMALL_DELTA_ROWS fix); above it the scalable range-partition
+    pipeline runs, its boundary-sampling pass now reading the pinned
+    RDD instead of re-evaluating the (typically distinct/anti-join)
+    input lineage. Before this change every call paid the 4-stage
+    pipeline — boundary sampling + range shuffle + checkpoint + offsets
+    join, ~3 extra jobs — even for a 5-row title dim.
 
     Scalable construction (no single-task global window):
       1. range-repartition by the order key → partition p holds a contiguous
@@ -78,14 +96,22 @@ def with_dense_ids(
          rows — negligible);
       4. id = start + offset(p) + local_rank - 1.
 
-    Equivalent to ``row_number() over (order by order_col) - 1 + start``
-    for distinct keys, which is exactly the DuckDB oracle form.
+    Both paths are ``row_number() over (order by order_col) - 1 + start``
+    for distinct keys — exactly the DuckDB oracle form — so the choice
+    is invisible in results (pinned by every dim oracle).
     """
     if small:
         w = Window.orderBy(order_col)
         return df.withColumn(
             id_col, (F.row_number().over(w) - 1 + start).cast("long")
         )
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
+        if df.count() <= small_row_limit:
+            w = Window.orderBy(order_col)
+            return df.withColumn(
+                id_col, (F.row_number().over(w) - 1 + start).cast("long")
+            )
     if num_partitions is None:
         parted = df.repartitionByRange(order_col)
     else:
@@ -151,35 +177,29 @@ def scd1_upsert(
     must contain natural_key (other columns carried through if present in
     dim's schema).
 
-    Numbering cost (VERDICT r10 #6 — the measured fixed cost of the
-    warehouse load): the new-keys delta's lineage (distinct + anti-join
-    over the staging batch) is pinned ONCE with an eager localCheckpoint
-    here, where handing it straight to ``with_dense_ids`` re-evaluated
-    it ~3× per dim (repartitionByRange's range-boundary SAMPLING pass,
-    the shuffle itself, and the internal pid-consistency checkpoint).
-    The materialized delta's size is then known for free, so deltas up
-    to ``SCD1_SMALL_DELTA_ROWS`` take the single-window ``small`` path
-    (one task over ≤5M short keys — fine; per-batch NEW-key churn is
-    orders of magnitude below fact volume even at 100 TB) and only a
-    genuinely huge delta (initial backfill of an unbounded dim) pays the
-    scalable range-partition pipeline. Ids are identical either way
-    (both orders are row_number over the natural key — the oracle form);
-    the internal checkpoint is skipped on the small path because a
-    single-partition window has no pid-consistency hazard.
+    Numbering cost (VERDICT r10 #6, generalized in round 11): the
+    new-keys delta (distinct + anti-join over the staging batch) is
+    pinned with one eager localCheckpoint and counted INSIDE
+    ``with_dense_ids``'s size-adaptive default path — the r10 fix that
+    lived here (pin once, count, pick the single-window plan for deltas
+    up to ``SCD1_SMALL_DELTA_ROWS``) is now the primitive's own
+    behavior, so every dense-id caller gets it and this function is a
+    plain delegation. Per-batch NEW-key churn is orders of magnitude
+    below fact volume even at 100 TB, so the ≤5M single-window path is
+    the steady-state plan; only a genuinely huge delta (initial
+    backfill of an unbounded dim) pays the scalable range-partition
+    pipeline. Ids are identical either way (both orders are row_number
+    over the natural key — the oracle form).
     """
     keys = delta.select(natural_key).filter(F.col(natural_key).isNotNull()).distinct()
-    new_keys = keys.join(
-        dim.select(natural_key), natural_key, "left_anti"
-    ).localCheckpoint(eager=True)
+    new_keys = keys.join(dim.select(natural_key), natural_key, "left_anti")
     base = dim.agg(F.coalesce(F.max(skey_col) + 1, F.lit(0)).alias("__base"))
-    small = new_keys.count() <= SCD1_SMALL_DELTA_ROWS
     numbered = with_dense_ids(
         new_keys,
         natural_key,
         id_col=skey_col,
         start=0,
-        small=small,
-        checkpoint=not small,
+        small_row_limit=SCD1_SMALL_DELTA_ROWS,
     )
     new_rows = (
         numbered.crossJoin(F.broadcast(base))

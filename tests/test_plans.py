@@ -142,18 +142,21 @@ def test_grouping_sets_single_expand(spark):
 
 
 def test_unbounded_dims_avoid_single_partition_window(spark):
-    """VERDICT r1 #3: unbounded dims (datetime, title) must take the
-    range-partitioned dense-id path — a single-partition global
-    row_number window over an unbounded dim is a one-task bottleneck at
-    scale. Tiny enumerated dims (platform, site) may stay small=True."""
+    """VERDICT r1 #3, revised by the round-11 size-adaptive dense-id
+    path: an ABOVE-THRESHOLD dim must take the range-partitioned
+    pipeline — a single-partition global row_number window over an
+    unbounded dim is a one-task bottleneck at scale. At or below
+    ``small_row_limit`` (default 5M) the pinned single-window plan is
+    the deliberate choice (same bounded-window judgement call as
+    scd1_upsert's r10 SCD1_SMALL_DELTA_ROWS); ids are identical either
+    way, pinned by every dim oracle."""
     from etl__project_spark.operators import derive_dim, with_dense_ids
     from etl__project_spark.plans.catalog import _parsed  # re-exported by the package
 
     parsed = _parsed(spark, SF_DIR)
-    # checkpoint=False exposes the pre-checkpoint lineage (production
-    # keeps the checkpoint, which truncates the visible plan at the
-    # materialized partitioning — see with_dense_ids)
     for skey, nat in (("datetime_skey", "datetime"), ("title_skey", "video")):
+        # checkpoint=False exposes the pre-checkpoint big-path lineage
+        # (production pins the input, which truncates the visible plan)
         plan = plan_of(
             with_dense_ids(
                 derive_dim(parsed, nat), nat, skey, checkpoint=False
@@ -166,6 +169,24 @@ def test_unbounded_dims_avoid_single_partition_window(spark):
         # the ONE allowed single-partition exchange is the per-partition
         # offsets window — ≤ #partitions rows by construction, never data
         assert plan.count("Exchange SinglePartition") <= 1, skey
+        # the adaptive default must STILL choose the scalable shape for
+        # an above-threshold input (threshold forced to 0 here — the
+        # sf0.1 dims are small, the 100 TB ones are not). With the
+        # production checkpoint the range partitioning itself is
+        # truncated behind the pinned RDD (asserted un-truncated above),
+        # so the visible marker is the per-partition offsets merge
+        # (__off) vs the small path's direct global window.
+        plan_big = plan_of(
+            with_dense_ids(
+                derive_dim(parsed, nat), nat, skey, small_row_limit=0
+            )
+        )
+        assert "__off" in plan_big, skey
+        assert plan_big.count("Exchange SinglePartition") <= 1, skey
+        plan_small = plan_of(
+            with_dense_ids(derive_dim(parsed, nat), nat, skey)
+        )
+        assert "__off" not in plan_small, skey
 
 
 def test_jaccard_pairs_adjacent_buckets_stay_equi_join(spark):
@@ -327,7 +348,7 @@ SINGLE_PARTITION_CENSUS = {
     "tpch_equidepth_hist": 1,  # the 9-double percentile-cuts agg finalize
     "vs_dim_calendar_spine": 0,
     "doc_dup_size_histogram": 0,
-    "vs_scd2_asof_lookup": 5,  # inherits vs_scd2_upsert's tiny-dim bookkeeping windows; the as-of adds only a 2-row broadcast
+    "vs_scd2_asof_lookup": 4,  # inherits vs_scd2_upsert's tiny-dim bookkeeping windows (one fewer since the r11 size-adaptive dense-id path: the insert numbering's offsets window collapsed into the pinned small-path window); the as-of adds only a 2-row broadcast
     "doc_hybrid_rrf": 2,  # the two rank windows over limit-50 top-k lists (<= 50 rows each by construction)
     "emb_pipeline_e2e": 4,  # the four 1-row stage-count agg finalizes of the scorecard
     "tpch_spearman_corr": 3,  # two marginal prefix windows (<= 50 / 11 rows) + the 1-row sufficient-stats finalize; row-level ranking never happens
@@ -438,11 +459,11 @@ EXCHANGE_BUDGET = {
     # user-keyed window stages re-derived across the four union
     # branches (history/untouched/expired/new) — all delta-sized;
     # every dim probe (noop-first, first-new expiry) is broadcast
-    # (zero SMJs). The dense-id range partition runs inside the
-    # checkpoint (with_dense_ids materializes the partitioned frame
-    # once — the r7 AQE-re-evaluation fix), so it no longer shows in
-    # the visible plan.
-    "ev_scd2_multiversion": (10, 0),
+    # (zero SMJs). The dense-id numbering runs behind with_dense_ids's
+    # pinned checkpoint (r7 AQE-re-evaluation fix), so it never shows in
+    # the visible plan; the r11 size-adaptive path dropped its offsets
+    # broadcast-join exchange too (10 → 9 — one fewer stage, same rows).
+    "ev_scd2_multiversion": (9, 0),
     # retractable distinct count: two (group,value)-keyed hash
     # aggregates (base partial + churn partial), the merge, and the
     # group-keyed finalize; no joins at all.
@@ -689,12 +710,14 @@ def test_no_bare_localcheckpoint_in_fold_modules():
     pinned_counts = {
         "session.py": 3,
         # dims.py: (a) the documented AQE-evaluation pin inside
-        # with_dense_ids; (b) round-11's scd1_upsert new-keys-delta pin —
-        # a single-shot materialization of one batch's NEW dimension
-        # keys (bounded by batch churn, not table-sized; VERDICT r10 #6:
-        # it stops repartitionByRange's sampling pass re-evaluating the
-        # distinct+anti-join lineage ~3x per dim). Neither is an
-        # iterative fold.
+        # with_dense_ids's big path; (b) with_dense_ids's size-adaptive
+        # input pin (round 11 — the r10 scd1_upsert new-keys-delta pin
+        # generalized into the primitive: one single-shot
+        # materialization of the to-be-numbered keys, bounded by dim /
+        # batch-churn cardinality, which both stops repartitionByRange's
+        # sampling pass re-evaluating the input lineage and makes the
+        # small/big plan choice measurable). Neither is an iterative
+        # fold.
         "operators/dims.py": 2,
         # documented tiny-frame single-shot checkpoints inside catalog
         # query bodies (catalog.py's 20, redistributed by the r9 family

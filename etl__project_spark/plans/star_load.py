@@ -27,17 +27,26 @@ import json
 import os
 from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl__project_spark.operators import (
     build_fact,
-    derive_dim,
     parse_raw,
-    scd1_upsert,
 )
 from etl__project_spark.operators.layout import prune_files_for_range
+from etl__project_spark.session import state_checkpoint
+
+# Output file sizing for fact appends (guide §6): per-row estimate for
+# the 4-surrogate-key fact (4 int64 + parquet framing) and the target
+# output file size. Local fixtures produce 1 file per batch; a cluster
+# run sizes via SPARK_GRAFT_TARGET_FILE_BYTES (128 MB default keeps
+# files in the guide's 128 MB - 1 GB band).
+FACT_ROW_BYTES = 64
+TARGET_FILE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_TARGET_FILE_BYTES", str(128 * 1024 * 1024))
+)
 
 DIM_SPECS = [
     # (table, natural key column in parsed staging, skey column)
@@ -692,27 +701,103 @@ def load_batch(
 
     Readers never see a torn batch: dims are pointer-swapped snapshots,
     and the batch's fact rows appear only at the ``_SUCCESS`` commit.
+
+    Round-11 optimization (guide §1.2 step 1 — the distributed
+    algorithm): the four per-dim upsert chains (each: distinct →
+    anti-join → checkpoint → count → number → publish, ~4 Spark jobs per
+    dim even when zero or four keys are new) are BATCHED into one
+    unpivoted delta job. One pass over ``parsed`` explodes each staging
+    row to its four ``(dim, key)`` pairs, one hash aggregate
+    deduplicates them, one anti-join against the tagged union of the
+    four current dims isolates the new keys, and one eager checkpoint
+    materializes that combined delta. Numbering is a window partitioned
+    by dim (four independent partitions — parallel, each bounded by
+    per-batch NEW-key churn), with per-dim ``max(skey)+1`` bases merged
+    via one broadcast. Only the four publishes remain per-table (they
+    must be: the versioned CAS commit is per table directory), and they
+    still overlap from the thread pool. Per-dim content is bit-identical
+    to ``scd1_upsert`` (same distinct/anti-join/row_number-over-key
+    construction — pinned by the ``vs_warehouse_load`` oracle), so the
+    crash matrix and replay invariants above are untouched.
     """
     parsed = parse_raw(raw).persist()
     n_staged = parsed.count()  # A3 audit; also materializes the cache
 
-    # The four dim upserts touch disjoint tables and read only the
-    # already-materialized `parsed` cache, so their Spark jobs run
-    # concurrently from a thread pool: wall time is the slowest dim, not
-    # the sum. On a cluster the concurrent jobs share executors (FAIR
-    # scheduling overlaps their stages); correctness is unaffected —
-    # each thread publishes a different table directory.
-    def _upsert_dim(spec: tuple[str, str, str]) -> tuple[str, DataFrame, str]:
-        table, nk, skey = spec
+    # one combined new-keys delta for all four dims (dim tag = position
+    # in DIM_SPECS; all natural keys are strings)
+    pairs = (
+        parsed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("__dim"),
+                            F.col(nk).alias("__key"),
+                        )
+                        for i, (_t, nk, _s) in enumerate(DIM_SPECS)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(F.col("__key").isNotNull())
+        .distinct()
+    )
+    current_tagged = None
+    for i, (table, nk, skey) in enumerate(DIM_SPECS):
+        cur = wh.read(table, _dim_schema(nk, skey)).select(
+            F.lit(i).alias("__dim"),
+            F.col(nk).alias("__key"),
+            F.col(skey).alias("__skey"),
+        )
+        current_tagged = cur if current_tagged is None else current_tagged.unionByName(cur)
+    new_keys = pairs.join(
+        current_tagged.select("__dim", "__key"), ["__dim", "__key"], "left_anti"
+    )
+    bases = current_tagged.groupBy("__dim").agg(
+        (F.max("__skey") + 1).alias("__base")
+    )
+    # ONE eager materialization of the fully-numbered delta (churn-sized:
+    # new keys only). Publishing from the un-materialized lineage made
+    # each of the four concurrent publishes re-run the window + base
+    # broadcast (~2.5 s each, measured); from the checkpoint each is a
+    # filter + union + write.
+    numbered = state_checkpoint(
+        new_keys.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__dim").orderBy("__key")
+            )
+            - 1,
+        )
+        .join(F.broadcast(bases), "__dim", "left")
+        .withColumn(
+            "__skey",
+            (F.coalesce(F.col("__base"), F.lit(0)) + F.col("__rn")).cast("long"),
+        )
+        .select("__dim", "__key", "__skey"),
+        table_sized=False,
+    )
+
+    # The four publishes touch disjoint table directories, so their
+    # write jobs run concurrently from a thread pool: wall time is the
+    # slowest dim, not the sum. On a cluster the concurrent jobs share
+    # executors (FAIR scheduling overlaps their stages).
+    def _publish_dim(spec_i: tuple[int, tuple[str, str, str]]) -> tuple[str, DataFrame, str]:
+        i, (table, nk, skey) = spec_i
         current = wh.read(table, _dim_schema(nk, skey))
-        upserted = scd1_upsert(current, derive_dim(parsed, nk), nk, skey)
+        upserted = current.select(skey, nk).unionByName(
+            numbered.filter(F.col("__dim") == i).select(
+                F.col("__skey").alias(skey), F.col("__key").alias(nk)
+            )
+        )
         wh.publish(table, upserted)
         return skey, wh.read(table, _dim_schema(nk, skey)), nk
 
     with ThreadPoolExecutor(max_workers=len(DIM_SPECS)) as pool:
         dims = {
             skey: (df, nk, nk)
-            for skey, df, nk in pool.map(_upsert_dim, DIM_SPECS)
+            for skey, df, nk in pool.map(_publish_dim, enumerate(DIM_SPECS))
         }
 
     limit_kw = (
@@ -720,7 +805,15 @@ def load_batch(
         else {"broadcast_row_limit": broadcast_row_limit}
     )
     fact = build_fact(parsed, dims, join_stats=join_stats, **limit_kw)
-    appended = wh.fact_append("factvideostart", fact, batch_id)
+    # Output file sizing (guide §6): the star join preserves staging
+    # cardinality (dims are unique-keyed), so the batch's output size is
+    # known before the write — coalesce to ~target-sized files instead
+    # of one tiny file per upstream partition. Scale-adaptive: file
+    # count grows linearly with batch bytes (a 100 TB batch coalesces to
+    # thousands of files and loses no parallelism; a small batch stops
+    # scattering KB-sized files across the commit protocol).
+    n_files = max(1, -(-n_staged * FACT_ROW_BYTES // TARGET_FILE_BYTES))
+    appended = wh.fact_append("factvideostart", fact.coalesce(n_files), batch_id)
     parsed.unpersist()
     return {"n_staged": n_staged, "fact_appended": int(appended)}
 

@@ -550,7 +550,16 @@ def doc_tfidf_top_terms(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_td"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df counts tf's rows per term; phrasing it as count(CASE WHEN n_td
+    # >= 1) — identical, n_td is a never-null count >= 1 — keeps n_td
+    # referenced so column pruning cannot specialize this branch's copy
+    # of the tf aggregate. Both branches then share one canonical
+    # scan→explode→partial-agg→Exchange subtree and Spark's
+    # ReuseExchange materializes the token shuffle ONCE instead of
+    # scanning + exploding the documents table twice (guide §2.2).
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("n_td") >= 1, 1)).alias("df")
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.crossJoin(F.broadcast(n))

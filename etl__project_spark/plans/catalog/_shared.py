@@ -54,16 +54,34 @@ from etl__project_spark.datapipe.linalg import covariance_oracle_sql  # noqa: E4
 from etl__project_spark.plans.catalog._registry import ORACLES, QUERIES, query  # noqa: F401
 
 
-def load_table(spark, sf_dir, table):
+def load_table(spark, sf_dir, table, **kw):
     """Proxy to the package-level ``catalog.load_table`` attribute — the
     ONE patch point tests and tools monkeypatch to substitute fixtures
     (pre-split behavior: every query resolved the module global). Family
     modules bind this proxy, so patching
     ``etl__project_spark.plans.catalog.load_table`` still governs every
-    query after the family split."""
+    query after the family split. ``**kw`` forwards loader options
+    (e.g. ``parallel=False``) when the patched-in loader accepts them;
+    fixture substitutes that take only (spark, sf_dir, table) keep
+    working because every call site passes options it can semantically
+    drop."""
+    import inspect
+
     import etl__project_spark.plans.catalog as _pkg
 
-    return _pkg.load_table(spark, sf_dir, table)
+    fn = _pkg.load_table
+    if kw:
+        try:
+            params = inspect.signature(fn).parameters
+        except (TypeError, ValueError):
+            params = {}
+        kw = {
+            k: v
+            for k, v in kw.items()
+            if k in params
+            or any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values())
+        }
+    return fn(spark, sf_dir, table, **kw)
 
 
 def _video(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -176,9 +176,14 @@ LIMIT 10""",
 )
 def tpch_q3_shipping(spark, sf_dir):
     """TPC-H Q3-shaped: selective dim filter → join fact → top-k revenue.
-    customer and orders filters cut the build sides before the join."""
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").filter(
+    customer and orders filters cut the build sides before the join.
+    Both sides are consumed ONLY as explicit broadcasts, so they load
+    ``parallel=False``: the single-row-group repartition was a pure
+    extra shuffle stage under each BroadcastExchange (guide §2.1)."""
+    c = load_table(spark, sf_dir, "customer", parallel=False).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders", parallel=False).filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -222,9 +227,12 @@ def tpch_q5_region_volume(spark, sf_dir):
     until the final 25-group aggregate."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
-    c = load_table(spark, sf_dir, "customer")
+    # customer/orders are consumed ONLY as explicit broadcasts here, so
+    # they load parallel=False — the single-row-group repartition was a
+    # pure extra shuffle stage under each BroadcastExchange (guide §2.1)
+    c = load_table(spark, sf_dir, "customer", parallel=False)
     s = load_table(spark, sf_dir, "supplier")
-    o = load_table(spark, sf_dir, "orders").filter(
+    o = load_table(spark, sf_dir, "orders", parallel=False).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
     )

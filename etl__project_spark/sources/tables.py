@@ -83,10 +83,18 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
+) -> DataFrame:
+    """``parallel=False`` skips the single-row-group repartition — for
+    tables consumed ONLY as explicit-broadcast build sides, where the
+    pre-broadcast work (scan + filter below the exchange) is single-task
+    either way and the round-robin shuffle is a pure extra stage before
+    the driver collects the side anyway (guide §2.1: remove shuffles
+    whose output ordering/partitioning nobody needs)."""
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _REPARTITION:
+    if parallel and name in _REPARTITION:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     # Fixture vintage 1: events.ts is TIMESTAMP(NANOS) in parquet; with
     # spark.sql.legacy.parquet.nanosAsLong it surfaces as a long of epoch

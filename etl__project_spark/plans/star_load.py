@@ -27,8 +27,7 @@ import json
 import os
 from concurrent.futures import ThreadPoolExecutor
 
-from py4j.protocol import Py4JJavaError
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -722,19 +721,12 @@ def load_batch(
     crash matrix and replay invariants above are untouched.
     """
     parsed = parse_raw(raw).persist()
-    # A3 audit count rides the delta-checkpoint job below as an
-    # Observation instead of its own count() action — one fewer full
-    # pass over the staging cache per batch (guide §1.4/§5: don't spend
-    # a job on a number another job already computes). The metrics node
-    # sits UNDER the explode, so it counts staging rows exactly once
-    # while the same job materializes the persist.
-    obs = Observation()
-    staged = parsed.observe(obs, F.count(F.lit(1)).alias("n_staged"))
+    n_staged = parsed.count()  # A3 audit; also materializes the cache
 
     # one combined new-keys delta for all four dims (dim tag = position
     # in DIM_SPECS; all natural keys are strings)
     pairs = (
-        staged.select(
+        parsed.select(
             F.explode(
                 F.array(
                     *[
@@ -786,17 +778,6 @@ def load_batch(
         .select("__dim", "__key", "__skey"),
         table_sized=False,
     )
-    # The eager checkpoint above is the action that fired the metrics.
-    # Zero-churn edge (replay of an already-loaded batch, or an empty
-    # one): the anti-join output is empty, so AQE's empty-relation
-    # propagation replaces the WHOLE subtree — CollectMetrics included —
-    # and the observation resolves to a schemaless empty row that
-    # obs.get cannot convert (Py4JJavaError from toPyRow). That case is
-    # exactly the cheapest batch, so it alone pays a real count pass.
-    try:
-        n_staged = int(obs.get["n_staged"])
-    except Py4JJavaError:
-        n_staged = parsed.count()
 
     # The four publishes touch disjoint table directories, so their
     # write jobs run concurrently from a thread pool: wall time is the

@@ -263,10 +263,18 @@ def simhash(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     h = F.md5(F.col("tok"))
+    # One hex→long conversion per token supplies every bit; extracting
+    # bit i of hex digit i//4 as bit (4*ceil(n/4)-1-i) of that integer
+    # is value-identical to the old per-bit substring + strpos chain
+    # but replaces n_bits string ops per token with shift/mask
+    # arithmetic (guide §1.3: cheaper expressions inside the hot
+    # aggregate; interleaved A/B at sf0.1: ~3% at 16 bits and at 60
+    # bits — the md5 itself dominates, this trims the rest).
+    n_digits = -(-n_bits // 4)
+    val = F.conv(F.substring(h, 1, n_digits), 16, 10).cast("long")
     bit_sums = []
     for i in range(n_bits):
-        digit = _hex_digit_val(F.substring(h, i // 4 + 1, 1))
-        bit = F.floor(digit / (2 ** (3 - i % 4))) % 2
+        bit = F.shiftright(val, 4 * n_digits - 1 - i).bitwiseAND(F.lit(1))
         bit_sums.append(
             F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{i}")
         )

@@ -236,10 +236,6 @@ def lsh_index_increment(
     return cross.unionByName(within).distinct(), new_bands
 
 
-def _hex_digit_val(c: Column) -> Column:
-    return F.instr(F.lit("0123456789abcdef"), c) - 1
-
-
 def simhash(
     df: DataFrame,
     n_bits: int = 16,

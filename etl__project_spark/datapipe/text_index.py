@@ -60,13 +60,21 @@ def _tokenize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _doc_parts(docs: DataFrame, id_col: str, text_col: str):
     """(postings, lengths) for one document set — the only code path
-    that reads text, shared by init and per-batch assertion."""
+    that reads text, shared by init and per-batch assertion.
+
+    ``lengths`` aggregates the POSTINGS (Σ tf per doc == token count),
+    not the raw token stream: the two frames then share one canonical
+    scan→explode→(id, term) aggregate subtree, so any action that
+    materializes both (the fold's tagged-union checkpoint, a one-shot
+    scorer plan) tokenizes each document ONCE — Spark's runtime
+    exchange reuse dedups the shared shuffle (guide §2.2; the
+    doc_tfidf_top_terms fix, applied at the operator layer)."""
     toks = _tokenize(docs, id_col, text_col)
     postings = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    lengths = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("len")
+    lengths = postings.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("len")
     )
     return postings, lengths
 
@@ -79,7 +87,14 @@ def build_text_index(
     sign1 = F.lit(1).cast("long").alias("sign")
     postings = postings.select("*", sign1)
     lengths = lengths.select("*", sign1)
-    df = postings.groupBy("term").agg(F.sum("sign").cast("long").alias("df"))
+    # sum over CASE WHEN tf >= 1 — identical (tf is a count >= 1, sign
+    # is +1 on the build path) but the tf reference keeps column
+    # pruning from specializing this branch's copy of the postings
+    # aggregate, so it shares the tokenize shuffle with postings and
+    # lengths instead of re-exploding the corpus a second time.
+    df = postings.groupBy("term").agg(
+        F.sum(F.when(F.col("tf") >= 1, F.col("sign"))).cast("long").alias("df")
+    )
     stats = lengths.agg(
         F.sum("sign").cast("long").alias("n_docs"),
         F.sum(F.col("len") * F.col("sign")).cast("long").alias("n_toks"),
@@ -133,17 +148,87 @@ def maintain_text_index_cdc(
 
     Per batch: one doc-key probe, tokenization of |Δ| docs, one
     term-keyed merge of df, one 1-row stats merge. ``checkpoint``
-    materializes each state so batch N's plan is O(1) in N."""
+    materializes each state so batch N's plan is O(1) in N.
+
+    Checkpoint shape (round 11, guide §1.2/§7 — the similarity fold's
+    tagged-union lesson applied here): the four index frames
+    materialize as ONE DISK_ONLY job per step (previously four), and
+    the two per-batch deltas as one memory-level job (previously two).
+    Each eager checkpoint is a full Spark job whose fixed overhead —
+    not the data — dominates per-batch cost; the union also puts all
+    four frames in one plan, so the shared tokenize shuffle
+    (``_doc_parts``) computes once per step. Consumers read their
+    frame back with a tag filter over the shared materialization."""
+
+    def _ckpt_index(ix: TextIndex) -> TextIndex:
+        id_type = ix.postings.schema[id_col].dataType
+        nid = F.lit(None).cast(id_type)
+        nlong = F.lit(None).cast("long")
+        tagged = (
+            ix.postings.select(
+                F.lit(0).alias("_part"), F.col(id_col).alias("_id"),
+                "term", F.col("tf").alias("_v1"), F.col("sign").alias("_v2"),
+            )
+            .unionByName(ix.lengths.select(
+                F.lit(1).alias("_part"), F.col(id_col).alias("_id"),
+                F.lit(None).cast("string").alias("term"),
+                F.col("len").alias("_v1"), F.col("sign").alias("_v2"),
+            ))
+            .unionByName(ix.df.select(
+                F.lit(2).alias("_part"), nid.alias("_id"), "term",
+                F.col("df").alias("_v1"), nlong.alias("_v2"),
+            ))
+            .unionByName(ix.stats.select(
+                F.lit(3).alias("_part"), nid.alias("_id"),
+                F.lit(None).cast("string").alias("term"),
+                F.col("n_docs").alias("_v1"), F.col("n_toks").alias("_v2"),
+            ))
+        )
+        tagged = state_checkpoint(tagged, table_sized=True)
+        return TextIndex(
+            tagged.filter(F.col("_part") == 0).select(
+                F.col("_id").alias(id_col), "term",
+                F.col("_v1").alias("tf"), F.col("_v2").alias("sign"),
+            ),
+            tagged.filter(F.col("_part") == 1).select(
+                F.col("_id").alias(id_col),
+                F.col("_v1").alias("len"), F.col("_v2").alias("sign"),
+            ),
+            tagged.filter(F.col("_part") == 2).select(
+                "term", F.col("_v1").alias("df")
+            ),
+            tagged.filter(F.col("_part") == 3).select(
+                F.col("_v1").alias("n_docs"), F.col("_v2").alias("n_toks")
+            ),
+        )
+
     index = build_text_index(initial, id_col, text_col)
     if checkpoint:
-        index = TextIndex(*[state_checkpoint(f, table_sized=True) for f in index])
+        index = _ckpt_index(index)
     for batch in cdc_batches:
         d_post, d_len = text_index_delta(
             index, batch, id_col, text_col, op_col, delete_op
         )
         if checkpoint:
-            d_post = state_checkpoint(d_post, table_sized=False)
-            d_len = state_checkpoint(d_len, table_sized=False)
+            id_type = index.postings.schema[id_col].dataType
+            d_both = state_checkpoint(
+                d_post.select(
+                    F.lit(0).alias("_part"), F.col(id_col).alias("_id"),
+                    "term", F.col("tf").alias("_v1"), "sign",
+                ).unionByName(d_len.select(
+                    F.lit(1).alias("_part"), F.col(id_col).alias("_id"),
+                    F.lit(None).cast("string").alias("term"),
+                    F.col("len").alias("_v1"), "sign",
+                )),
+                table_sized=False,
+            )
+            d_post = d_both.filter(F.col("_part") == 0).select(
+                F.col("_id").alias(id_col), "term",
+                F.col("_v1").alias("tf"), "sign",
+            )
+            d_len = d_both.filter(F.col("_part") == 1).select(
+                F.col("_id").alias(id_col), F.col("_v1").alias("len"), "sign"
+            )
         postings = consolidate(index.postings.unionByName(d_post))
         lengths = consolidate(index.lengths.unionByName(d_len))
         df = (
@@ -169,7 +254,7 @@ def maintain_text_index_cdc(
         )
         index = TextIndex(postings, lengths, df, stats)
         if checkpoint:
-            index = TextIndex(*[state_checkpoint(f, table_sized=True) for f in index])
+            index = _ckpt_index(index)
     return index
 
 

@@ -841,9 +841,9 @@ def tpch_q22_idle_balance(spark, sf_dir):
     non-trivial). The scalar AVG subquery is a broadcast cross join
     (stays in-plan, no driver collect); NOT EXISTS is a left-anti join
     whose right side is filtered before the join."""
-    c = load_table(spark, sf_dir, "customer", parallel=False)
+    c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    o = load_table(spark, sf_dir, "orders", parallel=False).filter(
+    o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-09-01").cast("date")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(

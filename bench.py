@@ -110,6 +110,7 @@ _BASELINE = {
 
 def normalize_ratios(
     ratios: dict[str, float],
+    anchors: list[str] | None = None,
 ) -> tuple[float | None, dict[str, float]]:
     """Steal-proof normalization (VERDICT r7 #2, SCALE.md §9k): divide
     each query's baseline ratio by the within-run MEDIAN of ratios.
@@ -122,8 +123,26 @@ def normalize_ratios(
     regressions survive as ``normalized > 1``. Returns
     ``(host_factor, {query: normalized_ratio})`` — host_factor ≈ 1 on an
     idle box, > 1 under steal. Pure math, unit-tested in
-    ``tests/test_bench_harness.py``."""
+    ``tests/test_bench_harness.py``.
+
+    ``anchors`` (VERDICT r11 #8): a round that genuinely speeds up half
+    the queries pulls the all-query median down, which reads the
+    UNTOUCHED half as relatively regressed — the normalization cancels
+    steal, not improvement. Analysis tooling that knows which queries a
+    round touched can pass the untouched names as ``anchors``; the
+    median (the steal estimate) is then computed over those only, so
+    touched-query improvements cannot shift untouched queries'
+    normalized ratios. ``bench.py`` itself has no touched-set knowledge
+    and keeps the all-query median (``anchors=None``)."""
     vals = sorted(v for v in ratios.values() if v is not None)
+    if anchors is not None:
+        anchor_vals = sorted(
+            v
+            for k, v in ratios.items()
+            if v is not None and k in set(anchors)
+        )
+        if anchor_vals:
+            vals = anchor_vals
     if not vals:
         return None, {}
     med = statistics.median(vals)
@@ -246,6 +265,18 @@ def main() -> None:
                 "failed": failed,
                 "n_runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Scaling observability (VERDICT r11 #2): the driver's
+                # low-core probe flagged `suspect_cpus_ignored` and the
+                # JSON could not prove otherwise. Echo the requested CPU
+                # env, the session's EFFECTIVE master, its scheduler
+                # parallelism, and the shuffle-partition count so a
+                # local[8] run is verifiable from the artifact alone.
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
             }
         )
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl__project_spark.session import state_checkpoint
+from etl__project_spark.session import empty_frame, state_checkpoint
 
 
 def word_cooccur_edges(
@@ -384,7 +384,7 @@ def maintain_triangles_cdc(
     disk = StorageLevel.DISK_ONLY
     spark = initial_edges.sparkSession
     adj = initial_edges.select("u", "v")
-    empty = spark.createDataFrame([], "u long, v long")
+    empty = empty_frame(spark, "u long, v long")
     counts = [
         triangle_delta_signed(
             empty, adj.select("*", F.lit(1).cast("long").alias("sign"))

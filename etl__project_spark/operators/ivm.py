@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl__project_spark.session import state_checkpoint
+from etl__project_spark.session import empty_frame, state_checkpoint
 
 
 def delta_join(
@@ -76,8 +76,8 @@ def maintain_join_view(
     """
     assert len(batches_a) == len(batches_b)
     spark = batches_a[0].sparkSession
-    state_a = spark.createDataFrame([], batches_a[0].schema)
-    state_b = spark.createDataFrame([], batches_b[0].schema)
+    state_a = empty_frame(spark, batches_a[0].schema)
+    state_b = empty_frame(spark, batches_b[0].schema)
     view: DataFrame | None = None
     for da, db in zip(batches_a, batches_b):
         delta = delta_join(state_a, state_b, da, db, on)
@@ -233,7 +233,7 @@ def maintain_join_view_cdc(
     sign1 = F.lit(1).cast("long").alias("sign")
     state_a = initial_a.select("*", sign1)
     state_b = initial_b.select("*", sign1)
-    empty_a = spark.createDataFrame([], state_a.schema)
+    empty_a = empty_frame(spark, state_a.schema)
     view = _signed_join(state_a, state_b, on, "sign")
     if checkpoint:
         state_b = state_checkpoint(state_b, table_sized=True)
@@ -706,8 +706,8 @@ def maintain_fulljoin_view_cdc_bothsides(
     sign1 = F.lit(1).cast("long").alias("sign")
     state_a = initial_a.select("*", sign1)
     state_b = initial_b.select("*", sign1)
-    empty_a = spark.createDataFrame([], state_a.schema)
-    empty_b = spark.createDataFrame([], state_b.schema)
+    empty_a = empty_frame(spark, state_a.schema)
+    empty_b = empty_frame(spark, state_b.schema)
     view = fulljoin_init_signed(state_a, state_b, on)
     if checkpoint:
         state_a = state_checkpoint(state_a, table_sized=True)

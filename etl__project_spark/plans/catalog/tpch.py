@@ -56,6 +56,7 @@ from etl__project_spark.datapipe.linalg import covariance_oracle_sql  # noqa: E4
 from etl__project_spark.plans.catalog._registry import ORACLES, QUERIES, query  # noqa: F401
 from etl__project_spark.plans.catalog._shared import (  # noqa: F401
     load_table,
+    size_gated_broadcast,
     _video,
     _parsed,
     PARSED_CTE,
@@ -190,8 +191,8 @@ def tpch_q3_shipping(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1998-03-15").cast("date")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(size_gated_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(size_gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             _money_sum(
@@ -238,10 +239,10 @@ def tpch_q5_region_volume(spark, sf_dir):
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(size_gated_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(size_gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            size_gated_broadcast(s, sf_dir, "supplier"),
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -413,7 +414,7 @@ def tpch_q17_avg_qty(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     return (
-        li.join(F.broadcast(pa), "l_partkey")
+        li.join(size_gated_broadcast(pa, sf_dir, "lineitem"), "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             _money_sum(F.col("l_extendedprice")).alias("total_price"),
@@ -436,7 +437,7 @@ def tpch_q19_disjunct(spark, sf_dir):
     (Catalyst pushes the common parts, keeps the OR as a join filter)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(size_gated_broadcast(p, sf_dir, "part"), p.p_partkey == li.l_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 10))
@@ -493,9 +494,9 @@ def tpch_q7_nation_volume(spark, sf_dir):
         | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(size_gated_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(size_gated_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(size_gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -546,10 +547,10 @@ def tpch_q8_market_share(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(size_gated_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(size_gated_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(size_gated_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(size_gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -593,9 +594,9 @@ def tpch_q9_profit(spark, sf_dir):
         "l_quantity"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(size_gated_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(size_gated_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(size_gated_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -634,8 +635,8 @@ def tpch_q10_returned(spark, sf_dir):
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(size_gated_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(size_gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -668,7 +669,7 @@ def tpch_q12_late_lines(spark, sf_dir):
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("long")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(size_gated_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.sum(late).alias("late_count"),
@@ -716,7 +717,7 @@ def tpch_q14_promo(spark, sf_dir):
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(size_gated_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .agg(
             _quant4(
                 100.0
@@ -781,7 +782,7 @@ def tpch_q16_supplier_cnt(spark, sf_dir):
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(size_gated_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -811,8 +812,8 @@ def tpch_q18_big_orders(spark, sf_dir):
         .filter(F.col("sum_qty") > 300)
     )
     return (
-        q.join(F.broadcast(o), q.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        q.join(size_gated_broadcast(o, sf_dir, "orders"), q.l_orderkey == o.o_orderkey)
+        .join(size_gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -920,8 +921,8 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     )
     w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_cost"), F.asc("s_suppkey"))
     return (
-        unit.join(F.broadcast(p), unit.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), unit.l_suppkey == s.s_suppkey)
+        unit.join(size_gated_broadcast(p, sf_dir, "part"), unit.l_partkey == p.p_partkey)
+        .join(size_gated_broadcast(s, sf_dir, "supplier"), unit.l_suppkey == s.s_suppkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_cost")
@@ -1045,7 +1046,7 @@ def tpch_q20_potential_promotion(spark, sf_dir):
     cand = (
         avail.join(demand, ["l_partkey", "l_suppkey"])
         .filter(F.col("q96") > F.lit(0.5) * F.col("q97"))
-        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey, "left_semi")
+        .join(size_gated_broadcast(parts, sf_dir, "part"), F.col("l_partkey") == parts.p_partkey, "left_semi")
         .select("l_suppkey")
         .distinct()
     )
@@ -1128,7 +1129,7 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        l1.join(F.broadcast(sup), l1.l_suppkey == sup.s_suppkey)
+        l1.join(size_gated_broadcast(sup, sf_dir, "supplier"), l1.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

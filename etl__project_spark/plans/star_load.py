@@ -36,7 +36,7 @@ from etl__project_spark.operators import (
     parse_raw,
 )
 from etl__project_spark.operators.layout import prune_files_for_range
-from etl__project_spark.session import state_checkpoint
+from etl__project_spark.session import empty_frame, state_checkpoint
 
 # Output file sizing for fact appends (guide §6): per-row estimate for
 # the 4-surrogate-key fact (4 int64 + parquet framing) and the target
@@ -106,7 +106,7 @@ class ParquetWarehouse:
         contract Delta/Iceberg expose as VERSION AS OF)."""
         v = self._current(table) if version is None else version
         if v is None:
-            return self.spark.createDataFrame([], schema)
+            return empty_frame(self.spark, schema)
         path = os.path.join(self._tdir(table), f"v{v}")
         if version is not None and not os.path.isdir(path):
             raise ValueError(f"{table} has no retained version {version}")
@@ -441,7 +441,7 @@ class ParquetWarehouse:
         ``tests/test_layout.py:test_mixed_layout_dirs_stay_readable``)."""
         dirs = self._live_dirs(table)
         if not dirs:
-            return self.spark.createDataFrame([], schema)
+            return empty_frame(self.spark, schema)
         if not self._any_partitioned(dirs):
             return self._strip_layout_cols(
                 self.spark.read.schema(schema).parquet(*dirs)
@@ -626,11 +626,11 @@ def read_range(
     only the files whose footer rectangle intersects the range."""
     v = wh._current(table)
     if v is None:
-        return wh.spark.createDataFrame([], schema)
+        return empty_frame(wh.spark, schema)
     vdir = os.path.join(wh._tdir(table), f"v{v}")
     files, _skipped = prune_files_for_range([vdir], column, lo, hi)
     if not files:
-        return wh.spark.createDataFrame([], schema)
+        return empty_frame(wh.spark, schema)
     return (
         ParquetWarehouse._strip_layout_cols(
             wh.spark.read.schema(schema).parquet(*files)
@@ -1214,10 +1214,10 @@ def read_fact_range(
     instead of scheduling O(files) tasks."""
     dirs = wh._live_dirs(table)
     if not dirs:
-        return wh.spark.createDataFrame([], schema)
+        return empty_frame(wh.spark, schema)
     files, _skipped = prune_files_for_range(dirs, column, lo, hi)
     if not files:
-        return wh.spark.createDataFrame([], schema)
+        return empty_frame(wh.spark, schema)
     return (
         ParquetWarehouse._strip_layout_cols(
             wh.spark.read.schema(schema).parquet(*files)
@@ -1252,10 +1252,10 @@ def read_fact_rect(
         raise ValueError("read_fact_rect requires at least one column range")
     dirs = wh._live_dirs(table)
     if not dirs:
-        return wh.spark.createDataFrame([], schema)
+        return empty_frame(wh.spark, schema)
     files, _skipped = prune_files_for_rect(dirs, ranges)
     if not files:
-        return wh.spark.createDataFrame([], schema)
+        return empty_frame(wh.spark, schema)
     out = ParquetWarehouse._strip_layout_cols(
         wh.spark.read.schema(schema).parquet(*files)
     )
@@ -1276,5 +1276,5 @@ def read_fact_point(
     bloom skipping, kept honest here by the no-false-negative test."""
     dirs, _ = prune_dirs_for_key(wh, table, key_col, value)
     if not dirs:
-        return wh.spark.createDataFrame([], schema)
+        return empty_frame(wh.spark, schema)
     return wh.spark.read.parquet(*dirs).filter(F.col(key_col) == F.lit(value))

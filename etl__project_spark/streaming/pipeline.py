@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl__project_spark.operators.rollup import merge_rollups
-from etl__project_spark.session import state_checkpoint
+from etl__project_spark.session import empty_frame, state_checkpoint
 from etl__project_spark.plans.star_load import (
     ConcurrentWriteError,
     ParquetWarehouse,
@@ -657,7 +657,7 @@ def stream_leftjoin_view_cdc(
         table_sized=True,
     )
     view_schema = _jv_view_schema(static_a)
-    empty_b = spark.createDataFrame([], JV_STATE_SCHEMA)
+    empty_b = empty_frame(spark, JV_STATE_SCHEMA)
     wh.publish_merged(
         "ljv_view",
         leftjoin_init_signed(a_signed, empty_b, ["id"]),

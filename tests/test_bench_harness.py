@@ -57,3 +57,30 @@ def test_even_count_median_interpolates():
     factor, norm = normalize_ratios({"a": 1.0, "b": 3.0})
     assert factor == pytest.approx(2.0)
     assert norm == {"a": 0.5, "b": 1.5}
+
+
+def test_anchor_set_shields_untouched_queries_from_improvement_pull():
+    """VERDICT r11 #8: a round that genuinely improves HALF the queries
+    pulls the all-query median down, reading the untouched half as
+    relatively regressed. With the untouched queries passed as anchors,
+    the steal estimate comes from them alone: a simulated 2×-improved
+    half must not shift the untouched queries' normalized ratios."""
+    untouched = {f"u{i}": 1.0 for i in range(8)}
+    improved = {f"t{i}": 0.5 for i in range(8)}  # 2× faster this round
+    ratios = {**untouched, **improved}
+    factor, norm = normalize_ratios(ratios, anchors=list(untouched))
+    assert factor == pytest.approx(1.0)
+    assert all(norm[q] == pytest.approx(1.0) for q in untouched)
+    assert all(norm[q] == pytest.approx(0.5) for q in improved)
+    # default (no anchors) keeps the historical all-query median
+    factor_all, norm_all = normalize_ratios(ratios)
+    assert factor_all == pytest.approx(0.75)
+
+
+def test_anchor_set_with_no_usable_anchors_falls_back_to_all():
+    """Anchors that are all failed/absent must not zero the estimate —
+    fall back to the all-query median rather than returning garbage."""
+    ratios = {"a": 2.0, "b": 2.0, "c": None}
+    factor, norm = normalize_ratios(ratios, anchors=["c", "nope"])
+    assert factor == pytest.approx(2.0)
+    assert set(norm) == {"a", "b"}

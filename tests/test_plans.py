@@ -808,3 +808,22 @@ def test_no_duplicate_top_level_definitions():
                     )
                 seen[node.name] = node.lineno
     assert not offenders, "\n".join(offenders)
+
+
+def test_tpch_broadcast_hint_size_gate_flips_to_smj(spark, monkeypatch):
+    """VERDICT r11 #3: the TPC-H explicit broadcast hints are gated on
+    the table's on-disk size (orders/customer/part/supplier all scale
+    with SF — at 100 TB an unconditional broadcast hint is an OOM). With
+    the gate limit forced below the fixture size and Spark's own
+    auto-broadcast disabled (simulating a table whose estimates say
+    BIG), the plan must flip to SortMergeJoin; the companion fixture-
+    scale pin is test_star_joins_broadcast_not_sort_merge above."""
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_FILE_LIMIT", "1")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(QUERIES["tpch_q3_shipping"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, "size gate did not release the hint"
+    assert "BroadcastHashJoin" not in plan

@@ -1434,14 +1434,17 @@ def emb_ivf_cdc(spark, sf_dir):
     churn = F.col("vec_id") >= 8
     m10 = F.col("vec_id") % 10
     initial = emb.filter(~(churn & (m10 == 4)))
-    batch1 = (
-        emb.filter(churn & (m10 == 4))
-        .withColumn("op", F.lit("I"))
-        .unionByName(
-            emb.filter(churn & (m10 == 3))
-            .withColumn("embedding", F.transform("embedding", lambda v: -v))
-            .withColumn("op", F.lit("U"))
-        )
+    # one pass instead of a union of two filtered scans (guide §2.4):
+    # the union doubled the partition count of every downstream map
+    # stage in the fold (the fixture repartition's 32 parts × 2) and
+    # scanned the table twice; rows are identical (ids are disjoint
+    # between the == 4 and == 3 branches, so order never mattered).
+    batch1 = emb.filter(churn & ((m10 == 4) | (m10 == 3))).select(
+        "vec_id",
+        F.when(
+            m10 == 3, F.transform("embedding", lambda v: -v)
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        F.when(m10 == 3, F.lit("U")).otherwise(F.lit("I")).alias("op"),
     )
     batch2 = emb.filter(churn & (m10 == 7)).withColumn("op", F.lit("D"))
     state, cells = maintain_ivf_cells_cdc(initial, [batch1, batch2])

@@ -390,14 +390,23 @@ class _CrashingWarehouse(ParquetWarehouse):
         self.crash_mid_publish = crash_mid_publish
         self.crash_before_fact = crash_before_fact
 
-    def publish(self, table, df):
+    def _maybe_crash(self, table):
         if table == self.crash_on_publish:
             raise _CrashPoint(f"before publish of {table}")
         if table == self.crash_mid_publish:
             base = self._current(table)
             self._claim_version(table, (base or 0) + 1, base)
             raise _CrashPoint(f"mid publish of {table} (claim held)")
+
+    def publish(self, table, df):
+        self._maybe_crash(table)
         return super().publish(table, df)
+
+    def publish_delta(self, table, delta):
+        # load_batch publishes dims via the O(churn) delta path; the
+        # crash points (before commit / claim held) are the same.
+        self._maybe_crash(table)
+        return super().publish_delta(table, delta)
 
     def fact_append(self, table, df, batch_id):
         if self.crash_before_fact:
@@ -748,3 +757,48 @@ def test_gc_fact_reclaims_crash_garbage_only(spark, tmp_path):
     # replay of the absorbed batch stays a no-op after gc (exactly-once
     # survives garbage collection — the manifest, not the dir, is truth)
     assert wh.fact_append("t", df, "b0") is False
+
+
+def test_publish_delta_links_base_and_appends_only_churn(spark, tmp_path):
+    """publish_delta must be content-identical to publishing
+    current ∪ delta while REUSING the base snapshot's files (O(churn)
+    publish): the new version directory hardlinks the base's parquet
+    files and adds only the delta's rows; time travel to the base
+    version still reads the old content; a held claim still fails the
+    next publish loudly."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl__project_spark.plans.star_load import ConcurrentWriteError
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("skey", T.LongType(), False),
+            T.StructField("nk", T.StringType(), True),
+        ]
+    )
+    v1 = wh.publish_delta(
+        "dim", spark.createDataFrame([(0, "a"), (1, "b")], schema)
+    )
+    v2 = wh.publish_delta("dim", spark.createDataFrame([(2, "c")], schema))
+    assert (v1, v2) == (1, 2)
+    assert sorted(
+        (r["skey"], r["nk"]) for r in wh.read("dim", schema).collect()
+    ) == [(0, "a"), (1, "b"), (2, "c")]
+    # time travel: the base snapshot is untouched
+    assert sorted(
+        (r["skey"], r["nk"]) for r in wh.read("dim", schema, version=1).collect()
+    ) == [(0, "a"), (1, "b")]
+    # the v2 directory reuses v1's files by link, not by rewrite
+    v2_dir = os.path.join(str(tmp_path / "wh"), "dim", "v2")
+    linked = [f for f in os.listdir(v2_dir) if f.startswith("base-1-")]
+    assert linked, "base snapshot files were not carried into the new version"
+    for f in linked:
+        src = os.path.join(str(tmp_path / "wh"), "dim", "v1", f[len("base-1-"):])
+        assert os.path.samefile(os.path.join(v2_dir, f), src)
+    # CAS: a held claim on the next version fails the publish loudly
+    wh._claim_version("dim", 3, 2)
+    with pytest.raises(ConcurrentWriteError):
+        wh.publish_delta("dim", spark.createDataFrame([(3, "d")], schema))

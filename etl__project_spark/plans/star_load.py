@@ -15,10 +15,12 @@ pointer — the plain-filesystem stand-in for a transactional table format:
   already exists is skipped → idempotent replay (exactly-once under
   retries, the streaming path's requirement T5)
 
-Scale notes: dims are rewritten per batch (fine for bounded dims; an
-unbounded dim would switch to append-only new-key files and compaction).
-The fact append is a pure write of the new batch — no read-modify-write
-of existing data, so batch cost is O(batch), not O(warehouse).
+Scale notes: dim publishes are O(churn), not O(table) — ``publish_delta``
+hardlinks the base snapshot's files into the new version and writes only
+the batch's new keys (the append-only new-key-files move, with the same
+versioned CAS commit). The fact append is a pure write of the new batch —
+no read-modify-write of existing data, so batch cost is O(batch), not
+O(warehouse).
 """
 
 from __future__ import annotations
